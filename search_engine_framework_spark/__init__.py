@@ -1,0 +1,17 @@
+"""search_engine_framework_spark — a PySpark-native full-text indexing + retrieval engine.
+
+A from-scratch, Spark-first rebuild of the capabilities of the reference
+CMU 11-642 QryEval framework (/root/reference): distributed inverted-index
+construction over conversation-transcript tables, structured query language
+(#AND #OR #NOT #SUM #WAND #WSUM #SYN #NEAR/n #WINDOW/n, field-qualified
+terms), four retrieval models (UnrankedBoolean, RankedBoolean, BM25, Indri),
+plus large-scale training-data pipeline operators (dedup, similarity search,
+text quality analysis).
+
+Everything is expressed as DataFrame transformations so Catalyst/Tungsten
+choose the physical plan; Python crosses the JVM boundary only through
+Arrow-vectorized pandas UDFs (tokenization, posting-block codecs, positional
+merges).
+"""
+
+__version__ = "0.1.0"

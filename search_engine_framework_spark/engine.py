@@ -1,0 +1,78 @@
+"""SearchEngine — the user-facing facade.
+
+Mirrors the reference's lifecycle (QryEval.java:199-258): parse → evaluate
+→ sort (desc score, asc external id — the load-bearing tie-break,
+QryEval.java:353-474) → top-k. Evaluation is a DataFrame plan; top-k is
+Catalyst's distributed ``TakeOrderedAndProject``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.analyzer import AnalyzerConfig
+from .index.build import IndexPaths
+from .index.reader import IndexReader
+from .plans.compiler import QueryCompiler
+from .plans.models import RetrievalModel, UnrankedBoolean
+from .plans.parser import parse_query
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str | IndexPaths,
+        analyzer: AnalyzerConfig | None = None,
+    ):
+        self.spark = spark
+        self.reader = IndexReader(spark, index_path)
+        self.analyzer = analyzer or AnalyzerConfig.reference()
+
+    def search(
+        self,
+        query: str,
+        model: RetrievalModel,
+        k: int = 100,
+    ) -> DataFrame:
+        """→ DataFrame(doc_id, ext_id, rank, score), reference ordering."""
+        node = parse_query(query, model, self.analyzer)
+        if node is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, ext_id string, rank int, score double"
+            )
+        compiler = QueryCompiler(self.reader, model)
+        compiler.prepare(node)
+        try:
+            scored = compiler.compile_query(node)
+            docmap = self.reader.docmap().select("doc_id", "ext_id")
+            withext = scored.join(F.broadcast(docmap), "doc_id")
+            if isinstance(model, UnrankedBoolean):
+                ordered = withext.orderBy(F.asc("ext_id"))
+            else:
+                ordered = withext.orderBy(F.desc("score"), F.asc("ext_id"))
+            rows = ordered.limit(k).collect()
+        finally:
+            compiler.release()
+        out = [
+            (r["doc_id"], r["ext_id"], i + 1, float(r["score"]))
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(
+            out, "doc_id long, ext_id string, rank int, score double"
+        )
+
+    def search_df(self, query: str, model: RetrievalModel) -> DataFrame:
+        """Lazy variant: full scored list (doc_id, ext_id, score), unranked
+        — for composition into larger pipelines without a driver collect."""
+        node = parse_query(query, model, self.analyzer)
+        if node is None:
+            return self.spark.createDataFrame([], "doc_id long, ext_id string, score double")
+        compiler = QueryCompiler(self.reader, model)
+        compiler.prepare(node)
+        scored = compiler.compile_query(node)
+        docmap = self.reader.docmap().select("doc_id", "ext_id")
+        return scored.join(F.broadcast(docmap), "doc_id").select(
+            "doc_id", "ext_id", "score"
+        )

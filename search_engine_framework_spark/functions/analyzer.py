@@ -1,0 +1,190 @@
+"""Lexical analysis: the index-side AND query-side tokenizer.
+
+Mirrors the reference analyzer pipeline (Lucene
+StandardTokenizer → StandardFilter → EnglishPossessiveFilter →
+LowerCaseFilter → StopFilter(English) → KStem;
+/root/reference/src/EnglishAnalyzerConfigurable.java:138-160, configured
+lowercase=true stopwords=true KSTEM at QryEval.java:61-65), re-implemented
+in pure Python so the exact same function runs
+
+  * inside the Arrow-vectorized ``pandas_udf`` used by the index build,
+  * on the driver for query-term tokenization (QryEval.java:801-817), and
+  * inside the pure-Python rank-identity oracle in ``tests/``.
+
+Position semantics match Lucene term vectors: every token (stopword or not)
+occupies a position slot; stopwords are removed from the postings but leave
+a gap in the position sequence. Document length matches Lucene's norm-based
+DocLengthStore (/root/reference/src/DocLenStoreSimilarity.java:29-36 —
+``FieldInvertState.getLength()`` counts only *emitted* tokens), i.e. doclen
+excludes stopwords.
+
+A second "sql_safe" mode (lowercase + split on non-alphanumeric, no
+stopwords, no stemming) exists so that correctness oracles can be written
+in portable ANSI SQL (DuckDB); in that mode the Spark side needs **no UDF
+at all** — see ``sql_safe_tokens_col``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from .stopwords import LUCENE_ENGLISH_STOPWORDS
+from .stemmer import stem_token
+
+# Approximation of UAX#29 word boundaries as used by Lucene's
+# StandardTokenizer: digit runs may contain . or , separators (MidNum);
+# alphanumeric runs may contain apostrophes between letters (MidLetter).
+_TOKEN_RE = re.compile(
+    r"[0-9]+(?:[.,][0-9]+)*"  # 3.14  1,000
+    r"|[A-Za-z0-9_]+(?:['’][A-Za-z0-9_]+)*"  # don't  o'neill  mp3
+)
+
+_POSSESSIVE_RE = re.compile(r"['’][sS]$")
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    lowercase: bool = True
+    stopwords: bool = True
+    stemmer: str = "kstem"  # "kstem" | "none"
+
+    @staticmethod
+    def reference() -> "AnalyzerConfig":
+        """The reference engine's configuration (QryEval.java:61-65)."""
+        return AnalyzerConfig(lowercase=True, stopwords=True, stemmer="kstem")
+
+    @staticmethod
+    def sql_safe() -> "AnalyzerConfig":
+        """Expressible in ANSI SQL: lower + [^a-z0-9]+ split, no stop/stem."""
+        return AnalyzerConfig(lowercase=True, stopwords=False, stemmer="none")
+
+
+def _raw_tokens(text: str, cfg: AnalyzerConfig) -> Iterator[str]:
+    if cfg is SQL_SAFE or (not cfg.stopwords and cfg.stemmer == "none"):
+        # sql_safe tokenization must EXACTLY match the SQL expression
+        # regexp_split(lower(text), '[^a-z0-9]+') with empties dropped.
+        for tok in re.split(r"[^a-z0-9]+", text.lower()):
+            if tok:
+                yield tok
+        return
+    for m in _TOKEN_RE.finditer(text):
+        tok = _POSSESSIVE_RE.sub("", m.group(0))
+        if cfg.lowercase:
+            tok = tok.lower()
+        yield tok
+
+
+def analyze_positions(text: str, cfg: AnalyzerConfig | None = None) -> list[tuple[int, str]]:
+    """Tokenize one document field → [(position_slot, term), ...].
+
+    Stopwords are dropped but consume a position slot (Lucene
+    posIncrement semantics). Position slots are 0-based.
+    """
+    cfg = cfg or AnalyzerConfig.reference()
+    out: list[tuple[int, str]] = []
+    pos = 0
+    for tok in _raw_tokens(text or "", cfg):
+        if cfg.stopwords and tok in LUCENE_ENGLISH_STOPWORDS:
+            pos += 1
+            continue
+        out.append((pos, stem_token(tok, cfg.stemmer)))
+        pos += 1
+    return out
+
+
+def analyze_terms(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
+    """Tokenize → bare term list (for query-side tokenizeQuery parity,
+    /root/reference/src/QryEval.java:801-817)."""
+    return [t for _, t in analyze_positions(text, cfg)]
+
+
+SQL_SAFE = AnalyzerConfig.sql_safe()
+
+
+def doc_term_entries(text: str, cfg: AnalyzerConfig | None = None) -> tuple[list[dict], int]:
+    """One document → (grouped postings, doclen).
+
+    Returns ([{term, tf, positions}], doclen) with terms sorted
+    lexicographically (deterministic across partitionings) and positions
+    ascending. doclen counts emitted (non-stop) tokens.
+    """
+    toks = analyze_positions(text, cfg)
+    by_term: dict[str, list[int]] = {}
+    for pos, term in toks:
+        by_term.setdefault(term, []).append(pos)
+    entries = [
+        {"term": t, "tf": len(ps), "positions": ps}
+        for t, ps in sorted(by_term.items())
+    ]
+    return entries, len(toks)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side vectorized UDFs (the ONLY Python crossings in the index build)
+# ---------------------------------------------------------------------------
+
+_POSTING_ENTRY_SCHEMA = (
+    "array<struct<term:string,tf:int,positions:array<int>>>"
+)
+
+
+def tokenize_udf(cfg: AnalyzerConfig | None = None):
+    """pandas_udf: text column → array<struct<term,tf,positions>>.
+
+    Emitting the per-doc grouped form directly from the UDF avoids a
+    token-level explode+groupBy shuffle: the (doc → term) grouping is done
+    map-side inside the Arrow batch.
+    """
+    cfg = cfg or AnalyzerConfig.reference()
+
+    @pandas_udf(_POSTING_ENTRY_SCHEMA)
+    def _tok(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: doc_term_entries(t, cfg)[0])
+
+    return _tok
+
+
+def doclen_udf(cfg: AnalyzerConfig | None = None):
+    """pandas_udf: text column → int doclen (emitted-token count)."""
+    cfg = cfg or AnalyzerConfig.reference()
+
+    @pandas_udf("int")
+    def _dl(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(analyze_positions(t, cfg)))
+
+    return _dl
+
+
+def query_terms_udf(cfg: AnalyzerConfig | None = None):
+    """pandas_udf: raw token column → array<string> of analyzed terms."""
+    cfg = cfg or AnalyzerConfig.reference()
+
+    @pandas_udf(ArrayType(StringType()))
+    def _qt(tokens: pd.Series) -> pd.Series:
+        return tokens.map(lambda t: analyze_terms(t, cfg))
+
+    return _qt
+
+
+# ---------------------------------------------------------------------------
+# sql_safe mode: zero-UDF column expressions (JVM-side, codegen'd)
+# ---------------------------------------------------------------------------
+
+def sql_safe_tokens_col(text: Column) -> Column:
+    """array<string> of sql_safe tokens, fully JVM-side.
+
+    Exactly equivalent to DuckDB:
+      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+    """
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )

@@ -1,0 +1,155 @@
+"""Posting-block codec: delta-gap + varint compression with block-max metadata.
+
+The reference holds postings as Java object vectors
+(/root/reference/src/InvList.java:21-52 — ``(docid, tf, positions)``,
+docid-ascending). At 10^12-turn scale that representation is the bottleneck,
+so our segments store fixed-size blocks of postings as LEB128-varint byte
+columns:
+
+  block = struct<first_doc:long, last_doc:long, n:int, max_tf:int,
+                 docs:binary, tfs:binary, doclens:binary, poss:binary>
+
+* ``docs``    — varint gaps: doc_id deltas from the previous doc in the block
+                (first delta is from ``first_doc``, i.e. 0).
+* ``tfs``     — varint term frequencies.
+* ``doclens`` — varint per-document field lengths. Duplicating doclen into
+                the posting block makes query-time BM25/Indri scoring
+                **join-free** (no 10^12-row doclen join per term).
+* ``poss``    — per posting: varint n_positions, then varint position deltas.
+* ``max_tf``  — block-max metadata: at query time the BM25 block upper bound
+                idf · (max_tf/(max_tf + k1·(1−b))) allows skipping whole
+                blocks below the current top-k threshold (WAND-style).
+
+Encode/decode run inside Arrow-vectorized pandas UDFs only; this module is
+pure Python/NumPy and is also used by the test oracle for round-trip checks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: list[int]) -> bytes:
+    out = bytearray()
+    for v in values:
+        if v < 0:
+            raise ValueError(f"varint_encode: negative value {v}")
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def varint_decode(buf: bytes) -> list[int]:
+    out: list[int] = []
+    cur = 0
+    shift = 0
+    for byte in buf:
+        cur |= (byte & 0x7F) << shift
+        if byte & 0x80:
+            shift += 7
+        else:
+            out.append(cur)
+            cur = 0
+            shift = 0
+    if shift:
+        raise ValueError("varint_decode: truncated buffer")
+    return out
+
+
+@dataclass
+class Block:
+    first_doc: int
+    last_doc: int
+    n: int
+    max_tf: int
+    docs: bytes
+    tfs: bytes
+    doclens: bytes
+    poss: bytes
+
+
+def encode_blocks(
+    doc_ids: list[int],
+    tfs: list[int],
+    doclens: list[int],
+    positions: list[list[int]],
+    block_size: int = BLOCK_SIZE,
+) -> list[Block]:
+    """Encode docid-ascending postings into fixed-size blocks."""
+    blocks: list[Block] = []
+    for s in range(0, len(doc_ids), block_size):
+        e = min(s + block_size, len(doc_ids))
+        d = doc_ids[s:e]
+        gaps = [d[0] - d[0]] + [d[i] - d[i - 1] for i in range(1, len(d))]
+        pos_stream: list[int] = []
+        for plist in positions[s:e]:
+            pos_stream.append(len(plist))
+            prev = 0
+            for p in plist:
+                pos_stream.append(p - prev)
+                prev = p
+        blocks.append(
+            Block(
+                first_doc=d[0],
+                last_doc=d[-1],
+                n=len(d),
+                max_tf=max(tfs[s:e]),
+                docs=varint_encode(gaps),
+                tfs=varint_encode(tfs[s:e]),
+                doclens=varint_encode(doclens[s:e]),
+                poss=varint_encode(pos_stream),
+            )
+        )
+    return blocks
+
+
+def decode_block(block) -> tuple[list[int], list[int], list[int], list[list[int]]]:
+    """Block (dataclass, Row, or dict) → (doc_ids, tfs, doclens, positions)."""
+    get = block.get if isinstance(block, dict) else lambda k: getattr(block, k)
+    gaps = varint_decode(get("docs"))
+    doc_ids: list[int] = []
+    cur = get("first_doc")
+    for g in gaps:
+        cur += g
+        doc_ids.append(cur)
+    tfs = varint_decode(get("tfs"))
+    doclens = varint_decode(get("doclens"))
+    stream = varint_decode(get("poss"))
+    positions: list[list[int]] = []
+    i = 0
+    for _ in doc_ids:
+        npos = stream[i]
+        i += 1
+        plist: list[int] = []
+        prev = 0
+        for _ in range(npos):
+            prev += stream[i]
+            plist.append(prev)
+            i += 1
+        positions.append(plist)
+    return doc_ids, tfs, doclens, positions
+
+
+def merge_block_runs(runs: list[list[Block]]) -> list[Block]:
+    """Merge salt sub-segment block runs whose doc ranges are disjoint and
+    ordered (range-salted builds guarantee this): concatenation, no decode."""
+    flat = [b for run in runs for b in run]
+    flat.sort(key=lambda b: b.first_doc)
+    for i in range(1, len(flat)):
+        if flat[i].first_doc <= flat[i - 1].last_doc:
+            raise ValueError("merge_block_runs: overlapping doc ranges")
+    return flat
+
+
+def bm25_block_upper_bound(max_tf: int, idf: float, k1: float, b: float) -> float:
+    """Upper bound of the BM25 contribution of any posting in the block
+    (doclen→0 limit), used for WAND-style block skipping."""
+    return idf * (max_tf / (max_tf + k1 * (1.0 - b)))

@@ -1,0 +1,158 @@
+"""A Krovetz-style light stemmer ("kstem-lite"), pure Python.
+
+The reference analyzer uses Lucene's ``KStemFilter`` (Krovetz stemmer;
+/root/reference/src/EnglishAnalyzerConfigurable.java:156-157, configured at
+QryEval.java:61-65). Krovetz is a dictionary-driven *light* stemmer: it
+undoes inflectional morphology (plurals, -ed, -ing) and consults a lexicon
+to avoid over-stemming. A byte-faithful port of the full KStem lexicon is
+out of scope; this module implements the same three inflectional rule
+families with a small exception lexicon, and is **shared verbatim by the
+Spark engine (inside the tokenizer pandas UDF) and the pure-Python test
+oracle**, so engine-vs-oracle rank identity is exact by construction.
+
+Deviation from KStem is documented here deliberately: derivational endings
+(-ness, -ity, ...) are left untouched, exactly like KStem's conservative
+behavior for out-of-lexicon words.
+
+The stemmer is pluggable: ``stem_token(tok, kind)`` with kind in
+{"kstem", "none"}.
+"""
+
+from __future__ import annotations
+
+# Words the rules would mangle (irregulars + common lexicon entries that
+# Krovetz protects). Keyed on the lowercase surface form.
+_EXCEPTIONS: dict[str, str] = {
+    # irregular plurals
+    "men": "man", "women": "woman", "children": "child", "feet": "foot",
+    "teeth": "tooth", "geese": "goose", "mice": "mouse", "people": "people",
+    # -s words that are not plurals
+    "its": "its", "this": "this", "has": "has", "was": "was", "is": "is",
+    "his": "his", "us": "us", "gas": "gas", "bias": "bias", "yes": "yes",
+    "news": "news", "series": "series", "species": "species",
+    "analysis": "analysis", "basis": "basis", "crisis": "crisis",
+    # -ed/-ing words that are not inflections
+    "during": "during", "thing": "thing", "things": "thing",
+    "king": "king", "kings": "king", "ring": "ring", "rings": "ring",
+    "string": "string", "strings": "string", "spring": "spring",
+    "morning": "morning", "evening": "evening", "nothing": "nothing",
+    "something": "something", "anything": "anything", "everything": "everything",
+    "being": "being", "sing": "sing", "bring": "bring", "wing": "wing",
+    "red": "red", "bed": "bed", "wed": "wed", "feed": "feed", "need": "need",
+    "speed": "speed", "seed": "seed", "indeed": "indeed", "hundred": "hundred",
+    "sacred": "sacred", "united": "unite", "used": "use",
+    # irregular verbs commonly hit by rules
+    "died": "die", "dies": "die", "dying": "die",
+    "lied": "lie", "lies": "lie", "lying": "lie",
+    "tied": "tie", "ties": "tie", "tying": "tie",
+    "agreed": "agree", "freed": "free", "fled": "flee",
+    "does": "do", "goes": "go", "shoes": "shoe",
+}
+
+_VOWELS = frozenset("aeiou")
+
+_DOUBLE_UNDOUBLE = frozenset("bdfgklmnprtv")  # stopped/planned/running ...
+
+
+def _has_vowel(s: str) -> bool:
+    return any(c in _VOWELS for c in s) or ("y" in s[1:])
+
+
+def _undouble(stem: str) -> str:
+    """plann -> plan, stopp -> stop; only undo clear CVC doubling."""
+    if (
+        len(stem) >= 3
+        and stem[-1] == stem[-2]
+        and stem[-1] in _DOUBLE_UNDOUBLE
+    ):
+        return stem[:-1]
+    return stem
+
+
+def _restore_e(stem: str) -> str:
+    """mak -> make, stat -> state style e-restoration heuristic.
+
+    Krovetz restores 'e' when the lexicon says so; without the lexicon we
+    restore after a consonant preceded by a single vowel cluster ending in
+    C?VC (the classic magic-e shape), for stems of length >= 3.
+    """
+    if len(stem) >= 3 and stem[-1] not in _VOWELS and stem[-1] != "y":
+        if stem[-2] in _VOWELS and (len(stem) < 3 or stem[-3] not in _VOWELS):
+            # CVC with final consonant that is not w/x/y -> likely magic e
+            if stem[-1] not in "wxy":
+                return stem + "e"
+    return stem
+
+
+def _stem_plural(w: str) -> str:
+    if len(w) <= 3 or not w.endswith("s"):
+        return w
+    if w.endswith("ss") or w.endswith("us") or w.endswith("is"):
+        return w
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith("es"):
+        base = w[:-2]
+        # boxes->box churches->church kisses->kiss quizzes->quiz
+        if base.endswith(("x", "ch", "sh", "ss", "z", "o")):
+            if base.endswith("ss"):
+                return base
+            return base
+        # hases? no: tables -> table (keep the e)
+        return w[:-1]
+    return w[:-1]
+
+
+def _stem_ed(w: str) -> str:
+    if len(w) <= 4 or not w.endswith("ed"):
+        return w
+    if w.endswith("ied"):
+        return w[:-3] + "y"
+    base = w[:-2]
+    if not _has_vowel(base):
+        return w
+    und = _undouble(base)
+    if und != base:
+        return und
+    if base.endswith(("at", "iz", "is", "bl", "ut", "iv", "ag", "os", "in", "ir", "ur", "ot")):
+        return base + "e"
+    return _restore_e(base) if base[-1] not in _VOWELS and len(base) <= 4 else base
+
+
+def _stem_ing(w: str) -> str:
+    if len(w) <= 5 or not w.endswith("ing"):
+        return w
+    base = w[:-3]
+    if not _has_vowel(base):
+        return w
+    und = _undouble(base)
+    if und != base:
+        return und
+    if base.endswith(("at", "iz", "is", "bl", "ut", "iv", "ag", "os", "ir", "ur", "ot")):
+        return base + "e"
+    return _restore_e(base) if base[-1] not in _VOWELS and len(base) <= 4 else base
+
+
+def kstem_lite(word: str) -> str:
+    """Stem one lowercase token. Inflectional morphology only (Krovetz-style)."""
+    if len(word) <= 2 or not word.isalpha():
+        return word
+    hit = _EXCEPTIONS.get(word)
+    if hit is not None:
+        return hit
+    w = _stem_plural(word)
+    hit = _EXCEPTIONS.get(w)
+    if hit is not None:
+        return hit
+    w2 = _stem_ed(w)
+    if w2 == w:
+        w2 = _stem_ing(w)
+    return w2
+
+
+def stem_token(token: str, kind: str = "kstem") -> str:
+    if kind == "none":
+        return token
+    if kind == "kstem":
+        return kstem_lite(token)
+    raise ValueError(f"unknown stemmer kind: {kind!r}")

@@ -1,0 +1,18 @@
+"""Lucene's default English stopword set.
+
+This is the 33-word list used by Lucene's ``StandardAnalyzer`` /
+``EnglishAnalyzer`` (public Lucene source,
+``org.apache.lucene.analysis.core.StopAnalyzer.ENGLISH_STOP_WORDS_SET``),
+which is what the reference engine configures at
+/root/reference/src/QryEval.java:61-65 (stopword removal = true).
+"""
+
+LUCENE_ENGLISH_STOPWORDS: frozenset[str] = frozenset(
+    {
+        "a", "an", "and", "are", "as", "at", "be", "but", "by",
+        "for", "if", "in", "into", "is", "it",
+        "no", "not", "of", "on", "or", "such",
+        "that", "the", "their", "then", "there", "these",
+        "they", "this", "to", "was", "will", "with",
+    }
+)

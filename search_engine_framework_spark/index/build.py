@@ -1,0 +1,350 @@
+"""Distributed inverted-index build.
+
+Pipeline (all DataFrame ops; the only Python crossings are the tokenizer
+pandas UDF and the posting-block encoder pandas UDF):
+
+  transcripts ──assign_doc_ids──▶ docs(doc_id, ext_id, field texts)
+      │ tokenize_udf (per-doc, map-side term grouping — no token shuffle)
+      ▼
+  postings(term, field, doc_id, tf, positions, doclen)
+      │ range-salt on doc_id  (head-term skew control, north_rule)
+      ▼ groupBy(term, field, salt).applyInPandas(encode)
+  sub-segments(term, field, salt, df, ctf, blocks)
+      │ groupBy(term, field): ordered block-run concat (segment-merge stage)
+      ▼
+  segments — Parquet partitioned by bucket = pmod(xxhash64(term,field), B),
+             sorted by (term, field) within files → row-group pruning on
+             term equality predicates.
+
+Side tables: docmap (doc_id ↔ ext_id/conv/turn), doclen(doc_id, field, len),
+stats (N, per-field token totals). Per-bucket JSON manifests record lineage
++ metrics (postings/sec, bytes) and make the build resumable: completed
+buckets are skipped on re-run (north_rule checkpoint requirement).
+
+Reference parity notes: postings are docid-ascending per term
+(InvList.java:120-135); doclen excludes stopword slots, positions include
+them (Lucene norm / term-vector semantics, DocLenStoreSimilarity.java:29-36).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.analyzer import AnalyzerConfig, tokenize_udf
+from ..functions.codec import encode_blocks
+from .docids import assign_doc_ids
+
+SEGMENT_SCHEMA = (
+    "bucket int, term string, field string, salt int, df long, ctf long, "
+    "max_tf int, blocks array<struct<first_doc:long,last_doc:long,n:int,"
+    "max_tf:int,docs:binary,tfs:binary,doclens:binary,poss:binary>>"
+)
+
+DEFAULT_FIELDS = ("body",)
+ALL_FIELDS = ("body", "role", "tool")
+
+_FIELD_SOURCE = {"body": "text", "role": "role", "tool": "tool"}
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def segments(self) -> str:
+        return os.path.join(self.root, "segments")
+
+    @property
+    def docmap(self) -> str:
+        return os.path.join(self.root, "docmap")
+
+    @property
+    def doclen(self) -> str:
+        return os.path.join(self.root, "doclen")
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    @property
+    def manifests(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+
+def extract_postings(
+    docs: DataFrame,
+    fields: tuple[str, ...] = DEFAULT_FIELDS,
+    cfg: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """docs(doc_id, text/role/tool) → (term, field, doc_id, tf, positions, doclen).
+
+    The tokenizer UDF emits per-doc grouped entries, so the per-(doc,term)
+    grouping happens inside the Arrow batch — the only shuffle downstream is
+    the segment groupBy.
+    """
+    tok = tokenize_udf(cfg)
+    parts = []
+    for field in fields:
+        src = _FIELD_SOURCE[field]
+        entries = docs.select(
+            F.col("doc_id"),
+            F.lit(field).alias("field"),
+            tok(F.coalesce(F.col(src), F.lit(""))).alias("entries"),
+        ).withColumn(
+            "doclen",
+            F.aggregate("entries", F.lit(0), lambda acc, e: acc + e["tf"]),
+        )
+        parts.append(
+            entries.select(
+                "doc_id",
+                "field",
+                "doclen",
+                F.explode("entries").alias("e"),
+            ).select(
+                F.col("e.term").alias("term"),
+                "field",
+                "doc_id",
+                F.col("e.tf").alias("tf"),
+                F.col("e.positions").alias("positions"),
+                "doclen",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_segments_df(
+    postings: DataFrame,
+    n_docs: int,
+    n_buckets: int = 32,
+    n_salts: int = 8,
+    block_size: int = 128,
+) -> DataFrame:
+    """postings → merged segment rows (one per term+field).
+
+    Salting: salt = floor(doc_id · n_salts / n_docs) splits every term's
+    postings into ≤ n_salts doc-range sub-groups, bounding the largest
+    shuffle group a head term can produce. Because ranges are ordered and
+    disjoint, the merge stage is a cheap ordered concat of encoded block
+    runs — no decode, no re-sort.
+    """
+    n_docs = max(1, n_docs)
+    salted = postings.withColumn(
+        "salt",
+        F.least(
+            F.lit(n_salts - 1),
+            (F.col("doc_id") * n_salts / F.lit(n_docs)).cast("int"),
+        ),
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        blocks = encode_blocks(
+            pdf["doc_id"].tolist(),
+            pdf["tf"].tolist(),
+            pdf["doclen"].tolist(),
+            pdf["positions"].tolist(),
+            block_size=block_size,
+        )
+        return pd.DataFrame(
+            {
+                "bucket": [0],
+                "term": [pdf["term"].iloc[0]],
+                "field": [pdf["field"].iloc[0]],
+                "salt": [int(pdf["salt"].iloc[0])],
+                "df": [len(pdf)],
+                "ctf": [int(pdf["tf"].sum())],
+                "max_tf": [int(pdf["tf"].max())],
+                "blocks": [[b.__dict__ for b in blocks]],
+            }
+        )
+
+    subsegs = (
+        salted.groupBy("term", "field", "salt")
+        .applyInPandas(encode_group, schema=SEGMENT_SCHEMA)
+    )
+
+    # Segment-merge stage: ordered concat of salt runs. sort_array on
+    # struct array orders by first field (first_doc) — ranges are disjoint
+    # so this is the correct global order.
+    merged = (
+        subsegs.groupBy("term", "field")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("ctf").alias("ctf"),
+            F.max("max_tf").alias("max_tf"),
+            F.sort_array(F.flatten(F.collect_list("blocks"))).alias("blocks"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("term"), F.col("field")), F.lit(n_buckets)).cast("int"),
+        )
+        .withColumn("salt", F.lit(-1))
+        .select(
+            "bucket", "term", "field", "salt", "df", "ctf", "max_tf", "blocks"
+        )
+    )
+    return merged
+
+
+def collection_stats(doclen: DataFrame, n_docs: int) -> dict:
+    """N, per-field total tokens + doc counts (QryopSlScore.java:95,132,140-141)."""
+    rows = (
+        doclen.groupBy("field")
+        .agg(
+            F.sum("doclen").alias("sum_doclen"),
+            F.count(F.when(F.col("doclen") > 0, 1)).alias("doc_count"),
+        )
+        .collect()
+    )
+    return {
+        "N": n_docs,
+        "fields": {
+            r["field"]: {
+                "sum_doclen": int(r["sum_doclen"] or 0),
+                "doc_count": int(r["doc_count"]),
+            }
+            for r in rows
+        },
+    }
+
+
+def _completed_buckets(paths: IndexPaths) -> set[int]:
+    done = set()
+    if os.path.isdir(paths.manifests):
+        for f in os.listdir(paths.manifests):
+            if f.startswith("bucket-") and f.endswith(".json"):
+                with open(os.path.join(paths.manifests, f)) as fh:
+                    m = json.load(fh)
+                if m.get("complete"):
+                    done.add(m["bucket"])
+    return done
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    fields: tuple[str, ...] = DEFAULT_FIELDS,
+    cfg: AnalyzerConfig | None = None,
+    n_buckets: int = 32,
+    n_salts: int = 8,
+    block_size: int = 128,
+    resume: bool = True,
+) -> IndexPaths:
+    """Full index build with per-bucket checkpoint manifests.
+
+    Re-running after a partial failure skips buckets whose manifest is
+    complete and rebuilds only the missing ones; segment content per bucket
+    is deterministic (data-derived docids + lexicographic term sort), which
+    the resume test verifies via content hashes.
+    """
+    paths = IndexPaths(out_dir)
+    os.makedirs(paths.manifests, exist_ok=True)
+    t0 = time.time()
+
+    docs = assign_doc_ids(transcripts)
+    docs.write.mode("overwrite").parquet(paths.docmap)
+    docs = spark.read.parquet(paths.docmap)
+    n_docs = docs.count()
+
+    postings = extract_postings(docs, fields=fields, cfg=cfg)
+    doclen = postings.select("doc_id", "field", "doclen").groupBy(
+        "doc_id", "field"
+    ).agg(F.first("doclen").alias("doclen"))
+    # Docs whose field analyzed to zero tokens never appear in postings;
+    # right-join docmap to record their doclen=0 rows.
+    all_doc_fields = docs.select("doc_id")
+    full_doclen = None
+    for field in fields:
+        fd = all_doc_fields.withColumn("field", F.lit(field))
+        full_doclen = fd if full_doclen is None else full_doclen.unionByName(fd)
+    doclen = (
+        full_doclen.join(doclen, ["doc_id", "field"], "left")
+        .fillna(0, subset=["doclen"])
+    )
+    doclen.write.mode("overwrite").parquet(paths.doclen)
+    doclen = spark.read.parquet(paths.doclen)
+
+    stats = collection_stats(doclen, n_docs)
+    with open(paths.stats, "w") as fh:
+        json.dump(stats, fh, indent=2, sort_keys=True)
+
+    done = _completed_buckets(paths) if resume else set()
+    segments = build_segments_df(
+        postings, n_docs, n_buckets=n_buckets, n_salts=n_salts, block_size=block_size
+    )
+    if done:
+        segments = segments.where(~F.col("bucket").isin(sorted(done)))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        segments.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "field")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths.segments)
+    )
+
+    elapsed = time.time() - t0
+    seg = spark.read.parquet(paths.segments)
+    per_bucket = (
+        seg.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum(
+                F.aggregate(
+                    "blocks",
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.length(b["docs"])
+                    + F.length(b["tfs"])
+                    + F.length(b["doclens"])
+                    + F.length(b["poss"]),
+                )
+            ).alias("bytes_compressed"),
+            F.xxhash64(
+                F.sort_array(
+                    F.collect_list(F.concat_ws("\x01", "term", "field", "df", "ctf"))
+                ).cast("string")
+            ).alias("content_hash"),
+        )
+        .collect()
+    )
+    for r in per_bucket:
+        manifest = {
+            "bucket": int(r["bucket"]),
+            "complete": True,
+            "n_terms": int(r["n_terms"]),
+            "n_postings": int(r["n_postings"]),
+            "bytes_compressed": int(r["bytes_compressed"]),
+            "content_hash": int(r["content_hash"]),
+            "n_docs": n_docs,
+            "fields": list(fields),
+            "build_seconds": round(elapsed, 3),
+            "postings_per_sec": round(int(r["n_postings"]) / max(elapsed, 1e-9), 1),
+            "lineage": {
+                "n_buckets": n_buckets,
+                "n_salts": n_salts,
+                "block_size": block_size,
+                "analyzer": (cfg or AnalyzerConfig.reference()).__dict__
+                if cfg is None or hasattr(cfg, "__dict__")
+                else str(cfg),
+            },
+        }
+        with open(
+            os.path.join(paths.manifests, f"bucket-{r['bucket']:05d}.json"), "w"
+        ) as fh:
+            json.dump(manifest, fh, indent=2, sort_keys=True, default=str)
+    return paths

@@ -1,0 +1,81 @@
+"""Stable internal docid assignment.
+
+The reference relies on Lucene's dense internal docids
+(/root/reference/src/QryEval.java:498-527). Ours must be *data-derived* so
+posting lists sort identically on any cluster size (never
+``monotonically_increasing_id``, which depends on partitioning).
+
+doc_id = dense rank of (conv_id asc, turn_idx asc), computed hierarchically:
+
+  1. conversation sizes            — one groupBy (map-side combinable);
+  2. range-partition conversations by conv_id, cumulative turn counts
+     *within* each range partition via a window, plus per-partition global
+     offsets from a tiny driver-side cumulative sum (P rows, P = #range
+     partitions, not #conversations — no single-partition global window);
+  3. doc_id = conv_offset + row_number within the conversation − 1.
+
+Step 2's range boundaries come from Spark's reservoir sampling and may vary
+run to run, but the resulting rank is invariant: it only depends on the
+total order of conv_id, not on where partition boundaries fall.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def assign_doc_ids(transcripts: DataFrame, range_partitions: int | None = None) -> DataFrame:
+    """transcripts(conv_id, turn_idx, ...) → + doc_id:long, ext_id:string."""
+    spark = transcripts.sparkSession
+    conv_sizes = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+
+    n_parts = range_partitions or max(
+        1, spark.conf.get("spark.sql.shuffle.partitions", "32") and int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    ranged = (
+        conv_sizes.repartitionByRange(n_parts, "conv_id")
+        .withColumn("pid", F.spark_partition_id())
+        # Materialize so the two downstream jobs observe one consistent
+        # range partitioning (the sampler is re-run per job otherwise).
+        .persist()
+    )
+    part_sums = {
+        r["pid"]: r["s"]
+        for r in ranged.groupBy("pid").agg(F.sum("n_turns").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(part_sums):
+        offsets[pid] = acc
+        acc += part_sums[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv_offsets = ranged.select(
+        "conv_id",
+        (
+            F.coalesce(F.sum("n_turns").over(w_local), F.lit(0))
+            + offset_map[F.col("pid")]
+        ).alias("conv_offset"),
+    )
+
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    out = (
+        transcripts.join(conv_offsets, "conv_id")
+        .withColumn(
+            "doc_id",
+            (F.col("conv_offset") + F.row_number().over(w_conv) - 1).cast("long"),
+        )
+        .drop("conv_offset")
+        .withColumn(
+            "ext_id",
+            F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string")),
+        )
+    )
+    return out

@@ -1,0 +1,119 @@
+"""Query-time index access.
+
+Opens an index built by ``index.build`` and exposes:
+
+* ``fetch_postings(pairs)`` — ONE pruned Parquet scan for all of a query's
+  (term, field) leaves. The predicate pushes ``term IN (...)`` into the
+  scan; because segment files are bucketed by xxhash64(term, field) and
+  sorted by term within files, Parquet row-group stats prune almost all IO
+  (the Lucene term-seek analog, /root/reference/src/InvList.java:81-92).
+  Blocks are decoded in one Arrow-vectorized pass.
+* ``term_stats(pairs)`` — df/ctf/max_tf without decoding blocks (tiny
+  projected scan; the driver-side constants BM25/Indri need).
+* collection stats (N, per-field token totals) from stats.json
+  (QryopSlScore.java:95,132,140-141).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.codec import decode_block
+from .build import IndexPaths
+
+POSTING_SCHEMA = (
+    "term string, field string, doc_id long, tf int, positions array<int>, "
+    "doclen int"
+)
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, paths: IndexPaths | str):
+        self.spark = spark
+        self.paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+        with open(self.paths.stats) as fh:
+            self.stats = json.load(fh)
+
+    # -- collection statistics ------------------------------------------------
+    @property
+    def num_docs(self) -> int:
+        return self.stats["N"]
+
+    def sum_doclen(self, field: str) -> int:
+        return self.stats["fields"].get(field, {}).get("sum_doclen", 0)
+
+    def doc_count(self, field: str) -> int:
+        return self.stats["fields"].get(field, {}).get("doc_count", 0)
+
+    def avg_doclen(self, field: str) -> float:
+        dc = self.doc_count(field)
+        return self.sum_doclen(field) / dc if dc else 0.0
+
+    # -- tables ---------------------------------------------------------------
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.segments)
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docmap)
+
+    def doclen(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.doclen)
+
+    # -- posting access -------------------------------------------------------
+    def _filter_pairs(self, pairs: set[tuple[str, str]]) -> DataFrame:
+        terms = sorted({t for t, _ in pairs})
+        fields = sorted({f for _, f in pairs})
+        seg = self.segments().where(
+            F.col("term").isin(terms) & F.col("field").isin(fields)
+        )
+        if len(terms) > 1 and len(fields) > 1:
+            pair_key = F.concat_ws("\x01", "term", "field")
+            seg = seg.where(
+                pair_key.isin([f"{t}\x01{f}" for t, f in sorted(pairs)])
+            )
+        return seg
+
+    def term_stats(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], dict]:
+        rows = (
+            self._filter_pairs(pairs)
+            .select("term", "field", "df", "ctf", "max_tf")
+            .collect()
+        )
+        return {
+            (r["term"], r["field"]): {
+                "df": r["df"], "ctf": r["ctf"], "max_tf": r["max_tf"]
+            }
+            for r in rows
+        }
+
+    def fetch_postings(self, pairs: set[tuple[str, str]]) -> DataFrame:
+        """Decoded postings for all (term, field) pairs, one scan."""
+        seg = self._filter_pairs(pairs).select("term", "field", "blocks")
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {
+                    "term": [], "field": [], "doc_id": [],
+                    "tf": [], "positions": [], "doclen": [],
+                }
+                for term, field, blocks in zip(
+                    pdf["term"], pdf["field"], pdf["blocks"]
+                ):
+                    for blk in blocks:
+                        doc_ids, tfs, doclens, poss = decode_block(blk)
+                        out["term"].extend([term] * len(doc_ids))
+                        out["field"].extend([field] * len(doc_ids))
+                        out["doc_id"].extend(doc_ids)
+                        out["tf"].extend(tfs)
+                        out["doclen"].extend(doclens)
+                        out["positions"].extend(poss)
+                yield pd.DataFrame(out)[
+                    ["term", "field", "doc_id", "tf", "positions", "doclen"]
+                ]
+
+        return seg.mapInPandas(decode, schema=POSTING_SCHEMA)

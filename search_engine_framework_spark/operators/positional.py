@@ -1,0 +1,101 @@
+"""Positional merge kernels for #NEAR/n and #WINDOW/n.
+
+Pure-Python ports of the reference's *semantics* (greedy cursor sweeps),
+shared verbatim by the Spark engine (inside an Arrow-vectorized pandas UDF
+over per-doc position arrays) and the pytest oracle — so the two can only
+agree or both be wrong, never silently diverge.
+
+Semantics being preserved exactly:
+
+* NEAR/n (/root/reference/src/QryopIlNear.java:99-137): scan positions of
+  the FIRST arg; for args 2..k advance a persistent cursor past positions
+  < lastPos; match iff pos − lastPos ≤ n (note: pos == lastPos matches);
+  on success emit the LAST arg's matched position and advance cursors of
+  args 2..k only; cursors are never reset between first-arg positions.
+* WINDOW/n (/root/reference/src/QryopIlWindow.java:96-138): one cursor per
+  arg; match iff max − min + 1 ≤ n; on failure advance ONLY the min cursor;
+  on success emit the max position and advance ALL cursors.
+
+Both emit sorted position lists; tf = number of matches.
+"""
+
+from __future__ import annotations
+
+
+def near_match(position_lists: list[list[int]], n: int) -> list[int]:
+    """Greedy ordered-proximity match. Input: one position list per arg
+    (the doc is already known to contain every arg)."""
+    k = len(position_lists)
+    if k == 0:
+        return []
+    first = position_lists[0]
+    idx = [0] * k
+    out: list[int] = []
+
+    for i0 in range(len(first)):
+        idx[0] = i0
+        last_pos = first[i0]
+        matched = True
+        for j in range(1, k):
+            plist = position_lists[j]
+            while True:
+                if idx[j] >= len(plist):
+                    return sorted(out)  # any arg exhausted → done for doc
+                this_pos = plist[idx[j]]
+                if this_pos < last_pos:
+                    idx[j] += 1
+                    continue
+                if this_pos - last_pos <= n:
+                    last_pos = this_pos
+                    break
+                matched = False
+                break
+            if not matched:
+                break
+        if matched:
+            if k == 1:
+                out.append(first[i0])
+            else:
+                out.append(position_lists[k - 1][idx[k - 1]])
+                for j in range(1, k):
+                    idx[j] += 1
+    return sorted(out)
+
+
+def window_match(position_lists: list[list[int]], width: int) -> list[int]:
+    """Greedy unordered-window match (advance-min-on-fail, emit max)."""
+    k = len(position_lists)
+    if k == 0:
+        return []
+    idx = [0] * k
+    out: list[int] = []
+    min_pos, max_pos = None, None
+    min_idx, max_idx = -1, -1
+
+    while True:
+        for j in range(k):
+            plist = position_lists[j]
+            if idx[j] >= len(plist):
+                return sorted(out)
+            this_pos = plist[idx[j]]
+            if min_pos is None or this_pos < min_pos:
+                min_pos, min_idx = this_pos, j
+            if max_pos is None or this_pos > max_pos:
+                max_pos, max_idx = this_pos, j
+        if max_pos - min_pos + 1 > width:
+            idx[min_idx] += 1
+            min_pos = None
+        else:
+            out.append(position_lists[max_idx][idx[max_idx]])
+            for j in range(k):
+                idx[j] += 1
+            min_pos, max_pos = None, None
+
+
+def syn_merge(position_lists: list[list[int]]) -> list[int]:
+    """#SYN positional union: concat + sort, duplicates kept
+    (/root/reference/src/QryopIlSyn.java:71-84)."""
+    out: list[int] = []
+    for plist in position_lists:
+        out.extend(plist)
+    return sorted(out)

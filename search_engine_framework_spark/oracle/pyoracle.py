@@ -1,0 +1,326 @@
+"""Pure-Python rank-identity oracle.
+
+A direct, trusted implementation of the reference's evaluation semantics
+(the DAAT loops of QryopSl*/QryopIl*; tiny LoC, see SURVEY.md §5) over an
+in-memory index. Shares the analyzer (functions/analyzer.py) and the
+positional kernels (operators/positional.py) with the Spark engine, so the
+two implementations differ ONLY in the distributed machinery under test.
+
+Used by pytest to assert: top-k docids identical, ranks identical, scores
+equal to 1e-9 relative tolerance (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+
+from ..functions.analyzer import AnalyzerConfig, doc_term_entries
+from ..operators.positional import near_match, syn_merge, window_match
+from ..plans import ast
+from ..plans.models import (
+    BM25,
+    Indri,
+    RankedBoolean,
+    RetrievalModel,
+    UnrankedBoolean,
+)
+
+
+@dataclass
+class PyIndex:
+    # (term, field) → list of (doc_id, tf, positions) docid-ascending
+    postings: dict[tuple[str, str], list[tuple[int, int, list[int]]]] = dc_field(
+        default_factory=dict
+    )
+    doclen: dict[tuple[int, str], int] = dc_field(default_factory=dict)
+    ext_ids: dict[int, str] = dc_field(default_factory=dict)
+    n_docs: int = 0
+    sum_doclen: dict[str, int] = dc_field(default_factory=dict)
+    doc_count: dict[str, int] = dc_field(default_factory=dict)
+
+    @staticmethod
+    def build(
+        rows: list[dict],
+        fields: tuple[str, ...] = ("body",),
+        cfg: AnalyzerConfig | None = None,
+    ) -> "PyIndex":
+        """rows: transcript dicts (conv_id, turn_idx, role, text, tool).
+        docid = dense rank over (conv_id, turn_idx) — same derivation as
+        index/docids.py."""
+        cfg = cfg or AnalyzerConfig.reference()
+        src = {"body": "text", "role": "role", "tool": "tool"}
+        idx = PyIndex()
+        ordered = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
+        idx.n_docs = len(ordered)
+        for doc_id, r in enumerate(ordered):
+            idx.ext_ids[doc_id] = f"{r['conv_id']}:{r['turn_idx']}"
+            for f in fields:
+                entries, dlen = doc_term_entries(r.get(src[f]) or "", cfg)
+                idx.doclen[(doc_id, f)] = dlen
+                idx.sum_doclen[f] = idx.sum_doclen.get(f, 0) + dlen
+                if dlen > 0:
+                    idx.doc_count[f] = idx.doc_count.get(f, 0) + 1
+                for e in entries:
+                    idx.postings.setdefault((e["term"], f), []).append(
+                        (doc_id, e["tf"], e["positions"])
+                    )
+        return idx
+
+
+@dataclass
+class InvListPy:
+    field: str
+    postings: list[tuple[int, int, list[int]]]  # (doc_id, tf, positions)
+
+    @property
+    def df(self) -> int:
+        return len(self.postings)
+
+    @property
+    def ctf(self) -> int:
+        return sum(tf for _, tf, _ in self.postings)
+
+
+class ScoreListPy(list):
+    """list of (doc_id, score)"""
+
+
+class Oracle:
+    def __init__(self, index: PyIndex, model: RetrievalModel):
+        self.ix = index
+        self.model = model
+
+    # ----------------------------------------------------------- IL family
+    def eval_il(self, node: ast.Node) -> InvListPy:
+        ix = self.ix
+        if isinstance(node, ast.Term):
+            pl = ix.postings.get((node.term, node.field), [])
+            return InvListPy(node.field, list(pl))
+        kids = [self.eval_il(c) for c in node.children]
+        fields = {k.field for k in kids}
+        if len(fields) > 1:
+            raise ValueError("arguments must be in the same field")
+        field = kids[0].field if kids else "body"
+        if isinstance(node, ast.Syn):
+            by_doc: dict[int, list[list[int]]] = {}
+            for k in kids:
+                for d, _tf, pos in k.postings:
+                    by_doc.setdefault(d, []).append(pos)
+            out = [
+                (d, len(syn_merge(pls)), syn_merge(pls))
+                for d, pls in sorted(by_doc.items())
+            ]
+            return InvListPy(field, out)
+        if isinstance(node, (ast.Near, ast.WindowOp)):
+            kernel = near_match if isinstance(node, ast.Near) else window_match
+            maps = [dict((d, pos) for d, _tf, pos in k.postings) for k in kids]
+            common = set(maps[0])
+            for m in maps[1:]:
+                common &= set(m)
+            out = []
+            for d in sorted(common):
+                pls = [m[d] for m in maps]
+                matched = kernel(pls, node.n)
+                if matched:
+                    out.append((d, len(matched), matched))
+            return InvListPy(field, out)
+        raise TypeError(f"not IL: {node}")
+
+    # ---------------------------------------------------------- SCORE op
+    def _score(self, node: ast.Node) -> tuple[ScoreListPy, dict]:
+        """→ (scores, default_info) — default_info carries what
+        getDefaultScore needs (QryopSlScore.java:230-257)."""
+        il = self.eval_il(node)
+        m = self.model
+        ix = self.ix
+        sl = ScoreListPy()
+        info = {"kind": "score", "field": il.field, "p_mle": 0.0}
+        if isinstance(m, UnrankedBoolean):
+            for d, _tf, _p in il.postings:
+                sl.append((d, 1.0))
+        elif isinstance(m, RankedBoolean):
+            for d, tf, _p in il.postings:
+                sl.append((d, float(tf)))
+        elif isinstance(m, BM25):
+            n = ix.n_docs
+            df = il.df
+            idf = math.log((n - df + 0.5) / (df + 0.5))
+            dc = ix.doc_count.get(il.field, 0)
+            avg = ix.sum_doclen.get(il.field, 0) / dc if dc else 0.0
+            for d, tf, _p in il.postings:
+                dl = ix.doclen.get((d, il.field), 0)
+                tf_w = tf / (tf + m.k_1 * ((1 - m.b) + m.b * (dl / avg)))
+                sl.append((d, idf * tf_w))
+        elif isinstance(m, Indri):
+            sum_dl = ix.sum_doclen.get(il.field, 0)
+            p_mle = il.ctf / sum_dl if sum_dl else 0.0
+            info["p_mle"] = p_mle
+            for d, tf, _p in il.postings:
+                dl = ix.doclen.get((d, il.field), 0)
+                p = m.lam * (tf + m.mu * p_mle) / (dl + m.mu) + (1 - m.lam) * p_mle
+                sl.append((d, p))
+        return sl, info
+
+    def _default_score(self, node: ast.Node, info: dict, doc_id: int) -> float:
+        """getDefaultScore chain (QryopSlScore.java:244-257,
+        QryopSlAnd.java:297-319, QryopSlWand.java:140-164)."""
+        m = self.model
+        if not isinstance(m, Indri):
+            return 0.0
+        if info["kind"] == "score":
+            p_mle = info["p_mle"]
+            dl = self.ix.doclen.get((doc_id, info["field"]), 0)
+            return m.lam * m.mu * p_mle / (dl + m.mu) + (1 - m.lam) * p_mle
+        if info["kind"] in ("and", "wand"):
+            score = 1.0
+            for (child, cinfo), q in zip(info["children"], info["q"]):
+                s = self._default_score(child, cinfo, doc_id)
+                if s == 0.0:
+                    continue
+                score *= math.pow(s, q)
+            return score
+        if info["kind"] == "wsum":
+            score = 0.0
+            for (child, cinfo), q in zip(info["children"], info["q"]):
+                s = self._default_score(child, cinfo, doc_id)
+                if s == 0.0:
+                    continue
+                score += q * s
+            return score
+        return 0.0
+
+    # ---------------------------------------------------------- SL family
+    def eval_sl(self, node: ast.Node) -> tuple[ScoreListPy, dict]:
+        m = self.model
+        if ast.is_il(node):
+            return self._score(node)
+
+        if isinstance(node, ast.And):
+            if isinstance(m, Indri):
+                n = len(node.children)
+                return self._indri_fold(node.children, [1.0 / n] * n, "product", "and")
+            return self._bool_and(node.children)
+        if isinstance(node, ast.Or):
+            if isinstance(m, (UnrankedBoolean, RankedBoolean)):
+                return self._bool_or(node.children)
+            raise ValueError("#OR only under boolean models")
+        if isinstance(node, ast.Not):
+            if isinstance(m, (UnrankedBoolean, RankedBoolean)):
+                matched = {d for d, _s in self.eval_sl(node.child)[0]}
+                sl = ScoreListPy(
+                    (d, 1.0) for d in range(self.ix.n_docs) if d not in matched
+                )
+                return sl, {"kind": "not"}
+            raise ValueError("#NOT only under boolean models")
+        if isinstance(node, ast.Sum):
+            if not isinstance(m, BM25):
+                raise ValueError("#SUM only under BM25")
+            return self._bm25_sum(node.children)
+        if isinstance(node, (ast.Wand, ast.Wsum)):
+            if not isinstance(m, Indri):
+                raise ValueError("#WAND/#WSUM only under Indri")
+            if len(node.weights) != len(node.children):
+                raise ValueError("weight/arg mismatch")
+            wsum = sum(node.weights)
+            q = [w / wsum for w in node.weights]
+            kind = "wand" if isinstance(node, ast.Wand) else "wsum"
+            combine = "product" if kind == "wand" else "sum"
+            return self._indri_fold(node.children, q, combine, kind)
+        raise TypeError(f"not SL: {node}")
+
+    def _bool_and(self, children) -> tuple[ScoreListPy, dict]:
+        kids = [self.eval_sl(c)[0] for c in children]
+        if not kids or any(len(k) == 0 for k in kids):
+            # reference: merge drives off the shortest list; an empty list
+            # means immediate exhaustion → empty result
+            return ScoreListPy(), {"kind": "and"}
+        ranked = isinstance(self.model, RankedBoolean)
+        maps = [dict(k) for k in kids]
+        common = set(maps[0])
+        for mp in maps[1:]:
+            common &= set(mp)
+        sl = ScoreListPy()
+        for d in sorted(common):
+            sl.append((d, min(mp[d] for mp in maps) if ranked else 1.0))
+        return sl, {"kind": "and"}
+
+    def _bool_or(self, children) -> tuple[ScoreListPy, dict]:
+        kids = [self.eval_sl(c)[0] for c in children]
+        ranked = isinstance(self.model, RankedBoolean)
+        best: dict[int, float] = {}
+        for k in kids:
+            for d, s in k:
+                if d not in best or s > best[d]:
+                    best[d] = s
+        sl = ScoreListPy(
+            (d, best[d] if ranked else 1.0) for d in sorted(best)
+        )
+        return sl, {"kind": "or"}
+
+    def _bm25_sum(self, children) -> tuple[ScoreListPy, dict]:
+        m = self.model
+        user_w = (m.k_3 + 1.0) * 1.0 / (m.k_3 + 1.0)
+        kids = [self.eval_sl(c)[0] for c in children]
+        maps = [dict(k) for k in kids]
+        docs = sorted(set().union(*[set(mp) for mp in maps]) if maps else set())
+        sl = ScoreListPy()
+        for d in docs:
+            score = 0.0
+            for mp in maps:  # child order — float-order parity
+                if d in mp:
+                    score += user_w * mp[d]
+            sl.append((d, score))
+        return sl, {"kind": "sum"}
+
+    def _indri_fold(
+        self, children, q: list[float], combine: str, kind: str
+    ) -> tuple[ScoreListPy, dict]:
+        evald = [self.eval_sl(c) for c in children]
+        maps = [dict(sl) for sl, _ in evald]
+        docs = sorted(set().union(*[set(mp) for mp in maps]) if maps else set())
+        info = {
+            "kind": kind,
+            "children": [(c, e[1]) for c, e in zip(children, evald)],
+            "q": q,
+        }
+        sl = ScoreListPy()
+        for d in docs:
+            score = 1.0 if combine == "product" else 0.0
+            for j, mp in enumerate(maps):
+                if d in mp:
+                    s = mp[d]
+                else:
+                    s = self._default_score(children[j], evald[j][1], d)
+                    if s == 0.0:
+                        continue
+                if combine == "product":
+                    score *= math.pow(s, q[j])
+                else:
+                    score += q[j] * s
+            sl.append((d, score))
+        return sl, info
+
+    # -------------------------------------------------------------- top level
+    def run(self, node: ast.Node | None, k: int = 100) -> list[tuple[int, str, int, float]]:
+        """→ [(doc_id, ext_id, rank, score)] with the reference sort:
+        desc score / asc ext_id for ranked models, asc ext_id for unranked
+        (QryEval.java:323-346)."""
+        if node is None:
+            return []
+        if ast.is_il(node):
+            il = self.eval_il(node)
+            ranked = not isinstance(self.model, UnrankedBoolean)
+            scored = [
+                (d, float(tf) if ranked else 1.0) for d, tf, _ in il.postings
+            ]
+        else:
+            scored = list(self.eval_sl(node)[0])
+        if isinstance(self.model, UnrankedBoolean):
+            scored.sort(key=lambda x: self.ix.ext_ids[x[0]])
+        else:
+            scored.sort(key=lambda x: (-x[1], self.ix.ext_ids[x[0]]))
+        return [
+            (d, self.ix.ext_ids[d], i + 1, s)
+            for i, (d, s) in enumerate(scored[:k])
+        ]

@@ -1,0 +1,101 @@
+"""Query AST.
+
+The reference's only IR is the ``Qryop`` tree
+(/root/reference/src/Qryop.java:15-91) with two families: inverted-list
+operators (TERM, SYN, NEAR/n, WINDOW/n → postings) and score-list operators
+(AND, OR, SUM, WAND, WSUM, SCORE → doc scores). We keep the same two-family
+split; the tree compiles to DataFrame transformations (plans/compiler.py)
+or is interpreted by the pure-Python oracle (oracle/pyeval.py).
+
+``Not`` is our addition (north_rule names AND/OR/NOT; the reference has no
+anti-join operator) — implemented as a docid anti-join against the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+DEFAULT_FIELD = "body"  # QryopIlTerm.java:27
+
+
+@dataclass(frozen=True)
+class Node:
+    pass
+
+
+@dataclass(frozen=True)
+class Term(Node):
+    term: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class Syn(Node):
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class Near(Node):
+    n: int
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class WindowOp(Node):
+    n: int
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class And(Node):
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class Or(Node):
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class Not(Node):
+    child: Node
+
+
+@dataclass(frozen=True)
+class Sum(Node):
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class Wand(Node):
+    children: tuple[Node, ...]
+    weights: tuple[float, ...] = dc_field(default=())
+
+
+@dataclass(frozen=True)
+class Wsum(Node):
+    children: tuple[Node, ...]
+    weights: tuple[float, ...] = dc_field(default=())
+
+
+IL_NODES = (Term, Syn, Near, WindowOp)
+SL_NODES = (And, Or, Not, Sum, Wand, Wsum)
+
+
+def is_il(node: Node) -> bool:
+    return isinstance(node, IL_NODES)
+
+
+def query_terms(node: Node) -> set[tuple[str, str]]:
+    """All (term, field) leaves — used to fetch postings in ONE scan."""
+    if isinstance(node, Term):
+        return {(node.term, node.field)}
+    out: set[tuple[str, str]] = set()
+    kids = (node.child,) if isinstance(node, Not) else node.children
+    for c in kids:
+        out |= query_terms(c)
+    return out
+
+
+def query_fields(node: Node) -> set[str]:
+    return {f for _, f in query_terms(node)}

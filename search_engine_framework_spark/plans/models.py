@@ -1,0 +1,55 @@
+"""Retrieval models (reference: RetrievalModel*.java; defaults Sample.param:4-9)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RetrievalModel:
+    pass
+
+
+@dataclass(frozen=True)
+class UnrankedBoolean(RetrievalModel):
+    pass
+
+
+@dataclass(frozen=True)
+class RankedBoolean(RetrievalModel):
+    pass
+
+
+@dataclass(frozen=True)
+class BM25(RetrievalModel):
+    k_1: float = 1.2
+    b: float = 0.75
+    k_3: float = 0.0
+
+
+@dataclass(frozen=True)
+class Indri(RetrievalModel):
+    mu: float = 2500.0
+    lam: float = 0.4
+
+
+def model_from_params(params: dict[str, str]) -> RetrievalModel:
+    """Build a model from a reference-style parameter map
+    (QryEval.java:129-147)."""
+    algo = params.get("retrievalAlgorithm", "UnrankedBoolean")
+    if algo == "BM25":
+        return BM25(
+            k_1=float(params.get("BM25:k_1", 1.2)),
+            b=float(params.get("BM25:b", 0.75)),
+            k_3=float(params.get("BM25:k_3", 0.0)),
+        )
+    if algo == "Indri":
+        return Indri(
+            mu=float(params.get("Indri:mu", 2500)),
+            lam=float(params.get("Indri:lambda", 0.4)),
+        )
+    if algo == "RankedBoolean":
+        return RankedBoolean()
+    if algo == "UnrankedBoolean":
+        return UnrankedBoolean()
+    raise ValueError(f"unknown retrievalAlgorithm: {algo}")

@@ -1,0 +1,181 @@
+"""Structured-query parser — grammar parity with the reference.
+
+Port of the *grammar and its quirks* (not the code) of
+/root/reference/src/QryEval.java:540-735:
+
+* model-dependent default wrapper: boolean → #or(q), BM25 → #sum(q),
+  Indri → #and(q) (QryEval.java:550-564);
+* tokenization on "\\t\\n\\r ,()" with delimiters significant;
+* weighted operators (#wand/#wsum) read alternating weight/arg tokens with
+  a pending-weight stack for nested weighted ops (QryEval.java:572-576,
+  591-602, 645-669);
+* query terms run through the SAME analyzer as indexing; only the first
+  analyzed token is kept; a term that analyzes to nothing (stopword) is
+  dropped **and its weight is dropped with it** (QryEval.java:692-719);
+* empty operators are elided (QryEval.java:670-671);
+* field-qualified terms ``token.field`` (QryEval.java:686-707).
+
+Extension beyond the reference: ``#not`` (north_rule requires NOT; the
+reference has no anti-join). Multiple args to #not are treated as
+#not(#or(args)).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..functions.analyzer import AnalyzerConfig, analyze_terms
+from . import ast
+from .models import (
+    BM25,
+    Indri,
+    RankedBoolean,
+    RetrievalModel,
+    UnrankedBoolean,
+)
+
+TERM_FIELDS = ("url", "keywords", "title", "inlink", "body", "role", "tool")
+
+_DELIMS = re.compile(r"([\t\n\r ,()])")
+
+
+class _Builder:
+    __slots__ = ("kind", "n", "children", "weights")
+
+    def __init__(self, kind: str, n: int = 0):
+        self.kind = kind
+        self.n = n
+        self.children: list[ast.Node] = []
+        self.weights: list[float] = []
+
+    @property
+    def weighted(self) -> bool:
+        return self.kind in ("wand", "wsum")
+
+    def freeze(self) -> ast.Node:
+        ch = tuple(self.children)
+        if self.kind == "and":
+            return ast.And(ch)
+        if self.kind == "or":
+            return ast.Or(ch)
+        if self.kind == "sum":
+            return ast.Sum(ch)
+        if self.kind == "syn":
+            return ast.Syn(ch)
+        if self.kind == "near":
+            return ast.Near(self.n, ch)
+        if self.kind == "window":
+            return ast.WindowOp(self.n, ch)
+        if self.kind == "wand":
+            return ast.Wand(ch, tuple(self.weights))
+        if self.kind == "wsum":
+            return ast.Wsum(ch, tuple(self.weights))
+        if self.kind == "not":
+            child = ch[0] if len(ch) == 1 else ast.Or(ch)
+            return ast.Not(child)
+        raise ValueError(f"unknown op kind {self.kind}")
+
+
+def parse_query(
+    qstring: str,
+    model: RetrievalModel,
+    cfg: AnalyzerConfig | None = None,
+) -> ast.Node | None:
+    qstring = qstring.strip()
+    if isinstance(model, (RankedBoolean, UnrankedBoolean)):
+        qstring = f"#or({qstring})"
+    elif isinstance(model, BM25):
+        qstring = f"#sum({qstring})"
+    elif isinstance(model, Indri):
+        qstring = f"#and({qstring})"
+
+    tokens = [t for t in _DELIMS.split(qstring) if t != ""]
+
+    stack: list[_Builder] = []
+    current: _Builder | None = None
+    has_weight = False
+    got_weight = False
+    weight = 0.0
+    w_stack: list[float] = []
+    result: ast.Node | None = None
+
+    def push(b: _Builder, carries_pending_weight: bool = False):
+        nonlocal current, got_weight
+        stack.append(b)
+        current = b
+        if carries_pending_weight and got_weight:
+            w_stack.append(weight)
+            got_weight = False
+
+    i = 0
+    ntok = len(tokens)
+    while i < ntok:
+        token = tokens[i]
+        i += 1
+        low = token.lower()
+        if re.fullmatch(r"[ ,(\t\n\r]", token):
+            continue
+        elif low == "#wand":
+            has_weight = True
+            push(_Builder("wand"), carries_pending_weight=True)
+        elif low == "#wsum":
+            has_weight = True
+            push(_Builder("wsum"), carries_pending_weight=True)
+        elif low in ("#sum", "#and", "#or", "#syn", "#not"):
+            has_weight = False
+            push(_Builder(low[1:]))
+        elif low.startswith("#near/"):
+            has_weight = False
+            push(_Builder("near", n=int(token.split("/")[1])))
+        elif low.startswith("#window/"):
+            has_weight = False
+            push(_Builder("window", n=int(token.split("/")[1])))
+        elif token.startswith(")"):
+            if current is not None and current.weighted:
+                has_weight = False
+            closed = stack.pop()
+            if not stack:
+                result = closed.freeze() if closed.children else None
+                break
+            arg = closed
+            current = stack[-1]
+            if current.weighted:
+                has_weight = True
+                if w_stack and not got_weight:
+                    weight = w_stack.pop()
+                    got_weight = True
+                if got_weight:
+                    current.weights.append(weight)
+                    got_weight = False
+            if arg.children:  # empty-operator elision
+                current.children.append(arg.freeze())
+        else:
+            if current is None:
+                raise ValueError(f"term outside any operator: {token!r}")
+            if has_weight and not got_weight:
+                weight = float(token)
+                got_weight = True
+                continue
+            field = None
+            term_text = token
+            for f in TERM_FIELDS:
+                if token.endswith("." + f):
+                    field = f
+                    term_text = token[: -(len(f) + 1)]
+                    break
+            terms = analyze_terms(term_text, cfg)
+            if terms:
+                current.children.append(
+                    ast.Term(terms[0], field or ast.DEFAULT_FIELD)
+                )
+                if has_weight and got_weight:
+                    current.weights.append(weight)
+                    got_weight = False
+            else:
+                # stopword: drop the term and its pending weight
+                if has_weight:
+                    got_weight = False
+
+    if i < ntok and any(t.strip(" ,()\t\n\r") for t in tokens[i:]):
+        raise ValueError(f"query syntax incorrect, trailing tokens: {tokens[i:]}")
+    return result

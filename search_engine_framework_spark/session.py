@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local tests run on local[N]; the same configs are what we would submit with
+``spark-submit --py-files`` on a real cluster (AQE, skew-join handling,
+Arrow). Nothing here is test-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "search-engine-framework-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    - AQE on: runtime coalescing + skew-join splitting (head query terms and
+      hot conversations are the expected skew sources at 10^12-turn scale).
+    - Arrow on: every Python crossing in this engine is a vectorized
+      pandas UDF; row-at-a-time Python is banned (BASELINE.json input_hint).
+    - Shuffle partitions sized for local[32] tests; on a real cluster this
+      is set per job from input size (see bench.py and index/build.py).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,32 @@
+"""trec_eval output sink (QryEval.java:268-318).
+
+Format: ``qid Q0 ext_id rank score run_id``, top 100 per query, dummy row
+``qid Q0 dummy 1 0 None`` when a query matched nothing. Unranked models
+print score 1.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def format_trec_lines(
+    qid: str,
+    ranked_df: DataFrame,
+    run_id: str = "Run",
+    unranked: bool = False,
+    k: int = 100,
+) -> list[str]:
+    rows = ranked_df.limit(k).collect()
+    if not rows:
+        return [f"{qid} Q0 dummy 1 0 None"]
+    out = []
+    for r in rows:
+        score = 1.0 if unranked else r["score"]
+        out.append(f"{qid} Q0 {r['ext_id']} {r['rank']} {score} {run_id}")
+    return out
+
+
+def write_trec_file(path: str, all_lines: list[str]) -> None:
+    with open(path, "w") as fh:
+        fh.write("\n".join(all_lines) + "\n")

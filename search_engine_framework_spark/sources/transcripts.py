@@ -1,0 +1,131 @@
+"""Deterministic synthetic multi-turn transcript corpus.
+
+Schema = BASELINE.json ``input_hint``:
+  (conv_id:string, turn_idx:int32, role:string, text:string,
+   tool:string, ts:timestamp)
+
+One row per conversation turn; one turn = one indexed document (the analog
+of a Lucene document in the reference, /root/reference/src/QryEval.java:498-527).
+
+Generation is **distributed and partition-invariant**: conversations are
+fanned out with ``spark.range(n_convs)`` and each conversation derives all
+of its randomness from a counter-based Philox stream keyed on
+(seed, conv_id). The same (seed, n_convs) therefore produces bit-identical
+tables on local[1], local[32], or a 1000-executor cluster — a prerequisite
+for the stable-docid / rank-identity requirements.
+
+Vocabulary is Zipf-distributed so head terms exercise posting-list skew
+(the salted segment merge path) just like real text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["search", "calculator", "browser", "python", "sql"]
+
+# Deterministic vocabulary: common English heads (so test queries look like
+# the reference's, /root/reference/Sample.qry) + syllable-generated tail.
+_HEAD_WORDS = [
+    "the", "search", "engine", "index", "query", "data", "model", "spark",
+    "document", "term", "score", "rank", "time", "system", "user", "answer",
+    "question", "result", "table", "join", "filter", "text", "token", "field",
+    "heart", "rate", "lower", "solar", "panels", "cheap", "internet",
+    "obama", "family", "tree", "apple", "pie", "cat", "cats", "dogs",
+    "running", "quickly", "started", "stopped", "analysis", "training",
+    "pipeline", "cluster", "partition", "shuffle", "memory",
+]
+
+_SYLLABLES = [
+    "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
+    "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo", "lu",
+    "ma", "me", "mi", "mo", "mu", "na", "ne", "ni", "no", "nu",
+    "pa", "pe", "pi", "po", "pu", "ra", "re", "ri", "ro", "ru",
+    "sa", "se", "si", "so", "su", "ta", "te", "ti", "to", "tu",
+]
+
+
+def build_vocabulary(size: int = 4000) -> list[str]:
+    vocab = list(_HEAD_WORDS)
+    i = 0
+    while len(vocab) < size:
+        a = _SYLLABLES[i % len(_SYLLABLES)]
+        b = _SYLLABLES[(i * 7 + 3) % len(_SYLLABLES)]
+        c = _SYLLABLES[(i * 13 + 11) % len(_SYLLABLES)]
+        w = a + b + c if i % 3 else a + b
+        if w not in _HEAD_WORDS:
+            vocab.append(w)
+        i += 1
+    return vocab[:size]
+
+
+def _zipf_cdf(n: int, s: float = 1.07) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), s)
+    return np.cumsum(w) / np.sum(w)
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_convs: int,
+    seed: int = 42,
+    avg_turns: int = 8,
+    vocab_size: int = 4000,
+) -> DataFrame:
+    """Generate ~``n_convs * avg_turns`` turns, deterministically."""
+    vocab = build_vocabulary(vocab_size)
+    cdf = _zipf_cdf(len(vocab))
+    base_ts = np.datetime64("2025-01-01T00:00:00")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "role": [],
+                "text": [], "tool": [], "ts": [],
+            }
+            for conv in pdf["id"].to_numpy():
+                rng = np.random.Generator(
+                    np.random.Philox(key=np.uint64(seed) << np.uint64(32) | np.uint64(conv))
+                )
+                n_turns = 3 + int(rng.integers(0, 2 * avg_turns - 5))
+                cid = f"conv-{conv:08d}"
+                t0 = base_ts + np.timedelta64(int(conv) * 3600, "s")
+                for turn in range(n_turns):
+                    n_words = 5 + int(rng.integers(0, 36))
+                    idx = np.searchsorted(cdf, rng.random(n_words))
+                    text = " ".join(vocab[j] for j in idx)
+                    role = ROLES[turn % 2] if turn < 2 else ROLES[int(rng.integers(0, 4))]
+                    tool = TOOLS[int(rng.integers(0, len(TOOLS)))] if role == "tool" else ""
+                    rows["conv_id"].append(cid)
+                    rows["turn_idx"].append(turn)
+                    rows["role"].append(role)
+                    rows["text"].append(text)
+                    rows["tool"].append(tool)
+                    rows["ts"].append(t0 + np.timedelta64(turn * 60, "s"))
+            out = pd.DataFrame(rows)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    # Partition count scales with corpus size so generation parallelizes;
+    # the per-conversation Philox keying keeps output partition-invariant.
+    n_parts = max(1, min(512, n_convs // 64 or 1))
+    return (
+        spark.range(0, n_convs, numPartitions=n_parts)
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
+def external_id_col():
+    """ext_id = conv_id ':' turn_idx — the reference's externalId analog."""
+    import pyspark.sql.functions as F
+
+    return F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))

@@ -1,0 +1,38 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from search_engine_framework_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_spark(app_name="sefs-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus_rows():
+    """Deterministic ~300-turn corpus as plain dicts (oracle input)."""
+    from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+    return None  # replaced by tiny_index fixture; kept for import ordering
+
+
+@pytest.fixture(scope="session")
+def tiny_index(spark, tmp_path_factory):
+    """(index_paths, rows, transcripts_df) over a small synthetic corpus."""
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+    out = str(tmp_path_factory.mktemp("index"))
+    tdf = synth_transcripts(spark, n_convs=40, seed=7).cache()
+    rows = [r.asDict() for r in tdf.collect()]
+    paths = build_index(
+        spark, tdf, out, fields=("body", "role"), n_buckets=8, n_salts=4
+    )
+    return paths, rows, tdf

@@ -1,0 +1,79 @@
+"""Analyzer unit fixtures (SURVEY.md §2.1; EnglishAnalyzerConfigurable parity)."""
+
+from search_engine_framework_spark.functions.analyzer import (
+    AnalyzerConfig,
+    analyze_positions,
+    analyze_terms,
+    doc_term_entries,
+)
+from search_engine_framework_spark.functions.stemmer import kstem_lite
+
+REF = AnalyzerConfig.reference()
+
+
+def test_lowercase_and_split():
+    assert analyze_terms("Hello World", REF) == ["hello", "world"]
+
+
+def test_stopwords_leave_position_gaps():
+    # "the" is a stopword: dropped but consumes position slot 0
+    out = analyze_positions("the quick fox", REF)
+    assert out == [(1, "quick"), (2, "fox")]
+
+
+def test_possessive_strip():
+    assert analyze_terms("Obama's family", REF) == ["obama", "family"]
+
+
+def test_apostrophe_kept_inside():
+    assert analyze_terms("o'neill", REF) == ["o'neill"]
+
+
+def test_numbers_with_separators():
+    assert analyze_terms("pi is 3.14", REF) == ["pi", "3.14"]
+
+
+def test_stemming_plural():
+    assert analyze_terms("cats dogs churches", REF) == ["cat", "dog", "church"]
+
+
+def test_stemming_ed_ing():
+    assert kstem_lite("running") == "run"
+    assert kstem_lite("stopped") == "stop"
+    assert kstem_lite("carried") == "carry"
+    assert kstem_lite("king") == "king"  # exception: not an inflection
+    assert kstem_lite("during") == "during"
+
+
+def test_doclen_excludes_stopwords():
+    entries, dlen = doc_term_entries("the cat and the hat", REF)
+    assert dlen == 2  # cat, hat
+    terms = {e["term"]: e for e in entries}
+    assert terms["cat"]["positions"] == [1]
+    assert terms["hat"]["positions"] == [4]
+
+
+def test_term_grouping_sorted_and_tf():
+    entries, _ = doc_term_entries("zed yak zed yak zed", REF)
+    assert [e["term"] for e in entries] == ["yak", "zed"]
+    assert entries[1]["tf"] == 3
+    assert entries[1]["positions"] == [0, 2, 4]
+
+
+def test_sql_safe_matches_duckdb_split():
+    import duckdb
+
+    cfg = AnalyzerConfig.sql_safe()
+    text = "Hello, World! it's 42-degrees_out THERE."
+    py = analyze_terms(text, cfg)
+    sql = duckdb.sql(
+        "select list_filter(regexp_split_to_array(lower($1), '[^a-z0-9]+'),"
+        " x -> x <> '')",
+        params=[text],
+    ).fetchone()[0]
+    assert py == sql
+
+
+def test_empty_and_null_text():
+    assert analyze_terms("", REF) == []
+    assert analyze_positions(None, REF) == []

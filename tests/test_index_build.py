@@ -1,0 +1,135 @@
+"""Index build: docid stability, postings vs oracle, stats, resume."""
+
+import glob
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.index.build import build_index
+from search_engine_framework_spark.index.docids import assign_doc_ids
+from search_engine_framework_spark.index.reader import IndexReader
+from search_engine_framework_spark.oracle.pyoracle import PyIndex
+from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+CFG = AnalyzerConfig.reference()
+
+
+def test_synth_transcripts_partition_invariant(spark):
+    a = synth_transcripts(spark, n_convs=20, seed=3).orderBy("conv_id", "turn_idx")
+    b = (
+        synth_transcripts(spark, n_convs=20, seed=3)
+        .repartition(17)
+        .orderBy("conv_id", "turn_idx")
+    )
+    assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
+
+
+def test_docids_dense_and_partition_invariant(spark):
+    t = synth_transcripts(spark, n_convs=25, seed=5)
+    ids1 = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(t).collect()
+    }
+    ids2 = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(t.repartition(13)).collect()
+    }
+    assert ids1 == ids2
+    n = len(ids1)
+    assert sorted(ids1.values()) == list(range(n))  # dense 0..n-1
+    # doc_id order == (conv_id, turn_idx) lexicographic order
+    by_key = sorted(ids1)
+    assert [ids1[k] for k in by_key] == list(range(n))
+
+
+def test_index_matches_python_oracle_postings(tiny_index, spark):
+    paths, rows, _ = tiny_index
+    reader = IndexReader(spark, paths)
+    pyix = PyIndex.build(rows, fields=("body", "role"), cfg=CFG)
+
+    assert reader.num_docs == pyix.n_docs
+    assert reader.sum_doclen("body") == pyix.sum_doclen["body"]
+    assert reader.doc_count("body") == pyix.doc_count["body"]
+
+    # spot-check several terms end-to-end through the compressed segments
+    probe = [("search", "body"), ("engine", "body"), ("user", "role"), ("data", "body")]
+    got = reader.fetch_postings(set(probe)).collect()
+    by_pair = {}
+    for r in got:
+        by_pair.setdefault((r["term"], r["field"]), []).append(
+            (r["doc_id"], r["tf"], list(r["positions"]), r["doclen"])
+        )
+    for pair in probe:
+        want = [
+            (d, tf, pos, pyix.doclen[(d, pair[1])])
+            for d, tf, pos in pyix.postings.get(pair, [])
+        ]
+        have = sorted(by_pair.get(pair, []))
+        assert have == want, f"postings mismatch for {pair}"
+
+
+def test_segment_df_ctf_match_oracle(tiny_index, spark):
+    paths, rows, _ = tiny_index
+    reader = IndexReader(spark, paths)
+    pyix = PyIndex.build(rows, fields=("body", "role"), cfg=CFG)
+    seg = {
+        (r["term"], r["field"]): (r["df"], r["ctf"])
+        for r in reader.segments().select("term", "field", "df", "ctf").collect()
+    }
+    want = {
+        pair: (len(pl), sum(tf for _d, tf, _p in pl))
+        for pair, pl in pyix.postings.items()
+    }
+    assert seg == want
+
+
+def test_manifests_written_with_metrics(tiny_index):
+    paths, _, _ = tiny_index
+    files = sorted(glob.glob(os.path.join(paths.manifests, "bucket-*.json")))
+    assert files
+    m = json.load(open(files[0]))
+    assert m["complete"] is True
+    assert m["n_postings"] > 0
+    assert m["bytes_compressed"] > 0
+    assert m["postings_per_sec"] > 0
+    assert "lineage" in m
+
+
+def test_resume_skips_completed_and_rebuilds_missing(spark, tmp_path):
+    t = synth_transcripts(spark, n_convs=15, seed=11)
+    out = str(tmp_path / "ix")
+    paths = build_index(spark, t, out, n_buckets=4, n_salts=2)
+
+    def bucket_hashes():
+        return {
+            json.load(open(f))["bucket"]: json.load(open(f))["content_hash"]
+            for f in glob.glob(os.path.join(paths.manifests, "bucket-*.json"))
+        }
+
+    full = bucket_hashes()
+    assert set(full) == {0, 1, 2, 3}
+
+    # simulate a failure: lose bucket 2's data + manifest
+    import shutil
+
+    shutil.rmtree(os.path.join(paths.segments, "bucket=2"))
+    os.remove(os.path.join(paths.manifests, "bucket-00002.json"))
+
+    paths2 = build_index(spark, t, out, n_buckets=4, n_salts=2, resume=True)
+    resumed = bucket_hashes()
+    assert resumed == full  # identical content per bucket after resume
+
+    seg = spark.read.parquet(paths2.segments)
+    assert seg.where(F.col("bucket") == 2).count() > 0
+
+
+def test_doclen_table_complete(tiny_index, spark):
+    paths, rows, _ = tiny_index
+    reader = IndexReader(spark, paths)
+    n = reader.num_docs
+    dl = reader.doclen()
+    assert dl.where(F.col("field") == "body").count() == n
+    assert dl.where(F.col("field") == "role").count() == n

@@ -1,0 +1,137 @@
+"""Hand-computed scoring fixtures for the pure-Python oracle (FIXTURES.md §8).
+
+These pin the ORACLE itself to the reference formulas; the Spark engine is
+then pinned to the oracle in test_engine_vs_oracle.py.
+"""
+
+import math
+
+import pytest
+
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.oracle.pyoracle import Oracle, PyIndex
+from search_engine_framework_spark.plans.models import BM25, Indri, RankedBoolean
+from search_engine_framework_spark.plans.parser import parse_query
+
+CFG = AnalyzerConfig.reference()
+
+
+def mk_rows(texts):
+    return [
+        {"conv_id": "c0", "turn_idx": i, "role": "user", "text": t, "tool": ""}
+        for i, t in enumerate(texts)
+    ]
+
+
+def run(texts, query, model, k=100):
+    ix = PyIndex.build(mk_rows(texts), cfg=CFG)
+    node = parse_query(query, model, CFG)
+    return Oracle(ix, model).run(node, k)
+
+
+def test_bm25_single_term_hand_computed():
+    # 5 docs; "cat" in docs 0,1 (tf 1,2); doclens: 2,3,2,2,2 (no stopwords)
+    texts = ["cat dog", "cat cat bird", "dog bird", "fish dog", "bird fish"]
+    res = run(texts, "cat", BM25(k_1=1.2, b=0.75))
+    n, df = 5, 2
+    idf = math.log((n - df + 0.5) / (df + 0.5))
+    avg = 11 / 5
+    def bm25(tf, dl):
+        return idf * tf / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avg))
+    expect = {0: bm25(1, 2), 1: bm25(2, 3)}
+    got = {d: s for d, _e, _r, s in res}
+    assert got == pytest.approx(expect, rel=1e-12)
+    # doc 1 (tf=2) outranks doc 0
+    assert [d for d, *_ in res] == [1, 0]
+
+
+def test_bm25_negative_idf_not_floored():
+    # term in 3 of 4 docs → idf = log(1.5/3.5) < 0 (QryopSlScore.java:139)
+    texts = ["cat dog", "cat bird", "cat fish", "dog fish"]
+    res = run(texts, "cat", BM25())
+    assert all(s < 0 for _d, _e, _r, s in res)
+    # desc-score sort with negative scores: LEAST negative first; ties by extid
+    assert len(res) == 3
+
+
+def test_ranked_boolean_and_min():
+    texts = ["cat cat dog", "cat dog dog dog", "bird"]
+    res = run(texts, "#AND(cat dog)", RankedBoolean())
+    got = {d: s for d, _e, _r, s in res}
+    assert got == {0: 1.0, 1: 1.0}  # min(tf_cat, tf_dog): doc0 min(2,1)=1, doc1 min(1,3)=1
+
+
+def test_ranked_boolean_or_max():
+    texts = ["cat cat dog", "dog dog dog", "bird"]
+    res = run(texts, "#OR(cat dog)", RankedBoolean())
+    got = {d: s for d, _e, _r, s in res}
+    assert got == {0: 2.0, 1: 3.0}
+
+
+def test_indri_two_term_and_with_default():
+    # doc0 has both terms, doc1 has only "cat" → default-score path for "dog"
+    texts = ["cat dog", "cat bird", "fish bird"]
+    m = Indri(mu=10.0, lam=0.4)
+    res = run(texts, "cat dog", m)  # wrapped #and(cat dog)
+    sum_dl = 6
+    p_cat, p_dog = 2 / sum_dl, 1 / sum_dl
+    def present(tf, dl, p):
+        return 0.4 * (tf + 10 * p) / (dl + 10) + 0.6 * p
+    def dflt(dl, p):
+        return 0.4 * (10 * p) / (dl + 10) + 0.6 * p
+    exp0 = math.pow(present(1, 2, p_cat), 0.5) * math.pow(present(1, 2, p_dog), 0.5)
+    exp1 = math.pow(present(1, 2, p_cat), 0.5) * math.pow(dflt(2, p_dog), 0.5)
+    got = {d: s for d, _e, _r, s in res}
+    assert got == pytest.approx({0: exp0, 1: exp1}, rel=1e-12)
+    assert got[0] > got[1]
+
+
+def test_indri_wsum_weighted():
+    texts = ["cat dog", "cat bird"]
+    m = Indri(mu=10.0, lam=0.4)
+    res = run(texts, "#WSUM(0.25 cat 0.75 dog)", m)
+    sum_dl = 4
+    p_cat, p_dog = 2 / sum_dl, 1 / sum_dl
+    def present(tf, dl, p):
+        return 0.4 * (tf + 10 * p) / (dl + 10) + 0.6 * p
+    def dflt(dl, p):
+        return 0.4 * (10 * p) / (dl + 10) + 0.6 * p
+    exp0 = 0.25 * present(1, 2, p_cat) + 0.75 * present(1, 2, p_dog)
+    exp1 = 0.25 * present(1, 2, p_cat) + 0.75 * dflt(2, p_dog)
+    got = {d: s for d, _e, _r, s in res}
+    assert got == pytest.approx({0: exp0, 1: exp1}, rel=1e-12)
+
+
+def test_tie_break_ascending_extid():
+    # identical docs → identical scores → extid asc; "c0:10" < "c0:2" as STRINGS
+    rows = [
+        {"conv_id": "c0", "turn_idx": i, "role": "u", "text": "cat", "tool": ""}
+        for i in [1, 2, 10]
+    ]
+    ix = PyIndex.build(rows, cfg=CFG)
+    m = BM25()
+    node = parse_query("cat", m, CFG)
+    res = Oracle(ix, m).run(node)
+    assert [e for _d, e, _r, _s in res] == ["c0:1", "c0:10", "c0:2"]
+
+
+def test_near_then_bm25_scores_matched_tf():
+    texts = ["lower heart rate now", "heart rate lower", "lower rate heart"]
+    res = run(texts, "#NEAR/1(heart rate)", BM25())
+    # docs 0 and 1 contain "heart rate" adjacent in order; doc2 has rate<heart
+    assert sorted(d for d, *_ in res) == [0, 1]
+
+
+def test_syn_merges_tf():
+    texts = ["cat cats dog", "dog"]
+    res = run(texts, "#SYN(cat cats)", RankedBoolean())
+    # both analyze to "cat" → positions [0] and [1] merged, tf=2... but the
+    # two SYN children are the SAME term, so each contributes [0,1] → tf=4
+    got = {d: s for d, _e, _r, s in res}
+    assert got == {0: 4.0}
+
+
+def test_not_excludes_matches():
+    texts = ["cat", "dog", "cat dog"]
+    res = run(texts, "#NOT(cat)", RankedBoolean())
+    assert [d for d, *_ in res] == [1]

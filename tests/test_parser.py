@@ -1,0 +1,113 @@
+"""Parser grammar parity (QryEval.java:540-735 quirks)."""
+
+import pytest
+
+from search_engine_framework_spark.plans import ast
+from search_engine_framework_spark.plans.models import (
+    BM25,
+    Indri,
+    RankedBoolean,
+    UnrankedBoolean,
+)
+from search_engine_framework_spark.plans.parser import parse_query
+
+
+def test_default_wrapper_by_model():
+    assert isinstance(parse_query("cat dog", BM25()), ast.Sum)
+    assert isinstance(parse_query("cat dog", Indri()), ast.And)
+    assert isinstance(parse_query("cat dog", RankedBoolean()), ast.Or)
+    assert isinstance(parse_query("cat dog", UnrankedBoolean()), ast.Or)
+
+
+def test_terms_are_analyzed_first_token_only():
+    q = parse_query("Obama's cats", BM25())
+    assert q.children == (ast.Term("obama"), ast.Term("cat"))
+
+
+def test_stopword_terms_dropped():
+    q = parse_query("the cat", BM25())
+    assert q.children == (ast.Term("cat"),)
+
+
+def test_field_qualified_term():
+    q = parse_query("apple.title pie", BM25())
+    assert q.children[0] == ast.Term("apple", "title")
+    assert q.children[1] == ast.Term("pie", "body")
+
+
+def test_nested_operators():
+    q = parse_query("#OR(#AND(dog bird) cat)", RankedBoolean())
+    # outer wrapper #or(...) contains the user's #or
+    inner = q.children[0]
+    assert isinstance(inner, ast.Or)
+    assert isinstance(inner.children[0], ast.And)
+    assert inner.children[0].children == (ast.Term("dog"), ast.Term("bird"))
+    assert inner.children[1] == ast.Term("cat")
+
+
+def test_near_window_n_parsing():
+    q = parse_query("#NEAR/3(lower heart rate)", BM25())
+    near = q.children[0]
+    assert isinstance(near, ast.Near) and near.n == 3
+    assert len(near.children) == 3
+    q = parse_query("#WINDOW/8(solar panels)", BM25())
+    assert isinstance(q.children[0], ast.WindowOp) and q.children[0].n == 8
+
+
+def test_wand_weights():
+    q = parse_query("#WAND(0.7 cat 0.3 #AND(dog bird))", Indri())
+    wand = q.children[0]
+    assert isinstance(wand, ast.Wand)
+    assert wand.weights == (0.7, 0.3)
+    assert wand.children[0] == ast.Term("cat")
+    assert isinstance(wand.children[1], ast.And)
+
+
+def test_wand_stopword_drops_weight_too():
+    # QryEval.java:699-719: stopword inside weighted op drops term AND weight
+    q = parse_query("#WAND(0.4 the 0.6 engine)", Indri())
+    wand = q.children[0]
+    assert wand.weights == (0.6,)
+    assert wand.children == (ast.Term("engine"),)
+
+
+def test_nested_weighted_in_weighted():
+    q = parse_query("#WAND(0.5 #WSUM(0.2 dog 0.8 bird) 0.5 cat)", Indri())
+    wand = q.children[0]
+    assert wand.weights == (0.5, 0.5)
+    inner = wand.children[0]
+    assert isinstance(inner, ast.Wsum)
+    assert inner.weights == (0.2, 0.8)
+
+
+def test_empty_operator_elided():
+    q = parse_query("#OR(#AND(the) cat)", RankedBoolean())
+    inner = q.children[0]
+    # #AND(the) analyzed away → elided entirely
+    assert inner.children == (ast.Term("cat"),)
+
+
+def test_not_operator():
+    q = parse_query("#NOT(cat)", RankedBoolean())
+    inner = q.children[0]
+    assert isinstance(inner, ast.Not)
+    assert inner.child == ast.Term("cat")
+
+
+def test_all_stopwords_query_is_none_or_empty():
+    q = parse_query("the of and", BM25())
+    assert q is None or q.children == ()
+
+
+def test_trailing_garbage_raises():
+    # "a b) c" becomes "#or(a b) c)" — the ')' closes the wrapper early and
+    # leaves tokens unconsumed (QryEval.java:728-732 error path)
+    with pytest.raises(ValueError):
+        parse_query("a b) c", RankedBoolean())
+
+
+def test_user_operator_plus_sibling_term_is_valid():
+    q = parse_query("#AND(a b) c", RankedBoolean())
+    assert isinstance(q, ast.Or)
+    assert isinstance(q.children[0], ast.And)
+    assert q.children[1] == ast.Term("c")

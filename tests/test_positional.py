@@ -1,0 +1,75 @@
+"""Greedy positional-kernel semantics — the hand-computed micro-fixtures of
+FIXTURES.md §8, pinned against the reference loop behavior
+(QryopIlNear.java:99-137, QryopIlWindow.java:96-138)."""
+
+from search_engine_framework_spark.operators.positional import (
+    near_match,
+    syn_merge,
+    window_match,
+)
+
+
+def test_near_basic_adjacent():
+    # "lower heart rate": A@[3], B@[4] n=1 → match, emit LAST term's position
+    assert near_match([[3], [4]], 1) == [4]
+
+
+def test_near_requires_order():
+    assert near_match([[4], [3]], 2) == []
+
+
+def test_near_gap_boundary():
+    assert near_match([[0], [3]], 3) == [3]
+    assert near_match([[0], [4]], 3) == []
+
+
+def test_near_emits_last_term_position_k3():
+    assert near_match([[0], [1], [2]], 1) == [2]
+
+
+def test_near_cursor_not_reset():
+    # A=[0,5], B=[3]; n=2: (0,3) gap 3 fails; (5,·) B cursor at 3 < 5 →
+    # advance → exhausted → done. No match.
+    assert near_match([[0, 5], [3]], 2) == []
+
+
+def test_near_greedy_consumes_matched():
+    # A=[0,1], B=[2]: (0,2) matches n=2 (emit 2, consume B); (1,·) exhausted.
+    assert near_match([[0, 1], [2]], 2) == [2]
+
+
+def test_near_equal_position_matches():
+    # reference: thisPos >= lastPos with gap<=n matches, including equal
+    assert near_match([[4], [4]], 1) == [4]
+
+
+def test_near_single_arg():
+    assert near_match([[2, 7]], 3) == [2, 7]
+
+
+def test_window_basic():
+    # span = max-min+1 <= width
+    assert window_match([[0], [2]], 3) == [2]
+    assert window_match([[0], [3]], 3) == []
+
+
+def test_window_unordered():
+    assert window_match([[5], [3]], 4) == [5]
+
+
+def test_window_advance_min_on_fail():
+    # A=[0,9], B=[10]: span(0,10)=11>3 → advance min(A)→9; span(9,10)=2 → emit 10
+    assert window_match([[0, 9], [10]], 3) == [10]
+
+
+def test_window_emit_max_and_advance_all():
+    # A=[1,2], B=[3,4]: match(1,3)→emit 3, all advance; match(2,4)→emit 4
+    assert window_match([[1, 2], [3, 4]], 3) == [3, 4]
+
+
+def test_window_single_arg_all_positions():
+    assert window_match([[4, 8, 15]], 1) == [4, 8, 15]
+
+
+def test_syn_merge_keeps_duplicates_sorted():
+    assert syn_merge([[3, 1], [2, 3]]) == [1, 2, 3, 3]
