@@ -1,0 +1,12 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's query operators, these are the operations a
+100 TB corpus-preparation pipeline needs: deduplication (exact, MinHash
+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search
+(brute-force + LSH/IVF ANN), text analysis (token stats, quality
+scoring, language ID, fingerprinting), and multimodal column plumbing.
+
+Everything is expressed with JVM-side built-in functions wherever
+possible (portable to an ANSI-SQL oracle and fully codegen'd); Python
+crossings are Arrow-vectorized only.
+"""

@@ -1,0 +1,277 @@
+"""Deduplication operators for web-scale corpus preparation.
+
+Design notes (100 TB posture):
+
+* Everything before the pair-explosion is **linear** per document and
+  JVM-side (codegen'd built-ins — no Python in the hot path).
+* Pair candidates only ever materialize **within an LSH bucket**; bucket
+  membership lists are capped (``max_bucket``) so a degenerate bucket
+  (e.g. boilerplate pages) cannot go quadratic — the same guard
+  production MinHash dedup pipelines use.
+* MinHash permutations are simulated with keyed md5 digests
+  (``md5(seed || '|' || shingle)`` → min hex string). md5 is available
+  and bit-identical in every SQL engine, which lets the DuckDB oracle
+  verify signatures *exactly* — and its 128-bit space makes min-collision
+  behavior indistinguishable from a random permutation.
+* SimHash uses ``xxhash64`` (JVM built-in) bit-summed with tf weights.
+
+Exact-dup → `exact_dup_groups`; near-dup → `near_dup_pairs`
+(MinHash LSH recall stage + exact Jaccard verify stage).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .textstats import tokens_col
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, key: Column | None = None) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicate group.
+
+    Returns (dup_key, n_dups, keep_doc_id) where keep_doc_id is the
+    smallest doc_id (the canonical survivor). Map-side partial
+    aggregation makes this a single cheap shuffle at any scale.
+    """
+    key = key if key is not None else F.md5(F.col("text"))
+    return (
+        docs.select(key.alias("dup_key"), "doc_id")
+        .groupBy("dup_key")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """doc_id, sh: distinct word k-gram shingles (space-joined).
+
+    Pure column math: transform-with-index over the token array; the
+    DuckDB oracle reproduces it with the identical indexed lambda.
+    """
+    toks = tokens_col(F.col("text"))
+    d = docs.select("doc_id", toks.alias("toks"))
+    ngram = F.transform(
+        F.col("toks"),
+        lambda x, i: F.when(
+            i + k <= F.size(F.col("toks")),
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("toks"), i + j + 1)  # element_at is 1-based
+                    for j in range(k)
+                ],
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.array_distinct(F.filter(ngram, lambda x: x.isNotNull())).alias("sh"),
+    )
+
+
+def minhash_signatures(sh_df: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """doc_id, sigs: array of ``num_hashes`` MinHash values (md5-hex min).
+
+    Docs with no shingles are dropped (can't participate in Jaccard).
+    """
+    def one_hash(h: int) -> Column:
+        # NB: bind the seed via closure — a `lambda s, h=h:` default would
+        # make PySpark treat it as a two-arg (element, index) lambda.
+        prefix = F.lit(f"{h}|")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(prefix, s)))
+        )
+
+    sig = F.array(*[one_hash(h) for h in range(num_hashes)])
+    return sh_df.where(F.size("sh") > 0).select("doc_id", sig.alias("sigs"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(a, b) candidate pairs: docs sharing ≥1 full LSH band.
+
+    One shuffle on (band, band_key); pair explosion happens only inside
+    buckets, with oversize buckets truncated to ``max_bucket`` members
+    (logged-out head-of-distribution guard — at 10^12 docs a boilerplate
+    bucket would otherwise explode quadratically).
+    """
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sigs")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_bucket).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(pairs: DataFrame, sh_df: DataFrame) -> DataFrame:
+    """Exact Jaccard verify stage: (a, b, jaccard) for candidate pairs.
+
+    Two broadcast-or-shuffle hash joins against the shingle table, then
+    pure array math. Only candidates pay this cost.
+    """
+    a_sh = sh_df.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b_sh = sh_df.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a_sh, "a")
+        .join(b_sh, "b")
+        .select(
+            "a",
+            "b",
+            F.when(union > 0, inter.cast("double") / union)
+            .otherwise(0.0)
+            .alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pipeline: recall via band collisions,
+    precision via exact Jaccard ≥ threshold. Returns (a, b, jaccard)."""
+    sh = shingles(docs, k=k)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    return jaccard_pairs(cand, sh).where(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """doc_id, simhash (long): 64-bit tf-weighted SimHash of the token
+    stream, entirely in JVM built-ins.
+
+    Per (doc, term, tf): bit b contributes +tf if bit b of
+    xxhash64(term) is 1 else −tf; simhash bit b = 1 iff the sum > 0.
+    """
+    toks = tokens_col(F.col("text"))
+    term_tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    # shift amounts must be literal ints in PySpark → unroll the 64 bits
+    contrib = F.array(
+        *[
+            F.when(
+                F.shiftright(F.xxhash64("term"), b).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+            for b in range(64)
+        ]
+    )
+    summed = (
+        term_tf.withColumn("bits", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("bits"),
+                F.array_repeat(F.lit(0).cast("long"), 64),
+                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+            ).alias("bitsums")
+        )
+    )
+    value = F.lit(0).cast("long")
+    for b in range(64):
+        value = value.bitwiseOR(
+            F.when(
+                F.element_at("bitsums", b + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return summed.select("doc_id", value.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming distance ≤ max_hamming.
+
+    Candidate generation by the 4×16-bit band trick (pigeonhole: any
+    pair within distance 3 shares at least one of 4 bands), then exact
+    popcount verify — same recall/verify shape as the MinHash path, and
+    the same linear-then-bucket-join scaling story.
+    """
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    j = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").bitwiseXOR(F.col("y.simhash")).alias("xr"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count("xr")
+    return j.select("a", "b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

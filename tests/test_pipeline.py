@@ -1,0 +1,160 @@
+"""Training-data pipeline operators: dedup / textstats / multimodal.
+
+Reference computations are tiny pure-Python/numpy re-implementations;
+the Spark operators must match exactly (or achieve stated recall).
+"""
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from search_engine_framework_spark.pipeline import dedup, multimodal, textstats
+
+
+def _toks(s):
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog near the old barn"),
+    (1, "The quick brown fox jumps over the lazy dog near the old shed"),  # near-dup of 0
+    (2, "Completely different text about spark query engines and indexes"),
+    (3, "The quick brown fox jumps over the lazy dog near the old barn"),  # exact dup of 0
+    (4, "short"),
+    (5, ""),
+    (6, "numbers 123 and 456 mixed WITH Case and punctuation!!!"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_token_stats_matches_python(docs_df):
+    rows = {r["doc_id"]: r for r in textstats.token_stats(docs_df).collect()}
+    for doc_id, text in DOCS:
+        toks = _toks(text)
+        r = rows[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(set(toks))
+        expect = sum(map(len, toks)) / len(toks) if toks else 0.0
+        assert abs(r["avg_token_len"] - expect) < 1e-12
+
+
+def test_quality_features(docs_df):
+    rows = {r["doc_id"]: r for r in textstats.quality_features(docs_df).collect()}
+    toks = _toks(DOCS[0][1])
+    en = set(textstats.LANG_STOPWORDS["en"])
+    r = rows[0]
+    assert abs(r["ttr"] - len(set(toks)) / len(toks)) < 1e-12
+    assert abs(r["stopword_ratio"] - sum(t in en for t in toks) / len(toks)) < 1e-12
+    assert rows[6]["digit_ratio"] == 6 / len(DOCS[6][1])
+    assert rows[5]["ttr"] == 0.0
+
+
+def test_lang_id_deterministic(docs_df):
+    rows = {r["doc_id"]: r for r in textstats.lang_id(docs_df).collect()}
+    assert rows[0]["pred_lang"] == "en"  # has english stopwords
+    assert rows[4]["pred_lang"] == "en"  # all-zero ratios → tie-break en
+
+
+def test_fingerprint_exact_dedup(docs_df):
+    fp = textstats.fingerprints(docs_df)
+    groups = dedup.exact_dup_groups(
+        docs_df.join(fp, "doc_id"), key=F.col("fp_full")
+    ).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_dups"] == 2 and g["keep_doc_id"] == 0
+
+
+def test_exact_dup_groups_on_raw_text(docs_df):
+    groups = dedup.exact_dup_groups(docs_df).collect()
+    assert len(groups) == 1 and groups[0]["keep_doc_id"] == 0
+
+
+def test_shingles_match_python(docs_df):
+    rows = {r["doc_id"]: r["sh"] for r in dedup.shingles(docs_df, k=3).collect()}
+    for doc_id, text in DOCS:
+        toks = _toks(text)
+        expect = list(dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ))
+        assert sorted(rows[doc_id]) == sorted(expect)
+
+
+def test_minhash_jaccard_pipeline(docs_df):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.near_dup_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0  # planted near-dup
+    assert all(a != 2 and b != 2 for a, b in pairs)  # unrelated doc absent
+    # exact jaccard value matches python
+    sh0 = set(" ".join(_toks(DOCS[0][1])[i:i+3]) for i in range(len(_toks(DOCS[0][1]))-2))
+    sh1 = set(" ".join(_toks(DOCS[1][1])[i:i+3]) for i in range(len(_toks(DOCS[1][1]))-2))
+    assert abs(pairs[(0, 1)] - len(sh0 & sh1) / len(sh0 | sh1)) < 1e-12
+
+
+def test_minhash_signature_is_md5_min(docs_df, spark):
+    sh = dedup.shingles(docs_df, k=3)
+    sigs = {r["doc_id"]: r["sigs"] for r in dedup.minhash_signatures(sh, 4).collect()}
+    shingle_rows = {r["doc_id"]: r["sh"] for r in sh.collect()}
+    for h in range(4):
+        expect = min(
+            hashlib.md5(f"{h}|{s}".encode()).hexdigest() for s in shingle_rows[0]
+        )
+        assert sigs[0][h] == expect
+    assert 5 not in sigs  # empty doc dropped
+
+
+def test_simhash_properties(docs_df):
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs_df).collect()}
+    assert rows[0] == rows[3]  # identical docs → identical simhash
+
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(rows[0], rows[1]) < ham(rows[0], rows[2])
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(
+            dedup.simhash64(docs_df), max_hamming=8
+        ).collect()
+    }
+    assert pairs.get((0, 3)) == 0
+    # band trick guarantees recall only for hamming ≤ 3 (4 bands × 16 bits);
+    # farther pairs may legitimately share no band
+    h01 = ham(rows[0], rows[1])
+    if h01 <= 3 or (0, 1) in pairs:
+        assert pairs.get((0, 1)) == h01
+
+
+def test_multimodal_decode_and_dedup(spark):
+    assets = multimodal.synth_assets(spark, n=30)
+    feats = multimodal.decode_features(assets).cache()
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["decode_ok"] and r["n_bytes"] > 0
+    # deterministic: same payload → same sha1/feature
+    again = {r["asset_id"]: r for r in multimodal.decode_features(assets).collect()}
+    for r in rows:
+        assert again[r["asset_id"]]["sha1"] == r["sha1"]
+        assert again[r["asset_id"]]["feature"] == r["feature"]
+    assert multimodal.exact_dup_assets(feats).count() == 0
+
+
+def test_multimodal_strict_raises(spark):
+    assets = multimodal.synth_assets(spark, n=4)
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_features(assets, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
