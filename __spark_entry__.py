@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship BM25 top-k over the sf0.001 documents corpus
+                  through the full index-build → segment-scan → score →
+                  top-k path.
+queries()       — one entry per implemented operator family (SURVEY.md §2
+                  + training-data pipeline ops); each callable takes
+                  (spark, sf_dir) and returns a DataFrame.
+oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
+                  query, written to be IEEE-identical (same tokenization,
+                  same float operand order, 4-dp rounding where engines'
+                  summation orders differ). Rows-only entries
+                  (bm25_ref_analyzer, simhash_pairs, ann_ivf) use the
+                  reference analyzer / hash kernels that ANSI SQL cannot
+                  express.
+
+Implementation lives in search_engine_framework_spark/contract.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from search_engine_framework_spark import contract  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return contract.flagship(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(contract.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(contract.ORACLE_SQL)

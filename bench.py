@@ -1,0 +1,162 @@
+"""Benchmark driver: headline operator timings at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...per-component seconds...}, "sf": 0.1}
+
+Components
+  index_build      — full inverted-index build (tokenize → postings →
+                     salted segment merge → compressed parquet) over a
+                     deterministic synthetic transcript corpus
+                     (~45k turns); extra key turns_per_sec is the
+                     BASELINE.json throughput metric.
+  bm25_topk_p50    — p50 latency of BM25 top-10 over a 10-query set
+                     against the on-disk documents index (the
+                     BASELINE.json latency metric).
+  boolean/positional/indri — one representative structured query each.
+  neardup_minhash  — MinHash-LSH near-dup pipeline over documents.
+  simhash          — 64-bit SimHash + banded pair search over documents.
+  knn_brute        — exact cosine top-10 over embeddings.
+  dedup_exact      — hash-groupBy exact dedup over documents.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py, not here — see BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from search_engine_framework_spark.session import get_spark  # noqa: E402
+from search_engine_framework_spark.engine import SearchEngine  # noqa: E402
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig  # noqa: E402
+from search_engine_framework_spark.index.build import build_index  # noqa: E402
+from search_engine_framework_spark.pipeline import dedup, similarity  # noqa: E402
+from search_engine_framework_spark.sources.transcripts import synth_transcripts  # noqa: E402
+
+BM25_QUERIES = [
+    "#SUM(spark merge window)",
+    "#SUM(customer order line)",
+    "#SUM(query data table)",
+    "#SUM(hash join filter)",
+    "#SUM(stream batch vector)",
+    "#SUM(scan sort group)",
+    "#SUM(key value part)",
+    "#SUM(big small fast)",
+    "#SUM(column row agg)",
+    "#SUM(slow line data)",
+]
+
+N_CONVS = int(os.environ.get("BENCH_N_CONVS", "6000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(
+        app_name="sefs-bench", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- index build throughput over synthetic transcripts ---------------
+    corpus = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
+    n_turns = corpus.count()  # materialize generation cost outside the timer? no — generation is part of ingest; count() warms nothing (mapInPandas recomputes)
+    ix_dir = "/tmp/bench_ix_transcripts"
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, corpus, ix_dir, fields=("body",), n_buckets=int(cpus))
+    timings["index_build"] = round(time.time() - t0, 3)
+    extra["index_build_turns"] = n_turns
+    extra["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
+
+    # ---- documents index for query benchmarks ----------------------------
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from search_engine_framework_spark.contract import _docs_as_transcripts
+
+    doc_ix = "/tmp/bench_ix_documents"
+    shutil.rmtree(doc_ix, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        spark, _docs_as_transcripts(docs), doc_ix,
+        fields=("body",), cfg=AnalyzerConfig.sql_safe(),
+        n_buckets=8,
+    )
+    timings["index_build_documents"] = round(time.time() - t0, 3)
+    engine = SearchEngine(spark, doc_ix, analyzer=AnalyzerConfig.sql_safe())
+
+    from search_engine_framework_spark.plans.models import (
+        BM25, Indri, RankedBoolean, UnrankedBoolean,
+    )
+
+    # warm one query (JVM/codegen warmup is not a per-query cost at scale)
+    engine.search(BM25_QUERIES[0], BM25(), k=10)
+
+    lat = []
+    t_all = time.time()
+    for q in BM25_QUERIES:
+        t0 = time.time()
+        engine.search(q, BM25(), k=10)
+        lat.append(time.time() - t0)
+    timings["bm25_queryset"] = round(time.time() - t_all, 3)
+    extra["bm25_topk_p50"] = round(statistics.median(lat), 3)
+
+    t0 = time.time()
+    engine.search("#AND(spark #OR(merge window) #NOT(customer))", RankedBoolean(), k=10)
+    timings["boolean_query"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    engine.search("#NEAR/3(key agg)", UnrankedBoolean(), k=10)
+    engine.search("#WINDOW/8(merge batch)", UnrankedBoolean(), k=10)
+    timings["positional_query"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    engine.search("#WAND(0.6 spark 0.4 #AND(merge window))", Indri(), k=10)
+    timings["indri_query"] = round(time.time() - t0, 3)
+
+    # ---- pipeline operators ----------------------------------------------
+    t0 = time.time()
+    n_pairs = dedup.near_dup_pairs(docs, threshold=0.8).count()
+    timings["neardup_minhash"] = round(time.time() - t0, 3)
+    extra["neardup_pairs"] = n_pairs
+
+    t0 = time.time()
+    dedup.simhash_near_pairs(dedup.simhash64(docs), max_hamming=8).count()
+    timings["simhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.exact_dup_groups(docs).count()
+    timings["dedup_exact"] = round(time.time() - t0, 3)
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in embs.where(F.col("vec_id") == 0).first()["embedding"]]
+    t0 = time.time()
+    similarity.cosine_topk(embs, qvec, k=10).collect()
+    timings["knn_brute"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same sf_dir, then compares
+row count, column names/types, and order-insensitive values.
+
+Usage: python scripts/check_contract.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from search_engine_framework_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def normalize(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        if val == 0.0:
+            return 0.0
+        return val
+    if isinstance(val, bool):
+        return bool(val)
+    return val
+
+
+def run(sf_dir: str, only: list[str]) -> int:
+    spark = get_spark(app_name="contract-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = only or list(queries)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(srows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            orr = con.sql(oracles[name])
+            ocols = [c.lower() for c in orr.columns]
+            orows = orr.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        ok = True
+        if [c.lower() for c in scols] != ocols:
+            print(f"FAIL {name}: columns {scols} vs {orr.columns}")
+            ok = False
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            ok = False
+        if ok:
+            # order-insensitive value compare on name-sorted columns
+            order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+            sset = sorted(
+                tuple(normalize(r[i]) for i in order) for r in srows
+            )
+            oset = sorted(
+                tuple(normalize(r[i]) for i in order) for r in orows
+            )
+            if sset != oset:
+                diffs = [
+                    (a, b) for a, b in zip(sset, oset) if a != b
+                ][:5]
+                print(f"FAIL {name}: value mismatch; first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"ok   {name}: {len(srows)} rows match "
+                  f"({time.time()-t0:.1f}s)")
+        else:
+            failures += 1
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    sys.exit(run(sf_dir, args[1:]))

@@ -1,0 +1,701 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data pipeline operator) over the driver's parquet tables
+(`documents`, `embeddings`, `events`). The oracle SQL is written to be
+**IEEE-identical** to the Spark plan, not merely equivalent:
+
+* tokenization is the engine's ``sql_safe`` analyzer mode, whose exact
+  SQL twin is ``list_filter(string_split_regex(lower(text),
+  '[^a-z0-9]+'), x -> x <> '')``;
+* floating-point expressions are written with the same operand order on
+  both sides (BM25/Indri folds accumulate in child order);
+* aggregate doubles that cross engines with different summation orders
+  are rounded to 4 decimals (+0.0 to normalize -0.0).
+
+The search-engine queries run against a real on-disk index built once
+per sf_dir (cached under /tmp) — so the driver's correctness check
+covers the full path: tokenize → postings → codec → segments → scan →
+score → top-k, verified against plain SQL over the raw text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from .engine import SearchEngine
+from .functions.analyzer import AnalyzerConfig
+from .index.build import build_index
+from .pipeline import dedup, multimodal, similarity, textstats
+
+BM25_QUERY = "#SUM(spark merge window)"
+BM25_K = 20
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source) → transcript shape
+    (input_hint schema); one document = one single-turn conversation.
+    conv_id is zero-padded so lexicographic == numeric order (stable
+    docid derivation requirement)."""
+    return docs.select(
+        F.format_string("doc-%09d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("role"),
+        F.col("text"),
+        F.coalesce(F.col("source"), F.lit("")).alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+_ENGINES: dict[str, SearchEngine] = {}
+
+
+def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Build (once, cached on disk + in-process) a sql_safe-mode index
+    over the documents table of ``sf_dir`` and return a SearchEngine."""
+    key = os.path.abspath(sf_dir)
+    if key in _ENGINES:
+        return _ENGINES[key]
+    digest = hashlib.sha1(key.encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "sefs_entry_idx", digest)
+    cfg = AnalyzerConfig.sql_safe()
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _read(spark, sf_dir, "documents")
+        build_index(
+            spark,
+            _docs_as_transcripts(docs),
+            out,
+            fields=("body",),
+            cfg=cfg,
+            n_buckets=8,
+            n_salts=4,
+        )
+    eng = SearchEngine(spark, out, analyzer=cfg)
+    _ENGINES[key] = eng
+    return eng
+
+
+def _orig_id(ext_id: Column) -> Column:
+    """ext_id 'doc-000000042:0' → original documents.doc_id."""
+    return F.regexp_extract(ext_id, r"doc-(\d+)", 1).cast("long").alias("doc_id")
+
+
+def _r4(c: Column) -> Column:
+    return F.round(c, 4) + F.lit(0.0)
+
+
+# DuckDB-side shared CTEs (the tokenizer twin + derived stats)
+_SQL_BASE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, t.term AS term, t.pos AS pos FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks,
+                  (x, i) -> struct_pack(term := x, pos := i - 1))) AS t
+    FROM toks) s
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokpos GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, len(toks)::BIGINT AS doclen FROM toks
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
+  FROM tf GROUP BY 1
+),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         sum(doclen)::BIGINT AS sum_doclen,
+         count(*) FILTER (WHERE doclen > 0)::BIGINT AS doc_count
+  FROM dl
+)
+"""
+
+# BM25 per-term score as a SQL macro body; operand order mirrors
+# plans/compiler.py::_score exactly:
+#   idf = ln((N - df + 0.5) / (df + 0.5))           [not floored at 0]
+#   tfw = tf / (tf + k1*((1-b) + b*(doclen/avg)))   [k1=1.2, b=0.75]
+#   avg = sum_doclen / doc_count
+def _bm25_term_sql(term: str) -> str:
+    return f"""
+  SELECT tf.doc_id,
+         ln((cstats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf::DOUBLE /
+              (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+               + 0.75 * (dl.doclen::DOUBLE
+                         / (cstats.sum_doclen::DOUBLE / cstats.doc_count)))))
+           AS s
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cstats
+  JOIN dfreq ON dfreq.term = tf.term
+  WHERE tf.term = '{term}'
+"""
+
+
+# Indri two-stage smoothing, operand order mirroring compiler._score:
+#   present: (0.4 * (tf + mu*pmle)) / (dl + mu) + 0.6*pmle
+#   default: (1000.0 * pmle) / (dl + mu) + 0.6*pmle     [0.4*2500 = 1000]
+#   pmle = ctf / sum_doclen(field)
+def _indri_term_sql(term: str) -> str:
+    return f"""
+  SELECT d.doc_id,
+         CASE WHEN tf.tf IS NOT NULL THEN
+           (0.4 * (tf.tf::DOUBLE + 2500.0 * p.pmle)) / (d.doclen::DOUBLE + 2500.0)
+             + 0.6 * p.pmle
+         ELSE
+           (1000.0 * p.pmle) / (d.doclen::DOUBLE + 2500.0) + 0.6 * p.pmle
+         END AS s
+  FROM dl d
+  CROSS JOIN (SELECT (SELECT ctf FROM dfreq WHERE term = '{term}')::DOUBLE
+                     / (SELECT sum_doclen FROM cstats)::DOUBLE AS pmle) p
+  LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = '{term}') tf
+         ON tf.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def q_term_stats_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = get_engine(spark, sf_dir)
+    return (
+        eng.reader.segments()
+        .where(F.col("field") == "body")
+        .select("term", F.col("df").cast("long"), F.col("ctf").cast("long"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+def q_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = get_engine(spark, sf_dir)
+    dl = eng.reader.doclen().where(F.col("field") == "body")
+    dm = eng.reader.docmap().select("doc_id", "ext_id")
+    return dl.join(dm, "doc_id").select(
+        _orig_id(F.col("ext_id")), F.col("doclen").cast("long").alias("doclen")
+    )
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = get_engine(spark, sf_dir)
+    r = eng.reader
+    return spark.createDataFrame(
+        [
+            (
+                r.num_docs,
+                r.sum_doclen("body"),
+                r.doc_count("body"),
+            )
+        ],
+        "n_docs long, sum_doclen long, doc_count long",
+    )
+
+
+POSTING_TERMS = ("spark", "merge", "window", "customer")
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = get_engine(spark, sf_dir)
+    p = eng.reader.fetch_postings({(t, "body") for t in POSTING_TERMS})
+    dm = eng.reader.docmap().select("doc_id", "ext_id")
+    return p.join(dm, "doc_id").select(
+        "term",
+        _orig_id(F.col("ext_id")),
+        F.col("tf").cast("long").alias("tf"),
+        F.element_at("positions", 1).cast("long").alias("first_pos"),
+        F.element_at("positions", -1).cast("long").alias("last_pos"),
+    )
+
+
+def _search_full(spark, sf_dir, query, model) -> DataFrame:
+    from .plans.models import BM25, Indri, RankedBoolean, UnrankedBoolean  # noqa
+
+    eng = get_engine(spark, sf_dir)
+    out = eng.search_df(query, model)
+    return out.select(_orig_id(F.col("ext_id")), "score")
+
+
+def q_bool_and_ranked(spark, sf_dir):
+    from .plans.models import RankedBoolean
+
+    return _search_full(spark, sf_dir, "#AND(spark merge)", RankedBoolean())
+
+
+def q_bool_or_ranked(spark, sf_dir):
+    from .plans.models import RankedBoolean
+
+    return _search_full(spark, sf_dir, "#OR(spark merge)", RankedBoolean())
+
+
+def q_bool_and_not(spark, sf_dir):
+    from .plans.models import UnrankedBoolean
+
+    return _search_full(spark, sf_dir, "#AND(window #NOT(customer))", UnrankedBoolean())
+
+
+def q_near(spark, sf_dir):
+    from .plans.models import UnrankedBoolean
+
+    return _search_full(spark, sf_dir, "#NEAR/3(key agg)", UnrankedBoolean())
+
+
+def q_window_op(spark, sf_dir):
+    from .plans.models import UnrankedBoolean
+
+    return _search_full(spark, sf_dir, "#WINDOW/8(merge batch)", UnrankedBoolean())
+
+
+def q_syn_ranked(spark, sf_dir):
+    from .plans.models import RankedBoolean
+
+    return _search_full(spark, sf_dir, "#SYN(spark data)", RankedBoolean())
+
+
+def q_bm25_single(spark, sf_dir):
+    from .plans.models import BM25
+
+    out = _search_full(spark, sf_dir, "spark", BM25())
+    return out.select("doc_id", _r4(F.col("score")).alias("score"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    return top.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
+def q_indri_and(spark, sf_dir):
+    from .plans.models import Indri
+
+    out = _search_full(spark, sf_dir, "#AND(spark merge)", Indri())
+    return out.select("doc_id", _r4(F.col("score")).alias("score"))
+
+
+def q_indri_wsum(spark, sf_dir):
+    from .plans.models import Indri
+
+    out = _search_full(spark, sf_dir, "#WSUM(0.7 spark 0.3 merge)", Indri())
+    return out.select("doc_id", _r4(F.col("score")).alias("score"))
+
+
+def q_fingerprints(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.fingerprints(docs)
+
+
+def q_minhash_sigs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(dedup.shingles(docs, k=3), num_hashes=4)
+    return sigs.select(
+        "doc_id",
+        F.col("sigs")[0].alias("sig0"),
+        F.col("sigs")[1].alias("sig1"),
+        F.col("sigs")[2].alias("sig2"),
+        F.col("sigs")[3].alias("sig3"),
+    )
+
+
+def q_neardup_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.8, k=3, num_hashes=32, bands=16)
+    return pairs.select("a", "b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
+def q_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    q = textstats.quality_features(docs)
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        _r4(F.col("ttr")).alias("ttr"),
+        _r4(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _r4(F.col("digit_ratio")).alias("digit_ratio"),
+        "n_chars",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.lang_id(docs)
+
+
+def q_knn_cosine(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings")
+    qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    scored = embs.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        (
+            similarity._dot(F.col("embedding"), F.array(*[F.lit(x) for x in qvec]))
+            / (
+                similarity._norm(F.col("embedding"))
+                * similarity._norm(F.array(*[F.lit(x) for x in qvec]))
+            )
+        ).alias("cosine"),
+    )
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+    return top.select("vec_id", _r4(F.col("cosine")).alias("cosine"))
+
+
+def q_events_hourly(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _r4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text-blob").alias("modality"),
+        F.encode("text", "utf-8").cast("binary").alias("payload"),
+        F.create_map(F.lit("src"), F.coalesce("source", F.lit(""))).alias("meta"),
+    )
+    feats = multimodal.decode_features(assets)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "decode_ok",
+    )
+
+
+# ---- rows-only entries (no SQL-expressible oracle) ------------------------
+
+def q_bm25_ref_analyzer(spark, sf_dir):
+    """BM25 over the *reference* analyzer (stopwords + Krovetz stem) —
+    rank semantics match /root/reference; not expressible in ANSI SQL."""
+    from .plans.models import BM25
+
+    key = os.path.abspath(sf_dir) + "#ref"
+    if key not in _ENGINES:
+        digest = hashlib.sha1(key.encode()).hexdigest()[:12]
+        out = os.path.join("/tmp", "sefs_entry_idx", digest)
+        if not os.path.exists(os.path.join(out, "stats.json")):
+            docs = _read(spark, sf_dir, "documents")
+            build_index(
+                spark,
+                _docs_as_transcripts(docs),
+                out,
+                fields=("body",),
+                cfg=AnalyzerConfig.reference(),
+                n_buckets=8,
+                n_salts=4,
+            )
+        _ENGINES[key] = SearchEngine(
+            spark, out, analyzer=AnalyzerConfig.reference()
+        )
+    eng = _ENGINES[key]
+    top = eng.search("#SUM(merging windows sparks)", BM25(), k=20)
+    return top.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    sim = dedup.simhash64(docs)
+    return dedup.simhash_near_pairs(sim, max_hamming=8).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings")
+    qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    cents = similarity.ivf_centroids(embs, nlist=8)
+    assigned = similarity.ivf_assign(embs, cents)
+    top = similarity.ivf_query(embs, assigned, cents, qvec, k=10, nprobe=4)
+    return top.select("vec_id", _r4(F.col("cosine")).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "term_stats_top": _SQL_BASE
+    + """
+SELECT term, df, ctf FROM dfreq ORDER BY df DESC, term ASC LIMIT 100
+""",
+    "doclen": _SQL_BASE
+    + """
+SELECT doc_id, doclen FROM dl
+""",
+    "collection_stats": _SQL_BASE
+    + """
+SELECT n_docs, sum_doclen, doc_count FROM cstats
+""",
+    "postings": _SQL_BASE
+    + f"""
+SELECT term, doc_id, count(*)::BIGINT AS tf,
+       min(pos)::BIGINT AS first_pos, max(pos)::BIGINT AS last_pos
+FROM tokpos WHERE term IN ({", ".join(f"'{t}'" for t in POSTING_TERMS)})
+GROUP BY 1, 2
+""",
+    "bool_and_ranked": _SQL_BASE
+    + """
+SELECT a.doc_id, least(a.tf, b.tf)::DOUBLE AS score
+FROM (SELECT doc_id, tf FROM tf WHERE term = 'spark') a
+JOIN (SELECT doc_id, tf FROM tf WHERE term = 'merge') b USING (doc_id)
+""",
+    "bool_or_ranked": _SQL_BASE
+    + """
+SELECT doc_id, max(tf)::DOUBLE AS score
+FROM tf WHERE term IN ('spark', 'merge') GROUP BY 1
+""",
+    "bool_and_not": _SQL_BASE
+    + """
+SELECT DISTINCT doc_id, 1.0 AS score FROM tf
+WHERE term = 'window'
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'customer')
+""",
+    "near": _SQL_BASE
+    + """
+SELECT DISTINCT t1.doc_id, 1.0 AS score
+FROM tokpos t1 JOIN tokpos t2
+  ON t1.doc_id = t2.doc_id AND t1.term = 'key' AND t2.term = 'agg'
+ AND t2.pos - t1.pos BETWEEN 1 AND 3
+""",
+    "window_op": _SQL_BASE
+    + """
+SELECT DISTINCT t1.doc_id, 1.0 AS score
+FROM tokpos t1 JOIN tokpos t2
+  ON t1.doc_id = t2.doc_id AND t1.term = 'merge' AND t2.term = 'batch'
+ AND abs(t2.pos - t1.pos) + 1 <= 8
+""",
+    "syn_ranked": _SQL_BASE
+    + """
+SELECT doc_id, sum(tf)::DOUBLE AS score
+FROM tf WHERE term IN ('spark', 'data') GROUP BY 1
+""",
+    "bm25_single": _SQL_BASE
+    + f""", t_spark AS ({_bm25_term_sql('spark')})
+SELECT doc_id, round(s, 4) + 0.0 AS score FROM t_spark
+""",
+    "bm25_topk": _SQL_BASE
+    + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+scored AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+       round(s, 4) + 0.0 AS score
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+""",
+    "indri_and": _SQL_BASE
+    + f""", i1 AS ({_indri_term_sql('spark')}),
+i2 AS ({_indri_term_sql('merge')}),
+present AS (SELECT doc_id FROM tf WHERE term IN ('spark', 'merge') GROUP BY 1)
+SELECT p.doc_id,
+       round(1.0 * pow(i1.s, 0.5) * pow(i2.s, 0.5), 4) + 0.0 AS score
+FROM present p
+JOIN i1 ON i1.doc_id = p.doc_id
+JOIN i2 ON i2.doc_id = p.doc_id
+""",
+    "indri_wsum": _SQL_BASE
+    + f""", i1 AS ({_indri_term_sql('spark')}),
+i2 AS ({_indri_term_sql('merge')}),
+present AS (SELECT doc_id FROM tf WHERE term IN ('spark', 'merge') GROUP BY 1)
+SELECT p.doc_id,
+       round(0.0 + (0.7 / (0.7 + 0.3)) * i1.s
+                 + (0.3 / (0.7 + 0.3)) * i2.s, 4) + 0.0 AS score
+FROM present p
+JOIN i1 ON i1.doc_id = p.doc_id
+JOIN i2 ON i2.doc_id = p.doc_id
+""",
+    "fingerprints": _SQL_BASE
+    + """
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS fp_full,
+       md5(array_to_string(toks[1:32], ' ')) AS fp_prefix
+FROM toks
+""",
+    "minhash_sigs": _SQL_BASE
+    + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(list_transform(toks,
+           (x, i) -> CASE WHEN i + 2 <= len(toks)
+                     THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+           x -> x IS NOT NULL)) AS sh
+  FROM toks
+)
+SELECT doc_id,
+       list_min(list_transform(sh, s -> md5('0|' || s))) AS sig0,
+       list_min(list_transform(sh, s -> md5('1|' || s))) AS sig1,
+       list_min(list_transform(sh, s -> md5('2|' || s))) AS sig2,
+       list_min(list_transform(sh, s -> md5('3|' || s))) AS sig3
+FROM sh WHERE len(sh) > 0
+""",
+    "neardup_pairs": _SQL_BASE
+    + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(list_transform(toks,
+           (x, i) -> CASE WHEN i + 2 <= len(toks)
+                     THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+           x -> x IS NOT NULL)) AS sh
+  FROM toks WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0.0 AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+""",
+    "quality": _SQL_BASE
+    + """
+SELECT t.doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END, 4)
+         + 0.0 AS ttr,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains(
+                  ['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+                  / len(toks) ELSE 0.0 END, 4) + 0.0 AS stopword_ratio,
+       round(CASE WHEN length(d.text) > 0
+             THEN (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')))::DOUBLE
+                  / length(d.text) ELSE 0.0 END, 4) + 0.0 AS digit_ratio,
+       length(d.text)::BIGINT AS n_chars
+FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+""",
+    "lang_id": _SQL_BASE
+    + """
+, r AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(
+      ['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE / len(toks)
+      ELSE 0.0 END AS r_en,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','mit','von','zu'], x)))::DOUBLE / len(toks)
+      ELSE 0.0 END AS r_de,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(
+      ['le','la','les','de','et','est','un','une','pour','dans'], x)))::DOUBLE / len(toks)
+      ELSE 0.0 END AS r_fr
+  FROM toks
+)
+SELECT doc_id, round(r_en, 6) AS r_en, round(r_de, 6) AS r_de,
+       round(r_fr, 6) AS r_fr,
+       CASE WHEN r_en >= r_de AND r_en >= r_fr THEN 'en'
+            WHEN r_de >= r_fr THEN 'de' ELSE 'fr' END AS pred_lang
+FROM r
+""",
+    "knn_cosine": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(e.embedding,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(q.qv,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, round(cosine, 4) + 0.0 AS cosine
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+    "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) + 0.0 AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "multimodal_features": """
+SELECT doc_id AS asset_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       octet_length(encode(text)) > 0 AS decode_ok
+FROM documents
+""",
+}
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "term_stats_top": q_term_stats_top,
+    "doclen": q_doclen,
+    "collection_stats": q_collection_stats,
+    "postings": q_postings,
+    "bool_and_ranked": q_bool_and_ranked,
+    "bool_or_ranked": q_bool_or_ranked,
+    "bool_and_not": q_bool_and_not,
+    "near": q_near,
+    "window_op": q_window_op,
+    "syn_ranked": q_syn_ranked,
+    "bm25_single": q_bm25_single,
+    "bm25_topk": q_bm25_topk,
+    "indri_and": q_indri_and,
+    "indri_wsum": q_indri_wsum,
+    "fingerprints": q_fingerprints,
+    "minhash_sigs": q_minhash_sigs,
+    "neardup_pairs": q_neardup_pairs,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "knn_cosine": q_knn_cosine,
+    "events_hourly": q_events_hourly,
+    "multimodal_features": q_multimodal_features,
+    # rows-only checks (not SQL-expressible):
+    "bm25_ref_analyzer": q_bm25_ref_analyzer,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_ivf": q_ann_ivf,
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """entry(): BM25 top-k over the sf0.001 documents corpus through the
+    full index → scan → score → rank path."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
