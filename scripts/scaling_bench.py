@@ -1,0 +1,99 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+A real N-vs-4N-executor comparison needs a cluster; the sandbox stand-in
+is the same index-build job at two parallelism levels — local[8] vs
+local[32] — over the SAME on-disk parquet corpus, in separate JVMs.
+
+  efficiency = throughput(32) / (4 * throughput(8))
+
+Usage:
+  python scripts/scaling_bench.py            # orchestrate, print summary
+  python scripts/scaling_bench.py worker N   # timed build at local[N]
+
+Results are recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CONVS = int(os.environ.get("SCALE_N_CONVS", "24000"))
+CORPUS = f"/tmp/scale_corpus_{N_CONVS}"
+LEVELS = (8, 32)
+RUNS_PER_LEVEL = 2
+
+
+def worker(cpus: int) -> None:
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scale-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(CORPUS)
+    n_turns = corpus.count()
+    out = f"/tmp/scale_ix_{cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, corpus, out, fields=("body",), n_buckets=cpus)
+    dt = time.time() - t0
+    print(json.dumps({"cpus": cpus, "seconds": round(dt, 2),
+                      "turns": n_turns,
+                      "turns_per_sec": round(n_turns / dt, 1)}))
+
+
+def orchestrate() -> None:
+    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        from search_engine_framework_spark.session import get_spark
+        from search_engine_framework_spark.sources.transcripts import (
+            synth_transcripts,
+        )
+
+        spark = get_spark(app_name="scale-gen", shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_transcripts(spark, n_convs=N_CONVS, seed=42).write.mode(
+            "overwrite"
+        ).parquet(CORPUS)
+        spark.stop()
+
+    results = {}
+    for cpus in LEVELS:
+        best = None
+        for run in range(RUNS_PER_LEVEL):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "worker", str(cpus)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            print(f"local[{cpus}] run {run}: {r['seconds']}s "
+                  f"({r['turns_per_sec']} turns/s)")
+            if best is None or r["seconds"] < best["seconds"]:
+                best = r
+        results[cpus] = best
+
+    t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+    eff = t32 / (4 * t8)
+    summary = {
+        "corpus_turns": results[8]["turns"],
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]))
+    else:
+        orchestrate()

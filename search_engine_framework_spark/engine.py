@@ -63,6 +63,29 @@ class SearchEngine:
             out, "doc_id long, ext_id string, rank int, score double"
         )
 
+    def vsm_search(self, query: str, k: int = 100, field: str = "body") -> DataFrame:
+        """lnc.ltc vector-space retrieval (the reference's f18 scorer as a
+        standalone model): → DataFrame(doc_id, ext_id, rank, score)."""
+        from .functions.analyzer import analyze_terms
+        from .vsm import vsm_scores
+
+        terms = analyze_terms(query, self.analyzer)
+        scored = vsm_scores(self.reader, terms, field=field)
+        docmap = self.reader.docmap().select("doc_id", "ext_id")
+        rows = (
+            scored.join(F.broadcast(docmap), "doc_id")
+            .orderBy(F.desc("score"), F.asc("ext_id"))
+            .limit(k)
+            .collect()
+        )
+        out = [
+            (r["doc_id"], r["ext_id"], i + 1, float(r["score"]))
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(
+            out, "doc_id long, ext_id string, rank int, score double"
+        )
+
     def search_df(self, query: str, model: RetrievalModel) -> DataFrame:
         """Lazy variant: full scored list (doc_id, ext_id, score), unranked
         — for composition into larger pipelines without a driver collect."""

@@ -67,6 +67,10 @@ class IndexPaths:
         return os.path.join(self.root, "docmap")
 
     @property
+    def doc_terms(self) -> str:
+        return os.path.join(self.root, "doc_terms")
+
+    @property
     def doclen(self) -> str:
         return os.path.join(self.root, "doclen")
 
@@ -253,32 +257,68 @@ def build_index(
     os.makedirs(paths.manifests, exist_ok=True)
     t0 = time.time()
 
-    docs = assign_doc_ids(transcripts)
-    docs.write.mode("overwrite").parquet(paths.docmap)
-    docs = spark.read.parquet(paths.docmap)
-    n_docs = docs.count()
+    base_manifest = os.path.join(paths.manifests, "base.json")
+    base_done = False
+    if resume and os.path.exists(base_manifest):
+        with open(base_manifest) as fh:
+            base_done = json.load(fh).get("complete", False)
 
-    postings = extract_postings(docs, fields=fields, cfg=cfg)
-    doclen = postings.select("doc_id", "field", "doclen").groupBy(
-        "doc_id", "field"
-    ).agg(F.first("doclen").alias("doclen"))
-    # Docs whose field analyzed to zero tokens never appear in postings;
-    # right-join docmap to record their doclen=0 rows.
-    all_doc_fields = docs.select("doc_id")
-    full_doclen = None
-    for field in fields:
-        fd = all_doc_fields.withColumn("field", F.lit(field))
-        full_doclen = fd if full_doclen is None else full_doclen.unionByName(fd)
-    doclen = (
-        full_doclen.join(doclen, ["doc_id", "field"], "left")
-        .fillna(0, subset=["doclen"])
-    )
-    doclen.write.mode("overwrite").parquet(paths.doclen)
-    doclen = spark.read.parquet(paths.doclen)
+    if base_done:
+        # Resume fast path: docmap / doc_terms / doclen / stats are
+        # complete and deterministic — skip re-tokenization entirely.
+        docs = spark.read.parquet(paths.docmap)
+        with open(paths.stats) as fh:
+            n_docs = json.load(fh)["N"]
+    else:
+        docs = assign_doc_ids(transcripts)
+        docs.write.mode("overwrite").parquet(paths.docmap)
+        docs = spark.read.parquet(paths.docmap)
+        n_docs = docs.count()
 
-    stats = collection_stats(doclen, n_docs)
-    with open(paths.stats, "w") as fh:
-        json.dump(stats, fh, indent=2, sort_keys=True)
+        # Forward index (the reference's TermVector analog,
+        # /root/reference/src/TermVector.java:19-94): tokenization — the
+        # only expensive Python crossing — runs ONCE here; doclen and the
+        # inverted segments both derive from this table. Map-only write
+        # (no shuffle): files mirror the docmap partitioning.
+        extract_postings(docs, fields=fields, cfg=cfg).write.mode(
+            "overwrite"
+        ).parquet(paths.doc_terms)
+
+    postings = spark.read.parquet(paths.doc_terms)
+
+    if not base_done:
+        doclen = postings.select("doc_id", "field", "doclen").groupBy(
+            "doc_id", "field"
+        ).agg(F.first("doclen").alias("doclen"))
+        # Docs whose field analyzed to zero tokens never appear in postings;
+        # right-join docmap to record their doclen=0 rows.
+        all_doc_fields = docs.select("doc_id")
+        full_doclen = None
+        for field in fields:
+            fd = all_doc_fields.withColumn("field", F.lit(field))
+            full_doclen = fd if full_doclen is None else full_doclen.unionByName(fd)
+        doclen = (
+            full_doclen.join(doclen, ["doc_id", "field"], "left")
+            .fillna(0, subset=["doclen"])
+        )
+        doclen.write.mode("overwrite").parquet(paths.doclen)
+        doclen = spark.read.parquet(paths.doclen)
+
+        stats = collection_stats(doclen, n_docs)
+        with open(paths.stats, "w") as fh:
+            json.dump(stats, fh, indent=2, sort_keys=True)
+        with open(base_manifest, "w") as fh:
+            json.dump(
+                {
+                    "complete": True,
+                    "n_docs": n_docs,
+                    "fields": list(fields),
+                    "seconds": round(time.time() - t0, 3),
+                },
+                fh,
+                indent=2,
+                sort_keys=True,
+            )
 
     done = _completed_buckets(paths) if resume else set()
     segments = build_segments_df(

@@ -64,6 +64,11 @@ class IndexReader:
     def doclen(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.doclen)
 
+    def doc_terms(self) -> DataFrame:
+        """Forward index (term, field, doc_id, tf, positions, doclen) —
+        the reference's TermVector analog; input to PRF and LeToR."""
+        return self.spark.read.parquet(self.paths.doc_terms)
+
     # -- posting access -------------------------------------------------------
     def _filter_pairs(self, pairs: set[tuple[str, str]]) -> DataFrame:
         terms = sorted({t for t, _ in pairs})

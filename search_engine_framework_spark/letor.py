@@ -1,0 +1,219 @@
+"""Learning-to-rank feature pipeline.
+
+Re-expresses /root/reference/src/LearnToRank.java for the transcript
+corpus. The reference's 18 features map as:
+
+  reference (ClueWeb)                  ours (transcripts)
+  ------------------------------------ ---------------------------------
+  f1 spam, f2 url depth, f3 wikipedia  conv-structure metadata: turn_idx,
+  (stored web fields)                  conv_n_turns, doclen_body
+  f4 pagerank side file                optional (ext_id, score) side table
+  f5-7  BM25/Indri/overlap  body       same, field=body
+  f8-10 BM25/Indri/overlap  title      same, field=role
+  f11-13 BM25/Indri/overlap url        same, field=tool
+  f14-16 BM25/Indri/overlap inlink     (no 4th field)
+  f17 SDM (#NEAR/1 bigram Indri)       same, field=body
+  f18 VSM lnc.ltc                      same, field=body
+
+Per-query min-max normalization matches LearnToRank.java:279-314:
+(x−min)/(max−min), 0 when the column is constant, NaN skipped (NaN
+features are omitted from the svmlight rows, :317-320). The SVM-rank
+train/classify step of the reference is a shipped Windows .exe
+(letor/svm_rank_learn.exe) invoked via Runtime.exec — not reproducible
+here; ``rerank`` scores with an explicit linear weight vector instead
+(an externally-trained SVM-rank model IS such a vector).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .engine import SearchEngine
+from .plans.models import BM25, Indri
+from .functions.analyzer import analyze_terms
+from .vsm import vsm_scores
+
+FIELDS = ("body", "role", "tool")
+
+FEATURES = [
+    "f_bm25_body", "f_indri_body", "f_overlap_body",
+    "f_bm25_role", "f_indri_role", "f_overlap_role",
+    "f_bm25_tool", "f_indri_tool", "f_overlap_tool",
+    "f_sdm_body", "f_vsm_body",
+    "f_doclen_body", "f_turn_idx", "f_conv_n_turns",
+    "f_pagerank",
+]
+
+
+def _field_query(terms: list[str], field: str) -> str:
+    if field == "body":
+        return " ".join(terms)
+    return " ".join(f"{t}.{field}" for t in terms)
+
+
+def _sdm_query(terms: list[str]) -> str | None:
+    if len(terms) < 2:
+        return None
+    pairs = " ".join(
+        f"#NEAR/1({a} {b})" for a, b in zip(terms, terms[1:])
+    )
+    return f"#AND({pairs})"
+
+
+def _overlap(engine: SearchEngine, terms: list[str], field: str) -> DataFrame:
+    """(doc_id, overlap): fraction of distinct query terms present."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return engine.spark.createDataFrame([], "doc_id long, overlap double")
+    p = engine.reader.fetch_postings({(t, field) for t in uniq})
+    return (
+        p.select("doc_id", "term")
+        .distinct()
+        .groupBy("doc_id")
+        .agg((F.count("*") / F.lit(len(uniq))).alias("overlap"))
+    )
+
+
+def query_features(
+    engine: SearchEngine,
+    qid: str,
+    qtext: str,
+    candidates: DataFrame,
+    pagerank: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, doc_id, ext_id, f_*) for the candidate docs of one query.
+
+    ``candidates``: DataFrame(doc_id) — judged docs (training) or an
+    initial top-k ranking (testing), LearnToRank.java:265-276, 840-858.
+    Missing scores → NaN (the reference's missing-feature sentinel).
+    """
+    spark = engine.spark
+    terms = analyze_terms(qtext, engine.analyzer)
+    nan = float("nan")
+    out = candidates.select("doc_id").distinct()
+
+    def add(df: DataFrame, src_col: str, name: str) -> None:
+        nonlocal out
+        out = out.join(
+            df.select("doc_id", F.col(src_col).alias(name)), "doc_id", "left"
+        ).withColumn(name, F.coalesce(F.col(name), F.lit(nan)))
+
+    for field in FIELDS:
+        fq = _field_query(terms, field)
+        if terms:
+            add(engine.search_df(fq, BM25()), "score", f"f_bm25_{field}")
+            add(engine.search_df(fq, Indri()), "score", f"f_indri_{field}")
+            add(_overlap(engine, terms, field), "overlap", f"f_overlap_{field}")
+        else:
+            out = (
+                out.withColumn(f"f_bm25_{field}", F.lit(nan))
+                .withColumn(f"f_indri_{field}", F.lit(nan))
+                .withColumn(f"f_overlap_{field}", F.lit(nan))
+            )
+
+    sdm = _sdm_query(terms)
+    if sdm:
+        add(engine.search_df(sdm, Indri()), "score", "f_sdm_body")
+    else:
+        out = out.withColumn("f_sdm_body", F.lit(nan))
+
+    add(vsm_scores(engine.reader, terms, "body"), "score", "f_vsm_body")
+
+    dl = engine.reader.doclen().where(F.col("field") == "body")
+    add(dl.select("doc_id", F.col("doclen").cast("double").alias("v")), "v",
+        "f_doclen_body")
+
+    dm = engine.reader.docmap()
+    conv_sizes = dm.groupBy("conv_id").agg(
+        F.count("*").cast("double").alias("conv_n")
+    )
+    meta = dm.join(conv_sizes, "conv_id").select(
+        "doc_id", "ext_id",
+        F.col("turn_idx").cast("double").alias("f_turn_idx"),
+        F.col("conv_n").alias("f_conv_n_turns"),
+    )
+    out = out.join(meta, "doc_id", "left")
+
+    if pagerank is not None:
+        out = out.join(
+            pagerank.select("ext_id", F.col("score").alias("f_pagerank")),
+            "ext_id",
+            "left",
+        ).withColumn("f_pagerank", F.coalesce("f_pagerank", F.lit(nan)))
+    else:
+        out = out.withColumn("f_pagerank", F.lit(nan))
+
+    return out.select("doc_id", "ext_id", *FEATURES).withColumn(
+        "qid", F.lit(qid)
+    )
+
+
+def normalize_per_query(feats: DataFrame) -> DataFrame:
+    """Min-max per (qid, feature); constant → 0.0; NaN passes through
+    (LearnToRank.java:279-314 — NaN excluded from min/max and output)."""
+    w = Window.partitionBy("qid")
+    out = feats
+    for f in FEATURES:
+        c = F.col(f)
+        valid = F.when(~F.isnan(c), c)
+        mn = F.min(valid).over(w)
+        mx = F.max(valid).over(w)
+        out = out.withColumn(
+            f,
+            F.when(F.isnan(c), c)
+            .when(mx == mn, F.lit(0.0))
+            .otherwise((c - mn) / (mx - mn)),
+        )
+    return out
+
+
+def svmlight_lines(
+    feats: DataFrame,
+    qrels: dict[tuple[str, str], int] | None = None,
+) -> list[str]:
+    """"rel qid:Q f:v ... # extid" rows (LearnToRank.java:45-61,
+    317-320); NaN features omitted; rel 0 when no judgment."""
+    rows = feats.orderBy("qid", "doc_id").collect()
+    out = []
+    for r in rows:
+        rel = qrels.get((r["qid"], r["ext_id"]), 0) if qrels else 0
+        parts = [f"{rel} qid:{r['qid']}"]
+        for i, f in enumerate(FEATURES, start=1):
+            v = r[f]
+            if v is not None and not math.isnan(v):
+                parts.append(f"{i}:{v:.6f}")
+        parts.append(f"# {r['ext_id']}")
+        out.append(" ".join(parts))
+    return out
+
+
+def rerank(feats: DataFrame, weights: dict[str, float], k: int = 100) -> DataFrame:
+    """Linear-model rerank → (qid, doc_id, ext_id, rank, score); ties by
+    asc ext_id (the engine-wide tie-break)."""
+    score = F.lit(0.0)
+    for f, wt in weights.items():
+        score = score + F.lit(float(wt)) * F.when(
+            F.isnan(F.col(f)), F.lit(0.0)
+        ).otherwise(F.col(f))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))
+    return (
+        feats.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", "ext_id", "rank", "score")
+    )
+
+
+def read_qrels(path: str) -> dict[tuple[str, str], int]:
+    """'qid 0 extid rel' lines (LearnToRank.java:113-127)."""
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 4:
+                out[(parts[0], parts[2])] = int(parts[3])
+    return out

@@ -1,0 +1,108 @@
+"""Pseudo-relevance feedback (Indri-style query expansion).
+
+Mirrors /root/reference/src/QryExpansion.java:137-221:
+
+  1. initial ranking: evaluate the original query (or take a supplied
+     ranking), keep top ``fb_docs`` (docid, score);
+  2. for every stem t in those docs (stopword slots skipped — our
+     doc_terms never stores stopwords):
+       s(t) = Σ_d (tf_{t,d} + fbMu·P_mle) / (doclen_d + fbMu)
+                  · score_d · ln(1 / P_mle),     P_mle = ctf_t / |C_field|
+  3. top ``fb_terms`` by score → "#wand( w1 t1 w2 t2 ... )" with
+     %.4f-formatted weights (format kept — it affects rank identity of
+     the re-parsed query, QryExpansion.java:207);
+  4. final query: "#wand( w #and(orig) (1-w) #wand(...) )".
+
+Spark shape: the top-docs list is tiny (fb_docs ≈ 10) → broadcast join
+against the forward index; ctf comes from a segment-stats semi-join on
+the candidate terms; one groupBy(term) aggregation; only fb_terms rows
+ever reach the driver. Ties broken by term asc (the reference's HashMap
+iteration order is undefined — we pin it).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .engine import SearchEngine
+from .plans.models import RetrievalModel
+
+
+def expansion_terms(
+    engine: SearchEngine,
+    ranking: list[tuple[int, float]],
+    fb_terms: int = 50,
+    fb_mu: float = 0.0,
+    field: str = "body",
+) -> list[tuple[str, float]]:
+    """[(term, score)] — top fb_terms expansion candidates from the
+    given [(doc_id, score)] pseudo-relevant ranking."""
+    spark = engine.spark
+    reader = engine.reader
+    c_total = float(reader.sum_doclen(field))
+
+    top = F.broadcast(
+        spark.createDataFrame(ranking, "doc_id long, doc_score double")
+    )
+    dt = reader.doc_terms().where(F.col("field") == field).join(top, "doc_id")
+
+    # ctf for candidate terms only: semi-join-shaped segment-stats lookup
+    ctf = (
+        reader.segments()
+        .where(F.col("field") == field)
+        .join(dt.select("term").distinct(), "term", "left_semi")
+        .select("term", "ctf")
+    )
+    joined = dt.join(ctf, "term")
+
+    p_mle = F.col("ctf").cast("double") / F.lit(c_total)
+    s = (
+        (F.col("tf").cast("double") + F.lit(fb_mu) * p_mle)
+        / (F.col("doclen").cast("double") + F.lit(fb_mu))
+        * F.col("doc_score")
+        * F.log(F.lit(1.0) / p_mle)
+    )
+    scored = (
+        joined.select("term", s.alias("s"))
+        .groupBy("term")
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(fb_terms)
+    )
+    return [(r["term"], float(r["score"])) for r in scored.collect()]
+
+
+def render_wand(terms: list[tuple[str, float]]) -> str:
+    """"#wand( 0.1234 t1 ... )" — %.4f weight format as the reference."""
+    inner = " ".join(f"{s:.4f} {t}" for t, s in terms)
+    return f"#wand( {inner} )"
+
+
+def expand_query(
+    engine: SearchEngine,
+    query: str,
+    model: RetrievalModel,
+    fb_docs: int = 10,
+    fb_terms: int = 50,
+    fb_mu: float = 0.0,
+    fb_orig_weight: float = 0.5,
+    initial_ranking: list[tuple[int, float]] | None = None,
+) -> str:
+    """Full PRF round trip → the expanded query string, ready to be
+    re-parsed and evaluated (QryEval.java:209-214)."""
+    if initial_ranking is None:
+        top = engine.search(query, model, k=fb_docs)
+        initial_ranking = [
+            (r["doc_id"], float(r["score"])) for r in top.collect()
+        ]
+    terms = expansion_terms(
+        engine, initial_ranking, fb_terms=fb_terms, fb_mu=fb_mu
+    )
+    wand = render_wand(terms)
+    return (
+        f"#wand( {fb_orig_weight} #and({query}) "
+        f"{1 - fb_orig_weight} {wand})"
+    )

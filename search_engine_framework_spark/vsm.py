@@ -1,0 +1,79 @@
+"""Vector-space model scorer (lnc.ltc cosine).
+
+Mirrors the reference's f18 LeToR feature
+(/root/reference/src/LearnToRank.java:450-480), which is the
+"vector-space scorer" named in BASELINE.json north_star:
+
+  doc weight   (lnc): 1 + ln(tf)             (no idf, cosine norm)
+  query weight (ltc): ln(N / df)              (tf=1 per occurrence)
+  score = dot / sqrt(docVecLen * qryVecLen)
+  docVecLen = Σ_{t ∈ doc} (1 + ln tf)²        — over ALL doc terms
+  qryVecLen = Σ_{t ∈ query} ln(N/df)²         — duplicates count twice
+
+Spark shape: query weights are a tiny broadcast map; the doc norm needs
+the full forward index row-group of each *candidate* doc only (semi-join
+before the norm aggregation — never a full-corpus pass at query time).
+Reference parity note: the reference leaves df=0 terms dividing by zero
+(ln(N/0) = ∞); we drop query terms with df=0, which only affects queries
+that could never match anyway.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .index.reader import IndexReader
+
+
+def vsm_scores(
+    reader: IndexReader,
+    qterms: list[str],
+    field: str = "body",
+) -> DataFrame:
+    """(doc_id, score): lnc.ltc cosine of every doc containing ≥1 query
+    term. ``qterms`` are analyzed terms; duplicates contribute per
+    occurrence (reference loops raw token list)."""
+    spark = reader.spark
+    n = reader.num_docs
+    uniq = sorted(set(qterms))
+    stats = reader.term_stats({(t, field) for t in uniq})
+    qwt: dict[str, float] = {}
+    qvec_len = 0.0
+    for t in qterms:  # duplicates accumulate, matching the reference loop
+        df = stats.get((t, field), {}).get("df", 0)
+        if df <= 0:
+            continue
+        w = math.log(n / df)
+        qwt[t] = w
+        qvec_len += w * w
+    if not qwt:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    dt = reader.doc_terms().where(F.col("field") == field)
+    qw_df = F.broadcast(
+        spark.createDataFrame(list(qwt.items()), "term string, qw double")
+    )
+    cand = dt.join(qw_df, "term").select(
+        "doc_id",
+        ((F.lit(1.0) + F.log(F.col("tf").cast("double"))) * F.col("qw")).alias(
+            "contrib"
+        ),
+    )
+    dots = cand.groupBy("doc_id").agg(F.sum("contrib").alias("dot"))
+    # doc norms over ALL terms, but only for candidate docs (semi-join)
+    norms = (
+        dt.join(dots.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.pow(F.lit(1.0) + F.log(F.col("tf").cast("double")), F.lit(2.0))
+            ).alias("dlen2")
+        )
+    )
+    return dots.join(norms, "doc_id").select(
+        "doc_id",
+        (F.col("dot") / F.sqrt(F.col("dlen2") * F.lit(qvec_len))).alias("score"),
+    )

@@ -1,0 +1,168 @@
+"""VSM lnc.ltc, PRF expansion, LeToR features — vs pure-Python refs."""
+
+import math
+
+import pytest
+import pyspark.sql.functions as F
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.functions.analyzer import (
+    AnalyzerConfig,
+    analyze_terms,
+)
+from search_engine_framework_spark.letor import (
+    FEATURES,
+    normalize_per_query,
+    query_features,
+    rerank,
+    svmlight_lines,
+)
+from search_engine_framework_spark.oracle.pyoracle import PyIndex
+from search_engine_framework_spark.plans.models import BM25
+from search_engine_framework_spark.prf import expand_query, expansion_terms
+from search_engine_framework_spark.vsm import vsm_scores
+
+CFG = AnalyzerConfig.reference()
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tiny_index):
+    paths, rows, _ = tiny_index
+    return SearchEngine(spark, paths), rows
+
+
+def _py_vsm(pyix: PyIndex, terms, field="body"):
+    n = pyix.n_docs
+    qwt, qlen = {}, 0.0
+    for t in terms:
+        pl = pyix.postings.get((t, field), [])
+        if not pl:
+            continue
+        w = math.log(n / len(pl))
+        qwt[t] = w
+        qlen += w * w
+    # doc term freqs (forward view)
+    doc_tf: dict[int, dict[str, int]] = {}
+    for (t, f), pl in pyix.postings.items():
+        if f != field:
+            continue
+        for d, tf, _ in pl:
+            doc_tf.setdefault(d, {})[t] = tf
+    out = {}
+    for d, tfs in doc_tf.items():
+        dot = sum((1 + math.log(tfs[t])) * w for t, w in qwt.items() if t in tfs)
+        if dot == 0.0:
+            continue
+        dlen2 = sum((1 + math.log(tf)) ** 2 for tf in tfs.values())
+        out[d] = dot / math.sqrt(dlen2 * qlen)
+    return out
+
+
+def test_vsm_matches_python(eng, spark):
+    engine, rows = eng
+    pyix = PyIndex.build(rows, fields=("body", "role"), cfg=CFG)
+    terms = analyze_terms("search engine index data", CFG)
+    want = _py_vsm(pyix, terms)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in vsm_scores(engine.reader, terms).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_vsm_search_ordering(eng):
+    engine, _ = eng
+    top = engine.vsm_search("search engine index", k=10).collect()
+    assert len(top) > 0
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert [r["rank"] for r in top] == list(range(1, len(top) + 1))
+
+
+def _py_expansion(pyix: PyIndex, ranking, fb_mu=0.0, field="body"):
+    c = pyix.sum_doclen[field]
+    doc_terms: dict[int, dict[str, int]] = {}
+    ctf: dict[str, int] = {}
+    for (t, f), pl in pyix.postings.items():
+        if f != field:
+            continue
+        ctf[t] = sum(tf for _d, tf, _p in pl)
+        for d, tf, _ in pl:
+            doc_terms.setdefault(d, {})[t] = tf
+    scores: dict[str, float] = {}
+    for d, dscore in ranking:
+        dlen = pyix.doclen[(d, field)]
+        for t, tf in doc_terms.get(d, {}).items():
+            pmle = ctf[t] / c
+            s = (tf + fb_mu * pmle) / (dlen + fb_mu) * dscore * math.log(1 / pmle)
+            scores[t] = scores.get(t, 0.0) + s
+    return scores
+
+
+def test_prf_expansion_terms_match_python(eng):
+    engine, rows = eng
+    pyix = PyIndex.build(rows, fields=("body", "role"), cfg=CFG)
+    ranking = [
+        (r["doc_id"], float(r["score"]))
+        for r in engine.search("search engine", BM25(), k=5).collect()
+    ]
+    got = expansion_terms(engine, ranking, fb_terms=10, fb_mu=0.0)
+    want = _py_expansion(pyix, ranking)
+    want_sorted = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [t for t, _ in got] == [t for t, _ in want_sorted]
+    for (t, s), (wt, ws) in zip(got, want_sorted):
+        assert s == pytest.approx(ws, rel=1e-9)
+
+
+def test_prf_expanded_query_evaluates(eng):
+    engine, _ = eng
+    from search_engine_framework_spark.plans.models import Indri
+
+    q = expand_query(
+        engine, "search engine", Indri(), fb_docs=5, fb_terms=8,
+        fb_mu=0.0, fb_orig_weight=0.5,
+    )
+    assert q.startswith("#wand( 0.5 #and(search engine) 0.5 #wand(")
+    top = engine.search(q, Indri(), k=5).collect()
+    assert len(top) == 5
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_letor_features_and_rerank(eng, spark):
+    engine, _ = eng
+    cands = engine.search("search engine data", BM25(), k=20).select("doc_id")
+    feats = query_features(engine, "q1", "search engine data", cands)
+    rows = feats.collect()
+    assert len(rows) == 20
+    cols = set(feats.columns)
+    assert set(FEATURES) <= cols
+
+    # BM25 body feature equals the engine's BM25 score
+    direct = {
+        r["doc_id"]: r["score"]
+        for r in engine.search_df("search engine data", BM25()).collect()
+    }
+    for r in rows:
+        assert r["f_bm25_body"] == pytest.approx(direct[r["doc_id"]], rel=1e-9)
+
+    norm = normalize_per_query(feats)
+    for r in norm.collect():
+        for f in FEATURES:
+            v = r[f]
+            if v is not None and not math.isnan(v):
+                assert -1e-9 <= v <= 1 + 1e-9
+
+    lines = svmlight_lines(norm, qrels={("q1", rows[0]["ext_id"]): 2})
+    assert len(lines) == 20
+    assert lines[0].split()[1] == "qid:q1"
+    assert any(l.startswith("2 ") for l in lines)
+
+    rr = rerank(norm, {f: 1.0 for f in FEATURES}, k=10)
+    out = rr.collect()
+    assert len(out) == 10
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, 11)
+    )
