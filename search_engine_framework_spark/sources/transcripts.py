@@ -44,6 +44,16 @@ _HEAD_WORDS = [
     "obama", "family", "tree", "apple", "pie", "cat", "cats", "dogs",
     "running", "quickly", "started", "stopped", "analysis", "training",
     "pipeline", "cluster", "partition", "shuffle", "memory",
+    # Full surface vocabulary of the reference's bundled query set
+    # (/root/reference/Sample.qry:1-25) so every reference query has hits
+    # in the synthetic corpus (rank-identity battery on the real query set).
+    "toilet", "mitchell", "college", "kcs", "air", "travel", "information",
+    "appraisals", "used", "car", "parts", "gmat", "prep", "classes",
+    "espn", "sports", "arizona", "game", "fish", "poker", "tournaments",
+    "wedding", "budget", "calculator", "volvo", "rick", "warren",
+    "inuyasha", "ps", "2", "games", "diabetes", "education", "pampered",
+    "chef", "adoption", "michworks", "music", "man", "indexed", "annuity",
+    "wilson", "antenna", "flame", "designs",
 ]
 
 _SYLLABLES = [
