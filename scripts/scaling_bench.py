@@ -24,7 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_CONVS = int(os.environ.get("SCALE_N_CONVS", "24000"))
+# Large enough that the job is compute-bound (≳1M turns): at the previous
+# 24k-conv default the whole build was ~100 core-seconds of work, so
+# scheduler/session fixed costs dominated and masked the real scaling.
+N_CONVS = int(os.environ.get("SCALE_N_CONVS", "120000"))
 CORPUS = f"/tmp/scale_corpus_{N_CONVS}"
 LEVELS = (8, 32)
 RUNS_PER_LEVEL = 2
@@ -34,6 +37,9 @@ def worker(cpus: int) -> None:
     from search_engine_framework_spark.index.build import build_index
     from search_engine_framework_spark.session import get_spark
 
+    # Shuffle partitions scale with the "cluster" (as a real N-vs-4N
+    # deployment would); the job itself — including the segment bucket
+    # count, i.e. the output layout — is IDENTICAL at both levels.
     spark = get_spark(
         app_name=f"scale-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=cpus,
@@ -44,7 +50,7 @@ def worker(cpus: int) -> None:
     out = f"/tmp/scale_ix_{cpus}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    build_index(spark, corpus, out, fields=("body",), n_buckets=cpus)
+    build_index(spark, corpus, out, fields=("body",), n_buckets=32)
     dt = time.time() - t0
     print(json.dumps({"cpus": cpus, "seconds": round(dt, 2),
                       "turns": n_turns,

@@ -1,0 +1,51 @@
+"""Cluster query job — spark-submit wrapper around the param-file CLI.
+
+    (cd /root/repo && zip -qr /tmp/sefs.zip search_engine_framework_spark)
+    spark-submit --master <cluster> --py-files /tmp/sefs.zip \
+        scripts/submit_query.py <paramFile>
+
+Same param-file format as the reference (``java QryEval <paramFile>``,
+QryEval.java:75-93). No ``.master()`` is set — the cluster manager comes
+from spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    if len(sys.argv) != 2:
+        print("usage: spark-submit ... scripts/submit_query.py <paramFile>",
+              file=sys.stderr)
+        sys.exit(1)
+
+    from search_engine_framework_spark.cli import parse_param_file, run_param_file
+
+    spark = (
+        SparkSession.builder.appName("sefs-query")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    params = parse_param_file(sys.argv[1])
+    if not os.path.isdir(params.get("indexPath", "")) and params.get("transcriptsPath"):
+        from scripts.submit_build import read_transcripts
+        from search_engine_framework_spark.index.build import build_index
+
+        build_index(
+            spark, read_transcripts(spark, params["transcriptsPath"]),
+            params["indexPath"],
+        )
+    lines = run_param_file(spark, params)
+    print(f"{len(lines)} result lines -> {params['trecEvalOutputPath']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Drop-in param-file main — the reference's user interface on Spark.
+
+The reference is driven by ``java QryEval <paramFile>`` where the param
+file is ``key=value`` lines (QryEval.java:75-93; Sample.param). A user of
+the reference switches to this engine by running the same param file:
+
+    python -m search_engine_framework_spark.cli <paramFile>
+    # or on a cluster:
+    spark-submit --py-files sefs.zip -m ... scripts/submit_query.py <paramFile>
+
+Supported keys (same names and semantics as the reference):
+
+  indexPath                 index directory built by index/build.py; if it
+                            does not exist yet and ``transcriptsPath`` is
+                            given, the index is built first (the reference
+                            relied on a prebuilt Lucene index — building is
+                            our engine's own, QryEval.java:102-103)
+  transcriptsPath           optional parquet path / table of transcripts
+  queryFilePath             ``qid:query text`` lines (QryEval.java:160-164)
+  trecEvalOutputPath        trec_eval output file (QryEval.java:167-177)
+  retrievalAlgorithm        UnrankedBoolean | RankedBoolean | BM25 | Indri
+                            (QryEval.java:129-147; ``letor`` is exposed via
+                            the letor module API, not this CLI — the
+                            reference shells out to SVM-rank .exe binaries,
+                            LearnToRank.java:921-994, which do not exist
+                            here)
+  BM25:k_1 BM25:b BM25:k_3  Indri:mu Indri:lambda
+  fb fbDocs fbTerms fbMu fbOrigWeight fbExpansionQueryFile
+  fbInitialRankingFile      pseudo-relevance-feedback controls
+                            (QryExpansion.java:62-121)
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+from .engine import SearchEngine
+from .functions.analyzer import AnalyzerConfig
+from .plans.models import model_from_params
+from .sinks.trec import format_trec_lines, write_trec_file
+
+
+def parse_param_file(path: str) -> dict[str, str]:
+    """``key=value`` lines → dict (QryEval.java:85-93)."""
+    params: dict[str, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            params[k.strip()] = v.strip()
+    return params
+
+
+def read_query_file(path: str) -> list[tuple[str, str]]:
+    """``qid:query text`` lines (QryEval.java:160-164, 203)."""
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            qid, text = line.split(":", 1)
+            out.append((qid.strip(), text.strip()))
+    return out
+
+
+def _load_initial_rankings(path: str, fb_docs: int, engine: SearchEngine):
+    """trec_eval-format file → {qid: [(doc_id, score), ...]} top fbDocs
+    (QryExpansion.java:240-286). External ids resolve to doc_ids through
+    the docmap."""
+    per_qid: dict[str, list[tuple[str, float]]] = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) < 6:
+                continue
+            qid, _, ext_id, rank, score = parts[0], parts[1], parts[2], int(parts[3]), float(parts[4])
+            if rank <= fb_docs:
+                per_qid.setdefault(qid, []).append((ext_id, score))
+    ext_ids = sorted({e for rows in per_qid.values() for e, _ in rows})
+    id_map = {
+        r["ext_id"]: r["doc_id"]
+        for r in engine.reader.docmap()
+        .where(engine.reader.docmap().ext_id.isin(ext_ids))
+        .select("ext_id", "doc_id")
+        .collect()
+    }
+    return {
+        qid: [(id_map[e], s) for e, s in rows if e in id_map]
+        for qid, rows in per_qid.items()
+    }
+
+
+def run_param_file(
+    spark: SparkSession,
+    params: dict[str, str],
+    analyzer: AnalyzerConfig | None = None,
+    k: int = 100,
+) -> list[str]:
+    """Evaluate every query in the param file; returns the trec lines
+    written to trecEvalOutputPath (the reference's per-query loop,
+    QryEval.java:199-258)."""
+    for req in ("indexPath", "queryFilePath", "trecEvalOutputPath",
+                "retrievalAlgorithm"):
+        if req not in params:
+            raise ValueError(f"required parameter missing: {req}")
+    if params["retrievalAlgorithm"] == "letor":
+        raise ValueError(
+            "letor is not a CLI algorithm here (the reference shells out to "
+            "SVM-rank binaries); use search_engine_framework_spark.letor"
+        )
+
+    import os
+
+    index_path = params["indexPath"]
+    if not os.path.isdir(index_path):
+        raise ValueError(
+            f"indexPath {index_path!r} does not exist; build it first "
+            "(main() builds it from transcriptsPath automatically)"
+        )
+
+    model = model_from_params(params)
+    analyzer = analyzer or AnalyzerConfig.reference()
+    engine = SearchEngine(spark, index_path, analyzer)
+
+    fb = params.get("fb", "false").lower() == "true"
+    unranked = params["retrievalAlgorithm"] == "UnrankedBoolean"
+    queries = read_query_file(params["queryFilePath"])
+
+    initial = {}
+    expansion_lines: list[str] = []
+    if fb and "fbInitialRankingFile" in params:
+        initial = _load_initial_rankings(
+            params["fbInitialRankingFile"], int(params.get("fbDocs", 10)), engine
+        )
+
+    all_lines: list[str] = []
+    for qid, text in queries:
+        query = text
+        if fb:
+            from .prf import expand_query
+
+            query = expand_query(
+                engine,
+                text,
+                model,
+                fb_docs=int(params.get("fbDocs", 10)),
+                fb_terms=int(params.get("fbTerms", 50)),
+                fb_mu=float(params.get("fbMu", 0)),
+                fb_orig_weight=float(params.get("fbOrigWeight", 0.5)),
+                initial_ranking=initial.get(qid),
+            )
+            expansion_lines.append(f"{qid}: {query}")
+        result = engine.search(query, model, k=k)
+        all_lines.extend(format_trec_lines(qid, result, unranked=unranked, k=k))
+
+    write_trec_file(params["trecEvalOutputPath"], all_lines)
+    if fb and "fbExpansionQueryFile" in params:
+        with open(params["fbExpansionQueryFile"], "w") as fh:
+            fh.write("\n".join(expansion_lines) + "\n")
+    return all_lines
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 1:
+        print("usage: python -m search_engine_framework_spark.cli <paramFile>",
+              file=sys.stderr)
+        sys.exit(1)
+    params = parse_param_file(argv[0])
+
+    from .session import get_spark
+
+    spark = get_spark(app_name="sefs-cli")
+
+    import os
+
+    if not os.path.isdir(params.get("indexPath", "")):
+        src = params.get("transcriptsPath")
+        if src:
+            from .index.build import build_index
+
+            build_index(spark, spark.read.parquet(src), params["indexPath"])
+    lines = run_param_file(spark, params)
+    print(f"{len(lines)} result lines -> {params['trecEvalOutputPath']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -179,7 +179,7 @@ def _indri_term_sql(term: str) -> str:
 def q_term_stats_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = get_engine(spark, sf_dir)
     return (
-        eng.reader.segments()
+        eng.reader.term_stats_df()
         .where(F.col("field") == "body")
         .select("term", F.col("df").cast("long"), F.col("ctf").cast("long"))
         .orderBy(F.desc("df"), F.asc("term"))
@@ -397,6 +397,39 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_vsm_cosine(spark, sf_dir):
+    """lnc.ltc vector-space cosine (LearnToRank.java:450-480, the
+    north_star's 'vector-space scorer') — full scored set, no top-k cut."""
+    from .vsm import vsm_scores
+
+    eng = get_engine(spark, sf_dir)
+    scored = vsm_scores(eng.reader, ["spark", "merge", "window"])
+    docmap = eng.reader.docmap().select("doc_id", "ext_id")
+    return scored.join(F.broadcast(docmap), "doc_id").select(
+        _orig_id(F.col("ext_id")), _r4(F.col("score")).alias("score")
+    )
+
+
+def q_prf_terms(spark, sf_dir):
+    """PRF expansion-term scoring (QryExpansion.java:172-197, fbMu=0) over
+    the top-10 BM25 seed ranking of the flagship query; top 25 terms by
+    (rounded score desc, term asc) — rounding first keeps the cross-engine
+    ordering deterministic."""
+    from .plans.models import BM25
+    from .prf import expansion_terms
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=10)
+    ranking = [(r["doc_id"], float(r["score"])) for r in top.collect()]
+    terms = expansion_terms(eng, ranking, fb_terms=1_000_000, fb_mu=0.0)
+    df = spark.createDataFrame(terms, "term string, score double")
+    return (
+        df.select("term", _r4(F.col("score")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(25)
+    )
+
+
 # ---- rows-only entries (no SQL-expressible oracle) ------------------------
 
 def q_bm25_ref_analyzer(spark, sf_dir):
@@ -554,6 +587,57 @@ FROM present p
 JOIN i1 ON i1.doc_id = p.doc_id
 JOIN i2 ON i2.doc_id = p.doc_id
 """,
+    "vsm_cosine": _SQL_BASE
+    + """
+, qw AS (
+  SELECT term,
+         ln((SELECT n_docs FROM cstats)::DOUBLE / df::DOUBLE) AS qw
+  FROM dfreq WHERE term IN ('spark', 'merge', 'window')
+),
+qlen AS (SELECT sum(qw * qw) AS ql FROM qw),
+dots AS (
+  SELECT tf.doc_id, sum((1.0 + ln(tf.tf::DOUBLE)) * qw.qw) AS dot
+  FROM tf JOIN qw ON qw.term = tf.term GROUP BY 1
+),
+norms AS (
+  SELECT tf.doc_id, sum(pow(1.0 + ln(tf.tf::DOUBLE), 2.0)) AS dlen2
+  FROM tf WHERE tf.doc_id IN (SELECT doc_id FROM dots) GROUP BY 1
+)
+SELECT dots.doc_id,
+       round(dots.dot / sqrt(norms.dlen2 * (SELECT ql FROM qlen)), 4) + 0.0
+         AS score
+FROM dots JOIN norms ON norms.doc_id = dots.doc_id
+""",
+    "prf_terms": _SQL_BASE
+    + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+bm AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+),
+seed AS (SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id ASC LIMIT 10),
+cand AS (
+  SELECT tf.term,
+         sum((tf.tf::DOUBLE / dl.doclen::DOUBLE) * seed.s
+             * ln(1.0 / (dfreq.ctf::DOUBLE / cstats.sum_doclen::DOUBLE))) AS s
+  FROM tf
+  JOIN seed ON seed.doc_id = tf.doc_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN cstats
+  GROUP BY 1
+)
+SELECT term, round(s, 4) + 0.0 AS score
+FROM cand ORDER BY round(s, 4) DESC, term ASC LIMIT 25
+""",
     "fingerprints": _SQL_BASE
     + """
 SELECT doc_id,
@@ -688,6 +772,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "events_hourly": q_events_hourly,
     "multimodal_features": q_multimodal_features,
+    "vsm_cosine": q_vsm_cosine,
+    "prf_terms": q_prf_terms,
     # rows-only checks (not SQL-expressible):
     "bm25_ref_analyzer": q_bm25_ref_analyzer,
     "simhash_pairs": q_simhash_pairs,

@@ -20,20 +20,29 @@ columns:
                 idf · (max_tf/(max_tf + k1·(1−b))) allows skipping whole
                 blocks below the current top-k threshold (WAND-style).
 
-Encode/decode run inside Arrow-vectorized pandas UDFs only; this module is
-pure Python/NumPy and is also used by the test oracle for round-trip checks.
+Encode/decode run inside Arrow-vectorized pandas UDFs; the hot paths here
+are NumPy-vectorized (a whole posting group encodes as a handful of array
+ops — no per-value Python). The ``*_py`` reference implementations are the
+oracle the property tests cross-check the byte format against.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 BLOCK_SIZE = 128
 
 
-def varint_encode(values: list[int]) -> bytes:
+# --------------------------------------------------------------------------
+# pure-Python reference implementations (test oracle for the byte format)
+# --------------------------------------------------------------------------
+
+def varint_encode_py(values) -> bytes:
     out = bytearray()
     for v in values:
+        v = int(v)
         if v < 0:
             raise ValueError(f"varint_encode: negative value {v}")
         while True:
@@ -47,7 +56,7 @@ def varint_encode(values: list[int]) -> bytes:
     return bytes(out)
 
 
-def varint_decode(buf: bytes) -> list[int]:
+def varint_decode_py(buf: bytes) -> list[int]:
     out: list[int] = []
     cur = 0
     shift = 0
@@ -64,6 +73,77 @@ def varint_decode(buf: bytes) -> list[int]:
     return out
 
 
+# --------------------------------------------------------------------------
+# NumPy-vectorized hot paths (identical byte format)
+# --------------------------------------------------------------------------
+
+def _varint_bytes(buf: np.ndarray, vals: np.ndarray, starts: np.ndarray) -> None:
+    """Write LEB128 varints of ``vals`` into ``buf`` at byte offsets
+    ``starts`` — one masked pass per byte position (≤ ceil(64/7) passes,
+    in practice 1-3 since gaps/tfs/deltas are small)."""
+    rem = vals.copy()
+    idx = starts.copy()
+    active = np.ones(len(vals), dtype=bool)
+    while active.any():
+        byte = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem = rem >> np.uint64(7)
+        cont = rem > 0
+        byte[cont] |= 0x80
+        buf[idx[active]] = byte[active]
+        idx[active] += 1
+        active &= cont
+
+
+def varint_encode(values) -> bytes:
+    """Vectorized LEB128 encode (accepts list or ndarray)."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    if np.asarray(values).min() < 0:
+        raise ValueError("varint_encode: negative value")
+    nbytes = _varint_lengths(vals)
+    starts = np.zeros(len(vals), dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    buf = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    _varint_bytes(buf, vals, starts)
+    return buf.tobytes()
+
+
+def _varint_lengths(vals: np.ndarray) -> np.ndarray:
+    """Byte length of each value's varint encoding."""
+    nbytes = np.ones(len(vals), dtype=np.int64)
+    tmp = vals >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
+def varint_decode(buf: bytes) -> list[int]:
+    return varint_decode_np(buf).tolist()
+
+
+def varint_decode_np(buf) -> np.ndarray:
+    """Vectorized LEB128 decode → uint64 array."""
+    a = np.frombuffer(bytes(buf), dtype=np.uint8)
+    if a.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((a & 0x80) == 0)
+    if ends.size == 0 or ends[-1] != a.size - 1:
+        raise ValueError("varint_decode: truncated buffer")
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    for k in range(int(lengths.max())):
+        m = lengths > k
+        vals[m] |= (a[starts[m] + k] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(
+            7 * k
+        )
+    return vals
+
+
 @dataclass
 class Block:
     first_doc: int
@@ -76,36 +156,107 @@ class Block:
     poss: bytes
 
 
+def _split_encoded(vals: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """Encode ``vals`` once, then split the byte stream at the value indices
+    in ``bounds`` (so per-block byte strings come from ONE vectorized
+    encode instead of one call per block)."""
+    if vals.size == 0:
+        return []
+    nbytes = _varint_lengths(vals)
+    starts = np.zeros(len(vals), dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    buf = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    _varint_bytes(buf, vals, starts)
+    raw = buf.tobytes()
+    byte_bounds = [int(starts[b]) for b in bounds[1:-1]] + [len(raw)]
+    out = []
+    prev = 0
+    for b in byte_bounds:
+        out.append(raw[prev:b])
+        prev = b
+    return out
+
+
 def encode_blocks(
-    doc_ids: list[int],
-    tfs: list[int],
-    doclens: list[int],
-    positions: list[list[int]],
+    doc_ids,
+    tfs,
+    doclens,
+    positions,
     block_size: int = BLOCK_SIZE,
 ) -> list[Block]:
-    """Encode docid-ascending postings into fixed-size blocks."""
-    blocks: list[Block] = []
-    for s in range(0, len(doc_ids), block_size):
-        e = min(s + block_size, len(doc_ids))
-        d = doc_ids[s:e]
-        gaps = [d[0] - d[0]] + [d[i] - d[i - 1] for i in range(1, len(d))]
-        pos_stream: list[int] = []
-        for plist in positions[s:e]:
-            pos_stream.append(len(plist))
-            prev = 0
-            for p in plist:
-                pos_stream.append(p - prev)
-                prev = p
+    """Encode docid-ascending postings into fixed-size blocks.
+
+    Fully vectorized: gap/tf/doclen/position streams for ALL blocks are
+    computed and varint-encoded as single NumPy passes, then sliced at
+    block boundaries.
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    n = d.size
+    if n == 0:
+        return []
+    tf_arr = np.asarray(tfs, dtype=np.int64)
+    dl_arr = np.asarray(doclens, dtype=np.int64)
+
+    block_starts = np.arange(0, n, block_size, dtype=np.int64)
+    n_blocks = len(block_starts)
+    block_of = np.arange(n, dtype=np.int64) // block_size
+
+    # doc gaps, reset to 0 at every block start
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    gaps[1:] = d[1:] - d[:-1]
+    gaps[block_starts] = 0
+
+    # position stream: per posting [count, delta0, delta1, ...]
+    pos_counts = np.fromiter(
+        (len(p) for p in positions), count=n, dtype=np.int64
+    )
+    total_pos = int(pos_counts.sum())
+    if total_pos:
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in positions if len(p)]
+        )
+        deltas = np.empty(total_pos, dtype=np.int64)
+        deltas[0] = flat[0]
+        deltas[1:] = flat[1:] - flat[:-1]
+        pstarts = np.zeros(n, dtype=np.int64)
+        np.cumsum(pos_counts[:-1], out=pstarts[1:])
+        nz = pos_counts > 0
+        deltas[pstarts[nz]] = flat[pstarts[nz]]
+    else:
+        deltas = np.empty(0, dtype=np.int64)
+        pstarts = np.zeros(n, dtype=np.int64)
+
+    # interleave counts and deltas: output slot of count i is i + pstarts[i]
+    stream = np.empty(n + total_pos, dtype=np.int64)
+    count_slots = np.arange(n, dtype=np.int64) + pstarts
+    stream[count_slots] = pos_counts
+    mask = np.ones(n + total_pos, dtype=bool)
+    mask[count_slots] = False
+    stream[mask] = deltas
+
+    bounds = np.append(block_starts, n)
+    docs_parts = _split_encoded(gaps.astype(np.uint64), bounds)
+    tfs_parts = _split_encoded(tf_arr.astype(np.uint64), bounds)
+    dls_parts = _split_encoded(dl_arr.astype(np.uint64), bounds)
+    stream_bounds = np.append(count_slots[block_starts], n + total_pos)
+    poss_parts = _split_encoded(stream.astype(np.uint64), stream_bounds)
+
+    block_max_tf = np.maximum.reduceat(tf_arr, block_starts)
+    blocks = []
+    for i in range(n_blocks):
+        s = int(block_starts[i])
+        e = int(bounds[i + 1])
         blocks.append(
             Block(
-                first_doc=d[0],
-                last_doc=d[-1],
-                n=len(d),
-                max_tf=max(tfs[s:e]),
-                docs=varint_encode(gaps),
-                tfs=varint_encode(tfs[s:e]),
-                doclens=varint_encode(doclens[s:e]),
-                poss=varint_encode(pos_stream),
+                first_doc=int(d[s]),
+                last_doc=int(d[e - 1]),
+                n=e - s,
+                max_tf=int(block_max_tf[i]),
+                docs=docs_parts[i],
+                tfs=tfs_parts[i],
+                doclens=dls_parts[i],
+                poss=poss_parts[i],
             )
         )
     return blocks
@@ -114,28 +265,76 @@ def encode_blocks(
 def decode_block(block) -> tuple[list[int], list[int], list[int], list[list[int]]]:
     """Block (dataclass, Row, or dict) → (doc_ids, tfs, doclens, positions)."""
     get = block.get if isinstance(block, dict) else lambda k: getattr(block, k)
-    gaps = varint_decode(get("docs"))
-    doc_ids: list[int] = []
-    cur = get("first_doc")
-    for g in gaps:
-        cur += g
-        doc_ids.append(cur)
-    tfs = varint_decode(get("tfs"))
-    doclens = varint_decode(get("doclens"))
-    stream = varint_decode(get("poss"))
+    gaps = varint_decode_np(get("docs")).astype(np.int64)
+    doc_ids = (np.cumsum(gaps) + int(get("first_doc"))).tolist()
+    tfs = varint_decode_np(get("tfs")).astype(np.int64).tolist()
+    doclens = varint_decode_np(get("doclens")).astype(np.int64).tolist()
+    stream = varint_decode_np(get("poss")).astype(np.int64)
+    positions = _split_pos_stream(stream, len(doc_ids))
+    return doc_ids, tfs, doclens, positions
+
+
+def _split_pos_stream(stream: np.ndarray, n_postings: int) -> list[list[int]]:
+    """[count, d0, d1, ...]* → per-posting absolute position lists."""
     positions: list[list[int]] = []
     i = 0
-    for _ in doc_ids:
-        npos = stream[i]
+    for _ in range(n_postings):
+        npos = int(stream[i])
         i += 1
-        plist: list[int] = []
-        prev = 0
-        for _ in range(npos):
-            prev += stream[i]
-            plist.append(prev)
-            i += 1
-        positions.append(plist)
-    return doc_ids, tfs, doclens, positions
+        positions.append(np.cumsum(stream[i:i + npos]).tolist())
+        i += npos
+    return positions
+
+
+def decode_block_arrays(block) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized decode → (doc_ids, tfs, doclens, pos_counts, flat_positions)
+    as NumPy arrays; flat_positions concatenates all postings' absolute
+    positions (the delta cumsum resets at each posting). The fast path for
+    query-time posting scans that don't need per-posting Python lists.
+
+    Uses the index invariant that a posting's position count equals its tf
+    (every term occurrence carries a position) to locate the count slots
+    without a serial scan; falls back to the scan if the invariant doesn't
+    hold (e.g. foreign data).
+    """
+    get = block.get if isinstance(block, dict) else lambda k: getattr(block, k)
+    gaps = varint_decode_np(get("docs")).astype(np.int64)
+    doc_ids = np.cumsum(gaps) + int(get("first_doc"))
+    tfs = varint_decode_np(get("tfs")).astype(np.int64)
+    doclens = varint_decode_np(get("doclens")).astype(np.int64)
+    stream = varint_decode_np(get("poss")).astype(np.int64)
+    n = len(doc_ids)
+    if stream.size == 0:
+        return doc_ids, tfs, doclens, np.zeros(n, dtype=np.int64), stream
+
+    cstarts = np.zeros(n, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=cstarts[1:])
+    count_slots = np.arange(n, dtype=np.int64) + cstarts
+    if count_slots[-1] < stream.size and np.array_equal(stream[count_slots], tfs):
+        counts = tfs
+    else:  # fallback: serial count-slot walk
+        counts = np.empty(n, dtype=np.int64)
+        slot = 0
+        for i in range(n):
+            counts[i] = stream[slot]
+            slot += 1 + counts[i]
+        cstarts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=cstarts[1:])
+        count_slots = np.arange(n, dtype=np.int64) + cstarts
+
+    mask = np.ones(stream.size, dtype=bool)
+    mask[count_slots] = False
+    deltas = stream[mask]
+    flat = np.cumsum(deltas)
+    if deltas.size:
+        # subtract each posting's starting offset so the cumsum restarts
+        nz = counts > 0
+        seg_starts = cstarts[nz]
+        offs = np.zeros(seg_starts.size, dtype=np.int64)
+        gt = seg_starts > 0
+        offs[gt] = flat[seg_starts[gt] - 1]
+        flat = flat - np.repeat(offs, counts[nz])
+    return doc_ids, tfs, doclens, counts, flat
 
 
 def merge_block_runs(runs: list[list[Block]]) -> list[Block]:

@@ -133,31 +133,37 @@ def build_segments_df(
     n_buckets: int = 32,
     n_salts: int = 8,
     block_size: int = 128,
+    doc_lo: int = 0,
 ) -> DataFrame:
     """postings → merged segment rows (one per term+field).
 
-    Salting: salt = floor(doc_id · n_salts / n_docs) splits every term's
-    postings into ≤ n_salts doc-range sub-groups, bounding the largest
-    shuffle group a head term can produce. Because ranges are ordered and
-    disjoint, the merge stage is a cheap ordered concat of encoded block
-    runs — no decode, no re-sort.
+    Salting: salt = floor((doc_id − doc_lo) · n_salts / (n_docs − doc_lo))
+    splits every term's postings into ≤ n_salts doc-range sub-groups,
+    bounding the largest shuffle group a head term can produce. Because
+    ranges are ordered and disjoint, the merge stage is a cheap ordered
+    concat of encoded block runs — no decode, no re-sort. ``doc_lo`` > 0 is
+    the incremental-append case (streaming/incremental.py): the batch only
+    covers [doc_lo, n_docs), so salt over that range.
     """
-    n_docs = max(1, n_docs)
+    n_docs = max(doc_lo + 1, n_docs)
     salted = postings.withColumn(
         "salt",
         F.least(
             F.lit(n_salts - 1),
-            (F.col("doc_id") * n_salts / F.lit(n_docs)).cast("int"),
+            (
+                (F.col("doc_id") - F.lit(doc_lo)) * n_salts
+                / F.lit(n_docs - doc_lo)
+            ).cast("int"),
         ),
     )
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         blocks = encode_blocks(
-            pdf["doc_id"].tolist(),
-            pdf["tf"].tolist(),
-            pdf["doclen"].tolist(),
-            pdf["positions"].tolist(),
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["doclen"].to_numpy(),
+            pdf["positions"].to_list(),
             block_size=block_size,
         )
         return pd.DataFrame(

@@ -25,8 +25,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def assign_doc_ids(transcripts: DataFrame, range_partitions: int | None = None) -> DataFrame:
-    """transcripts(conv_id, turn_idx, ...) → + doc_id:long, ext_id:string."""
+def assign_doc_ids(
+    transcripts: DataFrame,
+    range_partitions: int | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, ...) → + doc_id:long, ext_id:string.
+
+    ``start`` offsets every doc_id — used by incremental appends
+    (streaming/incremental.py) so a new generation's ids continue after the
+    existing index's max id.
+    """
     spark = transcripts.sparkSession
     conv_sizes = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
 
@@ -48,9 +57,12 @@ def assign_doc_ids(transcripts: DataFrame, range_partitions: int | None = None) 
     for pid in sorted(part_sums):
         offsets[pid] = acc
         acc += part_sums[pid]
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("pid")]
+    else:  # empty input (e.g. replayed append batch) — no offsets to map
+        offset_map = F.lit(0).cast("long")
 
     w_local = (
         Window.partitionBy("pid")
@@ -61,7 +73,7 @@ def assign_doc_ids(transcripts: DataFrame, range_partitions: int | None = None) 
         "conv_id",
         (
             F.coalesce(F.sum("n_turns").over(w_local), F.lit(0))
-            + offset_map[F.col("pid")]
+            + offset_map
         ).alias("conv_offset"),
     )
 
@@ -70,7 +82,9 @@ def assign_doc_ids(transcripts: DataFrame, range_partitions: int | None = None) 
         transcripts.join(conv_offsets, "conv_id")
         .withColumn(
             "doc_id",
-            (F.col("conv_offset") + F.row_number().over(w_conv) - 1).cast("long"),
+            (
+                F.lit(start) + F.col("conv_offset") + F.row_number().over(w_conv) - 1
+            ).cast("long"),
         )
         .drop("conv_offset")
         .withColumn(

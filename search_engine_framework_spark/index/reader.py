@@ -83,10 +83,28 @@ class IndexReader:
             )
         return seg
 
+    def term_stats_df(self) -> DataFrame:
+        """(term, field, df, ctf, max_tf) with one row per (term, field).
+
+        After incremental appends (streaming/incremental.py) the segment
+        table holds one row per (term, field, generation); this aggregates
+        them. On a compacted index the groupBy is a no-op pass-through.
+        """
+        return self.segments().groupBy("term", "field").agg(
+            F.sum("df").alias("df"),
+            F.sum("ctf").alias("ctf"),
+            F.max("max_tf").alias("max_tf"),
+        )
+
     def term_stats(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], dict]:
         rows = (
             self._filter_pairs(pairs)
-            .select("term", "field", "df", "ctf", "max_tf")
+            .groupBy("term", "field")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("ctf").alias("ctf"),
+                F.max("max_tf").alias("max_tf"),
+            )
             .collect()
         )
         return {
@@ -101,24 +119,52 @@ class IndexReader:
         seg = self._filter_pairs(pairs).select("term", "field", "blocks")
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            from ..functions.codec import decode_block_arrays
+
             for pdf in batches:
-                out = {
-                    "term": [], "field": [], "doc_id": [],
-                    "tf": [], "positions": [], "doclen": [],
-                }
+                terms: list = []
+                fields: list = []
+                ids: list = []
+                tfs: list = []
+                dls: list = []
+                poss: list = []
                 for term, field, blocks in zip(
                     pdf["term"], pdf["field"], pdf["blocks"]
                 ):
                     for blk in blocks:
-                        doc_ids, tfs, doclens, poss = decode_block(blk)
-                        out["term"].extend([term] * len(doc_ids))
-                        out["field"].extend([field] * len(doc_ids))
-                        out["doc_id"].extend(doc_ids)
-                        out["tf"].extend(tfs)
-                        out["doclen"].extend(doclens)
-                        out["positions"].extend(poss)
-                yield pd.DataFrame(out)[
-                    ["term", "field", "doc_id", "tf", "positions", "doclen"]
-                ]
+                        d, t, dl, counts, flat = decode_block_arrays(blk)
+                        k = len(d)
+                        if not k:
+                            continue
+                        terms.append(np.full(k, term, dtype=object))
+                        fields.append(np.full(k, field, dtype=object))
+                        ids.append(d)
+                        tfs.append(t)
+                        dls.append(dl)
+                        poss.extend(np.split(flat, np.cumsum(counts)[:-1]))
+                if ids:
+                    yield pd.DataFrame(
+                        {
+                            "term": np.concatenate(terms),
+                            "field": np.concatenate(fields),
+                            "doc_id": np.concatenate(ids),
+                            "tf": np.concatenate(tfs),
+                            "positions": poss,
+                            "doclen": np.concatenate(dls),
+                        }
+                    )[["term", "field", "doc_id", "tf", "positions", "doclen"]]
+                else:
+                    yield pd.DataFrame(
+                        {
+                            "term": pd.Series([], dtype=object),
+                            "field": pd.Series([], dtype=object),
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "tf": pd.Series([], dtype="int32"),
+                            "positions": pd.Series([], dtype=object),
+                            "doclen": pd.Series([], dtype="int32"),
+                        }
+                    )
 
         return seg.mapInPandas(decode, schema=POSTING_SCHEMA)

@@ -408,7 +408,20 @@ class QueryCompiler:
                 expr = expr * F.pow(s, F.lit(q))
             else:
                 expr = expr + F.lit(q) * s
-        out = joined.select("doc_id", expr.alias("score"))
+
+        # Propagate a doclen column when this node is single-field so a
+        # PARENT Indri fold's fast path still sees doclen for docs that
+        # only matched through this nested node (leaves always carry
+        # doclen; induction keeps it non-null up the tree).
+        out_cols = [F.col("doc_id"), expr.alias("score")]
+        if len(needed_fields) == 1:
+            if "doclen_any" in joined.columns and needed_fields[0] not in joined.columns:
+                out_cols.append(F.col("doclen_any").alias("doclen"))
+            elif needed_fields[0] in joined.columns:
+                out_cols.append(
+                    F.coalesce(F.col(needed_fields[0]), F.lit(0)).alias("doclen")
+                )
+        out = joined.select(*out_cols)
 
         # this node's own default (for nesting under another Indri op)
         sub_fns = [(k.default_fn, q, k.statically_zero) for k, q in zip(kids, exponents)]

@@ -144,8 +144,16 @@ def parse_query(
                 if w_stack and not got_weight:
                     weight = w_stack.pop()
                     got_weight = True
-                if got_weight:
+                if got_weight and arg.children:
                     current.weights.append(weight)
+                    got_weight = False
+                elif got_weight:
+                    # empty operator under #WAND/#WSUM: drop its weight with
+                    # it. (The reference adds the weight and then elides the
+                    # arg — QryEval.java:658-671 — leaving an orphan weight
+                    # that fatalErrors at evaluation, QryopSlWand.java:57-58.
+                    # Deliberate deviation: degrade gracefully instead, e.g.
+                    # a PRF expansion with zero feedback terms.)
                     got_weight = False
             if arg.children:  # empty-operator elision
                 current.children.append(arg.freeze())

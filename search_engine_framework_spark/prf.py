@@ -50,8 +50,9 @@ def expansion_terms(
     dt = reader.doc_terms().where(F.col("field") == field).join(top, "doc_id")
 
     # ctf for candidate terms only: semi-join-shaped segment-stats lookup
+    # (term_stats_df merges per-generation rows after incremental appends)
     ctf = (
-        reader.segments()
+        reader.term_stats_df()
         .where(F.col("field") == field)
         .join(dt.select("term").distinct(), "term", "left_semi")
         .select("term", "ctf")

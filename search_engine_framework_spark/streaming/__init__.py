@@ -1,0 +1,1 @@
+from .incremental import append_index, compact_index, stream_index  # noqa: F401

@@ -1,0 +1,241 @@
+"""Incremental + streaming index maintenance.
+
+The reference is strictly batch (one process, one pass per query —
+/root/reference/src/QryEval.java:199-258) and reads a prebuilt static
+Lucene index. The Spark-native extension for a living transcript corpus
+(new conversations appended to the Iceberg table) is Lucene-style
+*generations*:
+
+* ``append_index`` — index a batch of NEW turns as an additional
+  generation: docids continue after the existing max (arrival-order
+  stable, like Lucene's), postings/doclen/docmap/doc_terms rows are
+  appended, and the new generation's segment rows land as extra files in
+  the same bucket-partitioned parquet layout. Queries see the union
+  immediately — a (term, field) may now have one segment row per
+  generation; ``IndexReader.term_stats`` sums them and posting decode is
+  row-wise, so no query-side special casing.
+* ``compact_index`` — the segment-merge stage across generations: since
+  each generation covers a disjoint, increasing doc_id range, merging is
+  the same ordered block-run concat the salted build merge uses — no
+  decode, no re-sort.
+* ``stream_index`` — Structured Streaming driver: ``foreachBatch`` over a
+  transcript stream, each micro-batch appended as one generation.
+  Exactly-once bookkeeping comes from the streaming checkpoint plus the
+  per-generation manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.analyzer import AnalyzerConfig
+from ..index.build import (
+    IndexPaths,
+    build_index,
+    build_segments_df,
+    extract_postings,
+)
+from ..index.docids import assign_doc_ids
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _gen_number(paths: IndexPaths) -> int:
+    gens = [
+        f for f in os.listdir(paths.manifests)
+        if f.startswith("gen-") and f.endswith(".json")
+    ]
+    return len(gens) + 1
+
+
+def append_index(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    out_dir: str,
+    fields: tuple[str, ...] = ("body",),
+    cfg: AnalyzerConfig | None = None,
+    n_buckets: int = 32,
+    n_salts: int = 8,
+    block_size: int = 128,
+) -> int:
+    """Append a batch of new turns to an existing index; returns the number
+    of turns actually indexed (rows whose (conv_id, turn_idx) already exist
+    are skipped, making replayed micro-batches idempotent-ish at the
+    document level)."""
+    paths = IndexPaths(out_dir)
+    with open(paths.stats) as fh:
+        stats = json.load(fh)
+    base_n = stats["N"]
+    t0 = time.time()
+
+    existing = spark.read.parquet(paths.docmap).select("conv_id", "turn_idx")
+    fresh = new_transcripts.join(existing, ["conv_id", "turn_idx"], "left_anti")
+
+    # Stage the generation OUTSIDE the live index paths first: appending to
+    # a path that this lineage also reads (docmap feeds the anti-join)
+    # invalidates and re-evaluates every downstream plan against the
+    # just-appended files, silently dropping the whole batch. Staged files
+    # reset the lineage; the appends below read only the staging dir.
+    # (On Iceberg tables, snapshot isolation makes the staging hop
+    # unnecessary — plain parquet directories need it.)
+    staging = os.path.join(paths.root, "_staging", f"gen-{base_n}")
+    docs = assign_doc_ids(fresh, start=base_n)
+    docs.write.mode("overwrite").parquet(os.path.join(staging, "docmap"))
+    docs = spark.read.parquet(os.path.join(staging, "docmap"))
+    n_new = docs.count()
+    if n_new == 0:
+        _rmtree(staging)
+        return 0
+
+    extract_postings(docs, fields=fields, cfg=cfg).write.mode("overwrite").parquet(
+        os.path.join(staging, "doc_terms")
+    )
+    delta = spark.read.parquet(os.path.join(staging, "doc_terms"))
+
+    doclen = delta.groupBy("doc_id", "field").agg(F.first("doclen").alias("doclen"))
+    full = None
+    for field in fields:
+        fd = docs.select("doc_id").withColumn("field", F.lit(field))
+        full = fd if full is None else full.unionByName(fd)
+    doclen = full.join(doclen, ["doc_id", "field"], "left").fillna(0, subset=["doclen"])
+    doclen.write.mode("overwrite").parquet(os.path.join(staging, "doclen"))
+    doclen = spark.read.parquet(os.path.join(staging, "doclen"))
+
+    # publish: append staged rows into the live tables
+    docs.write.mode("append").parquet(paths.docmap)
+    delta.write.mode("append").parquet(paths.doc_terms)
+    doclen.write.mode("append").parquet(paths.doclen)
+
+    # New generation's segment rows: same encode + salted merge as the base
+    # build, salt ranges scoped to THIS generation's doc range (doc_lo) so a
+    # head term in the delta still splits across all n_salts groups.
+    seg = build_segments_df(
+        delta, base_n + n_new, n_buckets=n_buckets, n_salts=n_salts,
+        block_size=block_size, doc_lo=base_n,
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        seg.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "field")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(paths.segments)
+    )
+
+    # Update collection stats (driver-side: old totals + delta totals).
+    delta_stats = (
+        doclen.groupBy("field")
+        .agg(
+            F.sum("doclen").alias("sum_doclen"),
+            F.count(F.when(F.col("doclen") > 0, 1)).alias("doc_count"),
+        )
+        .collect()
+    )
+    stats["N"] = base_n + n_new
+    for r in delta_stats:
+        f_ = stats["fields"].setdefault(
+            r["field"], {"sum_doclen": 0, "doc_count": 0}
+        )
+        f_["sum_doclen"] += int(r["sum_doclen"] or 0)
+        f_["doc_count"] += int(r["doc_count"])
+    with open(paths.stats, "w") as fh:
+        json.dump(stats, fh, indent=2, sort_keys=True)
+
+    gen = _gen_number(paths)
+    with open(os.path.join(paths.manifests, f"gen-{gen:05d}.json"), "w") as fh:
+        json.dump(
+            {
+                "generation": gen,
+                "complete": True,
+                "n_new_turns": n_new,
+                "doc_id_range": [base_n, base_n + n_new - 1],
+                "seconds": round(time.time() - t0, 3),
+                "turns_per_sec": round(n_new / max(time.time() - t0, 1e-9), 1),
+            },
+            fh, indent=2, sort_keys=True,
+        )
+    _rmtree(staging)
+    return n_new
+
+
+def compact_index(spark: SparkSession, out_dir: str, n_buckets: int = 32) -> None:
+    """Merge all generations' segment rows per (term, field) — ordered
+    block-run concat (generations cover disjoint increasing doc ranges, so
+    sort_array on (first_doc, ...) structs restores global docid order
+    without decoding)."""
+    paths = IndexPaths(out_dir)
+    seg = spark.read.parquet(paths.segments)
+    merged = (
+        seg.groupBy("term", "field")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("ctf").alias("ctf"),
+            F.max("max_tf").alias("max_tf"),
+            F.sort_array(F.flatten(F.collect_list("blocks"))).alias("blocks"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("term"), F.col("field")), F.lit(n_buckets)).cast("int"),
+        )
+        .withColumn("salt", F.lit(-1))
+        .select("bucket", "term", "field", "salt", "df", "ctf", "max_tf", "blocks")
+    )
+    tmp = paths.segments + ".compacting"
+    (
+        merged.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "field")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    import shutil
+
+    shutil.rmtree(paths.segments)
+    os.rename(tmp, paths.segments)
+
+
+def stream_index(
+    spark: SparkSession,
+    transcript_stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    fields: tuple[str, ...] = ("body",),
+    cfg: AnalyzerConfig | None = None,
+    available_now: bool = True,
+    **build_kwargs,
+):
+    """Structured-Streaming index maintenance: every micro-batch becomes one
+    generation (the first batch bootstraps the index). Returns the
+    StreamingQuery; with ``available_now`` the query drains what is
+    currently available and stops (periodic-batch deployment shape)."""
+    paths = IndexPaths(out_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(paths.stats):
+            build_index(
+                spark, batch_df, out_dir, fields=fields, cfg=cfg, **build_kwargs
+            )
+        else:
+            append_index(
+                spark, batch_df, out_dir, fields=fields, cfg=cfg, **build_kwargs
+            )
+
+    writer = (
+        transcript_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

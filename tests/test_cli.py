@@ -1,0 +1,92 @@
+"""Param-file CLI round trip: the reference's ``QryEval <paramFile>`` UX
+(QryEval.java:75-93) driven end-to-end on the Spark engine."""
+
+import os
+
+import pytest
+
+from search_engine_framework_spark.cli import (
+    parse_param_file,
+    read_query_file,
+    run_param_file,
+)
+
+
+@pytest.fixture()
+def param_setup(tmp_path, tiny_index):
+    paths, _, _ = tiny_index
+    qry = tmp_path / "q.qry"
+    qry.write_text("1:search engine index\n2:solar panels\n3:zzznot inany doc\n")
+    out = tmp_path / "trec_eval"
+    param = tmp_path / "run.param"
+    param.write_text(
+        "\n".join(
+            [
+                f"indexPath={paths.root}",
+                f"queryFilePath={qry}",
+                f"trecEvalOutputPath={out}",
+                "retrievalAlgorithm=BM25",
+                "BM25:k_1=1.2",
+                "BM25:b=0.75",
+                "BM25:k_3=0",
+            ]
+        )
+    )
+    return param, out
+
+
+def test_bm25_param_run(spark, param_setup):
+    param, out = param_setup
+    params = parse_param_file(str(param))
+    lines = run_param_file(spark, params)
+    assert os.path.exists(out)
+    by_qid = {}
+    for line in lines:
+        parts = line.split()
+        assert len(parts) == 6 and parts[1] == "Q0"
+        by_qid.setdefault(parts[0], []).append(parts)
+    # q1/q2 ranked desc score with rank 1..n; q3 gets the dummy row
+    assert by_qid["3"] == [["3", "Q0", "dummy", "1", "0", "None"]]
+    for qid in ("1", "2"):
+        rows = by_qid[qid]
+        assert [int(r[3]) for r in rows] == list(range(1, len(rows) + 1))
+        scores = [float(r[4]) for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_fb_expansion_run(spark, param_setup, tmp_path):
+    param, out = param_setup
+    params = parse_param_file(str(param))
+    params.update(
+        {
+            "fb": "true",
+            "fbDocs": "5",
+            "fbTerms": "10",
+            "fbMu": "0",
+            "fbOrigWeight": "0.5",
+            "fbExpansionQueryFile": str(tmp_path / "expansion.qry"),
+            "retrievalAlgorithm": "Indri",
+            "Indri:mu": "2500",
+            "Indri:lambda": "0.4",
+        }
+    )
+    lines = run_param_file(spark, params)
+    assert lines
+    exp = (tmp_path / "expansion.qry").read_text().strip().splitlines()
+    assert len(exp) == 3 and exp[0].startswith("1: #wand( 0.5 #and(")
+
+
+def test_param_parsing_matches_reference_format():
+    # the reference's own Sample.param must parse
+    if not os.path.exists("/root/reference/Sample.param"):
+        pytest.skip("reference not available")
+    params = parse_param_file("/root/reference/Sample.param")
+    assert params["BM25:k_1"] == "1.2"
+    assert params["retrievalAlgorithm"] == "letor"
+    qf = read_query_file("/root/reference/Sample.qry")
+    assert len(qf) == 25 and qf[0] == ("1", "obama family tree")
+
+
+def test_missing_param_raises(spark):
+    with pytest.raises(ValueError, match="required parameter missing"):
+        run_param_file(spark, {"indexPath": "/tmp/nope"})

@@ -68,3 +68,51 @@ def test_dict_shaped_block_decodes():
     blocks = encode_blocks([7], [2], [11], [[1, 4]])
     d, t, l, p = decode_block(blocks[0].__dict__)
     assert (d, t, l, p) == ([7], [2], [11], [[1, 4]])
+
+
+def test_vectorized_matches_pure_python_reference():
+    """The NumPy fast paths must produce byte-identical output to the
+    pure-Python LEB128 reference (hypothesis-style randomized check)."""
+    import random
+
+    from search_engine_framework_spark.functions.codec import (
+        decode_block_arrays,
+        varint_decode_py,
+        varint_encode,
+        varint_encode_py,
+    )
+
+    rng = random.Random(7)
+    for _ in range(100):
+        vals = [
+            rng.randrange(0, 1 << rng.randrange(1, 40))
+            for _ in range(rng.randrange(0, 200))
+        ]
+        enc = varint_encode(vals)
+        assert enc == varint_encode_py(vals)
+        assert varint_decode_py(enc) == vals
+
+    for _ in range(30):
+        n = rng.randrange(1, 400)
+        ids = sorted(rng.sample(range(10**6), n))
+        tfs, poss, dls = [], [], []
+        for _i in range(n):
+            tf = rng.randrange(1, 8)
+            poss.append(sorted(rng.sample(range(5000), tf)))
+            tfs.append(tf)
+            dls.append(rng.randrange(1, 5000))
+        blocks = encode_blocks(ids, tfs, dls, poss, block_size=64)
+        rt_ids, rt_tfs, rt_dls, rt_pos = [], [], [], []
+        arr_pos = []
+        for b in blocks:
+            a, t, l, p = decode_block(b)
+            rt_ids += a
+            rt_tfs += t
+            rt_dls += l
+            rt_pos += p
+            _, _, _, counts, flat = decode_block_arrays(b)
+            assert counts.tolist() == t
+            arr_pos += flat.tolist()
+        assert rt_ids == ids and rt_tfs == tfs and rt_dls == dls
+        assert rt_pos == poss
+        assert arr_pos == [x for p in poss for x in p]

@@ -44,6 +44,10 @@ BATTERY = [
     ("#SYN(index indexes) engine", IND),
     ("#WAND(0.7 search 0.3 #AND(engine index))", IND),
     ("#WSUM(0.5 search 0.5 engine)", IND),
+    # every child nested (no leaf carries doclen into the union) — the
+    # doclen-propagation path through stacked Indri folds
+    ("#WAND(0.5 #AND(search engine) 0.5 #WAND(0.3 index 0.7 data))", IND),
+    ("#WSUM(0.4 #AND(search engine) 0.6 #WSUM(0.5 index 0.5 query))", IND),
     ("#WAND(0.4 the 0.6 engine)", IND),  # stopword drops weight
     ("#NOT(search)", RB),
     ("#NOT(#AND(search engine))", UB),
