@@ -430,6 +430,15 @@ def q_prf_terms(spark, sf_dir):
     )
 
 
+def q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact variant; the RP-LSH
+    bucketed variant is the scale path, tests/test_similarity.py checks
+    its recall against this)."""
+    embs = _read(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(embs, threshold=0.4, exact=True)
+    return pairs.select("a", "b", _r4(F.col("cosine")).alias("cosine"))
+
+
 # ---- rows-only entries (no SQL-expressible oracle) ------------------------
 
 def q_bm25_ref_analyzer(spark, sf_dir):
@@ -717,6 +726,19 @@ SELECT doc_id, round(r_en, 6) AS r_en, round(r_de, 6) AS r_de,
             WHEN r_de >= r_fr THEN 'de' ELSE 'fr' END AS pred_lang
 FROM r
 """,
+    "emb_neardup": """
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.embedding,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(b.embedding,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT a, b, round(cosine, 4) + 0.0 AS cosine FROM p WHERE cosine >= 0.4
+""",
     "knn_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -774,6 +796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "vsm_cosine": q_vsm_cosine,
     "prf_terms": q_prf_terms,
+    "emb_neardup": q_emb_neardup,
     # rows-only checks (not SQL-expressible):
     "bm25_ref_analyzer": q_bm25_ref_analyzer,
     "simhash_pairs": q_simhash_pairs,

@@ -132,22 +132,38 @@ def doc_term_entries(text: str, cfg: AnalyzerConfig | None = None) -> tuple[list
 # ---------------------------------------------------------------------------
 
 _POSTING_ENTRY_SCHEMA = (
-    "array<struct<term:string,tf:int,positions:array<int>>>"
+    "array<struct<term:string,tf:int,pos_blob:binary>>"
 )
 
 
 def tokenize_udf(cfg: AnalyzerConfig | None = None):
-    """pandas_udf: text column → array<struct<term,tf,positions>>.
+    """pandas_udf: text column → array<struct<term,tf,pos_blob>>.
 
     Emitting the per-doc grouped form directly from the UDF avoids a
     token-level explode+groupBy shuffle: the (doc → term) grouping is done
-    map-side inside the Arrow batch.
+    map-side inside the Arrow batch. Positions are emitted ALREADY
+    varint-delta encoded (codec.encode_pos_blob) so the downstream
+    term-partitioning shuffle moves ~1 byte/position binary instead of
+    array<int>, and segment encoding concatenates blobs without touching
+    positions again.
     """
     cfg = cfg or AnalyzerConfig.reference()
 
+    from .codec import encode_pos_blob
+
     @pandas_udf(_POSTING_ENTRY_SCHEMA)
     def _tok(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: doc_term_entries(t, cfg)[0])
+        def one(t):
+            return [
+                {
+                    "term": e["term"],
+                    "tf": e["tf"],
+                    "pos_blob": encode_pos_blob(e["positions"]),
+                }
+                for e in doc_term_entries(t, cfg)[0]
+            ]
+
+        return texts.map(one)
 
     return _tok
 

@@ -177,19 +177,44 @@ def _split_encoded(vals: np.ndarray, bounds: np.ndarray) -> list[bytes]:
     return out
 
 
-def encode_blocks(
+def encode_pos_blob(positions) -> bytes:
+    """One posting's positions → the ``poss``-stream fragment
+    ``varint(count) varint(delta0) varint(delta1) ...``.
+
+    This runs inside the tokenizer UDF (index build time) so the big
+    term-partitioning shuffle carries ~1 byte/position binary blobs instead
+    of ``array<int>`` columns, and the segment encoder concatenates blobs
+    instead of re-encoding the position stream.
+    """
+    out = bytearray()
+    prev = 0
+    vals = [len(positions)]
+    for p in positions:
+        vals.append(p - prev)
+        prev = p
+    for v in vals:  # positions are tiny lists; the loop beats NumPy here
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def encode_blocks_from_blobs(
     doc_ids,
     tfs,
     doclens,
-    positions,
+    pos_blobs,
     block_size: int = BLOCK_SIZE,
 ) -> list[Block]:
-    """Encode docid-ascending postings into fixed-size blocks.
-
-    Fully vectorized: gap/tf/doclen/position streams for ALL blocks are
-    computed and varint-encoded as single NumPy passes, then sliced at
-    block boundaries.
-    """
+    """Encode docid-ascending postings whose positions are ALREADY
+    per-posting ``poss`` fragments (``encode_pos_blob``) into fixed-size
+    blocks: gap/tf/doclen streams are single vectorized NumPy passes; the
+    ``poss`` stream is a bytes join — no position re-encoding."""
     d = np.asarray(doc_ids, dtype=np.int64)
     n = d.size
     if n == 0:
@@ -199,7 +224,6 @@ def encode_blocks(
 
     block_starts = np.arange(0, n, block_size, dtype=np.int64)
     n_blocks = len(block_starts)
-    block_of = np.arange(n, dtype=np.int64) // block_size
 
     # doc gaps, reset to 0 at every block start
     gaps = np.empty(n, dtype=np.int64)
@@ -207,40 +231,10 @@ def encode_blocks(
     gaps[1:] = d[1:] - d[:-1]
     gaps[block_starts] = 0
 
-    # position stream: per posting [count, delta0, delta1, ...]
-    pos_counts = np.fromiter(
-        (len(p) for p in positions), count=n, dtype=np.int64
-    )
-    total_pos = int(pos_counts.sum())
-    if total_pos:
-        flat = np.concatenate(
-            [np.asarray(p, dtype=np.int64) for p in positions if len(p)]
-        )
-        deltas = np.empty(total_pos, dtype=np.int64)
-        deltas[0] = flat[0]
-        deltas[1:] = flat[1:] - flat[:-1]
-        pstarts = np.zeros(n, dtype=np.int64)
-        np.cumsum(pos_counts[:-1], out=pstarts[1:])
-        nz = pos_counts > 0
-        deltas[pstarts[nz]] = flat[pstarts[nz]]
-    else:
-        deltas = np.empty(0, dtype=np.int64)
-        pstarts = np.zeros(n, dtype=np.int64)
-
-    # interleave counts and deltas: output slot of count i is i + pstarts[i]
-    stream = np.empty(n + total_pos, dtype=np.int64)
-    count_slots = np.arange(n, dtype=np.int64) + pstarts
-    stream[count_slots] = pos_counts
-    mask = np.ones(n + total_pos, dtype=bool)
-    mask[count_slots] = False
-    stream[mask] = deltas
-
     bounds = np.append(block_starts, n)
     docs_parts = _split_encoded(gaps.astype(np.uint64), bounds)
     tfs_parts = _split_encoded(tf_arr.astype(np.uint64), bounds)
     dls_parts = _split_encoded(dl_arr.astype(np.uint64), bounds)
-    stream_bounds = np.append(count_slots[block_starts], n + total_pos)
-    poss_parts = _split_encoded(stream.astype(np.uint64), stream_bounds)
 
     block_max_tf = np.maximum.reduceat(tf_arr, block_starts)
     blocks = []
@@ -256,10 +250,26 @@ def encode_blocks(
                 docs=docs_parts[i],
                 tfs=tfs_parts[i],
                 doclens=dls_parts[i],
-                poss=poss_parts[i],
+                poss=b"".join(pos_blobs[s:e]),
             )
         )
     return blocks
+
+
+def encode_blocks(
+    doc_ids,
+    tfs,
+    doclens,
+    positions,
+    block_size: int = BLOCK_SIZE,
+) -> list[Block]:
+    """Encode docid-ascending postings (positions as int lists) into
+    fixed-size blocks. Thin wrapper over ``encode_blocks_from_blobs`` —
+    identical byte format either way."""
+    blobs = [encode_pos_blob(p) for p in positions]
+    return encode_blocks_from_blobs(
+        doc_ids, tfs, doclens, blobs, block_size=block_size
+    )
 
 
 def decode_block(block) -> tuple[list[int], list[int], list[int], list[list[int]]]:

@@ -20,6 +20,8 @@ The stemmer is pluggable: ``stem_token(tok, kind)`` with kind in
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 # Words the rules would mangle (irregulars + common lexicon entries that
 # Krovetz protects). Keyed on the lowercase surface form.
 _EXCEPTIONS: dict[str, str] = {
@@ -133,6 +135,7 @@ def _stem_ing(w: str) -> str:
     return _restore_e(base) if base[-1] not in _VOWELS and len(base) <= 4 else base
 
 
+@lru_cache(maxsize=1 << 17)
 def kstem_lite(word: str) -> str:
     """Stem one lowercase token. Inflectional morphology only (Krovetz-style)."""
     if len(word) <= 2 or not word.isalpha():

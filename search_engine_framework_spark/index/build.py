@@ -39,7 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.analyzer import AnalyzerConfig, tokenize_udf
-from ..functions.codec import encode_blocks
+from ..functions.codec import encode_blocks_from_blobs
 from .docids import assign_doc_ids
 
 SEGMENT_SCHEMA = (
@@ -88,11 +88,12 @@ def extract_postings(
     fields: tuple[str, ...] = DEFAULT_FIELDS,
     cfg: AnalyzerConfig | None = None,
 ) -> DataFrame:
-    """docs(doc_id, text/role/tool) → (term, field, doc_id, tf, positions, doclen).
+    """docs(doc_id, text/role/tool) → (term, field, doc_id, tf, pos_blob, doclen).
 
-    The tokenizer UDF emits per-doc grouped entries, so the per-(doc,term)
-    grouping happens inside the Arrow batch — the only shuffle downstream is
-    the segment groupBy.
+    The tokenizer UDF emits per-doc grouped entries with varint-encoded
+    position blobs, so the per-(doc,term) grouping AND position compression
+    happen inside the Arrow batch — the only shuffle downstream is the
+    segment groupBy, and it moves binary blobs, not position arrays.
     """
     tok = tokenize_udf(cfg)
     parts = []
@@ -117,7 +118,7 @@ def extract_postings(
                 "field",
                 "doc_id",
                 F.col("e.tf").alias("tf"),
-                F.col("e.positions").alias("positions"),
+                F.col("e.pos_blob").alias("pos_blob"),
                 "doclen",
             )
         )
@@ -159,11 +160,11 @@ def build_segments_df(
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        blocks = encode_blocks(
+        blocks = encode_blocks_from_blobs(
             pdf["doc_id"].to_numpy(),
             pdf["tf"].to_numpy(),
             pdf["doclen"].to_numpy(),
-            pdf["positions"].to_list(),
+            pdf["pos_blob"].to_list(),
             block_size=block_size,
         )
         return pd.DataFrame(

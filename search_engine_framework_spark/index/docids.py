@@ -7,12 +7,23 @@ posting lists sort identically on any cluster size (never
 
 doc_id = dense rank of (conv_id asc, turn_idx asc), computed hierarchically:
 
-  1. conversation sizes            — one groupBy (map-side combinable);
+  1. per-conversation stats (size + turn_idx density check) — one groupBy
+     (map-side combinable);
   2. range-partition conversations by conv_id, cumulative turn counts
      *within* each range partition via a window, plus per-partition global
      offsets from a tiny driver-side cumulative sum (P rows, P = #range
      partitions, not #conversations — no single-partition global window);
-  3. doc_id = conv_offset + row_number within the conversation − 1.
+  3. doc_id = conv_offset + position-within-conversation.
+
+Step 3 has two physical paths:
+
+* **dense fast path** (the common case, verified in step 1's aggregation at
+  zero extra cost): every conversation's turn_idx is exactly 0..n-1, so
+  position == turn_idx and doc_id is a pure projection after joining
+  conv_offsets — no full-corpus shuffle or sort; with AQE the offsets side
+  broadcasts at test scale, making the whole assignment map-only.
+* **general path**: a row_number window per conversation (one shuffle by
+  conv_id) for corpora with gaps or non-zero-based turn indices.
 
 Step 2's range boundaries come from Spark's reservoir sampling and may vary
 run to run, but the resulting rank is invariant: it only depends on the
@@ -37,22 +48,39 @@ def assign_doc_ids(
     existing index's max id.
     """
     spark = transcripts.sparkSession
-    conv_sizes = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    conv_stats = transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min("turn_idx").alias("min_ti"),
+        F.max("turn_idx").alias("max_ti"),
+    )
 
     n_parts = range_partitions or max(
-        1, spark.conf.get("spark.sql.shuffle.partitions", "32") and int(spark.conf.get("spark.sql.shuffle.partitions"))
+        1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     )
     ranged = (
-        conv_sizes.repartitionByRange(n_parts, "conv_id")
+        conv_stats.repartitionByRange(n_parts, "conv_id")
         .withColumn("pid", F.spark_partition_id())
         # Materialize so the two downstream jobs observe one consistent
         # range partitioning (the sampler is re-run per job otherwise).
         .persist()
     )
-    part_sums = {
-        r["pid"]: r["s"]
-        for r in ranged.groupBy("pid").agg(F.sum("n_turns").alias("s")).collect()
-    }
+    # ONE job: per-partition turn totals AND the density check.
+    agg_rows = (
+        ranged.groupBy("pid")
+        .agg(
+            F.sum("n_turns").alias("s"),
+            F.max(
+                F.when(
+                    (F.col("min_ti") != 0)
+                    | (F.col("max_ti") != F.col("n_turns") - 1),
+                    1,
+                ).otherwise(0)
+            ).alias("sparse"),
+        )
+        .collect()
+    )
+    part_sums = {r["pid"]: r["s"] for r in agg_rows}
+    dense_turns = all(r["sparse"] == 0 for r in agg_rows)
     offsets, acc = {}, 0
     for pid in sorted(part_sums):
         offsets[pid] = acc
@@ -72,19 +100,20 @@ def assign_doc_ids(
     conv_offsets = ranged.select(
         "conv_id",
         (
-            F.coalesce(F.sum("n_turns").over(w_local), F.lit(0))
-            + offset_map
+            F.coalesce(F.sum("n_turns").over(w_local), F.lit(0)) + offset_map
         ).alias("conv_offset"),
     )
 
-    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    joined = transcripts.join(conv_offsets, "conv_id")
+    if dense_turns:
+        pos = F.col("turn_idx").cast("long")
+    else:
+        w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+        pos = (F.row_number().over(w_conv) - 1).cast("long")
     out = (
-        transcripts.join(conv_offsets, "conv_id")
-        .withColumn(
+        joined.withColumn(
             "doc_id",
-            (
-                F.lit(start) + F.col("conv_offset") + F.row_number().over(w_conv) - 1
-            ).cast("long"),
+            (F.lit(start) + F.col("conv_offset") + pos).cast("long"),
         )
         .drop("conv_offset")
         .withColumn(

@@ -114,14 +114,24 @@ class IndexReader:
             for r in rows
         }
 
-    def fetch_postings(self, pairs: set[tuple[str, str]]) -> DataFrame:
-        """Decoded postings for all (term, field) pairs, one scan."""
+    def fetch_postings(
+        self, pairs: set[tuple[str, str]], need_positions: bool = True
+    ) -> DataFrame:
+        """Decoded postings for all (term, field) pairs, one scan.
+
+        ``need_positions=False`` (scoring-only queries: BM25/Indri/boolean,
+        no #NEAR/#WINDOW/#SYN in the tree) skips the position-blob decode —
+        positions are the bulk of the blob bytes, so this roughly halves
+        the Python-side decode work on the top-k hot path.
+        """
         seg = self._filter_pairs(pairs).select("term", "field", "blocks")
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
 
-            from ..functions.codec import decode_block_arrays
+            from ..functions.codec import decode_block_arrays, varint_decode_np
+
+            empty_pos: list = []
 
             for pdf in batches:
                 terms: list = []
@@ -134,7 +144,19 @@ class IndexReader:
                     pdf["term"], pdf["field"], pdf["blocks"]
                 ):
                     for blk in blocks:
-                        d, t, dl, counts, flat = decode_block_arrays(blk)
+                        if need_positions:
+                            d, t, dl, counts, flat = decode_block_arrays(blk)
+                        else:
+                            get = (
+                                blk.get
+                                if isinstance(blk, dict)
+                                else lambda k: getattr(blk, k)
+                            )
+                            gaps = varint_decode_np(get("docs")).astype(np.int64)
+                            d = np.cumsum(gaps) + int(get("first_doc"))
+                            t = varint_decode_np(get("tfs")).astype(np.int64)
+                            dl = varint_decode_np(get("doclens")).astype(np.int64)
+                            counts = flat = None
                         k = len(d)
                         if not k:
                             continue
@@ -143,7 +165,10 @@ class IndexReader:
                         ids.append(d)
                         tfs.append(t)
                         dls.append(dl)
-                        poss.extend(np.split(flat, np.cumsum(counts)[:-1]))
+                        if need_positions:
+                            poss.extend(np.split(flat, np.cumsum(counts)[:-1]))
+                        else:
+                            poss.extend([empty_pos] * k)
                 if ids:
                     yield pd.DataFrame(
                         {

@@ -69,7 +69,9 @@ def _overlap(engine: SearchEngine, terms: list[str], field: str) -> DataFrame:
     uniq = sorted(set(terms))
     if not uniq:
         return engine.spark.createDataFrame([], "doc_id long, overlap double")
-    p = engine.reader.fetch_postings({(t, field) for t in uniq})
+    p = engine.reader.fetch_postings(
+        {(t, field) for t in uniq}, need_positions=False
+    )
     return (
         p.select("doc_id", "term")
         .distinct()

@@ -226,3 +226,61 @@ def ivf_query(
     return cosine_topk(
         embs.join(cand, id_col), query, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 24,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """(a, b, cosine) pairs with cosine ≥ threshold, a < b.
+
+    Scale path (default): RP-LSH bucketing — vectors sharing a (table,
+    code) bucket in ANY table become candidate pairs (a self-join on the
+    bucket key, i.e. a shuffle on (table, code), never an all-pairs
+    product), then exact cosine filters them. Recall misses vectors whose
+    cosine ≥ threshold but agree in no table; more tables / fewer planes
+    raise recall. ``exact=True`` is the O(n²) broadcast-free variant for
+    small inputs and oracles.
+    """
+    left = embs.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    right = embs.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    if exact:
+        pairs = left.crossJoin(right).where(F.col("a") < F.col("b"))
+    else:
+        codes = rp_lsh_codes(
+            embs, dim=len(embs.select(vec_col).first()[0]),
+            n_planes=n_planes, n_tables=n_tables, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        ca = codes.select(F.col(id_col).alias("a"), "table", "code")
+        cb = codes.select(F.col(id_col).alias("b"), "table", "code")
+        cand = (
+            ca.join(cb, ["table", "code"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        pairs = cand.join(left, "a").join(right, "b")
+    cos = (
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb")))
+    ).alias("cosine")
+    return (
+        pairs.select("a", "b", cos)
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("a", "b", "cosine")
+    )

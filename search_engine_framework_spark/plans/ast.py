@@ -99,3 +99,14 @@ def query_terms(node: Node) -> set[tuple[str, str]]:
 
 def query_fields(node: Node) -> set[str]:
     return {f for _, f in query_terms(node)}
+
+
+def needs_positions(node: Node) -> bool:
+    """True iff the tree contains a positional operator (#NEAR/#WINDOW/#SYN)
+    — only then does the posting scan need to decode position blobs."""
+    if isinstance(node, (Near, WindowOp, Syn)):
+        return True
+    if isinstance(node, Term):
+        return False
+    kids = (node.child,) if isinstance(node, Not) else node.children
+    return any(needs_positions(c) for c in kids)

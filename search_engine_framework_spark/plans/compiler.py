@@ -77,7 +77,9 @@ class QueryCompiler:
     def prepare(self, node: ast.Node) -> None:
         pairs = ast.query_terms(node)
         self._stats = self.reader.term_stats(pairs)
-        self._postings = self.reader.fetch_postings(pairs).persist()
+        self._postings = self.reader.fetch_postings(
+            pairs, need_positions=ast.needs_positions(node)
+        ).persist()
 
     def release(self) -> None:
         if self._postings is not None:

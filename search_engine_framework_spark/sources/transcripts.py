@@ -66,17 +66,25 @@ _SYLLABLES = [
 
 
 def build_vocabulary(size: int = 4000) -> list[str]:
-    vocab = list(_HEAD_WORDS)
+    """``size`` DISTINCT words: the head list, then all 2-syllable words
+    (50² = 2500), then 3-syllable words — enumerated positionally so the
+    vocabulary is deterministic and duplicate-free. (A previous version
+    generated syllables with a period-50 cycle and no dedup, which silently
+    collapsed the 'eff. 4000-word' vocabulary to 191 distinct terms and
+    made posting-list skew wildly unrealistic.)"""
+    seen = dict.fromkeys(_HEAD_WORDS)
+    s = _SYLLABLES
+    n = len(s)
     i = 0
-    while len(vocab) < size:
-        a = _SYLLABLES[i % len(_SYLLABLES)]
-        b = _SYLLABLES[(i * 7 + 3) % len(_SYLLABLES)]
-        c = _SYLLABLES[(i * 13 + 11) % len(_SYLLABLES)]
-        w = a + b + c if i % 3 else a + b
-        if w not in _HEAD_WORDS:
-            vocab.append(w)
+    while len(seen) < size:
+        if i < n * n:
+            w = s[i % n] + s[(i // n) % n]
+        else:
+            j = i - n * n
+            w = s[j % n] + s[(j // n) % n] + s[(j // (n * n)) % n]
+        seen.setdefault(w)
         i += 1
-    return vocab[:size]
+    return list(seen)[:size]
 
 
 def _zipf_cdf(n: int, s: float = 1.07) -> np.ndarray:

@@ -73,3 +73,43 @@ def test_ivf_recall(embs):
         assert qi in got
         hits += len(got & set(expect_ids))
     assert hits >= 15  # nprobe=4 of 8 lists: high recall on random data
+
+
+def test_embedding_near_dup_exact_matches_numpy(embs):
+    df, vecs = embs
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    thr = 0.5
+    expected = {
+        (a, b)
+        for a in range(N)
+        for b in range(a + 1, N)
+        if cos[a, b] >= thr - 1e-9
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in sim.embedding_near_dup_pairs(df, threshold=thr, exact=True).collect()
+    }
+    # float32 storage vs float64 numpy: allow boundary-epsilon slack
+    assert got.symmetric_difference(expected) == set() or all(
+        abs(cos[a, b] - thr) < 1e-5 for a, b in got.symmetric_difference(expected)
+    )
+    assert len(got) > 0
+
+
+def test_embedding_near_dup_lsh_recall(embs):
+    df, vecs = embs
+    thr = 0.5
+    exact = {
+        (r["a"], r["b"])
+        for r in sim.embedding_near_dup_pairs(df, threshold=thr, exact=True).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in sim.embedding_near_dup_pairs(
+            df, threshold=thr, n_planes=6, n_tables=8
+        ).collect()
+    }
+    assert lsh <= exact  # LSH candidates are exact-filtered: no false pairs
+    recall = len(lsh & exact) / max(1, len(exact))
+    assert recall >= 0.6, f"LSH recall {recall:.2f} over {len(exact)} pairs"
