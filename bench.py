@@ -65,7 +65,8 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(
         app_name="sefs-bench", master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        # 4 partitions/core: head-term encode groups don't straggle a wave
+        shuffle_partitions=int(cpus) * 4,
     )
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}

@@ -4,14 +4,17 @@ Pipeline (all DataFrame ops; the only Python crossings are the tokenizer
 pandas UDF and the posting-block encoder pandas UDF):
 
   transcripts ──assign_doc_ids──▶ docs(doc_id, ext_id, field texts)
-      │ tokenize_udf (per-doc, map-side term grouping — no token shuffle)
-      ▼
-  postings(term, field, doc_id, tf, positions, doclen)
-      │ range-salt on doc_id  (head-term skew control, north_rule)
-      ▼ groupBy(term, field, salt).applyInPandas(encode)
+      │ tokenize_udf (per-doc, map-side term grouping — no token shuffle;
+      ▼  positions pre-encoded as varint blobs)
+  doc_terms(term, field, doc_id, tf, pos_blob, doclen)   [forward index]
+      │ DEFAULT "local" mode: mapInPandas per-partition encode — zero
+      │ posting shuffle; each partition emits per-term block runs
+      │ (doc-range salts == input partitions, skew-immune).
+      │ "shuffle" mode: range-salt on doc_id + groupBy(term, field, salt)
+      ▼ applyInPandas encode (globally ordered blocks).
   sub-segments(term, field, salt, df, ctf, blocks)
-      │ groupBy(term, field): ordered block-run concat (segment-merge stage)
-      ▼
+      │ groupBy(term, field): ordered block-run concat — the distributed
+      ▼ segment-merge stage (north_rule); only block rows shuffle.
   segments — Parquet partitioned by bucket = pmod(xxhash64(term,field), B),
              sorted by (term, field) within files → row-group pruning on
              term equality predicates.
@@ -208,6 +211,128 @@ def build_segments_df(
     return merged
 
 
+def build_segments_local_df(
+    postings: DataFrame,
+    n_buckets: int = 32,
+    block_size: int = 128,
+) -> DataFrame:
+    """Partition-local index build + block-level merge (the
+    Lucene/Anserini-style architecture; the scale path).
+
+    Each input partition accumulates its rows per (term, field) — one
+    pandas groupby per Arrow batch — then sorts each term's postings by
+    doc_id (a vectorized argsort) and encodes them into block runs with NO
+    posting-level shuffle at all. The merge stage then shuffles only
+    ~(terms × partitions) rows of already-encoded blocks — orders of
+    magnitude less data than the posting shuffle, and precisely the
+    "distributed segment-merge" stage of the north rule (doc-range salts =
+    input partitions; skew-immune because every partition does equal work
+    regardless of term distribution).
+
+    Correctness requires only that each (term, field, doc) posting row
+    exists once globally (always true of the forward index). Blocks within
+    one sub-segment are docid-ascending and disjoint; ACROSS partitions
+    doc ranges may interleave when the scan packed unrelated small files
+    into one partition — the merged row's blocks are then sorted by
+    first_doc but not globally range-disjoint. Query evaluation is
+    order-independent (joins/groupBys over decoded rows), so this only
+    affects cosmetic segment ordering, not results.
+
+    Trade-offs vs ``build_segments_df``: mid/tail terms produce one short
+    block per partition (~20 bytes overhead per partition a term appears
+    in); size input files (``spark.sql.files.maxPartitionBytes``) so a
+    partition's raw postings fit executor-python memory.
+    """
+
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # Buffer raw columns (no per-batch grouping — a pandas groupby per
+        # Arrow batch costs ~25µs per GROUP per batch, which at thousands
+        # of distinct terms × thousands of batches dominated the build),
+        # then do ONE vectorized factorize + lexsort per partition and
+        # slice group runs out of the sorted arrays.
+        t_parts, f_parts, d_parts, tf_parts, dl_parts, blob_parts = (
+            [], [], [], [], [], []
+        )
+        for pdf in batches:
+            t_parts.append(pdf["term"].to_numpy())
+            f_parts.append(pdf["field"].to_numpy())
+            d_parts.append(pdf["doc_id"].to_numpy())
+            tf_parts.append(pdf["tf"].to_numpy())
+            dl_parts.append(pdf["doclen"].to_numpy())
+            blob_parts.append(pdf["pos_blob"].to_numpy())
+        rows = {
+            "bucket": [], "term": [], "field": [], "salt": [],
+            "df": [], "ctf": [], "max_tf": [], "blocks": [],
+        }
+        if t_parts:
+            terms = np.concatenate(t_parts)
+            fcol = np.concatenate(f_parts)
+            docs = np.concatenate(d_parts)
+            tfs = np.concatenate(tf_parts)
+            dls = np.concatenate(dl_parts)
+            blobs = np.concatenate(blob_parts)
+            tcodes, tuniq = pd.factorize(terms, sort=False)
+            fcodes, funiq = pd.factorize(fcol, sort=False)
+            order = np.lexsort((docs, tcodes, fcodes))
+            tcodes = tcodes[order]
+            fcodes = fcodes[order]
+            docs = docs[order]
+            tfs = tfs[order]
+            dls = dls[order]
+            blobs = blobs[order]
+            key_change = np.empty(len(order), dtype=bool)
+            key_change[0] = True
+            key_change[1:] = (np.diff(tcodes) != 0) | (np.diff(fcodes) != 0)
+            starts = np.flatnonzero(key_change)
+            ends = np.append(starts[1:], len(order))
+            for s, e in zip(starts, ends):
+                t_arr = tfs[s:e]
+                blocks = encode_blocks_from_blobs(
+                    docs[s:e], t_arr, dls[s:e], blobs[s:e],
+                    block_size=block_size,
+                )
+                rows["bucket"].append(0)
+                rows["term"].append(str(tuniq[tcodes[s]]))
+                rows["field"].append(str(funiq[fcodes[s]]))
+                rows["salt"].append(0)
+                rows["df"].append(int(e - s))
+                rows["ctf"].append(int(t_arr.sum()))
+                rows["max_tf"].append(int(t_arr.max()))
+                rows["blocks"].append([b.__dict__ for b in blocks])
+                # Bounded output batches: one giant DataFrame per partition
+                # can exceed Arrow's per-chunk conversion limits and holds
+                # every encoded block in memory twice.
+                if len(rows["term"]) >= 512:
+                    yield pd.DataFrame(rows)
+                    rows = {k: [] for k in rows}
+            if rows["term"]:
+                yield pd.DataFrame(rows)
+        # empty partition: yield nothing — an untyped empty DataFrame would
+        # make Arrow guess (and fail) the blocks column type
+
+    subsegs = postings.mapInPandas(encode_partition, schema=SEGMENT_SCHEMA)
+    merged = (
+        subsegs.groupBy("term", "field")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("ctf").alias("ctf"),
+            F.max("max_tf").alias("max_tf"),
+            F.sort_array(F.flatten(F.collect_list("blocks"))).alias("blocks"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("term"), F.col("field")), F.lit(n_buckets)).cast("int"),
+        )
+        .withColumn("salt", F.lit(-1))
+        .select(
+            "bucket", "term", "field", "salt", "df", "ctf", "max_tf", "blocks"
+        )
+    )
+    return merged
+
+
 def collection_stats(doclen: DataFrame, n_docs: int) -> dict:
     """N, per-field total tokens + doc counts (QryopSlScore.java:95,132,140-141)."""
     rows = (
@@ -252,6 +377,7 @@ def build_index(
     n_salts: int = 8,
     block_size: int = 128,
     resume: bool = True,
+    segment_mode: str = "auto",
 ) -> IndexPaths:
     """Full index build with per-bucket checkpoint manifests.
 
@@ -259,6 +385,14 @@ def build_index(
     complete and rebuilds only the missing ones; segment content per bucket
     is deterministic (data-derived docids + lexicographic term sort), which
     the resume test verifies via content hashes.
+
+    ``segment_mode``: ``"local"`` (default, also ``"auto"``) —
+    partition-local encode + block-level merge, no posting shuffle;
+    ``"shuffle"`` — term-salted posting shuffle producing globally
+    docid-ordered, range-disjoint blocks per segment row. Both produce the
+    same logical segment table (identical decoded postings and query
+    results); block boundaries differ (local mode fragments tail-term
+    blocks at partition edges).
     """
     paths = IndexPaths(out_dir)
     os.makedirs(paths.manifests, exist_ok=True)
@@ -291,6 +425,20 @@ def build_index(
             "overwrite"
         ).parquet(paths.doc_terms)
 
+    # Size scan partitions so the segment-encode stage gets ~4 waves per
+    # core regardless of the forward index's file layout (small files would
+    # otherwise pack into a handful of oversized partitions; huge files
+    # split fine either way). Executor-python memory per encode task scales
+    # with this number — keep it bounded.
+    dt_bytes = sum(
+        os.path.getsize(os.path.join(paths.doc_terms, f))
+        for f in os.listdir(paths.doc_terms)
+        if f.endswith(".parquet")
+    )
+    par = max(1, spark.sparkContext.defaultParallelism)
+    target = max(16 << 20, min(128 << 20, dt_bytes // (4 * par) or (16 << 20)))
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(target)))
     postings = spark.read.parquet(paths.doc_terms)
 
     if not base_done:
@@ -328,9 +476,16 @@ def build_index(
             )
 
     done = _completed_buckets(paths) if resume else set()
-    segments = build_segments_df(
-        postings, n_docs, n_buckets=n_buckets, n_salts=n_salts, block_size=block_size
-    )
+    use_local = segment_mode in ("local", "auto")
+    if use_local:
+        segments = build_segments_local_df(
+            postings, n_buckets=n_buckets, block_size=block_size
+        )
+    else:
+        segments = build_segments_df(
+            postings, n_docs, n_buckets=n_buckets, n_salts=n_salts,
+            block_size=block_size,
+        )
     if done:
         segments = segments.where(~F.col("bucket").isin(sorted(done)))
 
@@ -384,6 +539,7 @@ def build_index(
             "lineage": {
                 "n_buckets": n_buckets,
                 "n_salts": n_salts,
+                "segment_mode": "local" if use_local else "shuffle",
                 "block_size": block_size,
                 "analyzer": (cfg or AnalyzerConfig.reference()).__dict__
                 if cfg is None or hasattr(cfg, "__dict__")
@@ -394,4 +550,8 @@ def build_index(
             os.path.join(paths.manifests, f"bucket-{r['bucket']:05d}.json"), "w"
         ) as fh:
             json.dump(manifest, fh, indent=2, sort_keys=True, default=str)
+    if old_mpb is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+    else:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
     return paths

@@ -64,11 +64,12 @@ def assign_doc_ids(
         # range partitioning (the sampler is re-run per job otherwise).
         .persist()
     )
-    # ONE job: per-partition turn totals AND the density check.
+    # ONE job: per-partition turn totals, conv counts, AND the density check.
     agg_rows = (
         ranged.groupBy("pid")
         .agg(
             F.sum("n_turns").alias("s"),
+            F.count("*").alias("n_convs"),
             F.max(
                 F.when(
                     (F.col("min_ti") != 0)
@@ -80,6 +81,7 @@ def assign_doc_ids(
         .collect()
     )
     part_sums = {r["pid"]: r["s"] for r in agg_rows}
+    n_convs = sum(r["n_convs"] for r in agg_rows)
     dense_turns = all(r["sparse"] == 0 for r in agg_rows)
     offsets, acc = {}, 0
     for pid in sorted(part_sums):
@@ -104,12 +106,26 @@ def assign_doc_ids(
         ).alias("conv_offset"),
     )
 
-    joined = transcripts.join(conv_offsets, "conv_id")
+    # Broadcast the offsets side when it fits comfortably: the join is then
+    # map-only and the output INHERITS the input's partitioning — for
+    # conv-contiguous inputs (generators, conv/time-partitioned Iceberg
+    # tables) every output partition covers a contiguous doc range, which
+    # unlocks the partition-local segment build (build.py). A huge
+    # conversation count falls back to a shuffle join plus an explicit
+    # range repartition on (conv_id, turn_idx) ≡ doc_id order, restoring
+    # the same contiguity at one extra (slim, JVM-side) corpus shuffle.
+    if n_convs <= 2_000_000:
+        joined = transcripts.join(F.broadcast(conv_offsets), "conv_id")
+        range_fix_needed = False
+    else:
+        joined = transcripts.join(conv_offsets, "conv_id")
+        range_fix_needed = True
     if dense_turns:
         pos = F.col("turn_idx").cast("long")
     else:
         w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
         pos = (F.row_number().over(w_conv) - 1).cast("long")
+        range_fix_needed = True  # the window shuffle breaks contiguity
     out = (
         joined.withColumn(
             "doc_id",
@@ -121,4 +137,7 @@ def assign_doc_ids(
             F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string")),
         )
     )
+    if range_fix_needed:
+        out_parts = max(1, transcripts.rdd.getNumPartitions())
+        out = out.repartitionByRange(out_parts, "doc_id")
     return out

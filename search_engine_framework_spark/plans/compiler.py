@@ -76,10 +76,18 @@ class QueryCompiler:
     # ------------------------------------------------------------------ setup
     def prepare(self, node: ast.Node) -> None:
         pairs = ast.query_terms(node)
-        self._stats = self.reader.term_stats(pairs)
         self._postings = self.reader.fetch_postings(
             pairs, need_positions=ast.needs_positions(node)
         ).persist()
+        # df/ctf from the just-cached postings — one segment scan per query
+        # instead of two (the decode runs at query time anyway; this collect
+        # materializes the cache AND yields the stats in the same job).
+        self._stats = {
+            (r["term"], r["field"]): {"df": r["df"], "ctf": r["ctf"]}
+            for r in self._postings.groupBy("term", "field")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("ctf"))
+            .collect()
+        }
 
     def release(self) -> None:
         if self._postings is not None:
