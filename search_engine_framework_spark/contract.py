@@ -474,9 +474,12 @@ def q_bm25_ref_analyzer(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at hamming ≤ 3 — the radius where the
+    4×16-bit band candidate stage is provably exhaustive (pigeonhole), so
+    the all-pairs DuckDB oracle must match exactly."""
     docs = _read(spark, sf_dir, "documents")
     sim = dedup.simhash64(docs)
-    return dedup.simhash_near_pairs(sim, max_hamming=8).select(
+    return dedup.simhash_near_pairs(sim, max_hamming=3).select(
         "a", "b", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -489,6 +492,34 @@ def q_ann_ivf(spark, sf_dir):
     assigned = similarity.ivf_assign(embs, cents)
     top = similarity.ivf_query(embs, assigned, cents, qvec, k=10, nprobe=4)
     return top.select("vec_id", _r4(F.col("cosine")).alias("cosine"))
+
+
+def q_ann_ivf_exactprobe(spark, sf_dir):
+    """IVF with nprobe = nlist: probes every inverted list, so the result
+    must equal exact kNN — verified against the knn_cosine SQL oracle.
+    (The partial-probe path, q_ann_ivf, stays rows-only; its probe subset
+    depends on the centroids, which ANSI SQL can't reproduce.)"""
+    embs = _read(spark, sf_dir, "embeddings")
+    qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    cents = similarity.ivf_centroids(embs, nlist=8)
+    assigned = similarity.ivf_assign(embs, cents)
+    top = similarity.ivf_query(
+        embs.where(F.col("vec_id") != 0), assigned, cents, qvec, k=10, nprobe=8
+    )
+    return top.select("vec_id", _r4(F.col("cosine")).alias("cosine"))
+
+
+def q_emb_neardup_lsh(spark, sf_dir):
+    """The LSH-bucketed near-dup SCALE path, parameterized (few planes,
+    many tables) so its recall is total on the test embeddings — verified
+    against the same exact all-pairs SQL oracle as q_emb_neardup. A miss
+    (a ≥-threshold pair agreeing in no table) would hash-mismatch."""
+    embs = _read(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        embs, threshold=0.4, n_planes=2, n_tables=64, seed=42, exact=False
+    )
+    return pairs.select("a", "b", _r4(F.col("cosine")).alias("cosine"))
 
 
 # --------------------------------------------------------------------------
@@ -771,6 +802,54 @@ FROM documents
 }
 
 
+def _simhash_sql() -> str:
+    """All-pairs SimHash hamming ≤ 3 — the md5-digit bit convention mirrors
+    pipeline/dedup.py::_md5_bit verbatim."""
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (((strpos('0123456789abcdef', "
+        f"substring(md5(term), {b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1) = 1 "
+        f"THEN tf ELSE -tf END) AS s{b}"
+        for b in range(64)
+    )
+    bands = []
+    for k in range(4):
+        bits = " | ".join(
+            f"(CASE WHEN s{16 * k + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        bands.append(f"({bits}) AS b{k}")
+    band_select = ",\n         ".join(bands)
+    return (
+        _SQL_BASE
+        + f"""
+, bitsums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tf GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+         {band_select}
+  FROM bitsums
+),
+ham AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming
+  FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+)
+SELECT a, b, hamming::BIGINT AS hamming FROM ham WHERE hamming <= 3
+"""
+    )
+
+
+ORACLE_SQL["simhash_pairs"] = _simhash_sql()
+# nprobe = nlist degenerates to exact kNN over vec_id <> 0 — same oracle.
+ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
+# The LSH scale path at total-recall parameters must equal the exact pairs.
+ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats_top": q_term_stats_top,
     "doclen": q_doclen,
@@ -797,9 +876,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vsm_cosine": q_vsm_cosine,
     "prf_terms": q_prf_terms,
     "emb_neardup": q_emb_neardup,
-    # rows-only checks (not SQL-expressible):
-    "bm25_ref_analyzer": q_bm25_ref_analyzer,
+    "emb_neardup_lsh": q_emb_neardup_lsh,
     "simhash_pairs": q_simhash_pairs,
+    "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
+    # rows-only checks (not SQL-expressible):
+    # bm25_ref_analyzer — Krovetz stemming can't be written in ANSI SQL;
+    #   locked instead by a pytest golden fixture (tests/test_ranking_extras).
+    # ann_ivf — the partial-probe subset depends on the learned centroids;
+    #   its exactprobe twin above is oracle-checked, and pytest checks
+    #   partial-probe recall against exact kNN.
+    "bm25_ref_analyzer": q_bm25_ref_analyzer,
     "ann_ivf": q_ann_ivf,
 }
 

@@ -14,9 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 from .functions.analyzer import AnalyzerConfig
 from .index.build import IndexPaths
 from .index.reader import IndexReader
+from .plans import ast
 from .plans.compiler import QueryCompiler
 from .plans.models import RetrievalModel, UnrankedBoolean
 from .plans.parser import parse_query
+
+
+class UnknownFieldError(ValueError):
+    """A query referenced a field this index never built — raised loudly
+    instead of silently matching nothing (the reference fatalErrors on bad
+    query syntax, QryEval.java:686-707; its index always carries the full
+    web-field set, QryEval.java:529, so a valid suffix can't miss)."""
 
 
 class SearchEngine:
@@ -42,8 +50,11 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 [], "doc_id long, ext_id string, rank int, score double"
             )
+        self._check_fields(node)
         compiler = QueryCompiler(self.reader, model)
-        compiler.prepare(node)
+        # topk enables block-max decode pruning on the BM25 #SUM fast path
+        # (exact top-k; no-op for other models/trees — compiler.prepare).
+        compiler.prepare(node, topk=k)
         try:
             scored = compiler.compile_query(node)
             docmap = self.reader.docmap().select("doc_id", "ext_id")
@@ -62,6 +73,23 @@ class SearchEngine:
         return self.spark.createDataFrame(
             out, "doc_id long, ext_id string, rank int, score double"
         )
+
+    def decode_metrics(self) -> dict:
+        """Cumulative block-decode counters (block-max pruning evidence):
+        {"blocks_decoded": n, "blocks_skipped": n}."""
+        dec, skip = self.reader.decode_counters
+        return {"blocks_decoded": dec.value, "blocks_skipped": skip.value}
+
+    def _check_fields(self, node) -> None:
+        built = set(self.reader.stats.get("fields", {}))
+        used = {f for _t, f in ast.query_terms(node)}
+        missing = sorted(used - built)
+        if missing:
+            raise UnknownFieldError(
+                f"query references field(s) {missing} not built into this "
+                f"index (built: {sorted(built)}); index the field via "
+                f"build_index(fields=...) or fix the query"
+            )
 
     def vsm_search(self, query: str, k: int = 100, field: str = "body") -> DataFrame:
         """lnc.ltc vector-space retrieval (the reference's f18 scorer as a
@@ -92,6 +120,7 @@ class SearchEngine:
         node = parse_query(query, model, self.analyzer)
         if node is None:
             return self.spark.createDataFrame([], "doc_id long, ext_id string, score double")
+        self._check_fields(node)
         compiler = QueryCompiler(self.reader, model)
         compiler.prepare(node)
         scored = compiler.compile_query(node)

@@ -146,6 +146,12 @@ def tokenize_udf(cfg: AnalyzerConfig | None = None):
     term-partitioning shuffle moves ~1 byte/position binary instead of
     array<int>, and segment encoding concatenates blobs without touching
     positions again.
+
+    The LAST entry of every array is a ``term=NULL, tf=0`` doclen marker:
+    after the explode it becomes the document's (doc_id, field, doclen)
+    row, which makes the doclen side table a map-only FILTER over the
+    forward index — no posting-level groupBy shuffle, and no docmap join
+    to recover zero-token documents (they emit just the marker).
     """
     cfg = cfg or AnalyzerConfig.reference()
 
@@ -153,6 +159,8 @@ def tokenize_udf(cfg: AnalyzerConfig | None = None):
 
     @pandas_udf(_POSTING_ENTRY_SCHEMA)
     def _tok(texts: pd.Series) -> pd.Series:
+        marker = {"term": None, "tf": 0, "pos_blob": b""}
+
         def one(t):
             return [
                 {
@@ -161,7 +169,7 @@ def tokenize_udf(cfg: AnalyzerConfig | None = None):
                     "pos_blob": encode_pos_blob(e["positions"]),
                 }
                 for e in doc_term_entries(t, cfg)[0]
-            ]
+            ] + [marker]
 
         return texts.map(one)
 

@@ -1,0 +1,502 @@
+"""Krovetz stemmer ("KStem"), pure-Python port of the public algorithm.
+
+The reference analyzer stems with Lucene's ``KStemFilter``
+(/root/reference/src/EnglishAnalyzerConfigurable.java:156-157, selected at
+QryEval.java:61-65). Krovetz's stemmer (R. Krovetz, *Viewing Morphology as
+an Inference Process*, SIGIR 1993 — the algorithm Lucene implements) is a
+**dictionary-driven light stemmer**: inflectional endings (plural, -ed,
+-ing) are removed with lexicon-resolved disambiguation of the resulting
+stem ("-ies"→"y" vs "ie", consonant undoubling, silent-e restoration), and
+derivational endings (-ity, -ness, -ion, -er, -ly, -al, -ive, -ize,
+-ment, -ble, -ism, -ic, -ncy, -nce) are removed ONLY when the lexicon
+confirms the candidate stem — otherwise the word is left alone.
+
+Fidelity note (deliberate, documented): Lucene ships a ~30k-headword
+lexicon (KStemData1-8). Vendoring that data verbatim is out of scope, so
+this port carries a curated ~1k-headword lexicon plus the classic
+direct-conflation and protected-word tables. On lexicon misses the
+algorithm degrades exactly the way Krovetz designed it to: conservative
+no-ops for derivational endings, heuristic e-restoration for inflectional
+ones. Behavior is LOCKED by the fixture table in
+``tests/test_analyzer.py`` — the engine, the build UDF, and the pure-
+Python rank-identity oracle all share this module, so engine-vs-oracle
+identity is exact by construction regardless of lexicon coverage.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+_VOWELS = frozenset("aeiou")
+
+# Words (or stems) the algorithm must never transform, and irregular forms
+# mapped straight to their roots — the analog of KStem's directConflations
+# + supplementDict tables.
+DIRECT_CONFLATIONS: dict[str, str] = {
+    # irregular plurals
+    "men": "man", "women": "woman", "children": "child", "feet": "foot",
+    "teeth": "tooth", "geese": "goose", "mice": "mouse", "lives": "life",
+    "wives": "wife", "knives": "knife", "leaves": "leaf", "halves": "half",
+    "calves": "calf", "loaves": "loaf", "shelves": "shelf",
+    "thieves": "thief", "wolves": "wolf", "selves": "self",
+    "oxen": "ox", "indices": "index", "matrices": "matrix",
+    "vertices": "vertex", "appendices": "appendix", "criteria": "criterion",
+    "phenomena": "phenomenon", "data": "datum", "media": "medium",
+    # irregular verbs commonly mangled by the rules
+    "died": "die", "dies": "die", "dying": "die",
+    "lied": "lie", "lies": "lie", "lying": "lie",
+    "tied": "tie", "ties": "tie", "tying": "tie",
+    "agreed": "agree", "freed": "free", "fled": "flee",
+    "does": "do", "goes": "go", "shoes": "shoe", "gone": "go",
+    "went": "go", "made": "make", "said": "say", "laid": "lay",
+    "paid": "pay", "sold": "sell", "told": "tell", "held": "hold",
+    "kept": "keep", "left": "leave", "meant": "mean", "built": "build",
+    "spent": "spend", "sent": "send", "lost": "lose", "felt": "feel",
+    "brought": "bring", "bought": "buy", "thought": "think",
+    "taught": "teach", "caught": "catch", "sought": "seek",
+    "ran": "run", "began": "begin", "came": "come", "gave": "give",
+    "took": "take", "wrote": "write", "written": "write", "saw": "see",
+    "seen": "see", "grew": "grow", "grown": "grow", "knew": "know",
+    "known": "know", "threw": "throw", "thrown": "throw", "drew": "draw",
+    "drawn": "draw", "flew": "fly", "flown": "fly", "chose": "choose",
+    "chosen": "choose", "spoke": "speak", "spoken": "speak",
+    "broke": "break", "broken": "break", "drove": "drive",
+    "driven": "drive", "ate": "eat", "eaten": "eat", "fell": "fall",
+    "fallen": "fall", "got": "get", "gotten": "get", "found": "find",
+    "stood": "stand", "understood": "understand", "heard": "hear",
+    "led": "lead", "read": "read", "met": "meet", "sat": "sit",
+    "won": "win", "sang": "sing", "sung": "sing",
+    "swam": "swim", "swum": "swim", "rang": "ring", "rung": "ring",
+    # -s forms that are not plurals / -ing, -ed lookalikes
+    "its": "its", "this": "this", "has": "has", "was": "was", "is": "is",
+    "his": "his", "us": "us", "yes": "yes", "during": "during",
+    "nothing": "nothing", "something": "something", "anything": "anything",
+    "everything": "everything", "united": "unite", "used": "use",
+    "news": "news",
+}
+
+# Headword lexicon: words returned as-is when seen, and the authority that
+# confirms candidate stems. A curated slice of common English — the same
+# role KStemData1-8 play in Lucene, at reduced coverage.
+_HEADWORD_LIST = """
+a able about above accept access account act action active add address
+adoption advance advantage afford age agg agree air all allow almost alone
+along also always amount analysis annuity answer antenna any appear apple
+apply appraisal approach appraise area argue arm arrange arrive art article
+ask aspect assess asset assign assume attach attack attempt attend
+attribute audience author available average avoid await awake award aware
+baby back bad bag balance ball band bank bar base basis batch battle be
+bear beat beautiful become bed begin behavior believe belong below benefit
+best better between big bill bind bird bit bite black block blood blue
+board boat body bone book border both bottle bottom box boy brain branch
+brave bread break bridge brief bright bring broad brother browse budget
+buffer bug build bus business busy buy cache calculate calculator call calm
+camp can cancel candidate capital captain car card care career carry case
+cat catch cause cell center central century certain chain chair challenge
+chance change channel chapter charge chart cheap check chef chemical chest
+chief child choice choose church circle city claim class classify clean
+clear client climb clock close cloud cluster coach coast code cold collect
+college color column combine come comfort command comment commit common
+community company compare compile complete complex compress compute
+computer concern conclude condition conduct confirm conflate connect
+consider consist constant construct consult consume contain content contest
+context continue contract control convert cook cool copy core corner
+correct cost count country county course court cover crash create creative
+credit crew crisis critic cross crowd culture cup current curve custom
+customer cut cycle daily damage dance danger dark data database date
+daughter day dead deal debate debt decade decide decision declare decode
+deep defense define degree delay delete deliver demand dense deny depend
+depth derive describe design desk detail detect develop device diabetes
+dictionary die diet differ difficult dig digit dinner direct discover
+discuss disk display distance distinct distribute divide do doctor document
+dog dollar domain door double doubt down draft draw dream dress drink
+drive drop dry due dust duty each ear early earn earth east easy eat edge
+edit educate education effect effort egg eight either elect element
+eleven else embed emerge employ empty enable encode end enemy energy
+engine enjoy enough ensure enter entire entry equal equip error escape
+essential establish estimate evaluate even evening event ever every
+evidence exact examine example exceed except exchange execute exercise
+exist exit expand expect expense experience expert explain explode explore
+export express extend extra extract eye face fact factor fail fair faith
+fall false family famous fan far farm fast fat father fault favor fear
+feature federal feed feel fetch few field fifteen fifty fight figure file
+fill film filter final find fine finger finish fire firm first fish fit
+five fix flag flame flat flight float floor flow flower fly focus fold
+follow food foot force foreign forest forget form formal format former
+fortune forum forward four frame free frequent fresh friend from front
+fruit fuel full fun function fund further future gain game gap garden gas
+gate gather general generate gentle get gift girl give glad glass global
+gmat go goal gold good govern grade grain grand grant graph grass great
+green ground group grow growth guarantee guard guess guest guide gun guy
+habit hair half hall hand handle hang happen happy hard hardware harm hash
+hat have he head health hear heart heat heavy height hello help here hero
+high hill hint hire history hit hold hole holiday home honest honor hope
+horse hospital host hot hotel hour house how huge human hundred hunt
+hurry hurt ice idea identify image imagine impact import important improve
+include income increase indeed index indicate industry influence inform
+information initial inject injure inner input insert inside install
+instance instead insure intend interest internal internet interval
+interview introduce invest invite involve island issue item its job join
+joke journey joy judge jump just justice justify keep key kid kill kind
+king kitchen knee knife know label labor lack lady lake land language
+large last late laugh launch law lay layer lead leaf league lean learn
+lease least leave left leg legal lend length less lesson let letter level
+library lie life lift light like limit line link lip list listen little
+live load loan local locate lock log logic long look loop lose loss lot
+loud love low lower luck lunch machine magic mail main maintain major make
+man manage many map march margin mark market marry mass master match
+material matter may meal mean measure meat media medical medium meet
+member memory mention menu merge merit message metal method middle might
+mile milk million mind mine minor minute mirror miss mission mistake mix
+mixture mode model modern modify moment money monitor month mood moon more
+morning most mother motion motor mount mountain mouse mouth move movie
+much multiply muscle music must name narrow nation native nature near
+neck need negative neighbor nerve nest net network never new news next
+nice night nine node noise normal north nose note nothing notice notion
+now number nurse object observe obtain obvious occasion occur ocean off
+offer office official often oil old once one online only open operate
+opinion oppose option orange order ordinary organ organize origin other
+ought out outer output outside over overlap own owner pace pack package
+page pain paint pair panel paper parallel parent park parse part partition
+partner party pass passage past path patient pattern pause pay peace peak
+pen people per percent perfect perform perhaps period permit person phase
+phone photo phrase physical pick picture pie piece pilot pipe pipeline
+pitch place plain plan plane planet plant plate play please plenty plural
+pocket poem point poker police policy polish polite poll pool poor popular
+port portion position positive possess possible post pot potential pound
+pour power practice praise predict prefer premium prep prepare presence
+present preserve press pressure pretty prevent price pride prime print
+prior private prize probe problem procedure proceed process produce
+product profile profit program progress project promise promote prompt
+proof proper propose protect protest proud prove provide public publish
+pull pump purchase pure purpose push put quality quarter query question
+queue quick quiet quit quite quiz quote race radio rail rain raise random
+range rank rapid rare rate rather ratio raw reach react read ready real
+reason recall receive recent recognize record recover red reduce refer
+reflect reform refuse regard region register regret regular reject relate
+relax release relevant relief rely remain remark remember remind remote
+remove render rent repair repeat replace reply report represent request
+require rescue research reserve reside resolve resource respect respond
+rest restore result retain retire return reveal review reward rich ride
+right ring rise risk river road rock role roll roof room root rope rough
+round route routine row royal rub rule run rush sad safe sail salary sale
+salt same sample sand save scale scan scarce scene schedule schema scheme
+school score screen script sea search season seat second secret section
+secure see seed seek seem select self sell send senior sense sentence
+separate sequence series serve service session set settle seven several
+severe shade shadow shake shall shape share sharp she sheet shelf shell
+shift shine ship shirt shock shoe shop short shot should shoulder shout
+show shuffle shut sick side sign signal silence silver similar simple
+since sing single sink sister sit site situation six size sketch skill
+skin sky sleep slice slide slight slip slow small smart smile smooth snow
+so social sock soft software soil solar soldier solid solve some son song
+soon sort soul sound source south space spare spark speak special specific
+speech speed spell spend spill spin spirit split sport spot spread spring
+square stable staff stage stair stake stamp stand standard star start
+state station status stay steady steal steam steel stem step stick still
+stock stone stop storage store storm story straight strange stream street
+stress stretch strict strike string strip stripe strong structure struggle
+student study stuff style subject submit succeed success such sudden
+suffer sugar suggest suit sum summer sun supply support suppose sure
+surface surprise survey survive suspect sustain swap sweet swim switch
+symbol system table tail take tale talk tall tank tape target task taste
+tax teach team tear tell temperature ten tend term test text than thank
+that the theme then theory there thick thin thing think third thirty this
+thread threat three threshold throat throw thumb thus ticket tie tight
+time tiny tip tissue title to today toilet token tomorrow tone tongue
+tonight too tool tooth top topic total touch tough tour tournament toward
+tower town toy trace track trade tradition traffic train training transfer
+transform translate transport travel treat tree trend trial trick trip
+trouble truck true trust truth try tune tunnel turn twelve twenty twice
+two type under understand unify union unique unit unite universe update
+upgrade upon upper upset urban urge use user usual utter vacation valid
+value van variety various vary vast vector vehicle venture verb verify
+version very vessel video view village violent virtual visible vision
+visit visual vital vocabulary voice volume volvo vote wage wait wake walk
+wall wander want war warm warn warren wash waste watch water wave way
+weak wealth weapon wear weather web wedding week weigh weight welcome
+well west wet what wheel when where whether which while whisper white who
+whole whose wide wife wild will wilson win wind window wine wing winner
+winter wire wise wish with withdraw within without witness woman wonder
+wood word work worker world worry worth wound wrap write wrong yard year
+yellow yes yesterday yet yield you young zero zone
+""".split()
+
+HEADWORDS = frozenset(_HEADWORD_LIST) | frozenset(DIRECT_CONFLATIONS.values())
+
+_DOUBLABLE = frozenset("bdfgklmnprtv")
+
+
+def _in_dict(w: str) -> bool:
+    return w in HEADWORDS or w in DIRECT_CONFLATIONS
+
+
+def _lookup(w: str) -> str | None:
+    """Dictionary authority: root for direct conflations, the word itself
+    for headwords, None on a miss."""
+    hit = DIRECT_CONFLATIONS.get(w)
+    if hit is not None:
+        return hit
+    if w in HEADWORDS:
+        return w
+    return None
+
+
+def _first_in_dict(candidates: list[str]) -> str | None:
+    for c in candidates:
+        # min stem length 3 (KStem's MinWordLength guard — otherwise
+        # "usable" → "us" via the 2-char candidate)
+        if len(c) >= 3 and _in_dict(c):
+            r = _lookup(c)
+            return r if r is not None else c
+    return None
+
+
+def _has_vowel(s: str) -> bool:
+    return any(c in _VOWELS for c in s) or ("y" in s[1:])
+
+
+def _undouble(stem: str) -> str:
+    if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] in _DOUBLABLE:
+        return stem[:-1]
+    return stem
+
+
+def _restore_e_heuristic(stem: str) -> str:
+    """Magic-e restoration for lexicon misses (mak→make): CVC shape with a
+    final consonant outside w/x/y."""
+    if (
+        len(stem) >= 3
+        and stem[-1] not in _VOWELS
+        and stem[-1] not in "wxy"
+        and stem[-2] in _VOWELS
+        and stem[-3] not in _VOWELS
+    ):
+        return stem + "e"
+    return stem
+
+
+# ---------------------------------------------------------------------------
+# inflectional steps (applied even on lexicon misses, with heuristics)
+# ---------------------------------------------------------------------------
+
+def _plural(w: str) -> str:
+    if len(w) <= 3 or not w.endswith("s"):
+        return w
+    if w.endswith(("ss", "us", "is")):
+        return w
+    if w.endswith("ies") and len(w) > 4:
+        base = w[:-3]
+        return _first_in_dict([base + "y", base + "ie"]) or base + "y"
+    if w.endswith("es"):
+        hit = _first_in_dict([w[:-1], w[:-2]])
+        if hit is not None:
+            return hit
+        return w[:-2] if w[:-2].endswith(("x", "ch", "sh", "z", "o")) else w[:-1]
+    return _lookup(w[:-1]) or w[:-1]
+
+
+def _past(w: str) -> str:
+    if len(w) <= 4 or not w.endswith("ed"):
+        return w
+    if w.endswith("ied"):
+        base = w[:-3]
+        return _first_in_dict([base + "y", base + "ie"]) or base + "y"
+    base = w[:-2]
+    if not _has_vowel(base):
+        return w
+    hit = _first_in_dict([base, base + "e", _undouble(base)])
+    if hit is not None:
+        return hit
+    und = _undouble(base)
+    if und != base:
+        return und
+    if base.endswith(("at", "iz", "is", "bl", "ut", "iv", "ag", "os", "in",
+                      "ir", "ur", "ot")):
+        return base + "e"
+    return _restore_e_heuristic(base) if len(base) <= 4 else base
+
+
+def _aspect(w: str) -> str:
+    if len(w) <= 5 or not w.endswith("ing"):
+        return w
+    base = w[:-3]
+    if not _has_vowel(base):
+        return w
+    hit = _first_in_dict([base, base + "e", _undouble(base)])
+    if hit is not None:
+        return hit
+    und = _undouble(base)
+    if und != base:
+        return und
+    if base.endswith(("at", "iz", "is", "bl", "ut", "iv", "ag", "os",
+                      "ir", "ur", "ot")):
+        return base + "e"
+    return _restore_e_heuristic(base) if len(base) <= 4 else base
+
+
+# ---------------------------------------------------------------------------
+# derivational steps (lexicon-confirmed ONLY — Krovetz's conservatism)
+# ---------------------------------------------------------------------------
+
+_DERIVATIONAL: list[tuple[str, "callable"]] = []
+
+
+def _deriv(suffix: str):
+    def reg(fn):
+        _DERIVATIONAL.append((suffix, fn))
+        return fn
+    return reg
+
+
+@_deriv("ity")
+def _ity(w: str) -> list[str]:
+    base = w[:-3]
+    cands = []
+    if base.endswith("abil"):
+        cands.append(base[:-4] + "able")
+    if base.endswith("ibil"):
+        cands.append(base[:-4] + "ible")
+    if base.endswith("iv"):
+        cands.append(base + "e")
+    if base.endswith("al"):
+        cands.append(base)
+    cands += [base + "e", base, base + "y"]
+    return cands
+
+
+@_deriv("ness")
+def _ness(w: str) -> list[str]:
+    base = w[:-4]
+    cands = [base]
+    if base.endswith("i"):
+        cands.append(base[:-1] + "y")
+    return cands
+
+
+@_deriv("ion")
+def _ion(w: str) -> list[str]:
+    if w.endswith("ization"):
+        return [w[:-7] + "ize", w[:-5] + "e"]
+    if w.endswith("ation"):
+        base = w[:-5]
+        return [base + "ate", base + "e", base]
+    if w.endswith("ition"):
+        return [w[:-5] + "e"]
+    base = w[:-3]
+    return [base, base + "e"]
+
+
+@_deriv("er")
+def _er(w: str) -> list[str]:
+    base = w[:-2]
+    cands = [base, base + "e", _undouble(base)]
+    if base.endswith("i"):
+        cands.append(base[:-1] + "y")
+    return cands
+
+
+@_deriv("or")
+def _or(w: str) -> list[str]:
+    base = w[:-2]
+    return [base, base + "e"]
+
+
+@_deriv("ly")
+def _ly(w: str) -> list[str]:
+    base = w[:-2]
+    cands = [base]
+    if base.endswith("i"):
+        cands.append(base[:-1] + "y")
+    if base.endswith("al"):
+        cands.append(base[:-2])
+    return cands
+
+
+@_deriv("al")
+def _al(w: str) -> list[str]:
+    base = w[:-2]
+    return [base, base + "e"]
+
+
+@_deriv("ive")
+def _ive(w: str) -> list[str]:
+    base = w[:-3]
+    return [base, base + "e"]
+
+
+@_deriv("ize")
+def _ize(w: str) -> list[str]:
+    base = w[:-3]
+    return [base, base + "e"]
+
+
+@_deriv("ment")
+def _ment(w: str) -> list[str]:
+    base = w[:-4]
+    return [base, base + "e"]
+
+
+@_deriv("ble")
+def _ble(w: str) -> list[str]:
+    if w.endswith(("able", "ible")):
+        base = w[:-4]
+        return [base, base + "e"]
+    return []
+
+
+@_deriv("ism")
+def _ism(w: str) -> list[str]:
+    base = w[:-3]
+    return [base, base + "e"]
+
+
+@_deriv("ic")
+def _ic(w: str) -> list[str]:
+    base = w[:-2]
+    return [base, base + "e", base + "y"]
+
+
+@_deriv("ncy")
+def _ncy(w: str) -> list[str]:
+    base = w[:-1]  # ncy → nce  (urgency → urgence? frequency → frequence)
+    return [w[:-2] + "t", base[:-2] + "ce"]
+
+
+@_deriv("nce")
+def _nce(w: str) -> list[str]:
+    base = w[:-3]
+    return [base + "t", base + "se"]
+
+
+def _derivational_pass(w: str) -> str:
+    for suffix, fn in _DERIVATIONAL:
+        if w.endswith(suffix) and len(w) - len(suffix) >= 3:
+            hit = _first_in_dict(fn(w))
+            if hit is not None:
+                return hit
+            return w  # matched a suffix but the lexicon doesn't confirm
+    return w
+
+
+@lru_cache(maxsize=1 << 17)
+def kstem(word: str) -> str:
+    """Stem one lowercase token with the Krovetz algorithm."""
+    if len(word) <= 2 or not word.isalpha():
+        return word
+    hit = _lookup(word)
+    if hit is not None:
+        return hit
+    w = _plural(word)
+    hit = _lookup(w)
+    if hit is not None:
+        return hit
+    for step in (_past, _aspect):
+        w2 = step(w)
+        if w2 != w:
+            w = w2
+            break
+    hit = _lookup(w)
+    if hit is not None:
+        return hit
+    return _derivational_pass(w)

@@ -1,0 +1,98 @@
+"""Driver-side twin of Spark's ``xxhash64`` expression.
+
+The segment layout partitions by ``bucket = pmod(xxhash64(term, field), B)``
+(index/build.py). Pruning the segment scan to a query's buckets therefore
+needs the SAME hash driver-side — computing it with a throwaway Spark job
+per query would add a scheduler round-trip to every search, so this module
+implements XXH64 (public algorithm, Yann Collet; the same spec Spark's
+``org.apache.spark.sql.catalyst.expressions.XxHash64`` implements) in pure
+Python and folds multi-column hashing the way Spark does: seed 42, each
+column's UTF-8 bytes hashed with the running hash as seed.
+
+``tests/test_index_build.py`` cross-checks this implementation against
+Spark's own ``F.xxhash64`` on a corpus of edge-case strings — any
+divergence fails the suite rather than silently mispruning.
+"""
+
+from __future__ import annotations
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_MASK = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _round(acc: int, val: int) -> int:
+    acc = (acc + val * _P2) & _MASK
+    return (_rotl(acc, 31) * _P1) & _MASK
+
+
+def _merge(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _MASK
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """XXH64 of ``data`` with ``seed`` (unsigned 64-bit result)."""
+    seed &= _MASK
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed
+        v4 = (seed - _P1) & _MASK
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
+        h = _merge(h, v1)
+        h = _merge(h, v2)
+        h = _merge(h, v3)
+        h = _merge(h, v4)
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i <= n - 8:
+        h ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _MASK
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _MASK
+        h = (_rotl(h, 23) * _P2 + _P3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64(*cols: str, seed: int = 42) -> int:
+    """Spark ``F.xxhash64(col1, col2, ...)`` for string columns: fold each
+    column's UTF-8 bytes with the running hash as seed. Returns the SIGNED
+    64-bit value Spark produces."""
+    h = seed
+    for c in cols:
+        h = xxh64(c.encode("utf-8"), h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def term_bucket(term: str, field: str, n_buckets: int) -> int:
+    """The segment bucket of a (term, field) pair — the driver-side twin of
+    ``pmod(xxhash64(term, field), n_buckets)`` in index/build.py."""
+    return spark_xxhash64(term, field) % n_buckets

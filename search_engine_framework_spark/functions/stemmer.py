@@ -154,8 +154,21 @@ def kstem_lite(word: str) -> str:
 
 
 def stem_token(token: str, kind: str = "kstem") -> str:
+    """Pluggable stemmer dispatch.
+
+    * ``"kstem"`` — the dictionary-driven Krovetz port
+      (functions/kstem.py), the default and the reference-parity path
+      (EnglishAnalyzerConfigurable.java:156-157).
+    * ``"kstem-lite"`` — this module's rules-only approximation, kept as
+      the dependency-free fallback and for round-1 index compatibility.
+    * ``"none"`` — identity.
+    """
     if kind == "none":
         return token
     if kind == "kstem":
+        from .kstem import kstem
+
+        return kstem(token)
+    if kind == "kstem-lite":
         return kstem_lite(token)
     raise ValueError(f"unknown stemmer kind: {kind!r}")

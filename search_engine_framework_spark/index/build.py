@@ -97,6 +97,10 @@ def extract_postings(
     position blobs, so the per-(doc,term) grouping AND position compression
     happen inside the Arrow batch — the only shuffle downstream is the
     segment groupBy, and it moves binary blobs, not position arrays.
+
+    One row per (doc, field) has ``term IS NULL``: the doclen marker
+    (see analyzer.tokenize_udf). Posting consumers filter it out; the
+    doclen table is exactly those rows — a map-only projection.
     """
     tok = tokenize_udf(cfg)
     parts = []
@@ -150,6 +154,7 @@ def build_segments_df(
     covers [doc_lo, n_docs), so salt over that range.
     """
     n_docs = max(doc_lo + 1, n_docs)
+    postings = postings.where(F.col("term").isNotNull())  # drop doclen markers
     salted = postings.withColumn(
         "salt",
         F.least(
@@ -312,7 +317,9 @@ def build_segments_local_df(
         # empty partition: yield nothing — an untyped empty DataFrame would
         # make Arrow guess (and fail) the blocks column type
 
-    subsegs = postings.mapInPandas(encode_partition, schema=SEGMENT_SCHEMA)
+    subsegs = postings.where(F.col("term").isNotNull()).mapInPandas(
+        encode_partition, schema=SEGMENT_SCHEMA
+    )
     merged = (
         subsegs.groupBy("term", "field")
         .agg(
@@ -404,6 +411,7 @@ def build_index(
         with open(base_manifest) as fh:
             base_done = json.load(fh).get("complete", False)
 
+    phases: dict[str, float] = {}
     if base_done:
         # Resume fast path: docmap / doc_terms / doclen / stats are
         # complete and deterministic — skip re-tokenization entirely.
@@ -415,6 +423,7 @@ def build_index(
         docs.write.mode("overwrite").parquet(paths.docmap)
         docs = spark.read.parquet(paths.docmap)
         n_docs = docs.count()
+        phases["docmap"] = round(time.time() - t0, 2)
 
         # Forward index (the reference's TermVector analog,
         # /root/reference/src/TermVector.java:19-94): tokenization — the
@@ -424,6 +433,7 @@ def build_index(
         extract_postings(docs, fields=fields, cfg=cfg).write.mode(
             "overwrite"
         ).parquet(paths.doc_terms)
+        phases["tokenize"] = round(time.time() - t0 - sum(phases.values()), 2)
 
     # Size scan partitions so the segment-encode stage gets ~4 waves per
     # core regardless of the forward index's file layout (small files would
@@ -438,23 +448,62 @@ def build_index(
     par = max(1, spark.sparkContext.defaultParallelism)
     target = max(16 << 20, min(128 << 20, dt_bytes // (4 * par) or (16 << 20)))
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    old_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(target)))
-    postings = spark.read.parquet(paths.doc_terms)
+    try:
+        return _build_index_body(
+            spark, paths, docs, postings_path=paths.doc_terms,
+            n_docs=n_docs, base_done=base_done, base_manifest=base_manifest,
+            fields=fields, cfg=cfg, n_buckets=n_buckets, n_salts=n_salts,
+            block_size=block_size, resume=resume, segment_mode=segment_mode,
+            t0=t0, phases=phases,
+        )
+    finally:
+        # restore session-global confs even on failure (a leaked
+        # maxPartitionBytes would silently reshape every later scan on a
+        # shared session).
+        _restore_conf(spark, "spark.sql.files.maxPartitionBytes", old_mpb)
+        _restore_conf(spark, "spark.sql.sources.partitionOverwriteMode", old_pom)
+
+
+def _restore_conf(spark: SparkSession, key: str, old) -> None:
+    if old is not None:
+        spark.conf.set(key, old)
+    else:
+        spark.conf.unset(key)
+
+
+def _build_index_body(
+    spark: SparkSession,
+    paths: IndexPaths,
+    docs: DataFrame,
+    postings_path: str,
+    n_docs: int,
+    base_done: bool,
+    base_manifest: str,
+    fields: tuple[str, ...],
+    cfg: AnalyzerConfig | None,
+    n_buckets: int,
+    n_salts: int,
+    block_size: int,
+    resume: bool,
+    segment_mode: str,
+    t0: float,
+    phases: dict[str, float] | None = None,
+) -> IndexPaths:
+    phases = {} if phases is None else phases
+
+    def _mark(name: str) -> None:
+        phases[name] = round(time.time() - t0 - sum(phases.values()), 2)
+
+    postings = spark.read.parquet(postings_path)
 
     if not base_done:
-        doclen = postings.select("doc_id", "field", "doclen").groupBy(
-            "doc_id", "field"
-        ).agg(F.first("doclen").alias("doclen"))
-        # Docs whose field analyzed to zero tokens never appear in postings;
-        # right-join docmap to record their doclen=0 rows.
-        all_doc_fields = docs.select("doc_id")
-        full_doclen = None
-        for field in fields:
-            fd = all_doc_fields.withColumn("field", F.lit(field))
-            full_doclen = fd if full_doclen is None else full_doclen.unionByName(fd)
-        doclen = (
-            full_doclen.join(doclen, ["doc_id", "field"], "left")
-            .fillna(0, subset=["doclen"])
+        # doclen = the tokenizer's NULL-term marker rows — one per
+        # (doc, field) including zero-token docs: a map-only filter over
+        # the forward index (no posting groupBy shuffle, no docmap join).
+        doclen = postings.where(F.col("term").isNull()).select(
+            "doc_id", "field", "doclen"
         )
         doclen.write.mode("overwrite").parquet(paths.doclen)
         doclen = spark.read.parquet(paths.doclen)
@@ -462,6 +511,7 @@ def build_index(
         stats = collection_stats(doclen, n_docs)
         with open(paths.stats, "w") as fh:
             json.dump(stats, fh, indent=2, sort_keys=True)
+        _mark("doclen_stats")
         with open(base_manifest, "w") as fh:
             json.dump(
                 {
@@ -469,6 +519,7 @@ def build_index(
                     "n_docs": n_docs,
                     "fields": list(fields),
                     "seconds": round(time.time() - t0, 3),
+                    "phases": phases,
                 },
                 fh,
                 indent=2,
@@ -498,24 +549,30 @@ def build_index(
         .parquet(paths.segments)
     )
 
+    _mark("segments")
     elapsed = time.time() - t0
+    # Per-bucket metrics WITHOUT re-reading posting blocks: the scan below
+    # projects only (bucket, term, field, df, ctf) — column pruning skips
+    # the blocks column entirely — and bytes_compressed comes from the
+    # bucket directory's on-disk parquet sizes (the truthful "bytes
+    # compressed" number anyway). The previous formulation decoded every
+    # block's byte lengths, re-reading the whole index per build.
     seg = spark.read.parquet(paths.segments)
+    bucket_bytes: dict[int, int] = {}
+    for entry in os.listdir(paths.segments):
+        if entry.startswith("bucket="):
+            b = int(entry.split("=", 1)[1])
+            d = os.path.join(paths.segments, entry)
+            bucket_bytes[b] = sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
     per_bucket = (
         seg.groupBy("bucket")
         .agg(
             F.count("*").alias("n_terms"),
             F.sum("df").alias("n_postings"),
-            F.sum(
-                F.aggregate(
-                    "blocks",
-                    F.lit(0).cast("long"),
-                    lambda acc, b: acc
-                    + F.length(b["docs"])
-                    + F.length(b["tfs"])
-                    + F.length(b["doclens"])
-                    + F.length(b["poss"]),
-                )
-            ).alias("bytes_compressed"),
             F.xxhash64(
                 F.sort_array(
                     F.collect_list(F.concat_ws("\x01", "term", "field", "df", "ctf"))
@@ -530,7 +587,7 @@ def build_index(
             "complete": True,
             "n_terms": int(r["n_terms"]),
             "n_postings": int(r["n_postings"]),
-            "bytes_compressed": int(r["bytes_compressed"]),
+            "bytes_compressed": bucket_bytes.get(int(r["bucket"]), 0),
             "content_hash": int(r["content_hash"]),
             "n_docs": n_docs,
             "fields": list(fields),
@@ -550,8 +607,7 @@ def build_index(
             os.path.join(paths.manifests, f"bucket-{r['bucket']:05d}.json"), "w"
         ) as fh:
             json.dump(manifest, fh, indent=2, sort_keys=True, default=str)
-    if old_mpb is not None:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-    else:
-        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    _mark("manifests")
+    if os.environ.get("SEFS_BUILD_VERBOSE"):
+        print(f"build_index phases: {json.dumps(phases)}", flush=True)
     return paths

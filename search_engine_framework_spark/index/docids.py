@@ -52,6 +52,7 @@ def assign_doc_ids(
         F.count("*").alias("n_turns"),
         F.min("turn_idx").alias("min_ti"),
         F.max("turn_idx").alias("max_ti"),
+        F.countDistinct("turn_idx").alias("n_uniq"),
     )
 
     n_parts = range_partitions or max(
@@ -73,7 +74,12 @@ def assign_doc_ids(
             F.max(
                 F.when(
                     (F.col("min_ti") != 0)
-                    | (F.col("max_ti") != F.col("n_turns") - 1),
+                    | (F.col("max_ti") != F.col("n_turns") - 1)
+                    # duplicate turn_idx values pass the min/max density
+                    # check but would yield duplicate doc_ids on the fast
+                    # path (turn_idx [0,2,2] → ids [0,2,2]); force the
+                    # row_number path, which stays dense and unique.
+                    | (F.col("n_uniq") != F.col("n_turns")),
                     1,
                 ).otherwise(0)
             ).alias("sparse"),

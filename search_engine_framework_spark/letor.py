@@ -104,9 +104,19 @@ def query_features(
             df.select("doc_id", F.col(src_col).alias(name)), "doc_id", "left"
         ).withColumn(name, F.coalesce(F.col(name), F.lit(nan)))
 
+    built = set(engine.reader.stats.get("fields", {}))
     for field in FIELDS:
         fq = _field_query(terms, field)
-        if terms:
+        if field not in built:
+            # Field not indexed → NaN features (the reference's
+            # missing-feature sentinel, LearnToRank.java:268-270); the
+            # engine itself raises on unknown fields in a user query.
+            out = (
+                out.withColumn(f"f_bm25_{field}", F.lit(nan))
+                .withColumn(f"f_indri_{field}", F.lit(nan))
+                .withColumn(f"f_overlap_{field}", F.lit(nan))
+            )
+        elif terms:
             add(engine.search_df(fq, BM25()), "score", f"f_bm25_{field}")
             add(engine.search_df(fq, Indri()), "score", f"f_indri_{field}")
             add(_overlap(engine, terms, field), "overlap", f"f_overlap_{field}")
@@ -208,6 +218,55 @@ def rerank(feats: DataFrame, weights: dict[str, float], k: int = 100) -> DataFra
         .where(F.col("rank") <= k)
         .select("qid", "doc_id", "ext_id", "rank", "score")
     )
+
+
+def read_svmrank_model(
+    path: str, features: list[str] | None = None
+) -> dict[str, float]:
+    """Parse an svm_rank LINEAR model file into {feature_name: weight} for
+    ``rerank`` — the reference's letor/svm2weight.pl:1-34 transform, which
+    closes its entry-point-3 loop (LearnToRank.java:921-994 trains via the
+    svm_rank executable; the model it writes is read here).
+
+    Format (svmlight): 11 header lines (line 2 must declare kernel type 0 =
+    linear, line 11 the threshold b), then one line per support vector:
+    ``alpha_y idx:val idx:val ... # comment``. The weight vector is
+    w[idx] = Σ_sv alpha_y · val. 1-based indices map onto ``features``
+    (default: FEATURES, the same order ``svmlight_lines`` writes).
+    """
+    features = list(features or FEATURES)
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    if len(lines) < 12:
+        raise ValueError("not an svm_rank model file: header too short")
+    try:
+        kernel = int(lines[1].split("#", 1)[0].split()[0])
+    except (ValueError, IndexError):
+        raise ValueError("svm_rank model parse error: bad kernel line")
+    if kernel != 0:
+        raise ValueError("not a linear-kernel svm_rank model")
+    if "threshold b" not in lines[10]:
+        raise ValueError("svm_rank model parse error: missing threshold line")
+    w: dict[int, float] = {}
+    for line in lines[11:]:
+        body = line.split("#", 1)[0].strip()
+        if not body:
+            continue
+        parts = body.split()
+        alpha = float(parts[0])
+        for p in parts[1:]:
+            idx, val = p.split(":")
+            i = int(idx)
+            w[i] = w.get(i, 0.0) + alpha * float(val)
+    out = {}
+    for i, wt in sorted(w.items()):
+        if not 1 <= i <= len(features):
+            raise ValueError(
+                f"svm_rank model feature index {i} outside the engine's "
+                f"{len(features)}-feature space"
+            )
+        out[features[i - 1]] = wt
+    return out
 
 
 def read_qrels(path: str) -> dict[tuple[str, str], int]:

@@ -190,12 +190,35 @@ def near_dup_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash64(docs: DataFrame) -> DataFrame:
-    """doc_id, simhash (long): 64-bit tf-weighted SimHash of the token
-    stream, entirely in JVM built-ins.
+def _md5_bit(b: int) -> Column:
+    """Bit ``b`` (0..63) of the term's md5-derived 64-bit hash.
 
-    Per (doc, term, tf): bit b contributes +tf if bit b of
-    xxhash64(term) is 1 else −tf; simhash bit b = 1 iff the sum > 0.
+    Convention (mirrored verbatim by the DuckDB oracle): hex digit
+    ``i = b // 4`` of md5(term), bit ``j = b % 4`` within the digit's
+    value. md5 is bit-identical in every SQL engine, which is the whole
+    point — xxhash64 is Spark-only and made the signature unverifiable.
+    """
+    digit = F.conv(F.substring(F.md5(F.col("term")), b // 4 + 1, 1), 16, 10).cast(
+        "int"
+    )
+    return F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """doc_id, simhash (long), b0..b3 (16-bit bands): tf-weighted SimHash
+    of the token stream, entirely in JVM built-ins.
+
+    Per (doc, term, tf): bit b contributes +tf if bit b of the term's
+    md5-derived hash is 1, else −tf; simhash bit b = 1 iff the sum > 0.
+
+    Scale notes:
+    * the per-bit votes are 64 plain ``F.sum`` columns — hash-aggregate
+      with map-side partial aggregation, so the (doc, term) → doc shuffle
+      moves 64 longs per doc per map partition, not a
+      ``collect_list``-of-arrays per doc (the previous formulation, which
+      defeated partial aggregation entirely);
+    * bit hashes derive from md5 hex digits so the DuckDB oracle can
+      reproduce the signature exactly.
     """
     toks = tokens_col(F.col("text"))
     term_tf = (
@@ -203,45 +226,42 @@ def simhash64(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("int").alias("tf"))
     )
-    # shift amounts must be literal ints in PySpark → unroll the 64 bits
-    contrib = F.array(
-        *[
-            F.when(
-                F.shiftright(F.xxhash64("term"), b).bitwiseAND(F.lit(1)) == 1,
-                F.col("tf"),
-            ).otherwise(-F.col("tf"))
-            for b in range(64)
-        ]
-    )
-    summed = (
-        term_tf.withColumn("bits", contrib)
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.collect_list("bits"),
-                F.array_repeat(F.lit(0).cast("long"), 64),
-                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
-            ).alias("bitsums")
-        )
-    )
+    tf = F.col("tf")
+    sums = [
+        F.sum(F.when(_md5_bit(b) == 1, tf).otherwise(-tf)).alias(f"s{b}")
+        for b in range(64)
+    ]
+    bits = term_tf.groupBy("doc_id").agg(*sums)
+    band_cols = []
+    for k in range(4):
+        v = F.lit(0)
+        for j in range(16):
+            v = v.bitwiseOR(
+                F.when(F.col(f"s{16 * k + j}") > 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                )
+            )
+        band_cols.append(v.alias(f"b{k}"))
+    banded = bits.select("doc_id", *band_cols)
     value = F.lit(0).cast("long")
-    for b in range(64):
+    for k in range(4):
         value = value.bitwiseOR(
-            F.when(
-                F.element_at("bitsums", b + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long"))
+            F.shiftleft(F.col(f"b{k}").cast("long"), 16 * k)
         )
-    return summed.select("doc_id", value.alias("simhash"))
+    return banded.select(
+        "doc_id", value.alias("simhash"), "b0", "b1", "b2", "b3"
+    )
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance ≤ max_hamming.
 
-    Candidate generation by the 4×16-bit band trick (pigeonhole: any
-    pair within distance 3 shares at least one of 4 bands), then exact
-    popcount verify — same recall/verify shape as the MinHash path, and
-    the same linear-then-bucket-join scaling story.
+    Candidate generation by the 4×16-bit band trick, then exact popcount
+    verify — same recall/verify shape as the MinHash path, and the same
+    linear-then-bucket-join scaling story. The pigeonhole guarantee (any
+    pair within distance d shares ≥1 of 4 bands) holds only for
+    ``max_hamming ≤ 3``; larger radii are best-effort recall (documented —
+    the contract entry uses 3, where the output is provably exhaustive).
     """
     bands = sim.select(
         "doc_id",
@@ -250,12 +270,9 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
+                        F.lit(k).alias("band"), F.col(f"b{k}").alias("key")
                     )
-                    for b in range(4)
+                    for k in range(4)
                 ]
             )
         ).alias("bk"),

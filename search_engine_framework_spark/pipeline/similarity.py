@@ -157,28 +157,26 @@ def ivf_centroids(
         .collect()
     )
     cents = [list(map(float, r[0])) for r in seeds]
+    dim = len(cents[0])
     for _ in range(refine):
         assigned = ivf_assign(embs, cents, id_col=id_col, vec_col=vec_col)
+        # Per-dimension mean via posexplode → (list_id, dim) hash aggregate:
+        # map-side combinable, no per-cluster array materialization (a
+        # collect_list of whole vectors would buffer an entire cluster's
+        # members in one aggregation buffer — OOM at ~10^7×dim members).
+        # Driver receives only nlist×dim scalars.
         means = (
             assigned.join(embs, id_col)
-            .groupBy("list_id")
-            .agg(
-                F.aggregate(
-                    F.collect_list(vec_col),
-                    F.array_repeat(F.lit(0.0), len(cents[0])),
-                    lambda acc, x: F.zip_with(
-                        acc, x, lambda p, q: p + q.cast("double")
-                    ),
-                ).alias("s"),
-                F.count("*").alias("c"),
-            )
-            .select(
-                "list_id", F.transform("s", lambda x: x / F.col("c")).alias("m")
-            )
+            .select("list_id", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("list_id", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
             .collect()
         )
+        by_list: dict[int, list[float]] = {}
         for r in means:
-            cents[r["list_id"]] = list(map(float, r["m"]))
+            by_list.setdefault(r["list_id"], [0.0] * dim)[r["dim"]] = float(r["m"])
+        for li, vec in by_list.items():
+            cents[li] = vec
     return cents
 
 

@@ -20,12 +20,24 @@ Lucene index. The Spark-native extension for a living transcript corpus
   decode, no re-sort.
 * ``stream_index`` — Structured Streaming driver: ``foreachBatch`` over a
   transcript stream, each micro-batch appended as one generation.
-  Exactly-once bookkeeping comes from the streaming checkpoint plus the
-  per-generation manifests.
+
+Crash safety (the generation commit protocol): every append first writes
+the whole generation to a staging directory, then records an
+``complete=false`` gen manifest (carrying the pre/post collection stats
+and the staged file list), then publishes by **renaming staged part
+files into the live directories under a generation-tagged name**, then
+updates stats.json, then flips the manifest to ``complete=true`` and
+drops the staging dir. A crash at ANY point leaves either (a) a staging
+dir + incomplete manifest → the next append (or an explicit
+``reconcile_index``) finishes the idempotent publish, or (b) no manifest
+→ nothing happened and the streaming checkpoint replays the batch.
+Publishing by deterministic file names is what makes the redo idempotent
+— re-copying overwrites the same paths instead of duplicating rows.
 """
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 import time
@@ -57,6 +69,96 @@ def _gen_number(paths: IndexPaths) -> int:
     return len(gens) + 1
 
 
+# staged table name → live directory attr on IndexPaths.  Order matters for
+# the (unlikely) partial-copy window: docmap goes LAST so a crash mid-copy
+# leaves documents absent from docmap → the replayed batch re-selects them
+# (re-indexable) instead of orphaning them (in docmap but unsearchable).
+_PUBLISH_ORDER = ("segments", "doc_terms", "doclen", "docmap")
+
+
+def _staged_files(staging: str, table: str) -> list[str]:
+    """Relative paths (under the staged table dir) of data files, including
+    partition subdirs (segments/bucket=N/part-*.parquet)."""
+    base = os.path.join(staging, table)
+    out = []
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root, f), base))
+    return sorted(out)
+
+
+def _publish_staged(paths: IndexPaths, staging: str, gen: int) -> None:
+    """Copy every staged part file into the live table dirs under a
+    deterministic ``gen-{gen}-`` name. Idempotent: re-running overwrites
+    the same destination paths."""
+    import shutil
+
+    for table in _PUBLISH_ORDER:
+        src_base = os.path.join(staging, table)
+        if not os.path.isdir(src_base):
+            continue
+        dst_base = getattr(paths, table)
+        for rel in _staged_files(staging, table):
+            d, f = os.path.split(rel)
+            dst_dir = os.path.join(dst_base, d) if d else dst_base
+            os.makedirs(dst_dir, exist_ok=True)
+            tmp = os.path.join(dst_dir, f".gen-{gen:05d}-{f}.tmp")
+            shutil.copyfile(os.path.join(src_base, rel), tmp)
+            os.replace(tmp, os.path.join(dst_dir, f"gen-{gen:05d}-{f}"))
+
+
+def _remove_published(paths: IndexPaths, gen: int) -> None:
+    """Delete any live files a (partial) publish of ``gen`` created."""
+    prefix = f"gen-{gen:05d}-"
+    for table in _PUBLISH_ORDER:
+        base = getattr(paths, table)
+        if not os.path.isdir(base):
+            continue
+        for root, _dirs, files in os.walk(base):
+            for f in files:
+                if f.startswith(prefix) or f.startswith("." + prefix):
+                    os.remove(os.path.join(root, f))
+
+
+def reconcile_index(paths: IndexPaths | str) -> None:
+    """Finish (or roll back) any generation whose manifest is incomplete.
+
+    * staging dir still present → redo the publish (idempotent), rewrite
+      stats.json from the manifest's ``stats_after``, mark complete.
+    * staging dir gone (cannot redo) → remove any partially published
+      files, restore ``stats_before``, drop the manifest; the streaming
+      checkpoint will replay the batch.
+    """
+    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    if not os.path.isdir(paths.manifests):
+        return
+    for name in sorted(os.listdir(paths.manifests)):
+        if not (name.startswith("gen-") and name.endswith(".json")):
+            continue
+        mpath = os.path.join(paths.manifests, name)
+        with open(mpath) as fh:
+            m = json.load(fh)
+        if m.get("complete"):
+            continue
+        gen = int(m["generation"])
+        staging = m["staging"]
+        if os.path.isdir(staging):
+            _publish_staged(paths, staging, gen)
+            with open(paths.stats, "w") as fh:
+                json.dump(m["stats_after"], fh, indent=2, sort_keys=True)
+            m["complete"] = True
+            m["reconciled"] = True
+            with open(mpath, "w") as fh:
+                json.dump(m, fh, indent=2, sort_keys=True)
+            _rmtree(staging)
+        else:
+            _remove_published(paths, gen)
+            with open(paths.stats, "w") as fh:
+                json.dump(m["stats_before"], fh, indent=2, sort_keys=True)
+            os.remove(mpath)
+
+
 def append_index(
     spark: SparkSession,
     new_transcripts: DataFrame,
@@ -69,25 +171,24 @@ def append_index(
 ) -> int:
     """Append a batch of new turns to an existing index; returns the number
     of turns actually indexed (rows whose (conv_id, turn_idx) already exist
-    are skipped, making replayed micro-batches idempotent-ish at the
-    document level)."""
+    are skipped, making replayed micro-batches idempotent at the document
+    level). See the module docstring for the crash-safe commit protocol."""
     paths = IndexPaths(out_dir)
+    reconcile_index(paths)  # finish any interrupted predecessor first
     with open(paths.stats) as fh:
-        stats = json.load(fh)
-    base_n = stats["N"]
+        stats_before = json.load(fh)
+    base_n = stats_before["N"]
     t0 = time.time()
 
     existing = spark.read.parquet(paths.docmap).select("conv_id", "turn_idx")
     fresh = new_transcripts.join(existing, ["conv_id", "turn_idx"], "left_anti")
 
-    # Stage the generation OUTSIDE the live index paths first: appending to
-    # a path that this lineage also reads (docmap feeds the anti-join)
-    # invalidates and re-evaluates every downstream plan against the
-    # just-appended files, silently dropping the whole batch. Staged files
-    # reset the lineage; the appends below read only the staging dir.
-    # (On Iceberg tables, snapshot isolation makes the staging hop
-    # unnecessary — plain parquet directories need it.)
-    staging = os.path.join(paths.root, "_staging", f"gen-{base_n}")
+    # Stage the generation OUTSIDE the live index paths: appending to a
+    # path this lineage also reads (docmap feeds the anti-join) would
+    # re-evaluate downstream plans against the just-appended files.
+    gen = _gen_number(paths)
+    staging = os.path.join(paths.root, "_staging", f"gen-{gen:05d}")
+    _rmtree(staging)
     docs = assign_doc_ids(fresh, start=base_n)
     docs.write.mode("overwrite").parquet(os.path.join(staging, "docmap"))
     docs = spark.read.parquet(os.path.join(staging, "docmap"))
@@ -101,19 +202,13 @@ def append_index(
     )
     delta = spark.read.parquet(os.path.join(staging, "doc_terms"))
 
-    doclen = delta.groupBy("doc_id", "field").agg(F.first("doclen").alias("doclen"))
-    full = None
-    for field in fields:
-        fd = docs.select("doc_id").withColumn("field", F.lit(field))
-        full = fd if full is None else full.unionByName(fd)
-    doclen = full.join(doclen, ["doc_id", "field"], "left").fillna(0, subset=["doclen"])
+    # doclen = the tokenizer's NULL-term marker rows (map-only; covers
+    # zero-token docs too — see analyzer.tokenize_udf).
+    doclen = delta.where(F.col("term").isNull()).select(
+        "doc_id", "field", "doclen"
+    )
     doclen.write.mode("overwrite").parquet(os.path.join(staging, "doclen"))
     doclen = spark.read.parquet(os.path.join(staging, "doclen"))
-
-    # publish: append staged rows into the live tables
-    docs.write.mode("append").parquet(paths.docmap)
-    delta.write.mode("append").parquet(paths.doc_terms)
-    doclen.write.mode("append").parquet(paths.doclen)
 
     # New generation's segment rows: same encode + salted merge as the base
     # build, salt ranges scoped to THIS generation's doc range (doc_lo) so a
@@ -122,16 +217,16 @@ def append_index(
         delta, base_n + n_new, n_buckets=n_buckets, n_salts=n_salts,
         block_size=block_size, doc_lo=base_n,
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         seg.repartition(n_buckets, "bucket")
         .sortWithinPartitions("term", "field")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(paths.segments)
+        .parquet(os.path.join(staging, "segments"))
     )
 
-    # Update collection stats (driver-side: old totals + delta totals).
+    # Post-publish collection stats, computed BEFORE publishing so the
+    # incomplete manifest carries both sides of the transition.
     delta_stats = (
         doclen.groupBy("field")
         .agg(
@@ -140,29 +235,37 @@ def append_index(
         )
         .collect()
     )
-    stats["N"] = base_n + n_new
+    stats_after = json.loads(json.dumps(stats_before))  # deep copy
+    stats_after["N"] = base_n + n_new
     for r in delta_stats:
-        f_ = stats["fields"].setdefault(
+        f_ = stats_after["fields"].setdefault(
             r["field"], {"sum_doclen": 0, "doc_count": 0}
         )
         f_["sum_doclen"] += int(r["sum_doclen"] or 0)
         f_["doc_count"] += int(r["doc_count"])
-    with open(paths.stats, "w") as fh:
-        json.dump(stats, fh, indent=2, sort_keys=True)
 
-    gen = _gen_number(paths)
-    with open(os.path.join(paths.manifests, f"gen-{gen:05d}.json"), "w") as fh:
-        json.dump(
-            {
-                "generation": gen,
-                "complete": True,
-                "n_new_turns": n_new,
-                "doc_id_range": [base_n, base_n + n_new - 1],
-                "seconds": round(time.time() - t0, 3),
-                "turns_per_sec": round(n_new / max(time.time() - t0, 1e-9), 1),
-            },
-            fh, indent=2, sort_keys=True,
-        )
+    manifest_path = os.path.join(paths.manifests, f"gen-{gen:05d}.json")
+    manifest = {
+        "generation": gen,
+        "complete": False,
+        "staging": staging,
+        "n_new_turns": n_new,
+        "doc_id_range": [base_n, base_n + n_new - 1],
+        "stats_before": stats_before,
+        "stats_after": stats_after,
+    }
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+
+    # publish (crash after any step here is repaired by reconcile_index)
+    _publish_staged(paths, staging, gen)
+    with open(paths.stats, "w") as fh:
+        json.dump(stats_after, fh, indent=2, sort_keys=True)
+    manifest["complete"] = True
+    manifest["seconds"] = round(time.time() - t0, 3)
+    manifest["turns_per_sec"] = round(n_new / max(time.time() - t0, 1e-9), 1)
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
     _rmtree(staging)
     return n_new
 
@@ -171,7 +274,12 @@ def compact_index(spark: SparkSession, out_dir: str, n_buckets: int = 32) -> Non
     """Merge all generations' segment rows per (term, field) — ordered
     block-run concat (generations cover disjoint increasing doc ranges, so
     sort_array on (first_doc, ...) structs restores global docid order
-    without decoding)."""
+    without decoding).
+
+    Swap protocol: write compacted segments to ``segments.compacting``,
+    rename live → ``segments.old``, rename compacted into place, delete
+    the backup — every intermediate state leaves a complete segments
+    directory on disk (live or backup), unlike a delete-then-rename."""
     paths = IndexPaths(out_dir)
     seg = spark.read.parquet(paths.segments)
     merged = (
@@ -190,6 +298,8 @@ def compact_index(spark: SparkSession, out_dir: str, n_buckets: int = 32) -> Non
         .select("bucket", "term", "field", "salt", "df", "ctf", "max_tf", "blocks")
     )
     tmp = paths.segments + ".compacting"
+    backup = paths.segments + ".old"
+    _rmtree(tmp)
     (
         merged.repartition(n_buckets, "bucket")
         .sortWithinPartitions("term", "field")
@@ -197,10 +307,19 @@ def compact_index(spark: SparkSession, out_dir: str, n_buckets: int = 32) -> Non
         .partitionBy("bucket")
         .parquet(tmp)
     )
-    import shutil
+    _rmtree(backup)
+    os.rename(paths.segments, backup)
+    try:
+        os.rename(tmp, paths.segments)
+    except OSError:
+        os.rename(backup, paths.segments)  # restore the live dir
+        raise
+    _rmtree(backup)
 
-    shutil.rmtree(paths.segments)
-    os.rename(tmp, paths.segments)
+
+def _accepted_kwargs(fn, kwargs: dict) -> dict:
+    sig = inspect.signature(fn)
+    return {k: v for k, v in kwargs.items() if k in sig.parameters}
 
 
 def stream_index(
@@ -216,7 +335,13 @@ def stream_index(
     """Structured-Streaming index maintenance: every micro-batch becomes one
     generation (the first batch bootstraps the index). Returns the
     StreamingQuery; with ``available_now`` the query drains what is
-    currently available and stops (periodic-batch deployment shape)."""
+    currently available and stops (periodic-batch deployment shape).
+
+    ``build_kwargs`` may carry options for either callee (e.g.
+    ``segment_mode``/``resume`` for the bootstrap ``build_index``,
+    ``n_salts`` for ``append_index``); each call receives only the keys its
+    signature accepts.
+    """
     paths = IndexPaths(out_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -224,11 +349,13 @@ def stream_index(
             return
         if not os.path.exists(paths.stats):
             build_index(
-                spark, batch_df, out_dir, fields=fields, cfg=cfg, **build_kwargs
+                spark, batch_df, out_dir, fields=fields, cfg=cfg,
+                **_accepted_kwargs(build_index, build_kwargs),
             )
         else:
             append_index(
-                spark, batch_df, out_dir, fields=fields, cfg=cfg, **build_kwargs
+                spark, batch_df, out_dir, fields=fields, cfg=cfg,
+                **_accepted_kwargs(append_index, build_kwargs),
             )
 
     writer = (

@@ -1,0 +1,332 @@
+"""Round-2 features: bucket pruning, block-max pruning, Krovetz stemmer,
+svm_rank model reader, field validation, crash-safe incremental appends."""
+
+import json
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+
+# ---------------------------------------------------------------------------
+# driver-side xxhash64 twin (bucket pruning correctness)
+# ---------------------------------------------------------------------------
+
+def test_spark_xxhash64_twin(spark):
+    from search_engine_framework_spark.functions.spark_hash import (
+        spark_xxhash64,
+        term_bucket,
+    )
+
+    cases = [
+        ("", "body"), ("a", "body"), ("spark", "body"), ("merge", "role"),
+        ("x" * 7, "y"), ("x" * 8, "y"), ("x" * 31, "y"), ("x" * 32, "y"),
+        ("x" * 33, "y"), ("naïve-ünïcode", "tool"), ("12345678", "body"),
+        ("the quick brown fox jumps over the lazy dog", "body"),
+    ]
+    df = spark.createDataFrame(cases, "term string, field string").select(
+        "term",
+        "field",
+        F.xxhash64("term", "field").alias("h"),
+        F.pmod(F.xxhash64("term", "field"), F.lit(8)).cast("int").alias("b"),
+    )
+    for r in df.collect():
+        assert spark_xxhash64(r["term"], r["field"]) == r["h"], r["term"]
+        assert term_bucket(r["term"], r["field"], 8) == r["b"], r["term"]
+
+
+def test_bucket_pruning_in_plan(spark, tiny_index):
+    """The segment scan must carry a PartitionFilters predicate on bucket
+    and still return identical postings."""
+    from search_engine_framework_spark.index.reader import IndexReader
+
+    paths, _rows, _tdf = tiny_index
+    reader = IndexReader(spark, paths)
+    assert reader._n_buckets == 8
+    pairs = {("search", "body"), ("engine", "body")}
+    df = reader._filter_pairs(pairs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # pruned scan sees exactly the same segment rows as an unpruned one
+    unpruned = (
+        reader.segments()
+        .where(F.col("term").isin([t for t, _ in pairs]))
+        .select("term", "field", "df", "ctf")
+    )
+    pruned = df.select("term", "field", "df", "ctf")
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, unpruned.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# block-max pruning: exact top-k with skipped decodes
+# ---------------------------------------------------------------------------
+
+def _skewed_corpus(spark, n_light=400, n_heavy=10):
+    """Docs 0..n_heavy-1: short, tf('zzz')=5 (high BM25). The rest: long
+    with a single 'zzz' (their blocks have max_tf=1 → skippable)."""
+    filler = " ".join(f"w{i}" for i in range(49))
+    rows = []
+    for i in range(n_heavy):
+        rows.append((f"conv-{i:08d}", 0, "user", "zzz zzz zzz zzz zzz", "", None))
+    for i in range(n_heavy, n_heavy + n_light):
+        rows.append((f"conv-{i:08d}", 0, "user", filler + " zzz", "", None))
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_blockmax_prune_exact_topk(spark, tmp_path, monkeypatch):
+    from search_engine_framework_spark import plans
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.plans.models import BM25
+
+    out = str(tmp_path / "ix")
+    # small blocks so the light docs span many max_tf=1 blocks
+    build_index(spark, _skewed_corpus(spark), out, fields=("body",),
+                n_buckets=8, n_salts=4, block_size=8)
+    monkeypatch.setattr(plans.compiler, "_PRUNE_MIN_BLOCKS", 1)
+    eng = SearchEngine(spark, out)
+
+    q = "#SUM(zzz w1)"
+    dec0, skip0 = eng.decode_metrics().values()
+    pruned = [tuple(r) for r in eng.search(q, BM25(), k=5).collect()]
+    dec1, skip1 = eng.decode_metrics().values()
+    assert skip1 > skip0, "no blocks were skipped — pruning not engaged"
+
+    # force-disable pruning via a fresh engine and a huge threshold
+    monkeypatch.setattr(plans.compiler, "_PRUNE_MIN_BLOCKS", 10**9)
+    eng2 = SearchEngine(spark, out)
+    full = [tuple(r) for r in eng2.search(q, BM25(), k=5).collect()]
+    assert pruned == full
+    assert len(full) == 5
+
+
+def test_blockmax_prune_noop_on_unskewed(spark, tmp_path, monkeypatch):
+    """On a corpus where no block can be excluded the planner returns
+    None (or skips nothing) and results are identical either way."""
+    from search_engine_framework_spark import plans
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.plans.models import BM25
+    from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+    out = str(tmp_path / "ix")
+    tdf = synth_transcripts(spark, n_convs=60, seed=11)
+    build_index(spark, tdf, out, fields=("body",), n_buckets=8, n_salts=4,
+                block_size=8)
+    monkeypatch.setattr(plans.compiler, "_PRUNE_MIN_BLOCKS", 1)
+    eng = SearchEngine(spark, out)
+    q = "#SUM(search engine data)"  # negative-idf heads: unprunable
+    pruned = [tuple(r) for r in eng.search(q, BM25(), k=10).collect()]
+    monkeypatch.setattr(plans.compiler, "_PRUNE_MIN_BLOCKS", 10**9)
+    eng2 = SearchEngine(spark, out)
+    full = [tuple(r) for r in eng2.search(q, BM25(), k=10).collect()]
+    assert pruned == full
+
+
+# ---------------------------------------------------------------------------
+# Krovetz stemmer fixtures
+# ---------------------------------------------------------------------------
+
+KSTEM_FIXTURES = {
+    # inflectional
+    "cats": "cat", "policies": "policy", "flies": "fly", "boxes": "box",
+    "churches": "church", "cases": "case", "running": "run",
+    "stopped": "stop", "planned": "plan", "making": "make", "hoped": "hope",
+    "tried": "try", "died": "die", "dying": "die", "agreed": "agree",
+    "children": "child", "feet": "foot", "indices": "index",
+    "leaves": "leaf", "queries": "query", "merging": "merge",
+    "indexed": "index", "scoring": "score", "searching": "search",
+    # derivational (lexicon-confirmed)
+    "quickly": "quick", "happiness": "happy", "happily": "happy",
+    "development": "develop", "readable": "read", "usable": "use",
+    "writer": "write", "runner": "run", "teacher": "teach",
+    "organization": "organize",
+    # protected words (dictionary or exception table)
+    "king": "king", "ring": "ring", "thing": "thing", "string": "string",
+    "news": "news", "series": "series", "analysis": "analysis",
+    "during": "during", "was": "was", "this": "this",
+    # out-of-lexicon: conservative no-ops / heuristic inflection only
+    "baba": "baba", "kelu": "kelu", "tisoma": "tisoma",
+}
+
+
+def test_kstem_fixture_table():
+    from search_engine_framework_spark.functions.kstem import kstem
+
+    bad = {w: kstem(w) for w, e in KSTEM_FIXTURES.items() if kstem(w) != e}
+    assert not bad, f"KStem regressions: {bad}"
+
+
+def test_stemmer_dispatch():
+    from search_engine_framework_spark.functions.stemmer import stem_token
+
+    assert stem_token("quickly", "kstem") == "quick"
+    assert stem_token("quickly", "kstem-lite") == "quickly"  # rules-only
+    assert stem_token("quickly", "none") == "quickly"
+    with pytest.raises(ValueError):
+        stem_token("x", "porter")
+
+
+# ---------------------------------------------------------------------------
+# svm_rank model reader
+# ---------------------------------------------------------------------------
+
+def _write_model(path, sv_lines):
+    header = [
+        "SVM-light Version V6.20",
+        "0 # kernel type",
+        "3 # kernel parameter -d",
+        "1 # kernel parameter -g",
+        "1 # kernel parameter -s",
+        "1 # kernel parameter -r",
+        "empty# kernel parameter -u",
+        "15 # highest feature index",
+        "2 # number of training documents",
+        "3 # number of support vectors plus 1",
+        "0.5 # threshold b, each following set of lines is a SV",
+    ]
+    path.write_text("\n".join(header + sv_lines) + "\n")
+
+
+def test_svmrank_model_roundtrip(tmp_path):
+    from search_engine_framework_spark.letor import FEATURES, read_svmrank_model
+
+    m = tmp_path / "model"
+    _write_model(m, [
+        "2.0 1:0.25 3:-1.0 # sv1",
+        "-0.5 1:1.0 2:2.0 # sv2",
+    ])
+    w = read_svmrank_model(str(m))
+    assert w[FEATURES[0]] == pytest.approx(2.0 * 0.25 - 0.5 * 1.0)
+    assert w[FEATURES[1]] == pytest.approx(-0.5 * 2.0)
+    assert w[FEATURES[2]] == pytest.approx(-2.0)
+
+
+def test_svmrank_model_rejects_nonlinear(tmp_path):
+    from search_engine_framework_spark.letor import read_svmrank_model
+
+    m = tmp_path / "model"
+    lines = m  # reuse writer with a patched kernel line
+    _write_model(m, ["1.0 1:1.0 #"])
+    txt = m.read_text().replace("0 # kernel type", "2 # kernel type")
+    m.write_text(txt)
+    with pytest.raises(ValueError, match="linear"):
+        read_svmrank_model(str(m))
+
+
+def test_svmrank_weights_drive_rerank(spark, tmp_path):
+    from search_engine_framework_spark.letor import (
+        FEATURES,
+        read_svmrank_model,
+        rerank,
+    )
+
+    m = tmp_path / "model"
+    _write_model(m, ["1.0 1:2.0 2:1.0 #"])
+    w = read_svmrank_model(str(m))
+    feats = spark.createDataFrame(
+        [
+            ("q1", 1, "a", 1.0, 0.0),
+            ("q1", 2, "b", 0.0, 3.0),
+        ],
+        f"qid string, doc_id long, ext_id string, {FEATURES[0]} double, {FEATURES[1]} double",
+    )
+    for f in FEATURES[2:]:
+        feats = feats.withColumn(f, F.lit(float("nan")))
+    got = rerank(feats, w, k=10).orderBy("rank").collect()
+    assert [r["ext_id"] for r in got] == ["b", "a"]  # 3.0 > 2.0
+    assert got[0]["score"] == pytest.approx(3.0)
+
+
+# ---------------------------------------------------------------------------
+# unknown-field validation
+# ---------------------------------------------------------------------------
+
+def test_unknown_field_raises(spark, tiny_index):
+    from search_engine_framework_spark.engine import (
+        SearchEngine,
+        UnknownFieldError,
+    )
+    from search_engine_framework_spark.plans.models import BM25
+
+    paths, _rows, _tdf = tiny_index  # built with fields=("body", "role")
+    eng = SearchEngine(spark, paths)
+    with pytest.raises(UnknownFieldError, match="url"):
+        eng.search("apple.url", BM25(), k=5)
+    # known-but-unqueried field still fine
+    assert eng.search("user.role", BM25(), k=5) is not None
+
+
+# ---------------------------------------------------------------------------
+# crash-safe incremental publish
+# ---------------------------------------------------------------------------
+
+def test_append_crash_is_reconciled(spark, tmp_path, monkeypatch):
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.plans.models import BM25
+    from search_engine_framework_spark.sources.transcripts import synth_transcripts
+    from search_engine_framework_spark.streaming import incremental
+
+    out = str(tmp_path / "ix")
+    base = synth_transcripts(spark, n_convs=12, seed=3)
+    build_index(spark, base, out, fields=("body",), n_buckets=4, n_salts=2)
+    with open(os.path.join(out, "stats.json")) as fh:
+        n_before = json.load(fh)["N"]
+
+    delta = synth_transcripts(spark, n_convs=18, seed=3).where(
+        F.col("conv_id") > "conv-00000011"
+    )
+
+    # crash mid-publish: segments copied, everything after missing
+    real_publish = incremental._publish_staged
+
+    def exploding_publish(paths, staging, gen):
+        real_publish(paths, staging, gen)  # stage copy is idempotent...
+        raise RuntimeError("simulated crash before stats/manifest commit")
+
+    monkeypatch.setattr(incremental, "_publish_staged", exploding_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        incremental.append_index(spark, delta, out, fields=("body",),
+                                 n_buckets=4, n_salts=2)
+    monkeypatch.setattr(incremental, "_publish_staged", real_publish)
+
+    # stats untouched by the failed publish
+    with open(os.path.join(out, "stats.json")) as fh:
+        assert json.load(fh)["N"] == n_before
+    # a later append first reconciles the orphaned generation, then
+    # appends nothing new (same batch) — the index ends consistent
+    n2 = incremental.append_index(spark, delta, out, fields=("body",),
+                                  n_buckets=4, n_salts=2)
+    assert n2 == 0  # reconcile published the staged generation first
+    with open(os.path.join(out, "stats.json")) as fh:
+        stats = json.load(fh)
+    n_appended = delta.count()
+    assert stats["N"] == n_before + n_appended
+
+    # docmap/doclen/segments agree with stats
+    eng = SearchEngine(spark, out)
+    assert eng.reader.docmap().count() == stats["N"]
+    assert eng.reader.doclen().count() == stats["N"]
+    assert eng.search("search engine", BM25(), k=5).count() > 0
+
+
+def test_duplicate_turn_idx_falls_back_to_dense_unique_ids(spark):
+    from search_engine_framework_spark.index.docids import assign_doc_ids
+
+    df = spark.createDataFrame(
+        [("c1", 0, "u", "a", "", None), ("c1", 2, "u", "b", "", None),
+         ("c1", 2, "u", "c", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = assign_doc_ids(df)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 1, 2], "duplicate turn_idx must not yield duplicate ids"
