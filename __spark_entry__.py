@@ -9,10 +9,12 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). Rows-only entries
-                  (bm25_ref_analyzer, simhash_pairs, ann_ivf) use the
-                  reference analyzer / hash kernels that ANSI SQL cannot
-                  express.
+                  summation orders differ). Two rows-only entries remain,
+                  each with a hard twin elsewhere: bm25_ref_analyzer
+                  (Krovetz stemming is not ANSI-SQL-expressible; locked by
+                  a pytest golden fixture) and ann_ivf (partial-probe
+                  subset depends on learned centroids; its nprobe=nlist
+                  twin ann_ivf_exactprobe IS oracle-checked).
 
 Implementation lives in search_engine_framework_spark/contract.py.
 """

@@ -121,6 +121,20 @@ def main() -> None:
     timings["bm25_queryset"] = round(time.time() - t_all, 3)
     extra["bm25_topk_p50"] = round(statistics.median(lat), 3)
 
+    # Block-max pruning evidence (codec max_tf metadata →
+    # compiler._bm25_block_prune): forced engagement — at this tiny index
+    # the default threshold correctly declines the 2 extra jobs, at scale
+    # the skipped decode dominates. Counters show blocks never decoded.
+    lat_p = []
+    t_all = time.time()
+    for q in BM25_QUERIES:
+        t0 = time.time()
+        engine.search(q, BM25(), k=10, prune_min_blocks=1)
+        lat_p.append(time.time() - t0)
+    timings["bm25_queryset_pruned"] = round(time.time() - t_all, 3)
+    extra["bm25_pruned_p50"] = round(statistics.median(lat_p), 3)
+    extra.update(engine.decode_metrics())
+
     t0 = time.time()
     engine.search("#AND(spark #OR(merge window) #NOT(customer))", RankedBoolean(), k=10)
     timings["boolean_query"] = round(time.time() - t0, 3)
@@ -133,6 +147,20 @@ def main() -> None:
     t0 = time.time()
     engine.search("#WAND(0.6 spark 0.4 #AND(merge window))", Indri(), k=10)
     timings["indri_query"] = round(time.time() - t0, 3)
+
+    # ---- batched LeToR feature extraction (one job wave, all queries) ----
+    from search_engine_framework_spark.letor_batch import batch_query_features
+
+    lq = {f"q{i}": q.replace("#SUM(", "").rstrip(")")
+          for i, q in enumerate(BM25_QUERIES[:5])}
+    cand_rows = []
+    for qid, text in lq.items():
+        for r in engine.search(text, BM25(), k=20).collect():
+            cand_rows.append((qid, r["doc_id"]))
+    cand = spark.createDataFrame(cand_rows, "qid string, doc_id long")
+    t0 = time.time()
+    batch_query_features(engine, lq, cand).count()
+    timings["letor_batch_features"] = round(time.time() - t0, 3)
 
     # ---- pipeline operators ----------------------------------------------
     t0 = time.time()

@@ -45,9 +45,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # 8→32 is reported as context: the same probe shows the box itself tops
 # out at ~0.6 efficiency for 8→32 workers with NO Spark involved (memory
 # subsystem saturation) — separate cluster nodes don't share that ceiling.
+# The headline (criterion) pair runs at 1.92M convs (~15.4M turns): the
+# job's fixed cost layer (~35-40 s of driver round-trips / commits /
+# broadcasts, measured by phase differencing) must amortize below ~10% of
+# the SMALL level's wall or it reads as false inefficiency. The 8→32
+# context pair stays at 480k convs (hardware-capped anyway, §BENCH.md).
 PAIRS = (
-    (2, 8, int(os.environ.get("SCALE_N_CONVS", "480000"))),
-    (8, 32, int(os.environ.get("SCALE_N_CONVS", "480000"))),
+    (2, 8, int(os.environ.get("SCALE_N_CONVS", "1920000"))),
+    (8, 32, int(os.environ.get("SCALE_N_CONVS_CTX", "480000"))),
 )
 
 
@@ -62,6 +67,11 @@ def worker(cpus: int, n_convs: int) -> None:
     # Shuffle partitions scale with the "cluster" (as a real N-vs-4N
     # deployment would); the job itself — including the segment bucket
     # count, i.e. the output layout — is IDENTICAL at every level.
+    # 48g heap: the single local JVM hosts every "executor" thread, so GC
+    # headroom is shared — stop-the-world pauses act as a serial component
+    # at every level (measured: 102 s → 88 s at local[8]/3.84M turns going
+    # 16g → 48g). Real clusters give each executor its own heap.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     from search_engine_framework_spark.session import get_spark
 
     # 4 shuffle partitions per core: enough granularity that head-term
@@ -122,19 +132,26 @@ def _tok_burn(seed: int) -> int:
     return n
 
 
-def hardware_probe() -> dict:
+def hardware_probe(trials: int = 3) -> dict:
     """Plain-multiprocessing tokenization throughput (docs/s) at each
     level — the box's own scaling ceiling for this workload class,
-    independent of Spark or the engine's pipeline."""
+    independent of Spark or the engine's pipeline. Best-of-``trials`` per
+    level (same methodology as the job runs): this is a SHARED host, noise
+    is strictly additive slowdown, so the best observation approximates
+    the quiet-box value (single trials ranged 0.69–1.01 efficiency for
+    the identical workload)."""
     levels = sorted({c for pair in PAIRS for c in pair[:2]})
     out = {}
     for workers in levels:
+        best = 0.0
         with mp.Pool(workers) as p:
             p.map(_tok_burn, range(workers))  # warm imports
-            t0 = time.time()
-            p.map(_tok_burn, range(workers * 2))
-            dt = time.time() - t0
-        out[workers] = round(workers * 2 * 25 * 200 / dt, 1)  # docs/s
+            for _ in range(trials):
+                t0 = time.time()
+                p.map(_tok_burn, range(workers * 2))
+                dt = time.time() - t0
+                best = max(best, workers * 2 * 25 * 200 / dt)
+        out[workers] = round(best, 1)  # docs/s
     return out
 
 

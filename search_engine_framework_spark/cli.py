@@ -182,9 +182,19 @@ def main(argv: list[str] | None = None) -> None:
     if not os.path.isdir(params.get("indexPath", "")):
         src = params.get("transcriptsPath")
         if src:
-            from .index.build import build_index
+            from .index.build import DEFAULT_FIELDS, build_index
 
-            build_index(spark, spark.read.parquet(src), params["indexPath"])
+            # indexFields=body,role,tool — which transcript fields to index
+            # (the reference's web-field analog, QryEval.java:529)
+            fields = tuple(
+                f.strip()
+                for f in params.get("indexFields", ",".join(DEFAULT_FIELDS)).split(",")
+                if f.strip()
+            )
+            build_index(
+                spark, spark.read.parquet(src), params["indexPath"],
+                fields=fields,
+            )
     lines = run_param_file(spark, params)
     print(f"{len(lines)} result lines -> {params['trecEvalOutputPath']}")
 

@@ -345,6 +345,14 @@ def q_lang_id(spark, sf_dir):
     return textstats.lang_id(docs)
 
 
+def q_token_counts(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    tc = textstats.token_counts(docs)
+    return tc.select(
+        "doc_id", "n_ws", "n_bpe", _r4(F.col("bpe_per_ws")).alias("bpe_per_ws")
+    )
+
+
 def q_knn_cosine(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
@@ -843,6 +851,21 @@ SELECT a, b, hamming::BIGINT AS hamming FROM ham WHERE hamming <= 3
     )
 
 
+ORACLE_SQL["token_counts"] = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+           AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))::BIGINT
+           AS n_bpe
+  FROM documents
+)
+SELECT doc_id, n_ws, n_bpe,
+       round(CASE WHEN n_ws > 0 THEN n_bpe::DOUBLE / n_ws ELSE 0.0 END, 4)
+         + 0.0 AS bpe_per_ws
+FROM c
+"""
+
 ORACLE_SQL["simhash_pairs"] = _simhash_sql()
 # nprobe = nlist degenerates to exact kNN over vec_id <> 0 — same oracle.
 ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
@@ -870,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_pairs": q_neardup_pairs,
     "quality": q_quality,
     "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
     "knn_cosine": q_knn_cosine,
     "events_hourly": q_events_hourly,
     "multimodal_features": q_multimodal_features,

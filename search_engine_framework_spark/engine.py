@@ -43,8 +43,13 @@ class SearchEngine:
         query: str,
         model: RetrievalModel,
         k: int = 100,
+        prune_min_blocks: int | None = None,
     ) -> DataFrame:
-        """→ DataFrame(doc_id, ext_id, rank, score), reference ordering."""
+        """→ DataFrame(doc_id, ext_id, rank, score), reference ordering.
+
+        ``prune_min_blocks`` overrides the block-max pruning engagement
+        threshold (plans/compiler._PRUNE_MIN_BLOCKS; 0 forces pruning on
+        any BM25 #SUM query, huge values disable it)."""
         node = parse_query(query, model, self.analyzer)
         if node is None:
             return self.spark.createDataFrame(
@@ -54,7 +59,7 @@ class SearchEngine:
         compiler = QueryCompiler(self.reader, model)
         # topk enables block-max decode pruning on the BM25 #SUM fast path
         # (exact top-k; no-op for other models/trees — compiler.prepare).
-        compiler.prepare(node, topk=k)
+        compiler.prepare(node, topk=k, prune_min_blocks=prune_min_blocks)
         try:
             scored = compiler.compile_query(node)
             docmap = self.reader.docmap().select("doc_id", "ext_id")

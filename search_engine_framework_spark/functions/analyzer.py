@@ -37,7 +37,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 from .stopwords import LUCENE_ENGLISH_STOPWORDS
-from .stemmer import stem_token
+from .stemmer import get_stemmer
 
 # Approximation of UAX#29 word boundaries as used by Lucene's
 # StandardTokenizer: digit runs may contain . or , separators (MidNum);
@@ -89,13 +89,14 @@ def analyze_positions(text: str, cfg: AnalyzerConfig | None = None) -> list[tupl
     posIncrement semantics). Position slots are 0-based.
     """
     cfg = cfg or AnalyzerConfig.reference()
+    stem = get_stemmer(cfg.stemmer)  # bound once — not per token
     out: list[tuple[int, str]] = []
     pos = 0
     for tok in _raw_tokens(text or "", cfg):
         if cfg.stopwords and tok in LUCENE_ENGLISH_STOPWORDS:
             pos += 1
             continue
-        out.append((pos, stem_token(tok, cfg.stemmer)))
+        out.append((pos, stem(tok)))
         pos += 1
     return out
 
@@ -107,6 +108,23 @@ def analyze_terms(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
 
 
 SQL_SAFE = AnalyzerConfig.sql_safe()
+
+
+def doc_term_blob_rows(
+    text: str, cfg: AnalyzerConfig | None = None
+) -> tuple[list[tuple[str, int, bytes]], int]:
+    """One document → ([(term, tf, pos_blob)], doclen) — the lean tuple
+    form the index build's Arrow tokenizer emits (no per-entry dicts)."""
+    from .codec import encode_pos_blob
+
+    toks = analyze_positions(text, cfg)
+    by_term: dict[str, list[int]] = {}
+    for pos, term in toks:
+        by_term.setdefault(term, []).append(pos)
+    return (
+        [(t, len(ps), encode_pos_blob(ps)) for t, ps in sorted(by_term.items())],
+        len(toks),
+    )
 
 
 def doc_term_entries(text: str, cfg: AnalyzerConfig | None = None) -> tuple[list[dict], int]:
@@ -147,11 +165,9 @@ def tokenize_udf(cfg: AnalyzerConfig | None = None):
     array<int>, and segment encoding concatenates blobs without touching
     positions again.
 
-    The LAST entry of every array is a ``term=NULL, tf=0`` doclen marker:
-    after the explode it becomes the document's (doc_id, field, doclen)
-    row, which makes the doclen side table a map-only FILTER over the
-    forward index — no posting-level groupBy shuffle, and no docmap join
-    to recover zero-token documents (they emit just the marker).
+    NOTE: the index build itself now uses ``index.build.extract_postings``
+    (mapInArrow, flat rows + a NULL-term doclen marker per doc) — this UDF
+    remains as the standalone column-level tokenizer surface.
     """
     cfg = cfg or AnalyzerConfig.reference()
 
@@ -159,8 +175,6 @@ def tokenize_udf(cfg: AnalyzerConfig | None = None):
 
     @pandas_udf(_POSTING_ENTRY_SCHEMA)
     def _tok(texts: pd.Series) -> pd.Series:
-        marker = {"term": None, "tf": 0, "pos_blob": b""}
-
         def one(t):
             return [
                 {
@@ -169,7 +183,7 @@ def tokenize_udf(cfg: AnalyzerConfig | None = None):
                     "pos_blob": encode_pos_blob(e["positions"]),
                 }
                 for e in doc_term_entries(t, cfg)[0]
-            ] + [marker]
+            ]
 
         return texts.map(one)
 

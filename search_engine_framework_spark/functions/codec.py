@@ -256,6 +256,60 @@ def encode_blocks_from_blobs(
     return blocks
 
 
+def encode_blocks_from_blob_stream(
+    doc_ids,
+    tfs,
+    doclens,
+    blob_data: np.ndarray,
+    blob_offsets: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[Block]:
+    """Like ``encode_blocks_from_blobs`` but the per-posting ``poss``
+    fragments live CONTIGUOUSLY (already in posting order) in one byte
+    buffer with an offsets array — the Arrow BinaryArray layout. A block's
+    ``poss`` stream is then a single buffer slice instead of a Python-level
+    ``b"".join`` over per-row bytes objects (the join was the last
+    per-posting Python object left in the encode path)."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    n = d.size
+    if n == 0:
+        return []
+    tf_arr = np.asarray(tfs, dtype=np.int64)
+    dl_arr = np.asarray(doclens, dtype=np.int64)
+
+    block_starts = np.arange(0, n, block_size, dtype=np.int64)
+    n_blocks = len(block_starts)
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    gaps[1:] = d[1:] - d[:-1]
+    gaps[block_starts] = 0
+
+    bounds = np.append(block_starts, n)
+    docs_parts = _split_encoded(gaps.astype(np.uint64), bounds)
+    tfs_parts = _split_encoded(tf_arr.astype(np.uint64), bounds)
+    dls_parts = _split_encoded(dl_arr.astype(np.uint64), bounds)
+
+    block_max_tf = np.maximum.reduceat(tf_arr, block_starts)
+    blocks = []
+    for i in range(n_blocks):
+        s = int(block_starts[i])
+        e = int(bounds[i + 1])
+        blocks.append(
+            Block(
+                first_doc=int(d[s]),
+                last_doc=int(d[e - 1]),
+                n=e - s,
+                max_tf=int(block_max_tf[i]),
+                docs=docs_parts[i],
+                tfs=tfs_parts[i],
+                doclens=dls_parts[i],
+                poss=blob_data[blob_offsets[s]:blob_offsets[e]].tobytes(),
+            )
+        )
+    return blocks
+
+
 def encode_blocks(
     doc_ids,
     tfs,

@@ -153,8 +153,9 @@ def kstem_lite(word: str) -> str:
     return w2
 
 
-def stem_token(token: str, kind: str = "kstem") -> str:
-    """Pluggable stemmer dispatch.
+def get_stemmer(kind: str = "kstem"):
+    """Resolve a stemmer kind to its callable ONCE (callers bind it outside
+    their token loops — a per-token dispatch costs ~0.5µs × 10¹² tokens).
 
     * ``"kstem"`` — the dictionary-driven Krovetz port
       (functions/kstem.py), the default and the reference-parity path
@@ -164,11 +165,16 @@ def stem_token(token: str, kind: str = "kstem") -> str:
     * ``"none"`` — identity.
     """
     if kind == "none":
-        return token
+        return lambda tok: tok
     if kind == "kstem":
         from .kstem import kstem
 
-        return kstem(token)
+        return kstem
     if kind == "kstem-lite":
-        return kstem_lite(token)
+        return kstem_lite
     raise ValueError(f"unknown stemmer kind: {kind!r}")
+
+
+def stem_token(token: str, kind: str = "kstem") -> str:
+    """One-shot convenience wrapper over ``get_stemmer``."""
+    return get_stemmer(kind)(token)

@@ -41,7 +41,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.analyzer import AnalyzerConfig, tokenize_udf
+from ..functions.analyzer import AnalyzerConfig
 from ..functions.codec import encode_blocks_from_blobs
 from .docids import assign_doc_ids
 
@@ -50,6 +50,37 @@ SEGMENT_SCHEMA = (
     "max_tf int, blocks array<struct<first_doc:long,last_doc:long,n:int,"
     "max_tf:int,docs:binary,tfs:binary,doclens:binary,poss:binary>>"
 )
+
+def _pa_segment_schema():
+    import pyarrow as pa
+
+    block = pa.struct(
+        [
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("n", pa.int32()),
+            ("max_tf", pa.int32()),
+            ("docs", pa.binary()),
+            ("tfs", pa.binary()),
+            ("doclens", pa.binary()),
+            ("poss", pa.binary()),
+        ]
+    )
+    return pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("term", pa.string()),
+            ("field", pa.string()),
+            ("salt", pa.int32()),
+            ("df", pa.int64()),
+            ("ctf", pa.int64()),
+            ("max_tf", pa.int32()),
+            ("blocks", pa.list_(block)),
+        ]
+    )
+
+
+_PA_SEGMENT = _pa_segment_schema()
 
 DEFAULT_FIELDS = ("body",)
 ALL_FIELDS = ("body", "role", "tool")
@@ -98,41 +129,69 @@ def extract_postings(
     happen inside the Arrow batch — the only shuffle downstream is the
     segment groupBy, and it moves binary blobs, not position arrays.
 
-    One row per (doc, field) has ``term IS NULL``: the doclen marker
-    (see analyzer.tokenize_udf). Posting consumers filter it out; the
-    doclen table is exactly those rows — a map-only projection.
+    One row per (doc, field) has ``term IS NULL``: the doclen marker.
+    Posting consumers filter it out; the doclen table is exactly those
+    rows — a map-only projection.
     """
-    tok = tokenize_udf(cfg)
-    parts = []
-    for field in fields:
-        src = _FIELD_SOURCE[field]
-        entries = docs.select(
-            F.col("doc_id"),
-            F.lit(field).alias("field"),
-            tok(F.coalesce(F.col(src), F.lit(""))).alias("entries"),
-        ).withColumn(
-            "doclen",
-            F.aggregate("entries", F.lit(0), lambda acc, e: acc + e["tf"]),
-        )
-        parts.append(
-            entries.select(
-                "doc_id",
-                "field",
-                "doclen",
-                F.explode("entries").alias("e"),
-            ).select(
-                F.col("e.term").alias("term"),
-                "field",
-                "doc_id",
-                F.col("e.tf").alias("tf"),
-                F.col("e.pos_blob").alias("pos_blob"),
-                "doclen",
+    cfg = cfg or AnalyzerConfig.reference()
+    srcs = [(f, _FIELD_SOURCE[f]) for f in fields]
+    input_df = docs.select("doc_id", *sorted({s for _f, s in srcs}))
+
+    def tok(batches) -> Iterator:
+        # mapInArrow: one flat (term, field, doc_id, tf, pos_blob, doclen)
+        # batch straight out of the tokenizer — no per-entry dicts, no
+        # array<struct> column, no JVM explode. The only per-posting
+        # Python costs left are the tokenizer itself and list appends.
+        import pyarrow as pa
+
+        from ..functions.analyzer import doc_term_blob_rows
+
+        for batch in batches:
+            names = batch.schema.names
+            doc_ids = batch.column(names.index("doc_id")).to_pylist()
+            o_term: list = []
+            o_field: list = []
+            o_doc: list = []
+            o_tf: list = []
+            o_blob: list = []
+            o_dlen: list = []
+            for field, src in srcs:
+                texts = batch.column(names.index(src)).to_pylist()
+                for doc_id, text in zip(doc_ids, texts):
+                    rows, dlen = doc_term_blob_rows(text or "", cfg)
+                    for t, tf, blob in rows:
+                        o_term.append(t)
+                        o_field.append(field)
+                        o_doc.append(doc_id)
+                        o_tf.append(tf)
+                        o_blob.append(blob)
+                        o_dlen.append(dlen)
+                    # doclen marker row (see module docstring)
+                    o_term.append(None)
+                    o_field.append(field)
+                    o_doc.append(doc_id)
+                    o_tf.append(0)
+                    o_blob.append(b"")
+                    o_dlen.append(dlen)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_term, pa.string()),
+                    pa.array(o_field, pa.string()),
+                    pa.array(o_doc, pa.int64()),
+                    pa.array(o_tf, pa.int32()),
+                    pa.array(o_blob, pa.binary()),
+                    pa.array(o_dlen, pa.int32()),
+                ],
+                names=["term", "field", "doc_id", "tf", "pos_blob", "doclen"],
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    return input_df.mapInArrow(
+        tok,
+        schema=(
+            "term string, field string, doc_id long, tf int, "
+            "pos_blob binary, doclen int"
+        ),
+    )
 
 
 def build_segments_df(
@@ -216,9 +275,8 @@ def build_segments_df(
     return merged
 
 
-def build_segments_local_df(
+def encode_subsegments(
     postings: DataFrame,
-    n_buckets: int = 32,
     block_size: int = 128,
 ) -> DataFrame:
     """Partition-local index build + block-level merge (the
@@ -249,95 +307,214 @@ def build_segments_local_df(
     partition's raw postings fit executor-python memory.
     """
 
-    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode_partition(batches) -> Iterator:
+        # mapInArrow, not mapInPandas: a pandas crossing materializes one
+        # Python str/bytes OBJECT per posting row (~70M per 4M-turn build),
+        # and that allocation storm — not the encoding math — dominated
+        # the whole segment phase (measured: 40s of a 44s encode stage was
+        # a pure pass-through). Arrow keeps terms dictionary-encoded
+        # (C-level) and position blobs in one contiguous buffer; Python
+        # objects exist only per distinct TERM (~thousands), not per row.
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        # Buffer raw columns (no per-batch grouping — a pandas groupby per
-        # Arrow batch costs ~25µs per GROUP per batch, which at thousands
-        # of distinct terms × thousands of batches dominated the build),
-        # then do ONE vectorized factorize + lexsort per partition and
-        # slice group runs out of the sorted arrays.
-        t_parts, f_parts, d_parts, tf_parts, dl_parts, blob_parts = (
-            [], [], [], [], [], []
-        )
-        for pdf in batches:
-            t_parts.append(pdf["term"].to_numpy())
-            f_parts.append(pdf["field"].to_numpy())
-            d_parts.append(pdf["doc_id"].to_numpy())
-            tf_parts.append(pdf["tf"].to_numpy())
-            dl_parts.append(pdf["doclen"].to_numpy())
-            blob_parts.append(pdf["pos_blob"].to_numpy())
+        from ..functions.codec import encode_blocks_from_blob_stream
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        tab = pa.Table.from_batches(chunks)
+        if tab.num_rows == 0:
+            return
+        term_dict = pc.dictionary_encode(tab["term"].combine_chunks())
+        field_dict = pc.dictionary_encode(tab["field"].combine_chunks())
+        tcodes = term_dict.indices.to_numpy()
+        fcodes = field_dict.indices.to_numpy()
+        tuniq = term_dict.dictionary.to_pylist()
+        funiq = field_dict.dictionary.to_pylist()
+        docs = tab["doc_id"].to_numpy()
+        tfs = tab["tf"].to_numpy()
+        dls = tab["doclen"].to_numpy()
+        order = np.lexsort((docs, tcodes, fcodes))
+        tcodes = tcodes[order]
+        fcodes = fcodes[order]
+        docs = docs[order]
+        tfs = tfs[order]
+        dls = dls[order]
+        # reorder the blobs in C (take), then slice its ONE data buffer
+        blobs = pc.take(tab["pos_blob"].combine_chunks(), pa.array(order))
+        assert blobs.offset == 0
+        blob_offsets = np.frombuffer(blobs.buffers()[1], dtype=np.int32)
+        blob_data = np.frombuffer(blobs.buffers()[2], dtype=np.uint8)
+
+        key_change = np.empty(len(order), dtype=bool)
+        key_change[0] = True
+        key_change[1:] = (np.diff(tcodes) != 0) | (np.diff(fcodes) != 0)
+        starts = np.flatnonzero(key_change)
+        ends = np.append(starts[1:], len(order))
         rows = {
             "bucket": [], "term": [], "field": [], "salt": [],
             "df": [], "ctf": [], "max_tf": [], "blocks": [],
         }
-        if t_parts:
-            terms = np.concatenate(t_parts)
-            fcol = np.concatenate(f_parts)
-            docs = np.concatenate(d_parts)
-            tfs = np.concatenate(tf_parts)
-            dls = np.concatenate(dl_parts)
-            blobs = np.concatenate(blob_parts)
-            tcodes, tuniq = pd.factorize(terms, sort=False)
-            fcodes, funiq = pd.factorize(fcol, sort=False)
-            order = np.lexsort((docs, tcodes, fcodes))
-            tcodes = tcodes[order]
-            fcodes = fcodes[order]
-            docs = docs[order]
-            tfs = tfs[order]
-            dls = dls[order]
-            blobs = blobs[order]
-            key_change = np.empty(len(order), dtype=bool)
-            key_change[0] = True
-            key_change[1:] = (np.diff(tcodes) != 0) | (np.diff(fcodes) != 0)
-            starts = np.flatnonzero(key_change)
-            ends = np.append(starts[1:], len(order))
-            for s, e in zip(starts, ends):
-                t_arr = tfs[s:e]
-                blocks = encode_blocks_from_blobs(
-                    docs[s:e], t_arr, dls[s:e], blobs[s:e],
-                    block_size=block_size,
-                )
-                rows["bucket"].append(0)
-                rows["term"].append(str(tuniq[tcodes[s]]))
-                rows["field"].append(str(funiq[fcodes[s]]))
-                rows["salt"].append(0)
-                rows["df"].append(int(e - s))
-                rows["ctf"].append(int(t_arr.sum()))
-                rows["max_tf"].append(int(t_arr.max()))
-                rows["blocks"].append([b.__dict__ for b in blocks])
-                # Bounded output batches: one giant DataFrame per partition
-                # can exceed Arrow's per-chunk conversion limits and holds
-                # every encoded block in memory twice.
-                if len(rows["term"]) >= 512:
-                    yield pd.DataFrame(rows)
-                    rows = {k: [] for k in rows}
-            if rows["term"]:
-                yield pd.DataFrame(rows)
-        # empty partition: yield nothing — an untyped empty DataFrame would
-        # make Arrow guess (and fail) the blocks column type
+        for s, e in zip(starts, ends):
+            t_arr = tfs[s:e]
+            blocks = encode_blocks_from_blob_stream(
+                docs[s:e], t_arr, dls[s:e], blob_data, blob_offsets[s:e + 1],
+                block_size=block_size,
+            )
+            rows["bucket"].append(0)
+            rows["term"].append(tuniq[tcodes[s]])
+            rows["field"].append(funiq[fcodes[s]])
+            rows["salt"].append(0)
+            rows["df"].append(int(e - s))
+            rows["ctf"].append(int(t_arr.sum()))
+            rows["max_tf"].append(int(t_arr.max()))
+            rows["blocks"].append([b.__dict__ for b in blocks])
+            # Bounded output batches: one giant batch per partition holds
+            # every encoded block in memory twice.
+            if len(rows["term"]) >= 512:
+                yield pa.RecordBatch.from_pydict(rows, schema=_PA_SEGMENT)
+                rows = {k: [] for k in rows}
+        if rows["term"]:
+            yield pa.RecordBatch.from_pydict(rows, schema=_PA_SEGMENT)
 
-    subsegs = postings.where(F.col("term").isNotNull()).mapInPandas(
+    return postings.where(F.col("term").isNotNull()).mapInArrow(
         encode_partition, schema=SEGMENT_SCHEMA
     )
-    merged = (
-        subsegs.groupBy("term", "field")
-        .agg(
-            F.sum("df").alias("df"),
-            F.sum("ctf").alias("ctf"),
-            F.max("max_tf").alias("max_tf"),
-            F.sort_array(F.flatten(F.collect_list("blocks"))).alias("blocks"),
+
+
+def _merge_partition(batches) -> "Iterator":
+    """Arrow-side segment merge: group a partition's sub-segment rows by
+    (term, field, salt) and concatenate their block runs sorted by
+    first_doc — one C-level ``take`` per partition, all buffers off-heap.
+    The JVM formulation (collect_list → flatten → sort_array) materialized
+    every merged row three times on-heap; its GC pauses were a serial
+    component that scaled with data and capped N→4N efficiency."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    tab = pa.Table.from_batches(chunks)
+    if tab.num_rows == 0:
+        return
+    term_d = pc.dictionary_encode(tab["term"].combine_chunks())
+    field_d = pc.dictionary_encode(tab["field"].combine_chunks())
+    tcodes = term_d.indices.to_numpy()
+    fcodes = field_d.indices.to_numpy()
+    salts = tab["salt"].to_numpy()
+    buckets = tab["bucket"].to_numpy()
+    dfs = tab["df"].to_numpy()
+    ctfs = tab["ctf"].to_numpy()
+    mtfs = tab["max_tf"].to_numpy()
+    blocks = tab["blocks"].combine_chunks()
+    assert blocks.offset == 0
+    row_off = blocks.offsets.to_numpy().astype(np.int64)
+    values = blocks.values
+    fd = values.field("first_doc").to_numpy()
+
+    order = np.lexsort((salts, tcodes, fcodes))
+    tc = tcodes[order]
+    fc = fcodes[order]
+    sl = salts[order]
+    change = np.empty(len(order), dtype=bool)
+    change[0] = True
+    change[1:] = (np.diff(tc) != 0) | (np.diff(fc) != 0) | (np.diff(sl) != 0)
+    gstarts = np.flatnonzero(change)
+    gends = np.append(gstarts[1:], len(order))
+
+    idx_parts: list[np.ndarray] = []
+    counts = np.empty(len(gstarts), dtype=np.int64)
+    for gi, (s, e) in enumerate(zip(gstarts, gends)):
+        rows = order[s:e]
+        bidx = np.concatenate(
+            [np.arange(row_off[r], row_off[r + 1]) for r in rows]
         )
-        .withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.col("term"), F.col("field")), F.lit(n_buckets)).cast("int"),
-        )
-        .withColumn("salt", F.lit(-1))
-        .select(
-            "bucket", "term", "field", "salt", "df", "ctf", "max_tf", "blocks"
-        )
+        # stable sort keeps equal-first_doc runs in input order
+        idx_parts.append(bidx[np.argsort(fd[bidx], kind="stable")])
+        counts[gi] = len(idx_parts[-1])
+    big = np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
+    out_values = values.take(pa.array(big))
+    out_off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    merged_blocks = pa.ListArray.from_arrays(
+        pa.array(out_off, pa.int32()), out_values
     )
-    return merged
+
+    df_g = np.add.reduceat(dfs[order].astype(np.int64), gstarts)
+    ctf_g = np.add.reduceat(ctfs[order].astype(np.int64), gstarts)
+    mtf_g = np.maximum.reduceat(mtfs[order], gstarts)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(buckets[order][gstarts], pa.int32()),
+            term_d.dictionary.take(pa.array(tc[gstarts])),
+            field_d.dictionary.take(pa.array(fc[gstarts])),
+            pa.array(sl[gstarts], pa.int32()),
+            pa.array(df_g, pa.int64()),
+            pa.array(ctf_g, pa.int64()),
+            pa.array(mtf_g, pa.int32()),
+            merged_blocks,
+        ],
+        schema=_PA_SEGMENT,
+    )
+
+
+def build_segments_local_df(
+    postings: DataFrame,
+    n_buckets: int = 32,
+    block_size: int = 128,
+    merge_groups: int = 8,
+    merge_partitions: int | None = None,
+) -> DataFrame:
+    """Partition-local encode (``encode_subsegments``) + the distributed
+    segment-merge stage, with HEAD-TERM SKEW bounded by merge groups.
+
+    A naive merge to one row per (term, field) funnels a head term's
+    entire posting list — ~12% of ALL postings for a Zipf rank-1 term —
+    through ONE reduce task and ONE output row: a fixed-wall-clock
+    straggler that caps N→4N scaling (and an unboundedly large row at
+    10^12 turns). Instead, each sub-segment row is assigned a
+    content-derived merge group (hash of its first block's first_doc);
+    merging groups by (term, field, group): a head term becomes
+    ``merge_groups`` balanced rows; queries already handle multiple
+    segment rows per (term, field) (incremental generations produce the
+    same shape). Raise ``merge_groups`` with corpus size so row payloads
+    stay bounded.
+
+    Physical shape: ONE shuffle, hash-partitioned by (bucket, salt) —
+    which co-locates every (term, field, salt) group — then an Arrow-side
+    per-partition merge (``_merge_partition``), and the caller writes the
+    result WITHOUT re-shuffling (partitionBy routes rows to bucket
+    directories from whichever task holds them). The previous shape paid
+    two full shuffles of the index bytes (groupBy merge + write
+    repartition) plus JVM collect_list garbage."""
+    spark = postings.sparkSession
+    par = max(1, spark.sparkContext.defaultParallelism)
+    nmp = merge_partitions or max(n_buckets, 4 * par)
+    subsegs = encode_subsegments(postings, block_size=block_size)
+    tagged = subsegs.select(
+        F.pmod(F.xxhash64(F.col("term"), F.col("field")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        "term",
+        "field",
+        F.pmod(
+            F.xxhash64(F.element_at("blocks", 1)["first_doc"]),
+            F.lit(merge_groups),
+        )
+        .cast("int")
+        .alias("salt"),
+        "df",
+        "ctf",
+        "max_tf",
+        "blocks",
+    )
+    return tagged.repartition(nmp, "bucket", "salt").mapInArrow(
+        _merge_partition, schema=SEGMENT_SCHEMA
+    )
 
 
 def collection_stats(doclen: DataFrame, n_docs: int) -> dict:
@@ -411,46 +588,50 @@ def build_index(
         with open(base_manifest) as fh:
             base_done = json.load(fh).get("complete", False)
 
-    phases: dict[str, float] = {}
-    if base_done:
-        # Resume fast path: docmap / doc_terms / doclen / stats are
-        # complete and deterministic — skip re-tokenization entirely.
-        docs = spark.read.parquet(paths.docmap)
-        with open(paths.stats) as fh:
-            n_docs = json.load(fh)["N"]
-    else:
-        docs = assign_doc_ids(transcripts)
-        docs.write.mode("overwrite").parquet(paths.docmap)
-        docs = spark.read.parquet(paths.docmap)
-        n_docs = docs.count()
-        phases["docmap"] = round(time.time() - t0, 2)
-
-        # Forward index (the reference's TermVector analog,
-        # /root/reference/src/TermVector.java:19-94): tokenization — the
-        # only expensive Python crossing — runs ONCE here; doclen and the
-        # inverted segments both derive from this table. Map-only write
-        # (no shuffle): files mirror the docmap partitioning.
-        extract_postings(docs, fields=fields, cfg=cfg).write.mode(
-            "overwrite"
-        ).parquet(paths.doc_terms)
-        phases["tokenize"] = round(time.time() - t0 - sum(phases.values()), 2)
-
-    # Size scan partitions so the segment-encode stage gets ~4 waves per
-    # core regardless of the forward index's file layout (small files would
-    # otherwise pack into a handful of oversized partitions; huge files
-    # split fine either way). Executor-python memory per encode task scales
-    # with this number — keep it bounded.
-    dt_bytes = sum(
-        os.path.getsize(os.path.join(paths.doc_terms, f))
-        for f in os.listdir(paths.doc_terms)
-        if f.endswith(".parquet")
-    )
     par = max(1, spark.sparkContext.defaultParallelism)
-    target = max(16 << 20, min(128 << 20, dt_bytes // (4 * par) or (16 << 20)))
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     old_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(target)))
     try:
+        phases: dict[str, float] = {}
+        if base_done:
+            # Resume fast path: docmap / doc_terms / doclen / stats are
+            # complete and deterministic — skip re-tokenization entirely.
+            docs = spark.read.parquet(paths.docmap)
+            with open(paths.stats) as fh:
+                n_docs = json.load(fh)["N"]
+        else:
+            _tune_scan_partitions(spark, _df_input_bytes(transcripts), par)
+            assigned = assign_doc_ids(transcripts)
+            assigned.write.mode("overwrite").parquet(paths.docmap)
+            # Tokenization cost is per ROW, so wave evenness — not bytes —
+            # decides the phase's wall time: size the docmap scan to 4 even
+            # task waves per core (a handful of big input files would
+            # otherwise leave the last wave mostly idle; measured 25% of
+            # the tokenize phase on an 18-file corpus at 8 cores).
+            _tune_scan_partitions(spark, _dir_bytes(paths.docmap), par)
+            docs = spark.read.parquet(paths.docmap)
+            n_docs = getattr(assigned, "_sefs_n_docs", None)
+            if n_docs is None:
+                n_docs = docs.count()
+            phases["docmap"] = round(time.time() - t0, 2)
+
+            # Forward index (the reference's TermVector analog,
+            # /root/reference/src/TermVector.java:19-94): tokenization —
+            # the only expensive Python crossing — runs ONCE here; doclen
+            # and the inverted segments both derive from this table.
+            # Map-only write (no shuffle): files mirror the docmap
+            # partitioning.
+            extract_postings(docs, fields=fields, cfg=cfg).write.mode(
+                "overwrite"
+            ).parquet(paths.doc_terms)
+            phases["tokenize"] = round(
+                time.time() - t0 - sum(phases.values()), 2
+            )
+
+        # Re-size for the segment-encode scan: executor-python memory per
+        # encode task scales with partition bytes — keep them bounded AND
+        # wave-even.
+        _tune_scan_partitions(spark, _dir_bytes(paths.doc_terms), par)
         return _build_index_body(
             spark, paths, docs, postings_path=paths.doc_terms,
             n_docs=n_docs, base_done=base_done, base_manifest=base_manifest,
@@ -471,6 +652,50 @@ def _restore_conf(spark: SparkSession, key: str, old) -> None:
         spark.conf.set(key, old)
     else:
         spark.conf.unset(key)
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def _df_input_bytes(df: DataFrame) -> int:
+    """Total bytes of a file-backed DataFrame's inputs (0 for generated /
+    non-file plans — partition tuning is then a no-op)."""
+    try:
+        total = 0
+        for f in df.inputFiles():
+            p = f[len("file:"):] if f.startswith("file:") else f
+            total += os.path.getsize(p)
+        return total
+    except Exception:
+        return 0
+
+
+def _tune_scan_partitions(
+    spark: SparkSession, nbytes: int, par: int, waves: int = 4
+) -> None:
+    """Set ``spark.sql.files.maxPartitionBytes`` so the next file scan
+    splits into ~``waves`` EVEN task waves per core. With a handful of
+    large files the default 128 MiB target yields a partition count just
+    above a multiple of the core count — the final wave runs nearly empty
+    and the phase loses its tail to stragglers (which shows up directly as
+    lost N→4N scaling efficiency, since the small cluster packs the same
+    files into even waves). Clamped to [4 MiB, 128 MiB]; no-op for
+    unknown (0) sizes.
+
+    Small inputs (per-partition share < 4 MiB) fall back to plain 16 MiB
+    partitions: chopping a 10 MiB corpus into waves×cores slivers buys
+    nothing and pays a task-scheduling overhead per sliver — wave
+    evenness only matters when there are FEW waves of REAL work."""
+    if not nbytes:
+        return
+    per = nbytes // (waves * par)
+    target = min(per, 128 << 20) if per >= (4 << 20) else (16 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(target)))
 
 
 def _build_index_body(
@@ -541,9 +766,19 @@ def _build_index_body(
         segments = segments.where(~F.col("bucket").isin(sorted(done)))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Local mode arrives already hash-partitioned by (bucket, salt) from
+    # the merge shuffle — write it as-is: partitionBy routes rows to their
+    # bucket DIRECTORY from whichever task holds them, so the head-term
+    # bucket (~12% of all bytes under Zipf) is written by several balanced
+    # tasks and the index bytes shuffle exactly ONCE end-to-end. Shuffle
+    # mode (globally ordered blocks) still needs its own spread.
+    if not use_local:
+        par_w = max(1, spark.sparkContext.defaultParallelism)
+        segments = segments.repartition(
+            max(n_buckets, 4 * par_w), "bucket", "salt"
+        )
     (
-        segments.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("term", "field")
+        segments.sortWithinPartitions("term", "field")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(paths.segments)

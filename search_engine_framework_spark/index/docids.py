@@ -146,4 +146,7 @@ def assign_doc_ids(
     if range_fix_needed:
         out_parts = max(1, transcripts.rdd.getNumPartitions())
         out = out.repartitionByRange(out_parts, "doc_id")
+    # Row count fell out of the stats aggregation — expose it so callers
+    # (build_index) don't pay a separate count job.
+    out._sefs_n_docs = acc
     return out

@@ -86,7 +86,7 @@ class IndexReader:
         """Forward index (term, field, doc_id, tf, positions, doclen) —
         the reference's TermVector analog; input to PRF and LeToR.
         Filters out the NULL-term doclen marker rows the tokenizer embeds
-        (analyzer.tokenize_udf)."""
+        (index.build.extract_postings)."""
         return self.spark.read.parquet(self.paths.doc_terms).where(
             F.col("term").isNotNull()
         )

@@ -269,6 +269,84 @@ def read_svmrank_model(
     return out
 
 
+def run_letor(
+    engine,
+    train_queries: dict[str, str],
+    qrels: dict[tuple[str, str], int],
+    test_queries: dict[str, str],
+    svm_model_path: str | None = None,
+    weights: dict[str, float] | None = None,
+    pagerank: DataFrame | None = None,
+    k: int = 100,
+    train_file: str | None = None,
+) -> DataFrame:
+    """The reference's LeToR pipeline end to end
+    (LearnToRank.java entry point 3):
+
+      1. batched training features for every judged (train qid, doc),
+         min-max normalized per query, written as an svmlight file
+         (``train_file``) for an external ``svm_rank_learn`` run;
+      2. model intake: either an svm_rank model file
+         (``svm_model_path`` → read_svmrank_model, the svm2weight.pl
+         transform) or an explicit ``weights`` dict — the training
+         executable itself is the reference's external Windows binary
+         (LearnToRank.java:921-994) and is not reproduced;
+      3. batched testing features over each test query's top-k BM25
+         ranking, normalized, linearly scored, reranked
+         (LearnToRank.java:608-826).
+
+    Returns the reranked DataFrame (qid, doc_id, ext_id, rank, score).
+    """
+    import pyspark.sql.functions as SF
+
+    from .letor_batch import batch_query_features
+    from .plans.models import BM25
+
+    spark = engine.spark
+
+    if train_queries:
+        train_cand = spark.createDataFrame(
+            [(qid, ext) for (qid, ext) in qrels.keys() if qid in train_queries],
+            "qid string, ext_id string",
+        )
+        dm = engine.reader.docmap().select("doc_id", "ext_id")
+        train_cand = train_cand.join(dm, "ext_id").select("qid", "doc_id")
+        feats = normalize_per_query(
+            batch_query_features(engine, train_queries, train_cand, pagerank)
+        )
+        if train_file:
+            lines = svmlight_lines(feats, qrels)
+            with open(train_file, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+
+    if svm_model_path is not None:
+        weights = read_svmrank_model(svm_model_path)
+    if weights is None:
+        raise ValueError("run_letor needs svm_model_path or weights to rerank")
+
+    test_cand_rows = []
+    for qid, text in test_queries.items():
+        for r in engine.search(text, BM25(), k=k).collect():
+            test_cand_rows.append((qid, r["doc_id"]))
+    test_cand = spark.createDataFrame(test_cand_rows, "qid string, doc_id long")
+    test_feats = normalize_per_query(
+        batch_query_features(engine, test_queries, test_cand, pagerank)
+    )
+    return rerank(test_feats, weights, k=k).orderBy(
+        "qid", SF.asc("rank")
+    )
+
+
+def read_pagerank(spark, path: str) -> DataFrame:
+    """'extid<TAB>score' side file → DataFrame(ext_id, score) — the
+    reference's PageRank feature source (LearnToRank.java:130-144); feed
+    the result to ``query_features`` / ``batch_query_features``."""
+    return (
+        spark.read.csv(path, sep="\t", schema="ext_id string, score double")
+        .where(F.col("ext_id").isNotNull())
+    )
+
+
 def read_qrels(path: str) -> dict[tuple[str, str], int]:
     """'qid 0 extid rel' lines (LearnToRank.java:113-127)."""
     out = {}

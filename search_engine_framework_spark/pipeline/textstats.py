@@ -94,6 +94,32 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish chunking: alphanumeric runs split into ≤4-char subword pieces
+# (BPE merges rarely exceed that granularity on web text), every other
+# non-space character its own token — so long words, numbers, and
+# punctuation-/code-heavy text count the way an LLM tokenizer sees them,
+# which whitespace splitting badly undercounts.
+_BPE_ISH = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """doc_id, n_ws (whitespace tokens), n_bpe (BPE-ish regex chunks),
+    bpe_per_ws — the pretraining-pipeline "how many LLM tokens is this
+    document" estimator. Zero-UDF: two regexp expressions with exact
+    DuckDB twins."""
+    text = F.col("text")
+    n_ws = F.size(F.filter(F.split(text, r"\s+"), lambda x: x != F.lit("")))
+    n_bpe = F.regexp_count(text, F.lit(_BPE_ISH))
+    return docs.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws"),
+        n_bpe.cast("long").alias("n_bpe"),
+        F.when(n_ws > 0, n_bpe.cast("double") / n_ws)
+        .otherwise(0.0)
+        .alias("bpe_per_ws"),
+    )
+
+
 def fingerprints(docs: DataFrame, prefix_tokens: int = 32) -> DataFrame:
     """Document fingerprints for dedup:
     * ``fp_full``  — md5 of the whitespace-joined token stream

@@ -37,9 +37,14 @@ from .models import BM25, Indri, RankedBoolean, RetrievalModel, UnrankedBoolean
 
 
 # Block-max pruning engages only past this many (estimated) posting blocks
-# across the query's terms — below it the two-pass overhead (an extra tiny
-# seed job) outweighs skipped decode work.
-_PRUNE_MIN_BLOCKS = 64
+# across the query's terms — the two-pass plan costs TWO extra driver
+# round-trips (metadata-stats job + seed-decode job, ~1 s of scheduling on
+# a local cluster), so it must be able to skip enough decode work to pay
+# for them. 4096 blocks ≈ 0.5M postings per query; below that, decode is
+# cheaper than the scheduling. Callers can override per query
+# (``SearchEngine.search(prune_min_blocks=...)``) — the bench forces a low
+# threshold to demonstrate the skip counters at test scale.
+_PRUNE_MIN_BLOCKS = 4096
 
 
 @dataclass
@@ -80,7 +85,12 @@ class QueryCompiler:
         self._stats: dict = {}
 
     # ------------------------------------------------------------------ setup
-    def prepare(self, node: ast.Node, topk: int | None = None) -> None:
+    def prepare(
+        self,
+        node: ast.Node,
+        topk: int | None = None,
+        prune_min_blocks: int | None = None,
+    ) -> None:
         """Materialize per-pair stats and the decoded-postings cache.
 
         df/ctf/max_tf come from SEGMENT METADATA (a projected scan of a few
@@ -105,7 +115,13 @@ class QueryCompiler:
             and not need_pos
             and self._flat_sum_pairs(node) is not None
         ):
-            prune = self._bm25_block_prune(node, topk)
+            prune = self._bm25_block_prune(
+                node, topk,
+                min_blocks=(
+                    prune_min_blocks if prune_min_blocks is not None
+                    else _PRUNE_MIN_BLOCKS
+                ),
+            )
         self._postings = self.reader.fetch_postings(
             pairs, need_positions=need_pos, block_prune=prune
         ).persist()
@@ -132,7 +148,9 @@ class QueryCompiler:
             out.append((c.term, c.field))
         return out or None
 
-    def _bm25_block_prune(self, node: ast.Node, k: int) -> dict | None:
+    def _bm25_block_prune(
+        self, node: ast.Node, k: int, min_blocks: int | None = None
+    ) -> dict | None:
         """Exact-top-k block-max pruning plan for a flat BM25 #SUM.
 
         Soundness (negative idf included — a term with df > N/2 contributes
@@ -187,7 +205,8 @@ class QueryCompiler:
             lo, hi = i * (1.0 / (1.0 + c)), i * (mtf / (mtf + c))
             gmax[p], gmin[p] = (hi, lo) if i >= 0 else (lo, hi)
             est_blocks += (df + 127) // 128
-        if not idf or est_blocks < _PRUNE_MIN_BLOCKS:
+        threshold = _PRUNE_MIN_BLOCKS if min_blocks is None else min_blocks
+        if not idf or est_blocks < threshold:
             return None
 
         # pass 1: seed decode → θ = k-th best partial score

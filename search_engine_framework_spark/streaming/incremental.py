@@ -203,7 +203,7 @@ def append_index(
     delta = spark.read.parquet(os.path.join(staging, "doc_terms"))
 
     # doclen = the tokenizer's NULL-term marker rows (map-only; covers
-    # zero-token docs too — see analyzer.tokenize_udf).
+    # zero-token docs too — see index.build.extract_postings).
     doclen = delta.where(F.col("term").isNull()).select(
         "doc_id", "field", "doclen"
     )
@@ -270,11 +270,18 @@ def append_index(
     return n_new
 
 
-def compact_index(spark: SparkSession, out_dir: str, n_buckets: int = 32) -> None:
-    """Merge all generations' segment rows per (term, field) — ordered
-    block-run concat (generations cover disjoint increasing doc ranges, so
-    sort_array on (first_doc, ...) structs restores global docid order
-    without decoding).
+def compact_index(
+    spark: SparkSession,
+    out_dir: str,
+    n_buckets: int = 32,
+    merge_groups: int = 8,
+) -> None:
+    """Merge all generations' segment rows per (term, field, merge group)
+    — ordered block-run concat (generations cover disjoint increasing doc
+    ranges, so sort_array on (first_doc, ...) structs restores docid order
+    without decoding). Merge groups bound head-term reduce/row size
+    exactly as in the base build (index/build.py
+    build_segments_local_df docstring).
 
     Swap protocol: write compacted segments to ``segments.compacting``,
     rename live → ``segments.old``, rename compacted into place, delete
@@ -282,8 +289,13 @@ def compact_index(spark: SparkSession, out_dir: str, n_buckets: int = 32) -> Non
     directory on disk (live or backup), unlike a delete-then-rename."""
     paths = IndexPaths(out_dir)
     seg = spark.read.parquet(paths.segments)
+    mgroup = F.pmod(
+        F.xxhash64(F.element_at("blocks", 1)["first_doc"]),
+        F.lit(merge_groups),
+    ).cast("int")
     merged = (
-        seg.groupBy("term", "field")
+        seg.withColumn("mgroup", mgroup)
+        .groupBy("term", "field", "mgroup")
         .agg(
             F.sum("df").alias("df"),
             F.sum("ctf").alias("ctf"),
@@ -294,14 +306,18 @@ def compact_index(spark: SparkSession, out_dir: str, n_buckets: int = 32) -> Non
             "bucket",
             F.pmod(F.xxhash64(F.col("term"), F.col("field")), F.lit(n_buckets)).cast("int"),
         )
-        .withColumn("salt", F.lit(-1))
-        .select("bucket", "term", "field", "salt", "df", "ctf", "max_tf", "blocks")
+        .select(
+            "bucket", "term", "field",
+            F.col("mgroup").alias("salt"),
+            "df", "ctf", "max_tf", "blocks",
+        )
     )
     tmp = paths.segments + ".compacting"
     backup = paths.segments + ".old"
     _rmtree(tmp)
+    par_w = max(1, spark.sparkContext.defaultParallelism)
     (
-        merged.repartition(n_buckets, "bucket")
+        merged.repartition(max(n_buckets, 4 * par_w), "bucket", "salt")
         .sortWithinPartitions("term", "field")
         .write.mode("overwrite")
         .partitionBy("bucket")

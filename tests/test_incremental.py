@@ -75,11 +75,15 @@ def test_append_matches_batch_rebuild(spark, corpora, tmp_path):
     gens = [f for f in os.listdir(os.path.join(incr_dir, "_manifests")) if f.startswith("gen-")]
     assert len(gens) == 2
 
-    # compaction: one segment row per (term, field) again, same answers
-    compact_index(spark, incr_dir, n_buckets=8)
+    # compaction: rows per (term, field) re-bounded by merge_groups
+    # (head-term rows are deliberately SPLIT, not fused to one unbounded
+    # row — see build_segments_local_df), same answers
+    pre_rows = spark.read.parquet(os.path.join(incr_dir, "segments")).count()
+    compact_index(spark, incr_dir, n_buckets=8, merge_groups=4)
     seg = spark.read.parquet(os.path.join(incr_dir, "segments"))
-    dupes = seg.groupBy("term", "field").count().where("count > 1").count()
-    assert dupes == 0
+    assert seg.count() <= pre_rows
+    over = seg.groupBy("term", "field").count().where("count > 4").count()
+    assert over == 0
     assert _results(spark, incr_dir) == _results(spark, batch_dir)
 
 

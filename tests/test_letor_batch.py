@@ -1,0 +1,142 @@
+"""Batched LeToR features must match the sequential per-query path."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+QUERIES = {
+    "q1": "search engine index",
+    "q2": "heart rate",
+    "q3": "training pipeline",
+}
+
+
+@pytest.fixture(scope="module")
+def letor_setup(spark, tiny_index):
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.letor import query_features
+    from search_engine_framework_spark.plans.models import BM25
+
+    paths, _rows, _tdf = tiny_index
+    eng = SearchEngine(spark, paths)
+    # candidates: top-20 BM25 per query (the reference's testing shape)
+    cand_rows = []
+    for qid, text in QUERIES.items():
+        for r in eng.search(text, BM25(), k=20).collect():
+            cand_rows.append((qid, r["doc_id"]))
+    cand = spark.createDataFrame(cand_rows, "qid string, doc_id long")
+    seq = {}
+    for qid, text in QUERIES.items():
+        one = cand.where(F.col("qid") == qid).select("doc_id")
+        for r in query_features(eng, qid, text, one).collect():
+            seq[(qid, r["doc_id"])] = r.asDict()
+    return eng, cand, seq
+
+
+def test_batch_matches_sequential(letor_setup):
+    from search_engine_framework_spark.letor import FEATURES
+    from search_engine_framework_spark.letor_batch import batch_query_features
+
+    eng, cand, seq = letor_setup
+    batch = batch_query_features(eng, QUERIES, cand)
+    got = {(r["qid"], r["doc_id"]): r.asDict() for r in batch.collect()}
+    assert set(got) == set(seq)
+    mismatches = []
+    for key, brow in got.items():
+        srow = seq[key]
+        for f in FEATURES:
+            b, s = brow[f], srow[f]
+            if math.isnan(b) != math.isnan(s):
+                mismatches.append((key, f, b, s))
+            elif not math.isnan(b) and b != pytest.approx(s, rel=1e-9, abs=1e-12):
+                mismatches.append((key, f, b, s))
+    assert not mismatches, mismatches[:10]
+
+
+def test_run_letor_end_to_end(letor_setup, tmp_path):
+    """The reference's entry point 3 in one call: training features →
+    svmlight file, svm_rank model file → weights, batched test features →
+    rerank (LearnToRank.java:97-162, 921-994)."""
+    from search_engine_framework_spark.letor import (
+        FEATURES,
+        read_svmrank_model,
+        run_letor,
+    )
+
+    eng, cand, _seq = letor_setup
+    # qrels: judge the top-3 candidate docs of q1/q2 as relevant
+    qrels = {}
+    for r in cand.collect():
+        if r["qid"] in ("q1", "q2"):
+            ext = (
+                eng.reader.docmap()
+                .where(F.col("doc_id") == r["doc_id"])
+                .first()["ext_id"]
+            )
+            qrels[(r["qid"], ext)] = 1 if len(qrels) < 6 else 0
+
+    model = tmp_path / "model"
+    header = [
+        "SVM-light Version V6.20", "0 # kernel type", "3 #", "1 #", "1 #",
+        "1 #", "empty#", f"{len(FEATURES)} # highest feature index", "2 #",
+        "2 # number of support vectors plus 1",
+        "0.5 # threshold b, each following set of lines is a SV",
+    ]
+    model.write_text("\n".join(header + ["1.0 1:2.0 9:1.0 # sv"]) + "\n")
+
+    train_file = tmp_path / "train.svmlight"
+    test_q = {"q3": QUERIES["q3"]}
+    got = run_letor(
+        eng,
+        {q: QUERIES[q] for q in ("q1", "q2")},
+        qrels,
+        test_q,
+        svm_model_path=str(model),
+        k=10,
+        train_file=str(train_file),
+    ).collect()
+
+    # training svmlight file written, one line per judged (qid, doc)
+    lines = train_file.read_text().strip().splitlines()
+    assert len(lines) == len(qrels)
+    assert all(l.split()[1].startswith("qid:") for l in lines)
+
+    # reranked output: ranks contiguous, scores non-increasing
+    assert got and {r["qid"] for r in got} == {"q3"}
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+    # model-file route == explicit-weights route
+    w = read_svmrank_model(str(model))
+    got2 = run_letor(eng, {}, {}, test_q, weights=w, k=10).collect()
+    assert [(r["qid"], r["doc_id"], r["rank"]) for r in got] == [
+        (r["qid"], r["doc_id"], r["rank"]) for r in got2
+    ]
+
+
+def test_read_pagerank(spark, tmp_path):
+    from search_engine_framework_spark.letor import read_pagerank
+
+    p = tmp_path / "pagerank.txt"
+    p.write_text("doc-a\t0.25\ndoc-b\t1.5\n")
+    rows = {r["ext_id"]: r["score"] for r in read_pagerank(spark, str(p)).collect()}
+    assert rows == {"doc-a": 0.25, "doc-b": 1.5}
+
+
+def test_batch_ext_id_and_rerank(letor_setup):
+    from search_engine_framework_spark.letor import normalize_per_query, rerank
+    from search_engine_framework_spark.letor_batch import batch_query_features
+
+    eng, cand, _seq = letor_setup
+    feats = normalize_per_query(batch_query_features(eng, QUERIES, cand))
+    ranked = rerank(feats, {"f_bm25_body": 1.0, "f_vsm_body": 0.5}, k=10)
+    rows = ranked.collect()
+    assert rows and all(r["ext_id"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert ranks == sorted(ranks)

@@ -319,6 +319,35 @@ def test_append_crash_is_reconciled(spark, tmp_path, monkeypatch):
     assert eng.search("search engine", BM25(), k=5).count() > 0
 
 
+# ---------------------------------------------------------------------------
+# golden fixture for the reference-analyzer BM25 ranking (the contract's
+# rows-only entry — Krovetz stemming is not expressible in the DuckDB
+# oracle, so this pins the exact output instead)
+# ---------------------------------------------------------------------------
+
+BM25_REF_GOLDEN = [
+    (365, 1, -0.6786), (75, 2, -0.7201), (170, 3, -0.7596),
+    (452, 4, -0.7734), (147, 5, -0.7792), (310, 6, -0.795),
+    (366, 7, -0.8029), (91, 8, -0.8243), (239, 9, -0.8338),
+    (183, 10, -0.8359), (202, 11, -0.8438), (496, 12, -0.8504),
+    (40, 13, -0.8545), (78, 14, -0.8726), (472, 15, -0.8726),
+    (241, 16, -0.8886), (58, 17, -0.8915), (344, 18, -0.8915),
+    (39, 19, -0.9064), (57, 20, -0.9113),
+]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.001/documents.parquet"),
+    reason="driver testdata not present",
+)
+def test_bm25_ref_analyzer_golden(spark):
+    from search_engine_framework_spark.contract import q_bm25_ref_analyzer
+
+    rows = q_bm25_ref_analyzer(spark, "/root/testdata/sf0.001").collect()
+    got = [(r["doc_id"], r["rank"], r["score"]) for r in rows]
+    assert got == BM25_REF_GOLDEN
+
+
 def test_duplicate_turn_idx_falls_back_to_dense_unique_ids(spark):
     from search_engine_framework_spark.index.docids import assign_doc_ids
 
