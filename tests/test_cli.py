@@ -90,3 +90,39 @@ def test_param_parsing_matches_reference_format():
 def test_missing_param_raises(spark):
     with pytest.raises(ValueError, match="required parameter missing"):
         run_param_file(spark, {"indexPath": "/tmp/nope"})
+
+
+def test_main_builds_index_with_indexfields(spark, tmp_path, capsys):
+    """``transcriptsPath`` + ``indexFields`` drive a multi-field build from
+    the param file alone (the reference's web-field analog,
+    QryEval.java:529): the built index answers field-qualified queries on
+    every listed field and rejects fields left out."""
+    from search_engine_framework_spark.cli import main
+    from search_engine_framework_spark.engine import SearchEngine, UnknownFieldError
+    from search_engine_framework_spark.plans.models import BM25
+    from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "transcripts")
+    synth_transcripts(spark, n_convs=12, seed=3).write.parquet(src)
+    ix = tmp_path / "ix"
+    qry = tmp_path / "q.qry"
+    qry.write_text("1:assistant.role\n")
+    out = tmp_path / "trec_eval"
+    param = tmp_path / "run.param"
+    param.write_text(
+        "\n".join([
+            f"indexPath={ix}",
+            f"transcriptsPath={src}",
+            "indexFields=body,tool",
+            f"queryFilePath={qry}",
+            f"trecEvalOutputPath={out}",
+            "retrievalAlgorithm=BM25",
+        ])
+    )
+    # 'role' deliberately NOT indexed -> the query run must fail loudly
+    with pytest.raises(UnknownFieldError, match="role"):
+        main([str(param)])
+
+    eng = SearchEngine(spark, str(ix))
+    assert set(eng.reader.stats["fields"]) == {"body", "tool"}
+    assert eng.search("search.body", BM25(), k=3).count() > 0
