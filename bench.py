@@ -135,6 +135,16 @@ def main() -> None:
     extra["bm25_pruned_p50"] = round(statistics.median(lat_p), 3)
     extra.update(engine.decode_metrics())
 
+    # Batched evaluation of the SAME query set: one stats job + one shared
+    # postings scan + one ranking window for all queries (engine.search_many)
+    # vs ~2 jobs/query sequentially — the per-query scheduling fixed cost is
+    # what dominates p50 at this scale.
+    t0 = time.time()
+    engine.search_many(
+        {f"q{i}": q for i, q in enumerate(BM25_QUERIES)}, BM25(), k=10
+    )
+    timings["bm25_queryset_batched"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     engine.search("#AND(spark #OR(merge window) #NOT(customer))", RankedBoolean(), k=10)
     timings["boolean_query"] = round(time.time() - t0, 3)

@@ -77,9 +77,17 @@ def worker(cpus: int, n_convs: int) -> None:
     # 4 shuffle partitions per core: enough granularity that head-term
     # encode groups don't straggle a wave (measured: segments stage 43s →
     # 27s at 32 cores going from 32 to 128 shuffle partitions).
+    # SCALE_EXTRA_CONF='k=v;k2=v2' — experiment knobs (GC, AQE coalesce
+    # policy, codecs) applied identically at every level.
+    extra = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("SCALE_EXTRA_CONF", "").split(";")
+        if "=" in kv
+    )
     spark = get_spark(
         app_name=f"scale-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8) * 4,
+        extra_conf=extra or None,
     )
     spark.sparkContext.setLogLevel("ERROR")
     corpus = spark.read.parquet(corpus_path(n_convs))
@@ -130,6 +138,70 @@ def _tok_burn(seed: int) -> int:
         for t in texts:
             n += doc_term_entries(t, cfg)[1]
     return n
+
+
+def _mix_burn(seed: int) -> int:
+    """Worker body for the FULL-MIX hardware probe: the build's actual
+    resource profile with ZERO Spark — tokenize (allocation-heavy Python),
+    varint block encode (numpy memory traffic), and a compressed parquet
+    write+delete (codec CPU + page-cache/disk). If isolated processes
+    cannot scale this mix on this box, a single shared-heap JVM cannot
+    either — and four separate cluster nodes would."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_framework_spark.functions.analyzer import (
+        AnalyzerConfig,
+        doc_term_entries,
+    )
+    from search_engine_framework_spark.functions.codec import varint_encode
+    from search_engine_framework_spark.sources.transcripts import build_vocabulary
+
+    cfg = AnalyzerConfig.reference()
+    vocab = build_vocabulary(4000)
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    texts = [
+        " ".join(vocab[j] for j in rng.integers(0, 4000, 25)) for _ in range(200)
+    ]
+    n = 0
+    for r in range(8):
+        for t in texts:
+            n += doc_term_entries(t, cfg)[1]
+        # codec share: delta-gap + varint over posting-shaped arrays
+        for _ in range(40):
+            docs = np.cumsum(rng.integers(1, 50, 2000))
+            varint_encode(np.diff(docs, prepend=0))
+        # parquet share: one ~8 MB snappy table per round
+        tbl = pa.table({
+            "doc_id": np.arange(200_000, dtype=np.int64),
+            "tf": rng.integers(1, 30, 200_000).astype(np.int32),
+            "term": np.array(vocab, dtype=object)[
+                rng.integers(0, 4000, 200_000)
+            ],
+        })
+        path = f"/tmp/probe_mix_{os.getpid()}_{r}.parquet"
+        pq.write_table(tbl, path, compression="snappy")
+        os.unlink(path)
+    return n
+
+
+def mixed_probe(trials: int = 3) -> dict:
+    """Best-of-``trials`` full-mix throughput (relative ops/s) per level —
+    the box ceiling for the build's tokenize+codec+parquet profile."""
+    levels = sorted({c for pair in PAIRS for c in pair[:2]})
+    out = {}
+    for workers in levels:
+        best = 0.0
+        with mp.Pool(workers) as p:
+            p.map(_mix_burn, range(workers))  # warm imports
+            for _ in range(trials):
+                t0 = time.time()
+                p.map(_mix_burn, range(workers * 2))
+                dt = time.time() - t0
+                best = max(best, workers * 2 / dt)
+        out[workers] = round(best, 4)  # burns/s
+    return out
 
 
 def hardware_probe(trials: int = 3) -> dict:
@@ -192,7 +264,9 @@ def orchestrate() -> None:
         return round(b / (ratio * a), 3)
 
     hw = hardware_probe()
-    summary = {"pairs": [], "hardware_probe_Mops": hw}
+    mix = mixed_probe()
+    summary = {"pairs": [], "hardware_probe_Mops": hw,
+               "mixed_probe_burns_per_s": mix}
     cache: dict[tuple[int, int], dict] = {}
     for small, big, n_convs in PAIRS:
         _gen_corpus(n_convs)
@@ -202,6 +276,7 @@ def orchestrate() -> None:
         cache[(big, n_convs)] = rb
         job_eff = eff(rs["turns_per_sec"], rb["turns_per_sec"], big / small)
         hw_eff = eff(hw[small], hw[big], big / small) if small in hw and big in hw else None
+        mix_eff = eff(mix[small], mix[big], big / small) if small in mix and big in mix else None
         summary["pairs"].append({
             "N_cores": small,
             "4N_cores": big,
@@ -210,7 +285,9 @@ def orchestrate() -> None:
             f"local[{big}]": rb,
             "scaling_efficiency": job_eff,
             "hardware_probe_efficiency": hw_eff,
+            "mixed_probe_efficiency": mix_eff,
             "job_vs_hardware": round(job_eff / hw_eff, 3) if hw_eff else None,
+            "job_vs_mixed": round(job_eff / mix_eff, 3) if mix_eff else None,
         })
     print(json.dumps(summary, indent=2))
 

@@ -39,7 +39,7 @@ from pyspark.sql import SparkSession
 from .engine import SearchEngine
 from .functions.analyzer import AnalyzerConfig
 from .plans.models import model_from_params
-from .sinks.trec import format_trec_lines, write_trec_file
+from .sinks.trec import format_trec_rows, write_trec_file
 
 
 def parse_param_file(path: str) -> dict[str, str]:
@@ -139,24 +139,45 @@ def run_param_file(
         )
 
     all_lines: list[str] = []
-    for qid, text in queries:
-        query = text
-        if fb:
-            from .prf import expand_query
-
-            query = expand_query(
-                engine,
-                text,
-                model,
-                fb_docs=int(params.get("fbDocs", 10)),
-                fb_terms=int(params.get("fbTerms", 50)),
-                fb_mu=float(params.get("fbMu", 0)),
-                fb_orig_weight=float(params.get("fbOrigWeight", 0.5)),
-                initial_ranking=initial.get(qid),
+    if not fb:
+        # Plain retrieval: ONE batched wave for the whole query file
+        # (engine.search_many — one stats job + one shared postings scan +
+        # one ranking window), line-identical to the per-query loop.
+        batch = engine.search_many(dict(queries), model, k=k)
+        by_qid: dict[str, list] = {}
+        for r in batch.collect():
+            by_qid.setdefault(r["qid"], []).append(r)
+        for qid, _text in queries:
+            all_lines.extend(
+                format_trec_rows(qid, by_qid.get(qid, []), unranked=unranked)
             )
-            expansion_lines.append(f"{qid}: {query}")
-        result = engine.search(query, model, k=k)
-        all_lines.extend(format_trec_lines(qid, result, unranked=unranked, k=k))
+        write_trec_file(params["trecEvalOutputPath"], all_lines)
+        return all_lines
+
+    # fb: batched PRF — one wave for all initial rankings, one for all
+    # expansion terms, one for all final (expanded) queries.
+    from .prf import expand_queries
+
+    expanded = expand_queries(
+        engine,
+        dict(queries),
+        model,
+        fb_docs=int(params.get("fbDocs", 10)),
+        fb_terms=int(params.get("fbTerms", 50)),
+        fb_mu=float(params.get("fbMu", 0)),
+        fb_orig_weight=float(params.get("fbOrigWeight", 0.5)),
+        initial_rankings=initial or None,
+    )
+    for qid, _text in queries:
+        expansion_lines.append(f"{qid}: {expanded[qid]}")
+    final = engine.search_many(expanded, model, k=k)
+    by_qid: dict[str, list] = {}
+    for r in final.collect():
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, _text in queries:
+        all_lines.extend(
+            format_trec_rows(qid, by_qid.get(qid, []), unranked=unranked)
+        )
 
     write_trec_file(params["trecEvalOutputPath"], all_lines)
     if fb and "fbExpansionQueryFile" in params:

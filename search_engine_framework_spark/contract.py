@@ -290,6 +290,71 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+# Batched evaluation (engine.search_many): three BM25 query plans sharing
+# ONE stats job + ONE postings scan + ONE ranking window — per-qid results
+# must equal running each query alone (and the DuckDB twin per query).
+BATCH_QUERIES = {
+    "q1": ["spark", "merge", "window"],
+    "q2": ["customer", "data"],
+    "q3": ["key", "batch"],
+}
+BATCH_K = 10
+
+
+def q_bm25_batch(spark, sf_dir):
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    out = eng.search_many(
+        {qid: f"#SUM({' '.join(ts)})" for qid, ts in BATCH_QUERIES.items()},
+        BM25(),
+        k=BATCH_K,
+    )
+    return out.select(
+        "qid",
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
+def _bm25_batch_sql() -> str:
+    ctes, sels = [], []
+    for qid, terms in BATCH_QUERIES.items():
+        for i, t in enumerate(terms):
+            ctes.append(f"{qid}t{i} AS ({_bm25_term_sql(t)})")
+        ids = " UNION ".join(
+            f"SELECT doc_id FROM {qid}t{i}" for i in range(len(terms))
+        )
+        score = " + ".join(
+            f"COALESCE({qid}t{i}.s * 1.0, 0.0)" for i in range(len(terms))
+        )
+        joins = " ".join(
+            f"LEFT JOIN {qid}t{i} ON {qid}t{i}.doc_id = ids.doc_id"
+            for i in range(len(terms))
+        )
+        ctes.append(
+            f"{qid}s AS (SELECT '{qid}' AS qid, ids.doc_id, 0.0 + {score} AS s\n"
+            f"  FROM ({ids}) ids {joins})"
+        )
+        sels.append(f"SELECT * FROM {qid}s")
+    union = " UNION ALL ".join(sels)
+    return (
+        _SQL_BASE
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT qid, doc_id, rank, score FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id ASC)::BIGINT
+           AS rank,
+         round(s, 4) + 0.0 AS score
+  FROM ({union}) u
+) r WHERE rank <= {BATCH_K}
+"""
+    )
+
+
 def q_indri_and(spark, sf_dir):
     from .plans.models import Indri
 
@@ -866,6 +931,7 @@ SELECT doc_id, n_ws, n_bpe,
 FROM c
 """
 
+ORACLE_SQL["bm25_batch"] = _bm25_batch_sql()
 ORACLE_SQL["simhash_pairs"] = _simhash_sql()
 # nprobe = nlist degenerates to exact kNN over vec_id <> 0 — same oracle.
 ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
@@ -886,6 +952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syn_ranked": q_syn_ranked,
     "bm25_single": q_bm25_single,
     "bm25_topk": q_bm25_topk,
+    "bm25_batch": q_bm25_batch,
     "indri_and": q_indri_and,
     "indri_wsum": q_indri_wsum,
     "fingerprints": q_fingerprints,

@@ -79,6 +79,96 @@ class SearchEngine:
             out, "doc_id long, ext_id string, rank int, score double"
         )
 
+    def search_many(
+        self,
+        queries: dict[str, str],
+        model: RetrievalModel,
+        k: int = 100,
+    ) -> DataFrame:
+        """Batched evaluation: every query in ``queries`` ({qid: text}) in
+        ONE stats job + ONE shared postings scan + ONE ranking action —
+        → DataFrame(qid, doc_id, ext_id, rank, score), reference ordering
+        per qid.
+
+        The sequential ``search`` loop costs ~2 Spark jobs per query
+        (term-stats, then scored top-k); at cluster scale a 1000-query
+        evaluation set is 2000 scheduler round-trips of mostly idle
+        executors. Here the segment scan covers the UNION of all queries'
+        (term, field) pairs (still bucket-pruned — the union's buckets),
+        each query's plan filters the shared decoded cache, and the per-qid
+        top-k is one ``row_number`` window over the union of scored frames.
+
+        Rank/score-identical to ``search`` per query (same plans, same
+        tie-break); block-max pruning stays off (its θ-threshold is
+        per-query — a shared cache can't prune per-query soundly).
+        All-stopword/empty queries contribute no rows (the trec sink's
+        dummy-row rule handles absent qids, sinks/trec.py).
+        """
+        from pyspark.sql import Window
+
+        nodes: dict[str, ast.Node] = {}
+        for qid, text in queries.items():
+            node = parse_query(text, model, self.analyzer)
+            if node is None:
+                continue
+            self._check_fields(node)
+            nodes[qid] = node
+        if not nodes:
+            return self.spark.createDataFrame(
+                [], "qid string, doc_id long, ext_id string, rank int, score double"
+            )
+
+        all_pairs = set()
+        need_pos = False
+        for node in nodes.values():
+            all_pairs |= ast.query_terms(node)
+            need_pos = need_pos or ast.needs_positions(node)
+
+        stats = {
+            pair: {"df": s["df"], "ctf": s["ctf"], "max_tf": s["max_tf"]}
+            for pair, s in self.reader.term_stats(all_pairs).items()
+        }
+        shared = self.reader.fetch_postings(
+            all_pairs, need_positions=need_pos
+        ).persist()
+        try:
+            frames = []
+            for qid, node in nodes.items():
+                compiler = QueryCompiler(self.reader, model)
+                compiler._stats = stats  # superset lookup by (term, field)
+                compiler._postings = shared
+                scored = compiler.compile_query(node)
+                frames.append(
+                    scored.select(
+                        F.lit(qid).alias("qid"), "doc_id", "score"
+                    )
+                )
+            union = frames[0]
+            for f in frames[1:]:
+                union = union.unionByName(f)
+            docmap = self.reader.docmap().select("doc_id", "ext_id")
+            withext = union.join(F.broadcast(docmap), "doc_id")
+            if isinstance(model, UnrankedBoolean):
+                w = Window.partitionBy("qid").orderBy(F.asc("ext_id"))
+            else:
+                w = Window.partitionBy("qid").orderBy(
+                    F.desc("score"), F.asc("ext_id")
+                )
+            rows = (
+                withext.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .collect()
+            )
+        finally:
+            shared.unpersist()
+        out = [
+            (r["qid"], r["doc_id"], r["ext_id"], int(r["rank"]), float(r["score"]))
+            for r in sorted(rows, key=lambda r: (r["qid"], r["rank"]))
+        ]
+        return self.spark.createDataFrame(
+            out, "qid string, doc_id long, ext_id string, rank int, score double"
+        )
+
     def decode_metrics(self) -> dict:
         """Cumulative block-decode counters (block-max pruning evidence):
         {"blocks_decoded": n, "blocks_skipped": n}."""

@@ -628,10 +628,17 @@ def build_index(
                 time.time() - t0 - sum(phases.values()), 2
             )
 
-        # Re-size for the segment-encode scan: executor-python memory per
-        # encode task scales with partition bytes — keep them bounded AND
-        # wave-even.
-        _tune_scan_partitions(spark, _dir_bytes(paths.doc_terms), par)
+        # Re-size for the segment-encode scan. BYTES-driven, not
+        # cores-driven: every partition a term's postings land in adds one
+        # sub-segment fragment (≈1-2 ms of per-term Python/Block overhead
+        # in encode_partition), so partition count directly multiplies the
+        # encode stage's TOTAL work — a waves×cores layout made the 4N
+        # "cluster" do ~1.7× the 1N work and capped measured N→4N scaling
+        # at ~0.54 for this phase. A fixed 128 MiB target (floored at one
+        # partition per core for utilization) keeps the layout — and the
+        # work — identical at every cluster size, exactly like a real
+        # multi-executor scan of the same files.
+        _tune_encode_partitions(spark, _dir_bytes(paths.doc_terms), par)
         return _build_index_body(
             spark, paths, docs, postings_path=paths.doc_terms,
             n_docs=n_docs, base_done=base_done, base_manifest=base_manifest,
@@ -696,6 +703,20 @@ def _tune_scan_partitions(
     per = nbytes // (waves * par)
     target = min(per, 128 << 20) if per >= (4 << 20) else (16 << 20)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(target)))
+
+
+def _tune_encode_partitions(
+    spark: SparkSession, nbytes: int, par: int, target: int = 128 << 20
+) -> None:
+    """Partition the encode scan by BYTES (``target`` = 128 MiB, Spark's
+    own default) floored at one partition per core: n = max(ceil(bytes /
+    target), par). See the call site for why cores-proportional splits
+    are wrong for this stage."""
+    if not nbytes:
+        return
+    n = max((nbytes + target - 1) // target, par)
+    per = max(nbytes // n, 1 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(per + 1)))
 
 
 def _build_index_body(

@@ -10,14 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def format_trec_lines(
+def format_trec_rows(
     qid: str,
-    ranked_df: DataFrame,
+    rows: list,
     run_id: str = "Run",
     unranked: bool = False,
-    k: int = 100,
 ) -> list[str]:
-    rows = ranked_df.limit(k).collect()
+    """Collected result rows (ext_id, rank, score) → trec lines, with the
+    reference's dummy-row rule for empty results."""
     if not rows:
         return [f"{qid} Q0 dummy 1 0 None"]
     out = []
@@ -25,6 +25,16 @@ def format_trec_lines(
         score = 1.0 if unranked else r["score"]
         out.append(f"{qid} Q0 {r['ext_id']} {r['rank']} {score} {run_id}")
     return out
+
+
+def format_trec_lines(
+    qid: str,
+    ranked_df: DataFrame,
+    run_id: str = "Run",
+    unranked: bool = False,
+    k: int = 100,
+) -> list[str]:
+    return format_trec_rows(qid, ranked_df.limit(k).collect(), run_id, unranked)
 
 
 def write_trec_file(path: str, all_lines: list[str]) -> None:

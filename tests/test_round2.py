@@ -348,6 +348,77 @@ def test_bm25_ref_analyzer_golden(spark):
     assert got == BM25_REF_GOLDEN
 
 
+def test_expand_queries_matches_sequential(spark, tiny_index):
+    """Batched PRF (prf.expand_queries, the CLI fb path) must produce the
+    same expanded query strings as per-query prf.expand_query."""
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.plans.models import Indri
+    from search_engine_framework_spark.prf import expand_queries, expand_query
+
+    paths, _rows, _tdf = tiny_index
+    eng = SearchEngine(spark, paths)
+    queries = {"q1": "search engine", "q2": "heart rate", "q3": "training data"}
+    model = Indri()
+    batched = expand_queries(
+        eng, queries, model, fb_docs=5, fb_terms=8, fb_mu=0, fb_orig_weight=0.4
+    )
+    for qid, text in queries.items():
+        want = expand_query(
+            eng, text, model, fb_docs=5, fb_terms=8, fb_mu=0, fb_orig_weight=0.4
+        )
+        assert batched[qid] == want, f"{qid}: {batched[qid]!r} != {want!r}"
+
+
+# ---------------------------------------------------------------------------
+# batched multi-query evaluation (engine.search_many): one stats job + one
+# shared postings scan must be rank- AND score-identical to the sequential
+# per-query path for every model family
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "model_name,queries",
+    [
+        ("BM25", {
+            "q1": "search engine index",
+            "q2": "#SUM(heart rate)",
+            "q3": "#SUM(#NEAR/2(search engine) index)",   # positional leaf
+            "q4": "the of and",                            # all stopwords
+        }),
+        ("Indri", {
+            "q1": "#AND(search engine)",
+            "q2": "#WSUM(0.7 search 0.3 #AND(heart rate))",
+        }),
+        ("RankedBoolean", {
+            "q1": "#AND(search #NOT(heart))",
+            "q2": "#OR(engine index)",
+        }),
+        ("UnrankedBoolean", {
+            "q1": "#AND(search engine)",
+        }),
+    ],
+)
+def test_search_many_matches_sequential(spark, tiny_index, model_name, queries):
+    from search_engine_framework_spark import plans
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.plans import models as M
+
+    paths, _rows, _tdf = tiny_index
+    eng = SearchEngine(spark, paths)
+    model = getattr(M, model_name)()
+    batch = eng.search_many(queries, model, k=15)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["doc_id"], r["ext_id"], r["rank"], r["score"])
+        )
+    for qid, text in queries.items():
+        want = [
+            (r["doc_id"], r["ext_id"], r["rank"], r["score"])
+            for r in eng.search(text, model, k=15).collect()
+        ]
+        assert got.get(qid, []) == want, f"{model_name}/{qid} diverged"
+
+
 def test_duplicate_turn_idx_falls_back_to_dense_unique_ids(spark):
     from search_engine_framework_spark.index.docids import assign_doc_ids
 
