@@ -709,12 +709,20 @@ def _tune_encode_partitions(
     spark: SparkSession, nbytes: int, par: int, target: int = 128 << 20
 ) -> None:
     """Partition the encode scan by BYTES (``target`` = 128 MiB, Spark's
-    own default) floored at one partition per core: n = max(ceil(bytes /
-    target), par). See the call site for why cores-proportional splits
-    are wrong for this stage."""
+    own default) floored at one partition per core, then rounded UP to a
+    multiple of the core count: n = roundup(max(ceil(bytes / target),
+    par), par). The bytes floor keeps per-term sub-segment fragmentation
+    (and therefore total encode work) data-driven rather than
+    cluster-size-driven (see the call site); the multiple-of-cores
+    rounding keeps task waves even — a bytes-only count of 10 partitions
+    on 8 cores runs 1.25 waves with 6 cores idle in the second, which
+    reads as lost N→4N scaling. Rounding adds at most one extra
+    fragment-wave of work versus pure bytes-driven, far below the old
+    waves×cores layout's multiplication."""
     if not nbytes:
         return
     n = max((nbytes + target - 1) // target, par)
+    n = ((n + par - 1) // par) * par
     per = max(nbytes // n, 1 << 20)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(per + 1)))
 
