@@ -38,21 +38,13 @@ import time
 # the --py-files zip is; this fallback covers bare `python scripts/...` runs.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
-
-def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
-    """Load the transcript table from an Iceberg table name or a parquet path.
-
-    A dotted name (``catalog.db.table``) with no path separator is treated
-    as a table identifier — Iceberg tables registered in the session catalog
-    load through the same ``spark.table`` call (Spark's DataSourceV2), so no
-    Iceberg-specific code path is needed. Anything else is a parquet
-    directory.
-    """
-    if "/" not in source and not os.path.exists(source):
-        return spark.table(source)
-    return spark.read.parquet(source)
+# Iceberg-table / parquet-path loader with input-contract validation
+# (schema drift fails the submit, not the index).
+from search_engine_framework_spark.sources.table import (  # noqa: E402
+    read_transcripts,
+)
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -1,0 +1,102 @@
+"""Transcript-corpus source: Iceberg table or Parquet directory.
+
+The production deployment reads the corpus from an Iceberg table of
+multi-turn transcripts (BASELINE.json ``north_rule`` / ``input_hint``);
+this sandbox has no Iceberg runtime jars, so the same loader falls back
+to a plain Parquet directory with the identical schema. Either way the
+result is validated against the input contract
+(conv_id:string, turn_idx:int, role:string, text:string, tool:string,
+ts:timestamp) before indexing — a schema drift upstream should fail here,
+not as a silent empty index.
+
+Iceberg specifics that matter for the 10^12-turn target and are exercised
+by the reader options below (all public Spark/Iceberg API):
+
+* snapshot pinning (``snapshot_id`` / ``as_of_timestamp``) makes an index
+  build reproducible against a moving table — the build manifest can
+  record the snapshot for lineage;
+* Iceberg's hidden partitioning + min/max file stats give the same
+  partition/predicate pruning the Parquet path gets from directory
+  layout, so `where` pushdown (e.g. incremental builds filtering on
+  ``ts``) prunes at the file level on both paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The input contract (BASELINE.json input_hint). `int` covers Spark's
+# int32 for turn_idx; ts must be a timestamp.
+REQUIRED_COLS: dict[str, tuple[str, ...]] = {
+    "conv_id": ("string",),
+    "turn_idx": ("int", "integer"),
+    "role": ("string",),
+    "text": ("string",),
+    "tool": ("string",),
+    "ts": ("timestamp", "timestamp_ntz"),
+}
+
+
+def validate_transcripts(df: DataFrame) -> DataFrame:
+    """Assert the input-contract columns exist with the contracted types;
+    returns the frame projected to exactly those columns (extra columns
+    are dropped, so downstream plans never scan them)."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for col, accepted in REQUIRED_COLS.items():
+        if col not in types:
+            problems.append(f"missing column {col!r}")
+        elif types[col] not in accepted:
+            problems.append(
+                f"column {col!r} has type {types[col]}, expected one of {accepted}"
+            )
+    if problems:
+        raise ValueError(
+            "transcript input does not match the input contract: "
+            + "; ".join(problems)
+        )
+    return df.select(*REQUIRED_COLS)
+
+
+def read_transcripts(
+    spark: SparkSession,
+    source: str,
+    fmt: str | None = None,
+    snapshot_id: int | None = None,
+    as_of_timestamp: int | None = None,
+) -> DataFrame:
+    """Load the transcript corpus from ``source`` and validate its schema.
+
+    ``fmt``:
+      * ``"table"`` — ``source`` is a catalog table name
+        (``catalog.db.table``), read via ``spark.table`` — works for any
+        DataSourceV2 catalog table (Iceberg included) with no
+        format-specific code.
+      * ``"iceberg"`` — force the Iceberg reader; required when pinning
+        ``snapshot_id`` / ``as_of_timestamp`` (ms) for reproducible
+        builds (the build manifest records the pin for lineage).
+      * ``"parquet"`` — ``source`` is a directory path.
+      * ``None`` (default) — a slashless dotted name is a catalog table
+        (``"iceberg"`` if a snapshot pin was given, else ``"table"``);
+        anything else is a parquet path.
+    """
+    pinned = snapshot_id is not None or as_of_timestamp is not None
+    if fmt is None:
+        if "/" not in source and "." in source:
+            fmt = "iceberg" if pinned else "table"
+        else:
+            fmt = "parquet"
+    if fmt == "table":
+        df = spark.table(source)
+    elif fmt == "iceberg":
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        if as_of_timestamp is not None:
+            reader = reader.option("as-of-timestamp", str(as_of_timestamp))
+        df = reader.load(source)
+    elif fmt == "parquet":
+        df = spark.read.parquet(source)
+    else:
+        raise ValueError(f"unknown transcript source format: {fmt!r}")
+    return validate_transcripts(df)

@@ -1,0 +1,63 @@
+"""sources.table: the Iceberg/Parquet corpus loader + input contract."""
+
+import pytest
+
+
+def _write_corpus(spark, tmp_path, n_convs=5):
+    from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+    path = str(tmp_path / "corpus")
+    synth_transcripts(spark, n_convs=n_convs, seed=3).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_read_transcripts_parquet_roundtrip(spark, tmp_path):
+    from search_engine_framework_spark.sources.table import read_transcripts
+
+    path = _write_corpus(spark, tmp_path)
+    df = read_transcripts(spark, path)
+    assert df.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert df.count() > 0
+
+
+def test_read_transcripts_infers_parquet_for_paths(spark, tmp_path):
+    from search_engine_framework_spark.sources.table import read_transcripts
+
+    path = _write_corpus(spark, tmp_path)
+    # fmt=None + a slashed path must take the parquet branch
+    assert read_transcripts(spark, path, fmt=None).count() > 0
+
+
+def test_validate_drops_extra_columns(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from search_engine_framework_spark.sources.table import validate_transcripts
+
+    path = _write_corpus(spark, tmp_path)
+    df = spark.read.parquet(path).withColumn("extra", F.lit(1))
+    out = validate_transcripts(df)
+    assert "extra" not in out.columns
+
+
+def test_validate_rejects_missing_and_mistyped(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from search_engine_framework_spark.sources.table import validate_transcripts
+
+    path = _write_corpus(spark, tmp_path)
+    base = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="missing column 'text'"):
+        validate_transcripts(base.drop("text"))
+    with pytest.raises(ValueError, match="column 'turn_idx' has type"):
+        validate_transcripts(
+            base.withColumn("turn_idx", F.col("turn_idx").cast("string"))
+        )
+
+
+def test_unknown_format_raises(spark, tmp_path):
+    from search_engine_framework_spark.sources.table import read_transcripts
+
+    with pytest.raises(ValueError, match="unknown transcript source format"):
+        read_transcripts(spark, "x", fmt="orc2")
