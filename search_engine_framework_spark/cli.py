@@ -138,19 +138,31 @@ def run_param_file(
             params["fbInitialRankingFile"], int(params.get("fbDocs", 10)), engine
         )
 
+    # Batch keys are per LINE, not per qid: a query file may repeat a qid
+    # (the reference evaluates every line), so dict(queries) would silently
+    # drop all but the last occurrence. The \x00 separator cannot appear in
+    # a qid (qids come from split(":", 1) on a stripped line).
+    keyed = {f"{qid}\x00{i}": text for i, (qid, text) in enumerate(queries)}
+
+    def _emit(batch) -> list[str]:
+        by_key: dict[str, list] = {}
+        for r in batch.collect():
+            by_key.setdefault(r["qid"], []).append(r)
+        lines: list[str] = []
+        for i, (qid, _text) in enumerate(queries):
+            lines.extend(
+                format_trec_rows(
+                    qid, by_key.get(f"{qid}\x00{i}", []), unranked=unranked
+                )
+            )
+        return lines
+
     all_lines: list[str] = []
     if not fb:
         # Plain retrieval: ONE batched wave for the whole query file
         # (engine.search_many — one stats job + one shared postings scan +
         # one ranking window), line-identical to the per-query loop.
-        batch = engine.search_many(dict(queries), model, k=k)
-        by_qid: dict[str, list] = {}
-        for r in batch.collect():
-            by_qid.setdefault(r["qid"], []).append(r)
-        for qid, _text in queries:
-            all_lines.extend(
-                format_trec_rows(qid, by_qid.get(qid, []), unranked=unranked)
-            )
+        all_lines = _emit(engine.search_many(keyed, model, k=k))
         write_trec_file(params["trecEvalOutputPath"], all_lines)
         return all_lines
 
@@ -160,24 +172,23 @@ def run_param_file(
 
     expanded = expand_queries(
         engine,
-        dict(queries),
+        keyed,
         model,
         fb_docs=int(params.get("fbDocs", 10)),
         fb_terms=int(params.get("fbTerms", 50)),
         fb_mu=float(params.get("fbMu", 0)),
         fb_orig_weight=float(params.get("fbOrigWeight", 0.5)),
-        initial_rankings=initial or None,
+        initial_rankings={
+            f"{qid}\x00{i}": initial[qid]
+            for i, (qid, _t) in enumerate(queries)
+            if qid in initial
+        }
+        or None,
     )
-    for qid, _text in queries:
-        expansion_lines.append(f"{qid}: {expanded[qid]}")
-    final = engine.search_many(expanded, model, k=k)
-    by_qid: dict[str, list] = {}
-    for r in final.collect():
-        by_qid.setdefault(r["qid"], []).append(r)
-    for qid, _text in queries:
-        all_lines.extend(
-            format_trec_rows(qid, by_qid.get(qid, []), unranked=unranked)
-        )
+    for i, (qid, _text) in enumerate(queries):
+        key = f"{qid}\x00{i}"
+        expansion_lines.append(f"{qid}: {expanded[key]}")
+    all_lines = _emit(engine.search_many(expanded, model, k=k))
 
     write_trec_file(params["trecEvalOutputPath"], all_lines)
     if fb and "fbExpansionQueryFile" in params:

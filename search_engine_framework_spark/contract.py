@@ -919,9 +919,11 @@ SELECT a, b, hamming::BIGINT AS hamming FROM ham WHERE hamming <= 3
 ORACLE_SQL["token_counts"] = r"""
 WITH c AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+         len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> ''))::BIGINT
            AS n_ws,
-         len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))::BIGINT
+         len(regexp_extract_all(coalesce(text, ''),
+                                '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))::BIGINT
            AS n_bpe
   FROM documents
 )

@@ -36,7 +36,54 @@ class SearchEngine:
     ):
         self.spark = spark
         self.reader = IndexReader(spark, index_path)
-        self.analyzer = analyzer or AnalyzerConfig.reference()
+        self.analyzer = self._resolve_analyzer(analyzer)
+
+    def _resolve_analyzer(self, analyzer: AnalyzerConfig | None) -> AnalyzerConfig:
+        """Query-side analysis MUST match the index side or recall silently
+        degrades (a query stem that differs from the indexed stem matches
+        nothing). Default = the analyzer recorded in the index's build
+        lineage; an explicitly passed analyzer is validated against it, and
+        a stemmer whose *implementation* changed since the index was built
+        (functions/stemmer.py STEMMER_IMPL) fails loudly with a rebuild
+        hint instead of returning quietly empty results."""
+        lin = self.reader.lineage
+        recorded = lin.get("analyzer") if isinstance(lin.get("analyzer"), dict) else None
+        if analyzer is None:
+            analyzer = (
+                AnalyzerConfig(
+                    lowercase=bool(recorded.get("lowercase", True)),
+                    stopwords=bool(recorded.get("stopwords", True)),
+                    stemmer=str(recorded.get("stemmer", "kstem")),
+                )
+                if recorded
+                else AnalyzerConfig.reference()
+            )
+        elif recorded:
+            mine = {
+                "lowercase": analyzer.lowercase,
+                "stopwords": analyzer.stopwords,
+                "stemmer": analyzer.stemmer,
+            }
+            theirs = {k: recorded.get(k) for k in mine}
+            if all(v is not None for v in theirs.values()) and theirs != mine:
+                raise ValueError(
+                    f"analyzer {mine} does not match the index's build "
+                    f"lineage {theirs}; pass analyzer=None to adopt the "
+                    "index's analyzer, or rebuild the index"
+                )
+        impl_recorded = lin.get("stemmer_impl")
+        if impl_recorded:
+            from .functions.stemmer import stemmer_impl
+
+            current = stemmer_impl(analyzer.stemmer)
+            if current != impl_recorded:
+                raise ValueError(
+                    f"index was built with stemmer implementation "
+                    f"{impl_recorded!r} but kind {analyzer.stemmer!r} now "
+                    f"resolves to {current!r} — rebuild the index or pass "
+                    "the matching stemmer kind"
+                )
+        return analyzer
 
     def search(
         self,

@@ -459,8 +459,9 @@ def _ic(w: str) -> list[str]:
 
 @_deriv("ncy")
 def _ncy(w: str) -> list[str]:
-    base = w[:-1]  # ncy → nce  (urgency → urgence? frequency → frequence)
-    return [w[:-2] + "t", base[:-2] + "ce"]
+    # ncy → nt (frequency → frequent) and ncy → nce (urgency → urgence):
+    # the -nce candidate replaces the final y with e.
+    return [w[:-2] + "t", w[:-1] + "e"]
 
 
 @_deriv("nce")

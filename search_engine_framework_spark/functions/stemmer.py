@@ -153,6 +153,25 @@ def kstem_lite(word: str) -> str:
     return w2
 
 
+# Implementation fingerprint per stemmer kind, recorded in index build
+# lineage and validated at SearchEngine open: the SAME kind string must
+# stem identically on the index and query sides, so swapping a kind's
+# implementation (as "kstem" went from the rules-only approximation to the
+# full Krovetz port) must fail loudly against indexes built by the old
+# implementation instead of silently losing recall.
+STEMMER_IMPL = {
+    "none": "none/1",
+    "kstem-lite": "kstem-lite/1",
+    "kstem": "kstem/krovetz-1",
+}
+
+
+def stemmer_impl(kind: str = "kstem") -> str:
+    if kind not in STEMMER_IMPL:
+        raise ValueError(f"unknown stemmer kind: {kind!r}")
+    return STEMMER_IMPL[kind]
+
+
 def get_stemmer(kind: str = "kstem"):
     """Resolve a stemmer kind to its callable ONCE (callers bind it outside
     their token loops — a per-token dispatch costs ~0.5µs × 10¹² tokens).

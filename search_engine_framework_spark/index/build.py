@@ -539,6 +539,18 @@ def collection_stats(doclen: DataFrame, n_docs: int) -> dict:
     }
 
 
+def _lineage_stemmer_impl(cfg: AnalyzerConfig | None) -> str | None:
+    """Implementation fingerprint of the build's stemmer kind, for the
+    open-time parity check (functions/stemmer.py STEMMER_IMPL)."""
+    from ..functions.stemmer import stemmer_impl
+
+    kind = (cfg or AnalyzerConfig.reference()).stemmer
+    try:
+        return stemmer_impl(kind)
+    except ValueError:
+        return None
+
+
 def _completed_buckets(paths: IndexPaths) -> set[int]:
     done = set()
     if os.path.isdir(paths.manifests):
@@ -865,6 +877,7 @@ def _build_index_body(
                 "analyzer": (cfg or AnalyzerConfig.reference()).__dict__
                 if cfg is None or hasattr(cfg, "__dict__")
                 else str(cfg),
+                "stemmer_impl": _lineage_stemmer_impl(cfg),
             },
         }
         with open(

@@ -34,28 +34,43 @@ POSTING_SCHEMA = (
 
 class IndexReader:
     def __init__(self, spark: SparkSession, paths: IndexPaths | str):
+        import os
+
         self.spark = spark
         self.paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+        if not os.path.isdir(self.paths.segments):
+            # A compaction interrupted mid-swap leaves the live segments
+            # only under .old/.compacting — restore before failing.
+            from ..streaming.incremental import recover_compaction
+
+            recover_compaction(self.paths)
         with open(self.paths.stats) as fh:
             self.stats = json.load(fh)
-        self._n_buckets: int | None = self._read_n_buckets()
+        self._lineage: dict = self._read_lineage()
+        nb = self._lineage.get("n_buckets")
+        self._n_buckets: int | None = int(nb) if nb else None
 
-    def _read_n_buckets(self) -> int | None:
-        """Bucket count from the build's lineage manifests (index/build.py
-        writes it per bucket). None → unknown layout, no bucket pruning."""
+    def _read_lineage(self) -> dict:
+        """Build lineage from the first bucket manifest (index/build.py
+        writes it per bucket). Empty dict → unknown layout: no bucket
+        pruning, no analyzer-parity check."""
         import os
 
         mdir = self.paths.manifests
         if not os.path.isdir(mdir):
-            return None
+            return {}
         for f in sorted(os.listdir(mdir)):
             if f.startswith("bucket-") and f.endswith(".json"):
                 with open(os.path.join(mdir, f)) as fh:
                     m = json.load(fh)
-                nb = m.get("lineage", {}).get("n_buckets")
-                if nb:
-                    return int(nb)
-        return None
+                lin = m.get("lineage")
+                if lin:
+                    return dict(lin)
+        return {}
+
+    @property
+    def lineage(self) -> dict:
+        return self._lineage
 
     # -- collection statistics ------------------------------------------------
     @property

@@ -324,11 +324,11 @@ def run_letor(
     if weights is None:
         raise ValueError("run_letor needs svm_model_path or weights to rerank")
 
-    test_cand_rows = []
-    for qid, text in test_queries.items():
-        for r in engine.search(text, BM25(), k=k).collect():
-            test_cand_rows.append((qid, r["doc_id"]))
-    test_cand = spark.createDataFrame(test_cand_rows, "qid string, doc_id long")
+    # One batched wave for every test query's initial ranking
+    # (rank/score-identical to per-query search; engine.search_many).
+    test_cand = engine.search_many(test_queries, BM25(), k=k).select(
+        "qid", "doc_id"
+    )
     test_feats = normalize_per_query(
         batch_query_features(engine, test_queries, test_cand, pagerank)
     )

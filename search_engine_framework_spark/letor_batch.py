@@ -82,6 +82,7 @@ def batch_query_features(
     stats = reader.term_stats(pairs) if pairs else {}
 
     cand = candidates.select("qid", "doc_id").distinct().persist()
+    persisted: list[DataFrame] = [cand]  # unpersisted before returning
 
     # ---- broadcast query-term table ---------------------------------------
     # one row per (qid, field, distinct term): mult = duplicate count in
@@ -208,7 +209,11 @@ def batch_query_features(
             feature_names += [f"f_bm25_{f}", f"f_indri_{f}", f"f_overlap_{f}"]
 
     # ---- wave 2 + 3: SDM (#NEAR/1 bigram chain under Indri) ---------------
-    sdm = _batch_sdm(engine, terms_by_qid, cand) if "body" in built else None
+    sdm = (
+        _batch_sdm(engine, terms_by_qid, cand, persisted)
+        if "body" in built
+        else None
+    )
     if sdm is not None:
         feature_frames.append(sdm)
         feature_names.append("f_sdm_body")
@@ -258,13 +263,25 @@ def batch_query_features(
         feature_names + ["f_doclen_body", "f_turn_idx", "f_conv_n_turns",
                          "f_pagerank"],
     )
-    return out.select("qid", "doc_id", "ext_id", *FEATURES)
+    out = out.select("qid", "doc_id", "ext_id", *FEATURES)
+    # Materialize (bounded: one row per candidate pair, i.e. queries × k)
+    # so the cached frames can be released — a long-lived session running
+    # repeated LeToR extractions must not accumulate persisted RDDs.
+    rows = [tuple(r) for r in out.collect()]
+    for df in persisted:
+        df.unpersist()
+    schema = (
+        "qid string, doc_id long, ext_id string, "
+        + ", ".join(f"{n} double" for n in FEATURES)
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _batch_sdm(
     engine: SearchEngine,
     terms_by_qid: dict[str, list[str]],
     cand: DataFrame,
+    persisted: list[DataFrame],
 ) -> DataFrame | None:
     """f_sdm_body for all queries: Indri #AND over #NEAR/1(tᵢ tᵢ₊₁)
     bigrams (LearnToRank.java:237-256). NEAR stats must come from the FULL
@@ -317,6 +334,7 @@ def _batch_sdm(
         .select("qid", "bix", "n_bigrams", "doc_id", "doclen", "tf")
         .persist()  # used by the stats collect AND the candidate scoring
     )
+    persisted.append(hits)  # released by batch_query_features
 
     # wave 2: corpus-wide NEAR stats per (qid, bigram) — a tiny collect
     bstats = {

@@ -107,7 +107,10 @@ def token_counts(docs: DataFrame) -> DataFrame:
     bpe_per_ws — the pretraining-pipeline "how many LLM tokens is this
     document" estimator. Zero-UDF: two regexp expressions with exact
     DuckDB twins."""
-    text = F.col("text")
+    # NULL text counts as empty: without the coalesce, size(split(NULL))
+    # is -1 (Spark's sizeOfNull legacy) and regexp_count(NULL) is NULL —
+    # nonsense counts that also diverge from the DuckDB oracle.
+    text = F.coalesce(F.col("text"), F.lit(""))
     n_ws = F.size(F.filter(F.split(text, r"\s+"), lambda x: x != F.lit("")))
     n_bpe = F.regexp_count(text, F.lit(_BPE_ISH))
     return docs.select(

@@ -76,13 +76,18 @@ def read_transcripts(
         ``snapshot_id`` / ``as_of_timestamp`` (ms) for reproducible
         builds (the build manifest records the pin for lineage).
       * ``"parquet"`` — ``source`` is a directory path.
-      * ``None`` (default) — a slashless dotted name is a catalog table
-        (``"iceberg"`` if a snapshot pin was given, else ``"table"``);
-        anything else is a parquet path.
+      * ``None`` (default) — a slashless dotted name that does NOT exist
+        on the local filesystem is a catalog table (``"iceberg"`` if a
+        snapshot pin was given, else ``"table"``); anything else is a
+        parquet path. The existence check keeps a relative path like
+        ``corpus.parquet`` in the cwd reading as parquet rather than
+        resolving against the catalog.
     """
+    import os
+
     pinned = snapshot_id is not None or as_of_timestamp is not None
     if fmt is None:
-        if "/" not in source and "." in source:
+        if "/" not in source and "." in source and not os.path.exists(source):
             fmt = "iceberg" if pinned else "table"
         else:
             fmt = "parquet"

@@ -121,16 +121,49 @@ def _remove_published(paths: IndexPaths, gen: int) -> None:
                     os.remove(os.path.join(root, f))
 
 
+def recover_compaction(paths: IndexPaths | str) -> None:
+    """Repair an interrupted ``compact_index`` swap. The three directory
+    states are self-describing (see compact_index's swap protocol):
+
+    * live segments present → any leftover ``.compacting``/``.old`` dirs
+      are stale (crash before the swap started, or after it finished):
+      delete them.
+    * live missing, ``.compacting`` complete (has ``_SUCCESS``) → roll
+      FORWARD: rename it into place, drop the backup.
+    * live missing, ``.compacting`` absent/partial → roll BACK: rename
+      ``.old`` into place, drop the partial.
+    """
+    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    live = paths.segments
+    tmp = live + ".compacting"
+    backup = live + ".old"
+    if os.path.isdir(live):
+        _rmtree(tmp)
+        _rmtree(backup)
+        return
+    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, live)
+        _rmtree(backup)
+        return
+    if os.path.isdir(backup):
+        _rmtree(tmp)
+        os.rename(backup, live)
+
+
 def reconcile_index(paths: IndexPaths | str) -> None:
-    """Finish (or roll back) any generation whose manifest is incomplete.
+    """Finish (or roll back) any generation whose manifest is incomplete,
+    and repair an interrupted compaction swap.
 
     * staging dir still present → redo the publish (idempotent), rewrite
       stats.json from the manifest's ``stats_after``, mark complete.
     * staging dir gone (cannot redo) → remove any partially published
       files, restore ``stats_before``, drop the manifest; the streaming
       checkpoint will replay the batch.
+    * complete manifest whose staging dir still exists (crash between the
+      complete flip and the staging delete) → drop the leaked staging dir.
     """
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    recover_compaction(paths)
     if not os.path.isdir(paths.manifests):
         return
     for name in sorted(os.listdir(paths.manifests)):
@@ -140,6 +173,8 @@ def reconcile_index(paths: IndexPaths | str) -> None:
         with open(mpath) as fh:
             m = json.load(fh)
         if m.get("complete"):
+            if os.path.isdir(m.get("staging", "")):
+                _rmtree(m["staging"])
             continue
         gen = int(m["generation"])
         staging = m["staging"]
@@ -159,22 +194,52 @@ def reconcile_index(paths: IndexPaths | str) -> None:
             os.remove(mpath)
 
 
+def _lineage_n_buckets(paths: IndexPaths) -> int | None:
+    """The base build's bucket count from its manifests. The segment
+    layout's bucket column AND query-time bucket pruning both derive from
+    pmod(xxhash64(term, field), n_buckets) — a generation appended with a
+    different count would land postings in directories the pruned scan
+    never opens (silent data loss), so appends/compactions must use the
+    recorded value, never an independent parameter."""
+    if not os.path.isdir(paths.manifests):
+        return None
+    for f in sorted(os.listdir(paths.manifests)):
+        if f.startswith("bucket-") and f.endswith(".json"):
+            with open(os.path.join(paths.manifests, f)) as fh:
+                nb = json.load(fh).get("lineage", {}).get("n_buckets")
+            if nb:
+                return int(nb)
+    return None
+
+
 def append_index(
     spark: SparkSession,
     new_transcripts: DataFrame,
     out_dir: str,
     fields: tuple[str, ...] = ("body",),
     cfg: AnalyzerConfig | None = None,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     n_salts: int = 8,
     block_size: int = 128,
 ) -> int:
     """Append a batch of new turns to an existing index; returns the number
     of turns actually indexed (rows whose (conv_id, turn_idx) already exist
     are skipped, making replayed micro-batches idempotent at the document
-    level). See the module docstring for the crash-safe commit protocol."""
+    level). See the module docstring for the crash-safe commit protocol.
+
+    ``n_buckets`` defaults to the base build's recorded count
+    (``_lineage_n_buckets``); passing a conflicting value raises."""
     paths = IndexPaths(out_dir)
     reconcile_index(paths)  # finish any interrupted predecessor first
+    recorded_nb = _lineage_n_buckets(paths)
+    if n_buckets is None:
+        n_buckets = recorded_nb or 32
+    elif recorded_nb and n_buckets != recorded_nb:
+        raise ValueError(
+            f"n_buckets={n_buckets} conflicts with the index's recorded "
+            f"bucket count {recorded_nb}; appended postings would be "
+            "invisible to the bucket-pruned scan"
+        )
     with open(paths.stats) as fh:
         stats_before = json.load(fh)
     base_n = stats_before["N"]
@@ -273,7 +338,7 @@ def append_index(
 def compact_index(
     spark: SparkSession,
     out_dir: str,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     merge_groups: int = 8,
 ) -> None:
     """Merge all generations' segment rows per (term, field, merge group)
@@ -286,8 +351,22 @@ def compact_index(
     Swap protocol: write compacted segments to ``segments.compacting``,
     rename live → ``segments.old``, rename compacted into place, delete
     the backup — every intermediate state leaves a complete segments
-    directory on disk (live or backup), unlike a delete-then-rename."""
+    directory on disk (live or backup, recoverable by
+    ``recover_compaction``), unlike a delete-then-rename.
+
+    ``n_buckets`` defaults to the index's recorded bucket count (see
+    ``_lineage_n_buckets``); a conflicting explicit value raises."""
     paths = IndexPaths(out_dir)
+    recover_compaction(paths)
+    recorded_nb = _lineage_n_buckets(paths)
+    if n_buckets is None:
+        n_buckets = recorded_nb or 32
+    elif recorded_nb and n_buckets != recorded_nb:
+        raise ValueError(
+            f"n_buckets={n_buckets} conflicts with the index's recorded "
+            f"bucket count {recorded_nb}; compacted postings would be "
+            "invisible to the bucket-pruned scan"
+        )
     seg = spark.read.parquet(paths.segments)
     mgroup = F.pmod(
         F.xxhash64(F.element_at("blocks", 1)["first_doc"]),
@@ -323,6 +402,13 @@ def compact_index(
         .partitionBy("bucket")
         .parquet(tmp)
     )
+    # recover_compaction's roll-forward keys on the _SUCCESS marker; if a
+    # foreign conf suppressed it, fail BEFORE touching the live dir.
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError(
+            f"compacted segments at {tmp} lack a _SUCCESS marker; "
+            "aborting swap (crash recovery would be unable to roll forward)"
+        )
     _rmtree(backup)
     os.rename(paths.segments, backup)
     try:

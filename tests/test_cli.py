@@ -126,3 +126,29 @@ def test_main_builds_index_with_indexfields(spark, tmp_path, capsys):
     eng = SearchEngine(spark, str(ix))
     assert set(eng.reader.stats["fields"]) == {"body", "tool"}
     assert eng.search("search.body", BM25(), k=3).count() > 0
+
+
+def test_duplicate_qid_lines_each_evaluated(spark, tmp_path, tiny_index):
+    """A query file may repeat a qid; the reference evaluates every line
+    (QryEval.java:199-258), so the batched path must not collapse them."""
+    paths, _, _ = tiny_index
+    qry = tmp_path / "dup.qry"
+    qry.write_text("7:search engine\n7:heart rate\n")
+    out = tmp_path / "trec_eval"
+    params = {
+        "indexPath": paths.root,
+        "queryFilePath": str(qry),
+        "trecEvalOutputPath": str(out),
+        "retrievalAlgorithm": "BM25",
+    }
+    lines = run_param_file(spark, params)
+    # both lines' result blocks present, in file order, under the same qid
+    assert all(line.split()[0] == "7" for line in lines)
+    docs = [line.split()[2] for line in lines]
+    ranks = [int(line.split()[3]) for line in lines]
+    # rank sequence restarts when the second line's block begins
+    restarts = sum(1 for i, r in enumerate(ranks) if r == 1)
+    assert restarts == 2, f"expected two result blocks, got ranks {ranks}"
+    # the two blocks differ (different queries → different top docs)
+    first_block_end = ranks.index(1, 1)
+    assert docs[:first_block_end] != docs[first_block_end:]

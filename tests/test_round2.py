@@ -430,3 +430,162 @@ def test_duplicate_turn_idx_falls_back_to_dense_unique_ids(spark):
     out = assign_doc_ids(df)
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [0, 1, 2], "duplicate turn_idx must not yield duplicate ids"
+
+
+# ---------------------------------------------------------------------------
+# round-2 review fixes: compaction crash recovery, lineage-derived
+# n_buckets, analyzer/stemmer lineage parity, NULL-text token counts
+# ---------------------------------------------------------------------------
+
+def _mini_corpus(spark, n=12, seed=5):
+    from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+    return synth_transcripts(spark, n_convs=n, seed=seed)
+
+
+def test_recover_compaction_rolls_forward_and_back(spark, tmp_path):
+    import os
+    import shutil
+
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.plans.models import BM25
+    from search_engine_framework_spark.streaming.incremental import (
+        recover_compaction,
+    )
+
+    out = str(tmp_path / "ix")
+    paths = build_index(spark, _mini_corpus(spark), out, fields=("body",),
+                        n_buckets=4, n_salts=2)
+    seg = paths.segments
+    want = {r["doc_id"] for r in
+            SearchEngine(spark, paths).search("search engine", BM25()).collect()}
+
+    # crash AFTER rename(live, backup), BEFORE rename(tmp, live), with a
+    # COMPLETE tmp (compact_index's Spark write leaves _SUCCESS; the
+    # copytree stand-in needs it created explicitly) → roll forward
+    shutil.copytree(seg, seg + ".compacting")
+    open(os.path.join(seg + ".compacting", "_SUCCESS"), "w").close()
+    os.rename(seg, seg + ".old")
+    assert not os.path.isdir(seg)
+    recover_compaction(paths)
+    assert os.path.isdir(seg) and not os.path.isdir(seg + ".old")
+    got = {r["doc_id"] for r in
+           SearchEngine(spark, paths).search("search engine", BM25()).collect()}
+    assert got == want
+    os.remove(os.path.join(seg, "_SUCCESS"))
+
+    # crash with a PARTIAL tmp (no _SUCCESS) and live missing → roll back
+    shutil.copytree(seg, seg + ".compacting")
+    os.rename(seg, seg + ".old")
+    recover_compaction(paths)
+    assert os.path.isdir(seg)
+    assert not os.path.isdir(seg + ".old")
+    assert not os.path.isdir(seg + ".compacting")
+
+    # stale dirs with live present → cleaned
+    shutil.copytree(seg, seg + ".compacting")
+    recover_compaction(paths)
+    assert not os.path.isdir(seg + ".compacting")
+
+    # IndexReader open also recovers (reader-side crash safety)
+    shutil.copytree(seg, seg + ".compacting")
+    os.rename(seg, seg + ".old")
+    got = {r["doc_id"] for r in
+           SearchEngine(spark, paths).search("search engine", BM25()).collect()}
+    assert got == want and os.path.isdir(seg)
+
+
+def test_append_n_buckets_from_lineage_and_mismatch_raises(spark, tmp_path):
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.index.reader import IndexReader
+    from search_engine_framework_spark.streaming.incremental import (
+        append_index,
+        compact_index,
+    )
+
+    out = str(tmp_path / "ix")
+    full = _mini_corpus(spark, n=10).cache()
+    p1 = full.where("conv_id < 'conv-00000007'")
+    p2 = full.where("conv_id >= 'conv-00000007'")
+    build_index(spark, p1, out, fields=("body",), n_buckets=4, n_salts=2)
+
+    with pytest.raises(ValueError, match="recorded bucket count 4"):
+        append_index(spark, p2, out, fields=("body",), n_buckets=32)
+    with pytest.raises(ValueError, match="recorded bucket count 4"):
+        compact_index(spark, out, n_buckets=32)
+
+    # default derives 4 from lineage: appended postings stay visible to
+    # the bucket-pruned scan
+    n = append_index(spark, p2, out, fields=("body",))
+    assert n > 0
+    reader = IndexReader(spark, out)
+    assert reader._n_buckets == 4
+    pairs = {("search", "body")}
+    assert reader.fetch_postings(pairs, need_positions=False).count() > 0
+    compact_index(spark, out)  # lineage default
+    assert reader.fetch_postings(pairs, need_positions=False).count() > 0
+
+
+def test_engine_adopts_and_validates_analyzer_lineage(spark, tmp_path):
+    import json
+    import os
+
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+    from search_engine_framework_spark.index.build import build_index
+
+    out = str(tmp_path / "ix")
+    cfg = AnalyzerConfig.sql_safe()  # stopwords=False, stemmer="none"
+    paths = build_index(spark, _mini_corpus(spark), out, fields=("body",),
+                        n_buckets=4, n_salts=2, cfg=cfg)
+
+    # analyzer=None adopts the INDEX's analyzer, not the global default
+    eng = SearchEngine(spark, paths)
+    assert eng.analyzer == cfg
+
+    # explicit mismatching analyzer fails loudly
+    with pytest.raises(ValueError, match="does not match the index"):
+        SearchEngine(spark, paths, analyzer=AnalyzerConfig.reference())
+
+    # a stemmer whose IMPLEMENTATION changed since the build fails loudly
+    mdir = paths.manifests
+    name = next(f for f in sorted(os.listdir(mdir)) if f.startswith("bucket-"))
+    mp = os.path.join(mdir, name)
+    with open(mp) as fh:
+        m = json.load(fh)
+    m["lineage"]["stemmer_impl"] = "none/0-older"
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="stemmer implementation"):
+        SearchEngine(spark, paths)
+
+
+def test_token_counts_null_text(spark):
+    from search_engine_framework_spark.pipeline.textstats import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "two words"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert rows[1]["n_ws"] == 2
+    assert rows[2]["n_ws"] == 0 and rows[2]["n_bpe"] == 0
+    assert rows[2]["bpe_per_ws"] == 0.0
+    assert rows[3]["n_ws"] == 0 and rows[3]["n_bpe"] == 0
+
+
+def test_batched_letor_releases_cache(spark, tiny_index):
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.letor_batch import batch_query_features
+
+    paths, _rows, _tdf = tiny_index
+    eng = SearchEngine(spark, paths)
+    cand = eng.search_many({"q1": "search engine"}, __import__(
+        "search_engine_framework_spark.plans.models", fromlist=["BM25"]
+    ).BM25(), k=5).select("qid", "doc_id")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = batch_query_features(eng, {"q1": "search engine"}, cand)
+    assert out.count() > 0
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before, "batch_query_features leaked persisted RDDs"
