@@ -454,6 +454,24 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (streaming/events.py user_sessions, run in
+    batch mode): Spark's session_window vs the DuckDB gaps-and-islands
+    twin — per-user sessions with a 30-minute inactivity gap."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .streaming.events import user_sessions
+
+    ev = _read(spark, sf_dir, "events")
+    out = user_sessions(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     assets = docs.select(
@@ -872,6 +890,30 @@ SELECT doc_id AS asset_id,
        octet_length(encode(text)) > 0 AS decode_ok
 FROM documents
 """,
+    # gaps-and-islands twin of Spark's session_window: a session breaks
+    # when the gap to the previous event of the same user exceeds 30 min;
+    # session_end = last event + gap (session_window's end semantics).
+    "user_sessions": """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT event_type)::BIGINT AS n_types
+FROM numbered GROUP BY user_id, sid
+""",
 }
 
 
@@ -965,6 +1007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "knn_cosine": q_knn_cosine,
     "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
     "multimodal_features": q_multimodal_features,
     "vsm_cosine": q_vsm_cosine,
     "prf_terms": q_prf_terms,

@@ -1,0 +1,112 @@
+"""Structured-Streaming event analytics — watermarked windows + sessions.
+
+The reference engine is strictly batch (SURVEY.md §2.9); this module is
+the Spark-native streaming extension for the pipeline's event telemetry
+(the ``events`` table: event_id, ts, user_id, event_type, value, props).
+Everything is built from Spark's own streaming operators — watermarks,
+tumbling windows, ``session_window`` — so state management, late-data
+handling, and incremental output are the engine's, not hand-rolled:
+
+* ``hourly_counts`` — tumbling 1-hour windows per event_type with a
+  watermark: late events inside the watermark still land in their hour;
+  events later than the watermark are dropped and their state reclaimed
+  (bounded state at 10^12-event scale).
+* ``user_sessions`` — ``session_window`` gap-based sessionization per
+  user: state merges as events arrive and a session finalizes once the
+  watermark passes its close — the built-in replacement for a custom
+  ``applyInPandasWithState`` operator.
+
+Both take EITHER a streaming or a batch DataFrame (the transformations
+are identical — Spark's unified API); tests run them in batch mode for
+value assertions AND as availableNow streams for the streaming plan
+(watermark/state semantics only differ on late data, which the tests
+exercise by feeding out-of-order input).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def hourly_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """(window_start, window_end, event_type, n, sum_value) per tumbling
+    hour. On a stream the watermark bounds state: an event more than
+    ``watermark`` behind the max ts seen is dropped instead of reopening
+    a finalized window."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def user_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions per user: consecutive events of one user closer
+    than ``gap`` belong to one session. → (user_id, session_start,
+    session_end, n_events, n_types)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("s"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "n_types",
+        )
+    )
+
+
+def run_stream_to_parquet(
+    stream: DataFrame,
+    transform,
+    out_dir: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Drive ``transform(stream)`` into a parquet sink with availableNow
+    (drain-what-exists-and-stop — the periodic-batch deployment shape,
+    same as streaming.incremental.stream_index). The checkpoint carries
+    watermark/window state across invocations, so re-running after new
+    source files arrive appends exactly the newly-finalized windows.
+    Returns the finished StreamingQuery."""
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

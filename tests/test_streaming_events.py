@@ -1,0 +1,98 @@
+"""Streaming event analytics: batch/stream agreement, watermark late-data
+drop, session windows."""
+
+import datetime as dt
+
+import pytest
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, h, m), uid, et, 1.0, "{}")
+            for i, (h, m, uid, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_hourly_counts_batch(spark):
+    from search_engine_framework_spark.streaming.events import hourly_counts
+
+    df = _events(spark, [
+        (0, 5, 1, "click"), (0, 40, 2, "click"), (0, 59, 1, "view"),
+        (1, 10, 1, "click"),
+    ])
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n"]
+        for r in hourly_counts(df).collect()
+    }
+    assert got == {(0, "click"): 2, (0, "view"): 1, (1, "click"): 1}
+
+
+def test_user_sessions_batch(spark):
+    from search_engine_framework_spark.streaming.events import user_sessions
+
+    # user 1: events at 0:00, 0:10 (one session), then 1:30 (a new one —
+    # gap 80 min > 30 min); user 2: single event
+    df = _events(spark, [
+        (0, 0, 1, "click"), (0, 10, 1, "view"), (1, 30, 1, "click"),
+        (0, 5, 2, "click"),
+    ])
+    rows = sorted(
+        (r["user_id"], r["session_start"].hour, r["session_start"].minute,
+         r["n_events"], r["n_types"])
+        for r in user_sessions(df, gap="30 minutes").collect()
+    )
+    assert rows == [(1, 0, 0, 2, 2), (1, 1, 30, 1, 1), (2, 0, 5, 1, 1)]
+
+
+def test_streaming_matches_batch_and_drops_late(spark, tmp_path):
+    """availableNow stream over a parquet dir must produce the batch
+    result; a second micro-batch arriving entirely behind the watermark
+    is dropped (late-data semantics), not merged into closed windows."""
+    from search_engine_framework_spark.streaming.events import (
+        hourly_counts,
+        run_stream_to_parquet,
+    )
+
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "events_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = _events(spark, [
+        (0, 5, 1, "click"), (0, 40, 2, "click"), (3, 0, 1, "view"),
+    ])
+    batch1.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    run_stream_to_parquet(
+        stream, lambda s: hourly_counts(s, watermark="1 hour"), out, ckpt,
+    )
+    got1 = {
+        (r["window_start"].hour, r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark = max_ts(3:00) - 1h = 2:00; append mode only FINALIZES
+    # windows older than the watermark: hour 0 is final and emitted; hour
+    # 3 stays open in state and is not in the sink yet.
+    assert got1 == {(0, "click"): 2}
+
+    # second micro-batch: one event at 0:50 — behind the 2:00 watermark →
+    # dropped; one at 6:00 — advances the watermark to 5:00, past the
+    # hour-3 window's 4:00 end, finalizing it. The checkpoint resumes the
+    # same state.
+    batch2 = _events(spark, [(0, 50, 3, "click"), (6, 0, 2, "view")])
+    batch2.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    run_stream_to_parquet(
+        stream, lambda s: hourly_counts(s, watermark="1 hour"), out, ckpt,
+    )
+    got2 = {
+        (r["window_start"].hour, r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2.get((3, "view")) == 1, "hour-3 window should finalize"
+    # the late 0:50 click did NOT reopen hour 0: its count stays 2
+    assert got2.get((0, "click")) == 2
