@@ -145,6 +145,19 @@ def main() -> None:
     )
     timings["bm25_queryset_batched"] = round(time.time() - t0, 3)
 
+    # Join-based bulk evaluator: ONE fixed-shape plan regardless of query
+    # count (the 10^5-query shape; engine.search_bulk_bm25), bit-identical
+    # results to the per-query path.
+    t0 = time.time()
+    engine.search_bulk_bm25(
+        {
+            f"q{i}": q[len("#SUM("):-1]
+            for i, q in enumerate(BM25_QUERIES)
+        },
+        k=10,
+    )
+    timings["bm25_queryset_bulk"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     engine.search("#AND(spark #OR(merge window) #NOT(customer))", RankedBoolean(), k=10)
     timings["boolean_query"] = round(time.time() - t0, 3)

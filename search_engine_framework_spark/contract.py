@@ -355,6 +355,22 @@ SELECT qid, doc_id, rank, score FROM (
     )
 
 
+def q_bm25_bulk(spark, sf_dir):
+    """Join-based whole-set evaluator (engine.search_bulk_bm25): one
+    fixed-shape plan regardless of query count, bit-identical to the
+    per-query path — same queries and oracle as bm25_batch."""
+    eng = get_engine(spark, sf_dir)
+    out = eng.search_bulk_bm25(
+        {qid: " ".join(ts) for qid, ts in BATCH_QUERIES.items()}, k=BATCH_K
+    )
+    return out.select(
+        "qid",
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
 def q_indri_and(spark, sf_dir):
     from .plans.models import Indri
 
@@ -976,6 +992,7 @@ FROM c
 """
 
 ORACLE_SQL["bm25_batch"] = _bm25_batch_sql()
+ORACLE_SQL["bm25_bulk"] = _bm25_batch_sql()
 ORACLE_SQL["simhash_pairs"] = _simhash_sql()
 # nprobe = nlist degenerates to exact kNN over vec_id <> 0 — same oracle.
 ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
@@ -997,6 +1014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_single": q_bm25_single,
     "bm25_topk": q_bm25_topk,
     "bm25_batch": q_bm25_batch,
+    "bm25_bulk": q_bm25_bulk,
     "indri_and": q_indri_and,
     "indri_wsum": q_indri_wsum,
     "fingerprints": q_fingerprints,

@@ -216,6 +216,120 @@ class SearchEngine:
             out, "qid string, doc_id long, ext_id string, rank int, score double"
         )
 
+    def search_bulk_bm25(
+        self,
+        queries: dict[str, str],
+        model=None,
+        k: int = 100,
+        field: str = "body",
+    ) -> DataFrame:
+        """Join-based whole-set BM25 evaluation for FLAT bag-of-words
+        queries → DataFrame(qid, doc_id, ext_id, rank, score), bit-identical
+        per qid to ``search`` / ``search_many``.
+
+        Scale shape: ``search_many`` unions one compiled subplan per query
+        — right for hundreds of queries, but at 10^5+ queries (LeToR
+        training sweeps, relevance-set refreshes) plan size and driver
+        analysis time grow with the query count. Here the plan is ONE
+        fixed shape regardless of |queries|: pruned postings scan ⋈
+        broadcast(query-term table) → per-(qid, doc) child-order score
+        fold → per-qid top-k window. Only broadcast-table size grows.
+
+        Float parity with the DAAT loop: each query child (duplicate terms
+        are separate children, QryopSlSum.java:58) gets a map slot keyed by
+        child index, and the fold accumulates ``0.0 + s_0·w + s_1·w + …``
+        in child order — the same non-associative addition order the
+        per-query #SUM plan uses, so scores match bit-for-bit, not just to
+        rounding. Queries must be plain term bags (no # operators, no
+        field suffixes — use search_many for structured queries)."""
+        import math
+
+        from pyspark.sql import Window
+
+        from .functions.analyzer import analyze_terms
+        from .plans.models import BM25
+
+        model = model or BM25()
+        if not isinstance(model, BM25):
+            raise ValueError("search_bulk_bm25 is defined for BM25 only")
+        for qid, text in queries.items():
+            if "#" in text or "." in text:
+                raise ValueError(
+                    f"query {qid!r} is not a flat term bag; use search_many"
+                )
+        terms_by_qid = {
+            qid: analyze_terms(text, self.analyzer)
+            for qid, text in queries.items()
+        }
+        pairs = {(t, field) for ts in terms_by_qid.values() for t in ts}
+        empty = self.spark.createDataFrame(
+            [], "qid string, doc_id long, ext_id string, rank int, score double"
+        )
+        if not pairs:
+            return empty
+
+        stats = self.reader.term_stats(pairs)
+        n_docs = self.reader.num_docs
+        avg_dl = self.reader.avg_doclen(field)
+        qtf = 1.0
+        user_w = (model.k_3 + 1.0) * qtf / (model.k_3 + qtf)
+
+        qt_rows = []
+        max_children = 0
+        for qid, terms in terms_by_qid.items():
+            max_children = max(max_children, len(terms))
+            for tix, t in enumerate(terms):
+                df = stats.get((t, field), {}).get("df", 0)
+                idf = math.log((n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
+                qt_rows.append((qid, tix, t, float(idf)))
+        if not qt_rows:
+            return empty
+        qt = F.broadcast(
+            self.spark.createDataFrame(
+                qt_rows, "qid string, tix int, term string, idf double"
+            )
+        )
+
+        post = self.reader.fetch_postings(pairs, need_positions=False).where(
+            F.col("field") == field
+        )
+        tf = F.col("tf").cast("double")
+        tf_w = tf / (
+            tf
+            + F.lit(model.k_1)
+            * (
+                F.lit(1.0 - model.b)
+                + F.lit(model.b) * (F.col("doclen").cast("double") / F.lit(avg_dl))
+            )
+        )
+        scored = post.join(qt, "term").select(
+            "qid", "tix", "doc_id", (F.col("idf") * tf_w).alias("s")
+        )
+        grouped = scored.groupBy("qid", "doc_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("tix", "s"))).alias("m")
+        )
+        expr = F.lit(0.0)  # child-order fold; x + 0.0 == x for absent slots
+        for j in range(max_children):
+            expr = expr + F.coalesce(
+                F.col("m")[F.lit(j)] * F.lit(user_w), F.lit(0.0)
+            )
+        docmap = self.reader.docmap().select("doc_id", "ext_id")
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))
+        rows = (
+            grouped.select("qid", "doc_id", expr.alias("score"))
+            .join(F.broadcast(docmap), "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .collect()
+        )
+        out = [
+            (r["qid"], r["doc_id"], r["ext_id"], int(r["rank"]), float(r["score"]))
+            for r in sorted(rows, key=lambda r: (r["qid"], r["rank"]))
+        ]
+        return self.spark.createDataFrame(
+            out, "qid string, doc_id long, ext_id string, rank int, score double"
+        )
+
     def decode_metrics(self) -> dict:
         """Cumulative block-decode counters (block-max pruning evidence):
         {"blocks_decoded": n, "blocks_skipped": n}."""

@@ -589,3 +589,36 @@ def test_batched_letor_releases_cache(spark, tiny_index):
     assert out.count() > 0
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before, "batch_query_features leaked persisted RDDs"
+
+
+def test_search_bulk_bm25_bit_identical_to_search_many(spark, tiny_index):
+    """The join-based bulk evaluator must match the per-query-plan path
+    bit-for-bit (same child-order float fold), including duplicate query
+    terms and absent terms."""
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.plans.models import BM25, Indri
+
+    paths, _rows, _tdf = tiny_index
+    eng = SearchEngine(spark, paths)
+    queries = {
+        "q1": "search engine index",
+        "q2": "heart rate heart",          # duplicate term = two children
+        "q3": "zzznotinanydoc search",     # absent term contributes 0
+        "q4": "the of and",                # all stopwords → no rows
+    }
+    bulk = {}
+    for r in eng.search_bulk_bm25(queries, k=12).collect():
+        bulk.setdefault(r["qid"], []).append(
+            (r["doc_id"], r["ext_id"], r["rank"], r["score"])
+        )
+    many = {}
+    for r in eng.search_many(queries, BM25(), k=12).collect():
+        many.setdefault(r["qid"], []).append(
+            (r["doc_id"], r["ext_id"], r["rank"], r["score"])
+        )
+    assert bulk == many
+
+    with pytest.raises(ValueError, match="flat term bag"):
+        eng.search_bulk_bm25({"q": "#AND(a b)"})
+    with pytest.raises(ValueError, match="BM25 only"):
+        eng.search_bulk_bm25({"q": "a"}, model=Indri())
