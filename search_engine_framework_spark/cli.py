@@ -124,7 +124,10 @@ def run_param_file(
         )
 
     model = model_from_params(params)
-    analyzer = analyzer or AnalyzerConfig.reference()
+    # analyzer=None flows through so SearchEngine adopts the analyzer
+    # recorded in the index's build lineage; coercing to reference() here
+    # would hard-fail the open for any index built with a different
+    # analyzer (engine._resolve_analyzer's parity check).
     engine = SearchEngine(spark, index_path, analyzer)
 
     fb = params.get("fb", "false").lower() == "true"

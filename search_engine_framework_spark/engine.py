@@ -252,6 +252,11 @@ class SearchEngine:
         model = model or BM25()
         if not isinstance(model, BM25):
             raise ValueError("search_bulk_bm25 is defined for BM25 only")
+        if field not in self.reader.stats.get("fields", {}):
+            raise UnknownFieldError(
+                f"field {field!r} was never indexed; built fields: "
+                f"{sorted(self.reader.stats.get('fields', {}))}"
+            )
         for qid, text in queries.items():
             if "#" in text or "." in text:
                 raise ValueError(

@@ -158,11 +158,14 @@ def kstem_lite(word: str) -> str:
 # stem identically on the index and query sides, so swapping a kind's
 # implementation (as "kstem" went from the rules-only approximation to the
 # full Krovetz port) must fail loudly against indexes built by the old
-# implementation instead of silently losing recall.
+# implementation instead of silently losing recall. Bump a kind's version
+# whenever its output changes for ANY input (krovetz-2 = the -ncy→-nce
+# candidate fix). Known limitation: indexes built before fingerprinting
+# existed record no impl and are accepted as-is — rebuild if in doubt.
 STEMMER_IMPL = {
     "none": "none/1",
     "kstem-lite": "kstem-lite/1",
-    "kstem": "kstem/krovetz-1",
+    "kstem": "kstem/krovetz-2",
 }
 
 

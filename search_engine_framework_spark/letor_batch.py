@@ -266,10 +266,13 @@ def batch_query_features(
     out = out.select("qid", "doc_id", "ext_id", *FEATURES)
     # Materialize (bounded: one row per candidate pair, i.e. queries × k)
     # so the cached frames can be released — a long-lived session running
-    # repeated LeToR extractions must not accumulate persisted RDDs.
-    rows = [tuple(r) for r in out.collect()]
-    for df in persisted:
-        df.unpersist()
+    # repeated LeToR extractions must not accumulate persisted RDDs, even
+    # when a job fails mid-collect (hence the finally).
+    try:
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        for df in persisted:
+            df.unpersist()
     schema = (
         "qid string, doc_id long, ext_id string, "
         + ", ".join(f"{n} double" for n in FEATURES)

@@ -76,22 +76,29 @@ def read_transcripts(
         ``snapshot_id`` / ``as_of_timestamp`` (ms) for reproducible
         builds (the build manifest records the pin for lineage).
       * ``"parquet"`` — ``source`` is a directory path.
-      * ``None`` (default) — a slashless dotted name that does NOT exist
-        on the local filesystem is a catalog table (``"iceberg"`` if a
-        snapshot pin was given, else ``"table"``); anything else is a
-        parquet path. The existence check keeps a relative path like
-        ``corpus.parquet`` in the cwd reading as parquet rather than
-        resolving against the catalog.
+      * ``None`` (default) — a slashless name that does NOT exist on the
+        local filesystem is a catalog table (``"iceberg"`` if a snapshot
+        pin was given, else ``"table"``); anything else is a parquet
+        path. The existence check keeps a relative path like
+        ``corpus.parquet`` in the cwd reading as parquet, while a bare
+        table name (``transcripts``, ``db.transcripts``) resolves against
+        the catalog.
     """
     import os
 
     pinned = snapshot_id is not None or as_of_timestamp is not None
     if fmt is None:
-        if "/" not in source and "." in source and not os.path.exists(source):
+        if "/" not in source and not os.path.exists(source):
             fmt = "iceberg" if pinned else "table"
         else:
             fmt = "parquet"
     if fmt == "table":
+        if pinned:
+            raise ValueError(
+                "snapshot_id/as_of_timestamp require fmt='iceberg' — "
+                "spark.table cannot pin a snapshot, and silently reading "
+                "the current one would break build reproducibility"
+            )
         df = spark.table(source)
     elif fmt == "iceberg":
         reader = spark.read.format("iceberg")

@@ -74,7 +74,11 @@ def user_sessions(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.countDistinct("event_type").alias("n_types"),
+            # exact distinct via collect_set: countDistinct is rejected on
+            # streaming frames ("Distinct aggregations are not supported"),
+            # while a set-typed buffer is stream-mergeable — same value in
+            # both modes.
+            F.size(F.collect_set("event_type")).alias("n_types"),
         )
         .select(
             "user_id",

@@ -622,3 +622,12 @@ def test_search_bulk_bm25_bit_identical_to_search_many(spark, tiny_index):
         eng.search_bulk_bm25({"q": "#AND(a b)"})
     with pytest.raises(ValueError, match="BM25 only"):
         eng.search_bulk_bm25({"q": "a"}, model=Indri())
+
+
+def test_search_bulk_bm25_unknown_field_raises(spark, tiny_index):
+    from search_engine_framework_spark.engine import SearchEngine, UnknownFieldError
+
+    paths, _rows, _tdf = tiny_index
+    eng = SearchEngine(spark, paths)
+    with pytest.raises(UnknownFieldError, match="never indexed"):
+        eng.search_bulk_bm25({"q": "search"}, field="bodyy")

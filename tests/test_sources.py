@@ -61,3 +61,10 @@ def test_unknown_format_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown transcript source format"):
         read_transcripts(spark, "x", fmt="orc2")
+
+
+def test_table_fmt_rejects_snapshot_pin(spark):
+    from search_engine_framework_spark.sources.table import read_transcripts
+
+    with pytest.raises(ValueError, match="fmt='iceberg'"):
+        read_transcripts(spark, "db.t", fmt="table", snapshot_id=1)

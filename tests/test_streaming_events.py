@@ -96,3 +96,36 @@ def test_streaming_matches_batch_and_drops_late(spark, tmp_path):
     assert got2.get((3, "view")) == 1, "hour-3 window should finalize"
     # the late 0:50 click did NOT reopen hour 0: its count stays 2
     assert got2.get((0, "click")) == 2
+
+
+def test_user_sessions_runs_as_stream(spark, tmp_path):
+    """The sessionization must actually start as a streaming query
+    (countDistinct is rejected on streams; collect_set is not) and agree
+    with the batch result once all sessions are past the watermark."""
+    from search_engine_framework_spark.streaming.events import (
+        run_stream_to_parquet,
+        user_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    data = _events(spark, [
+        (0, 0, 1, "click"), (0, 10, 1, "view"), (1, 30, 1, "click"),
+        (0, 5, 2, "click"),
+    ])
+    data.write.mode("append").parquet(src)
+    # a far-future event pushes the watermark past every session's close
+    _events(spark, [(23, 0, 9, "view")]).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(data.schema).parquet(src)
+    run_stream_to_parquet(
+        stream, lambda s: user_sessions(s, gap="30 minutes",
+                                        watermark="1 minute"), out, ckpt,
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"].minute, r["n_events"], r["n_types"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != 9
+    )
+    assert got == [(1, 0, 2, 2), (1, 30, 1, 1), (2, 5, 1, 1)]
