@@ -1,12 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 The Spark-side contract is real and tested — schema, Arrow batch shape,
-partition sizing — while the codec step is stubbed: the container ships
-no image/audio libraries, so ``decode`` either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-feature vector derived from the payload bytes (test mode). Swapping in
-a real decoder (PIL / torchaudio / decord) changes ONE function body and
-nothing else.
+partition sizing. The codec step decodes TWO container formats for real,
+in pure numpy/stdlib (the container ships no image/audio libraries, and
+these formats need none):
+
+* **WAV** (RIFF PCM, 8/16/32-bit int + 32-bit float): header parse →
+  sample rate / channels / duration, mono mixdown, and a real feature —
+  the log-magnitude spectrum binned to ``FEATURE_DIM`` bands.
+* **BMP** (uncompressed 24/32-bit BI_RGB): header parse → width/height,
+  bottom-up row-padded pixel decode, and a ``FEATURE_DIM``-bin grayscale
+  histogram feature.
+
+Every other payload (JPEG, MP4, arbitrary bytes) falls back to the
+deterministic pseudo-embedding stub, or raises in strict mode — swapping
+in a full decoder (PIL / torchaudio / decord) changes ONE function body
+and nothing else.
 
 Asset table schema (the 100 TB layout):
     asset_id:long, modality:string('image'|'audio'|'video'),
@@ -38,8 +47,100 @@ FEATURE_DIM = 32
 
 FEATURE_SCHEMA = (
     "asset_id long, modality string, n_bytes long, sha1 string, "
-    f"feature array<float>, decode_ok boolean"
+    "feature array<float>, decode_ok boolean, codec string"
 )
+
+
+def _decode_wav(payload: bytes) -> dict | None:
+    """RIFF/WAVE PCM parse → {'sr', 'channels', 'n_samples', 'duration',
+    'mono': np.float64 array in [-1, 1]} — or None if not a decodable
+    WAV. Pure struct/numpy; walks RIFF chunks (fmt then data), supports
+    PCM 8/16/32-bit int and IEEE float32."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sr": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not fmt or data is None or not fmt["channels"] or not fmt["sr"]:
+        return None
+    af, bits, ch = fmt["audio_format"], fmt["bits"], fmt["channels"]
+    if af == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif af == 1 and bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif af == 1 and bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif af == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        return None
+    n_frames = len(samples) // ch
+    if n_frames == 0:
+        return None
+    mono = samples[: n_frames * ch].reshape(n_frames, ch).mean(axis=1)
+    return {
+        "sr": fmt["sr"], "channels": ch, "n_samples": n_frames,
+        "duration": n_frames / fmt["sr"], "mono": mono,
+    }
+
+
+def _wav_feature(mono: np.ndarray, dim: int) -> list[float]:
+    """log1p magnitude spectrum binned to ``dim`` bands — a real, stable
+    audio feature (enough for near-dup / similarity grouping)."""
+    spec = np.abs(np.fft.rfft(mono))
+    bins = np.array_split(spec, dim)
+    return [float(np.log1p(b.mean())) if len(b) else 0.0 for b in bins]
+
+
+def _decode_bmp(payload: bytes) -> dict | None:
+    """Uncompressed 24/32-bit BI_RGB BMP parse → {'width', 'height',
+    'gray': np.uint8 array (h, w)} — or None if not decodable."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        return None
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    h = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if need > len(payload):
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : width * bytes_pp].reshape(h, width, bytes_pp)
+    if height > 0:
+        rows = rows[::-1]  # bottom-up storage
+    b, g, r = (rows[..., 0].astype(np.float64), rows[..., 1].astype(np.float64),
+               rows[..., 2].astype(np.float64))
+    gray = (0.299 * r + 0.587 * g + 0.114 * b).astype(np.uint8)
+    return {"width": width, "height": h, "gray": gray}
+
+
+def _bmp_feature(gray: np.ndarray, dim: int) -> list[float]:
+    """Normalized ``dim``-bin grayscale histogram."""
+    hist, _ = np.histogram(gray, bins=dim, range=(0, 256))
+    total = hist.sum() or 1
+    return (hist / total).astype(np.float64).tolist()
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -56,31 +157,48 @@ def decode_features(
     strict: bool = False,
     dim: int = FEATURE_DIM,
 ) -> DataFrame:
-    """assets → (asset_id, modality, n_bytes, sha1, feature, decode_ok).
+    """assets → (asset_id, modality, n_bytes, sha1, feature, decode_ok,
+    codec).
 
-    ``strict=True`` raises NotImplementedError at execution time (the
-    posture for production until a real codec is wired in);
-    ``strict=False`` emits the deterministic fake feature so the full
-    downstream pipeline (ANN, dedup-by-feature) is exercisable today.
+    WAV and BMP payloads decode for REAL (``codec`` = 'wav'/'bmp':
+    spectral-band / grayscale-histogram features); every other payload
+    takes the fallback: ``strict=True`` raises NotImplementedError at
+    execution time (the posture for production until a full codec is
+    wired in), ``strict=False`` emits the deterministic fake feature
+    (``codec`` = 'raw') so the full downstream pipeline (ANN,
+    dedup-by-feature) is exercisable today.
     """
+
+    def _one(payload: bytes) -> tuple[list[float], str]:
+        wav = _decode_wav(payload)
+        if wav is not None:
+            return _wav_feature(wav["mono"], dim), "wav"
+        bmp = _decode_bmp(payload)
+        if bmp is not None:
+            return _bmp_feature(bmp["gray"], dim), "bmp"
+        if strict:
+            raise NotImplementedError(
+                "payload is neither WAV nor BMP and no full image/audio/"
+                "video codec is available in this environment; wire a "
+                "decoder into pipeline.multimodal.decode_features"
+            )
+        return _fake_feature(payload, dim), "raw"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image/audio/video codecs are not available in "
-                    "this environment; wire a decoder into "
-                    "pipeline.multimodal.decode_features"
-                )
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            decoded = [_one(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "n_bytes": [len(p) for p in payloads],
                     "sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
-                    "feature": [_fake_feature(p, dim) for p in payloads],
+                    "feature": [
+                        np.asarray(f, dtype=np.float32) for f, _ in decoded
+                    ],
                     "decode_ok": [len(p) > 0 for p in payloads],
+                    "codec": [c for _, c in decoded],
                 }
             )
 
