@@ -629,6 +629,130 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return pairs.select("a", "b", _r4(F.col("cosine")).alias("cosine"))
 
 
+def q_ir_metrics(spark, sf_dir):
+    """Distributed trec_eval metrics (eval.py) over a deterministic
+    synthetic evaluation set derived from `documents` with pure modular
+    arithmetic — 5 query topics, per-topic ranking = top-50 docs by a
+    hashed score, graded qrels — so DuckDB reproduces ranking, qrels, and
+    every measure exactly. Covers P@k, AP, reciprocal rank, and NDCG in
+    one entry (the reference ships rankings to an external trec_eval —
+    hw4test.py:45-47; this is that missing half, Spark-native)."""
+    from pyspark.sql import Window
+
+    from .eval import per_query_metrics
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    qs = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("q")
+    )
+    ext = F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    qid = F.concat(F.lit("q"), F.col("q").cast("string"))
+    ranking = (
+        qs.where((F.col("doc_id") * 37 + F.col("q")) % 7 == 0)
+        .withColumn(
+            "score_i",
+            (F.col("doc_id") * F.lit(2654435761) + F.col("q") * 97)
+            % F.lit(1000003),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy(
+                    F.desc("score_i"), F.asc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= 50)
+        .select(qid.alias("qid"), ext.alias("ext_id"), "rank")
+    )
+    qrels = qs.where((F.col("doc_id") + F.col("q")) % 2 == 0).select(
+        qid.alias("qid"),
+        ext.alias("ext_id"),
+        F.when(
+            (F.col("doc_id") * 13 + F.col("q")) % 4 == 0,
+            1 + F.col("doc_id") % 3,
+        )
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return per_query_metrics(
+        ranking, qrels, ks=(10, 20), ndcg_ks=(10,), round_dp=4
+    )
+
+
+_IR_METRICS_SQL = """
+WITH qs AS (SELECT unnest(range(5)) AS q),
+base AS (SELECT doc_id, q FROM documents CROSS JOIN qs),
+ranking AS (
+  SELECT 'q' || q AS qid, lpad(doc_id::VARCHAR, 6, '0') AS ext_id, rank
+  FROM (
+    SELECT doc_id, q,
+           row_number() OVER (
+             PARTITION BY q
+             ORDER BY ((doc_id * 2654435761 + q * 97) % 1000003) DESC,
+                      doc_id ASC
+           ) AS rank
+    FROM base
+    WHERE (doc_id * 37 + q) % 7 = 0
+  )
+  WHERE rank <= 50
+),
+qrels AS (
+  SELECT 'q' || q AS qid, lpad(doc_id::VARCHAR, 6, '0') AS ext_id,
+         CASE WHEN (doc_id * 13 + q) % 4 = 0
+              THEN 1 + (doc_id % 3) ELSE 0 END AS rel
+  FROM base
+  WHERE (doc_id + q) % 2 = 0
+),
+j AS (
+  SELECT r.qid, r.rank, COALESCE(qr.rel, 0) AS rel,
+         CASE WHEN COALESCE(qr.rel, 0) > 0 THEN 1 ELSE 0 END AS isrel
+  FROM ranking r
+  LEFT JOIN qrels qr ON r.qid = qr.qid AND r.ext_id = qr.ext_id
+),
+jc AS (
+  SELECT *, SUM(isrel) OVER (
+    PARTITION BY qid ORDER BY rank ROWS UNBOUNDED PRECEDING
+  ) AS cum_rel FROM j
+),
+per_run AS (
+  SELECT qid,
+         COUNT(*)::BIGINT AS num_ret,
+         SUM(isrel)::BIGINT AS num_rel_ret,
+         SUM(CASE WHEN isrel = 1 THEN cum_rel::DOUBLE / rank
+                  ELSE 0 END) AS ap_num,
+         MIN(CASE WHEN isrel = 1 THEN rank END) AS frr,
+         SUM(CASE WHEN rank <= 10 THEN isrel ELSE 0 END) / 10.0 AS p_at_10,
+         SUM(CASE WHEN rank <= 20 THEN isrel ELSE 0 END) / 20.0 AS p_at_20,
+         SUM(CASE WHEN rank <= 10
+                  THEN rel::DOUBLE / log2(rank + 1.0) ELSE 0 END) AS dcg_10
+  FROM jc GROUP BY qid
+),
+ideal AS (
+  SELECT qid,
+         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS num_rel,
+         SUM(CASE WHEN irank <= 10
+                  THEN rel::DOUBLE / log2(irank + 1.0) ELSE 0 END) AS idcg_10
+  FROM (
+    SELECT qid, rel, row_number() OVER (
+      PARTITION BY qid ORDER BY rel DESC, ext_id ASC
+    ) AS irank FROM qrels
+  ) GROUP BY qid
+)
+SELECT p.qid, p.num_ret, COALESCE(i.num_rel, 0)::BIGINT AS num_rel,
+       p.num_rel_ret,
+       ROUND(p.p_at_10, 4) AS p_at_10,
+       ROUND(p.p_at_20, 4) AS p_at_20,
+       ROUND(CASE WHEN COALESCE(i.num_rel, 0) > 0
+                  THEN p.ap_num / i.num_rel ELSE 0 END, 4) AS ap,
+       ROUND(CASE WHEN p.frr IS NOT NULL
+                  THEN 1.0 / p.frr ELSE 0 END, 4) AS rr,
+       ROUND(CASE WHEN COALESCE(i.idcg_10, 0) > 0
+                  THEN p.dcg_10 / i.idcg_10 ELSE 0 END, 4) AS ndcg_at_10
+FROM per_run p LEFT JOIN ideal i ON p.qid = i.qid
+"""
+
+
 # --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
@@ -998,6 +1122,7 @@ ORACLE_SQL["simhash_pairs"] = _simhash_sql()
 ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
 # The LSH scale path at total-recall parameters must equal the exact pairs.
 ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
+ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1033,6 +1158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
+    "ir_metrics": q_ir_metrics,
     # rows-only checks (not SQL-expressible):
     # bm25_ref_analyzer — Krovetz stemming can't be written in ANSI SQL;
     #   locked instead by a pytest golden fixture (tests/test_ranking_extras).

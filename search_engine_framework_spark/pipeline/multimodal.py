@@ -132,7 +132,9 @@ def _decode_bmp(payload: bytes) -> dict | None:
         rows = rows[::-1]  # bottom-up storage
     b, g, r = (rows[..., 0].astype(np.float64), rows[..., 1].astype(np.float64),
                rows[..., 2].astype(np.float64))
-    gray = (0.299 * r + 0.587 * g + 0.114 * b).astype(np.uint8)
+    # BT.601 luma with rounding (not truncation): keeps r=g=b inputs
+    # bit-exact through an encode→decode round trip
+    gray = (0.299 * r + 0.587 * g + 0.114 * b + 0.5).astype(np.uint8)
     return {"width": width, "height": h, "gray": gray}
 
 
@@ -227,6 +229,157 @@ def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
 
     return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def _encode_bmp_gray(gray: np.ndarray) -> bytes:
+    """Grayscale (h, w) uint8 → 24-bit BI_RGB BMP bytes (pure stdlib/
+    numpy; the inverse of ``_decode_bmp`` for r=g=b). Rows are written
+    bottom-up with 4-byte padding, matching the decoder."""
+    h, w = gray.shape
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    rgb = np.repeat(gray[::-1, :, None], 3, axis=2)  # bottom-up, b=g=r
+    img[:, : w * 3] = rgb.reshape(h, w * 3)
+    body = img.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def _resize_nearest(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (the standard pixel-center mapping
+    src = floor((dst + 0.5) * scale)) — deterministic, pure numpy."""
+    h, w = gray.shape
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return gray[ys][:, xs]
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, src_width int, src_height int, width int, height int, "
+    "resized binary, decode_ok boolean"
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Image-resize stage: BMP payloads decode, nearest-neighbor resample
+    to (width, height) in grayscale, and re-encode as BMP — fully real in
+    pure numpy. Non-BMP payloads: ``strict=True`` raises (production
+    posture until a full image codec is wired in); otherwise the row is
+    emitted with ``decode_ok = false`` and an empty ``resized`` payload,
+    so a 100 TB sweep quantifies its undecodable tail instead of dying
+    on it. Same Arrow-batch rules as ``decode_features``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"], "src_width": [], "src_height": [],
+                "width": [], "height": [], "resized": [], "decode_ok": [],
+            }
+            for p in pdf["payload"]:
+                bmp = _decode_bmp(bytes(p) if p is not None else b"")
+                if bmp is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is not BMP and no full image codec is "
+                            "available; wire a decoder into "
+                            "pipeline.multimodal.resize_images"
+                        )
+                    out["src_width"].append(0)
+                    out["src_height"].append(0)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["resized"].append(b"")
+                    out["decode_ok"].append(False)
+                    continue
+                small = _resize_nearest(bmp["gray"], width, height)
+                out["src_width"].append(bmp["width"])
+                out["src_height"].append(bmp["height"])
+                out["width"].append(width)
+                out["height"].append(height)
+                out["resized"].append(_encode_bmp_gray(small))
+                out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "asset_id long, frame_idx int, ts_sec double, frame binary"
+)
+
+
+def sample_frames(
+    assets: DataFrame, every_n: int = 1, max_frames: int | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Video frame-sampling stage: one output row per sampled frame.
+
+    The sampling plumbing (stride/cap arithmetic, per-frame row fan-out
+    through mapInPandas, timestamping from fps) is real and
+    container-agnostic. The *container* decoded for real is raw
+    fixed-size grayscale frames described by metadata — ``meta['codec'] =
+    'rawvideo'`` with ``frame_w``/``frame_h``/``fps`` — i.e. the shape a
+    production decode (decord/ffmpeg) would hand this stage. Payloads in
+    any other container: ``strict=True`` raises NotImplementedError;
+    otherwise the asset contributes no frames (quantify via an anti-join
+    on asset_id). A frame row is (asset_id, frame_idx, ts_sec, frame
+    bytes); feed frames to ``resize_images``-style stages or hash-dedup.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_idx": [], "ts_sec": [], "frame": []}
+            for aid, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                meta = meta or {}
+                if meta.get("codec") != "rawvideo":
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is not rawvideo and no full video "
+                            "codec is available; wire a decoder into "
+                            "pipeline.multimodal.sample_frames"
+                        )
+                    continue
+                w = int(meta.get("frame_w", 0))
+                h = int(meta.get("frame_h", 0))
+                fps = float(meta.get("fps", 1.0))
+                fsz = w * h
+                if fsz <= 0 or fps <= 0:
+                    continue
+                buf = bytes(payload) if payload is not None else b""
+                n_frames = len(buf) // fsz
+                taken = 0
+                for i in range(0, n_frames, every_n):
+                    if max_frames is not None and taken >= max_frames:
+                        break
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["ts_sec"].append(i / fps)
+                    rows["frame"].append(buf[i * fsz:(i + 1) * fsz])
+                    taken += 1
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def exact_dup_assets(features: DataFrame) -> DataFrame:

@@ -1,0 +1,101 @@
+"""IR evaluation metrics (eval.py) vs hand-computed trec_eval values."""
+
+import math
+
+import pytest
+
+from search_engine_framework_spark.eval import per_query_metrics, summarize
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    # q1: ranks 1..5 = a..e; judged: a rel1, b rel0, c rel2, f rel1 (f not
+    # retrieved). q2: retrieved but nothing relevant judged.
+    ranking = spark.createDataFrame(
+        [("q1", x, i + 1) for i, x in enumerate("abcde")]
+        + [("q2", x, i + 1) for i, x in enumerate("xy")],
+        "qid string, ext_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            ("q1", "a", 1),
+            ("q1", "b", 0),
+            ("q1", "c", 2),
+            ("q1", "f", 1),
+            ("q2", "x", 0),
+        ],
+        "qid string, ext_id string, rel int",
+    )
+    return ranking, qrels
+
+
+def test_per_query_hand_values(frames):
+    ranking, qrels = frames
+    m = {
+        r["qid"]: r.asDict()
+        for r in per_query_metrics(
+            ranking, qrels, ks=(2, 5), ndcg_ks=(5,)
+        ).collect()
+    }
+    q1 = m["q1"]
+    assert q1["num_ret"] == 5
+    assert q1["num_rel"] == 3  # a, c, f
+    assert q1["num_rel_ret"] == 2  # a@1, c@3
+    assert q1["p_at_2"] == pytest.approx(1 / 2)
+    assert q1["p_at_5"] == pytest.approx(2 / 5)
+    # AP = (1/1 + 2/3) / num_rel = 5/9
+    assert q1["ap"] == pytest.approx(5 / 9)
+    assert q1["rr"] == pytest.approx(1.0)
+    # linear-gain DCG@5 = 1/log2(2) + 2/log2(4) = 2.0
+    # IDCG from judged set sorted desc rel: 2/log2(2)+1/log2(3)+1/log2(4)
+    idcg = 2.0 + 1.0 / math.log2(3.0) + 0.5
+    assert q1["ndcg_at_5"] == pytest.approx(2.0 / idcg)
+
+    q2 = m["q2"]
+    assert q2["num_ret"] == 2
+    assert q2["num_rel"] == 0
+    assert q2["num_rel_ret"] == 0
+    assert q2["ap"] == 0.0 and q2["rr"] == 0.0 and q2["ndcg_at_5"] == 0.0
+
+
+def test_exp_gain_variant(frames):
+    ranking, qrels = frames
+    q1 = (
+        per_query_metrics(ranking, qrels, ks=(5,), ndcg_ks=(5,), gain="exp")
+        .where("qid = 'q1'")
+        .first()
+    )
+    # gains 2^rel - 1: a->1, c->3; DCG = 1/log2(2) + 3/log2(4) = 2.5
+    # ideal: c(3), a(1), f(1) -> 3 + 1/log2(3) + 1/log2(4)
+    idcg = 3.0 + 1.0 / math.log2(3.0) + 0.5
+    assert q1["ndcg_at_5"] == pytest.approx(2.5 / idcg)
+
+
+def test_summarize_excludes_rel_less_topics(frames):
+    ranking, qrels = frames
+    perq = per_query_metrics(ranking, qrels, ks=(2, 5), ndcg_ks=(5,))
+    s = summarize(perq).first()
+    assert s["num_q_run"] == 2
+    assert s["num_q"] == 1  # q2 has num_rel == 0 -> dropped from means
+    assert s["num_ret"] == 7
+    assert s["num_rel"] == 3
+    assert s["num_rel_ret"] == 2
+    assert s["map"] == pytest.approx(5 / 9)
+    assert s["mrr"] == pytest.approx(1.0)
+    assert s["p_at_5"] == pytest.approx(2 / 5)
+
+    s_all = summarize(perq, exclude_no_rel=False).first()
+    assert s_all["num_q"] == 2
+    assert s_all["map"] == pytest.approx((5 / 9) / 2)
+
+
+def test_unjudged_query_defaults_to_zero_metrics(spark):
+    ranking = spark.createDataFrame(
+        [("q9", "a", 1)], "qid string, ext_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1)], "qid string, ext_id string, rel int"
+    )
+    row = per_query_metrics(ranking, qrels, ks=(1,), ndcg_ks=(1,)).first()
+    assert row["qid"] == "q9"
+    assert row["num_rel"] == 0 and row["ap"] == 0.0 and row["ndcg_at_1"] == 0.0

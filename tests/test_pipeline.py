@@ -236,8 +236,8 @@ def test_bmp_decode_real(spark):
     meta = _decode_bmp(bmp)
     assert meta is not None
     assert meta["width"] == 6 and meta["height"] == 4
-    # uniform blue image → uniform gray value 0.114*200 ≈ 22
-    assert int(meta["gray"][0, 0]) == int(0.114 * 200)
+    # uniform blue image → uniform gray value round(0.114*200) = 23
+    assert int(meta["gray"][0, 0]) == round(0.114 * 200)
 
     df = spark.createDataFrame(
         [(2, "image", bytearray(bmp), {"src": "t"})],
@@ -261,3 +261,73 @@ def test_truncated_media_falls_back(spark):
     )
     rows = {r["asset_id"]: r for r in decode_features(df).collect()}
     assert rows[1]["codec"] == "raw" and rows[2]["codec"] == "raw"
+
+
+def test_resize_images_real_bmp(spark):
+    import numpy as np
+
+    from search_engine_framework_spark.pipeline.multimodal import (
+        _decode_bmp,
+        _encode_bmp_gray,
+        _resize_nearest,
+        resize_images,
+    )
+
+    # 8x8 gradient image, resized to 4x4 — decode(resize(x)) must equal
+    # the pure-numpy nearest-neighbor resample of decode(x)
+    gray = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    bmp = _encode_bmp_gray(gray)
+    # round-trip sanity: encoder is the decoder's inverse for gray inputs
+    dec = _decode_bmp(bmp)
+    assert dec is not None and dec["width"] == 8 and dec["height"] == 8
+    # r=g=b=v → luma 0.299v+0.587v+0.114v = v (exact for uint8 cast)
+    assert np.array_equal(dec["gray"], gray)
+
+    df = spark.createDataFrame(
+        [(7, "image", bytearray(bmp), {"src": "t"}),
+         (8, "image", bytearray(b"not an image"), {"src": "t"})],
+        "asset_id long, modality string, payload binary, meta map<string,string>",
+    )
+    rows = {r["asset_id"]: r for r in resize_images(df, 4, 4).collect()}
+    ok = rows[7]
+    assert ok["decode_ok"] and ok["src_width"] == 8 and ok["width"] == 4
+    out = _decode_bmp(bytes(ok["resized"]))
+    assert out["width"] == 4 and out["height"] == 4
+    assert np.array_equal(out["gray"], _resize_nearest(gray, 4, 4))
+
+    bad = rows[8]
+    assert not bad["decode_ok"] and bytes(bad["resized"]) == b""
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        resize_images(df, 4, 4, strict=True).collect()
+
+
+def test_sample_frames_rawvideo(spark):
+    from search_engine_framework_spark.pipeline.multimodal import sample_frames
+
+    w, h, n_frames = 4, 3, 10
+    frames = [bytes([i]) * (w * h) for i in range(n_frames)]
+    payload = b"".join(frames)
+    meta = {"codec": "rawvideo", "frame_w": str(w), "frame_h": str(h),
+            "fps": "5"}
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload), meta),
+         (2, "video", bytearray(b"mp4 junk"), {"codec": "h264"})],
+        "asset_id long, modality string, payload binary, meta map<string,string>",
+    )
+    rows = sample_frames(df, every_n=3).collect()
+    # asset 1: frames 0,3,6,9 at 5 fps; asset 2 contributes nothing
+    got = sorted((r["frame_idx"], r["ts_sec"], bytes(r["frame"])[0])
+                 for r in rows if r["asset_id"] == 1)
+    assert got == [(0, 0.0, 0), (3, 0.6, 3), (6, 1.2, 6), (9, 1.8, 9)]
+    assert all(r["asset_id"] == 1 for r in rows)
+
+    capped = sample_frames(df, every_n=1, max_frames=2).collect()
+    assert sorted(r["frame_idx"] for r in capped) == [0, 1]
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        sample_frames(df, strict=True).collect()
+    with _pytest.raises(ValueError):
+        sample_frames(df, every_n=0)
