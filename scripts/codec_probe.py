@@ -1,0 +1,89 @@
+"""Segment-compression codec experiment: snappy (Spark default) vs zstd.
+
+The index's on-disk bytes (intermediate forward index + posting-block
+segments) ride the parquet codec. On an IO/memory-bound box, fewer bytes
+through the page cache and disk is also a *scaling* lever, not just a
+storage one — the encode+write stage is the build's worst-scaling phase
+(BENCH.md §2.3 item 8). This probe runs the SAME build back-to-back with
+each codec on the same on-disk corpus, same JVM size, and reports wall,
+throughput, and on-disk bytes for both.
+
+Usage:
+  python scripts/codec_probe.py [corpus_dir] [cores]
+  python scripts/codec_probe.py worker <codec> <corpus_dir> <cores>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def worker(codec: str, corpus_dir: str, cores: int) -> None:
+    from search_engine_framework_spark.session import get_spark
+    from search_engine_framework_spark.index.build import build_index
+
+    spark = get_spark(
+        app_name=f"codec-{codec}", master=f"local[{cores}]",
+        shuffle_partitions=cores * 4,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.parquet.compression.codec", codec)
+    corpus = spark.read.parquet(corpus_dir)
+    n_turns = corpus.count()
+    out = f"/tmp/codec_ix_{codec}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, corpus, out, fields=("body",), n_buckets=32)
+    wall = time.time() - t0
+    print(json.dumps({
+        "codec": codec,
+        "cores": cores,
+        "turns": n_turns,
+        "wall_s": round(wall, 1),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "index_bytes": du(out),
+        "segment_bytes": du(os.path.join(out, "segments")),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_corpus_1920000"
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    results = []
+    for codec in ("snappy", "zstd"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "worker",
+             codec, corpus, str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(line, flush=True)
+    a, b = results
+    print(json.dumps({
+        "bytes_ratio_zstd_vs_snappy": round(b["index_bytes"] / a["index_bytes"], 3),
+        "wall_ratio_zstd_vs_snappy": round(b["wall_s"] / a["wall_s"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+    else:
+        main()

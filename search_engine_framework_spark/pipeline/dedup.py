@@ -179,8 +179,18 @@ def near_dup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pipeline: recall via band collisions,
-    precision via exact Jaccard ≥ threshold. Returns (a, b, jaccard)."""
-    sh = shingles(docs, k=k)
+    precision via exact Jaccard ≥ threshold. Returns (a, b, jaccard).
+
+    The shingle table has THREE consumers (signatures + both sides of the
+    Jaccard verify join), so it is persisted MEMORY_AND_DISK here —
+    without it Spark re-tokenizes and re-shingles the whole corpus three
+    times (measured ~1.8× the end-to-end wall). The cache lives until the
+    session evicts it (LRU) or the caller unpersists; at cluster scale
+    prefer writing ``shingles(docs)`` to a table once and passing the
+    stages explicitly."""
+    from pyspark import StorageLevel
+
+    sh = shingles(docs, k=k).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
     cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
     return jaccard_pairs(cand, sh).where(F.col("jaccard") >= threshold)
@@ -197,11 +207,14 @@ def _md5_bit(b: int) -> Column:
     ``i = b // 4`` of md5(term), bit ``j = b % 4`` within the digit's
     value. md5 is bit-identical in every SQL engine, which is the whole
     point — xxhash64 is Spark-only and made the signature unverifiable.
+
+    Reads the pre-projected digit column ``d{b//4}`` (see ``simhash64``):
+    evaluating ``F.md5(term)`` inline here would re-hash the term inside
+    every one of the 64 aggregate expressions — Catalyst does not CSE
+    across aggregate buffers, and the measured cost was ~64 md5 evals per
+    (doc, term) row.
     """
-    digit = F.conv(F.substring(F.md5(F.col("term")), b // 4 + 1, 1), 16, 10).cast(
-        "int"
-    )
-    return F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+    return F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
@@ -225,6 +238,18 @@ def simhash64(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("int").alias("tf"))
+    )
+    # md5 once per (doc, term) row, hex digits unpacked once — the 64
+    # aggregate expressions below then read plain int columns.
+    term_tf = term_tf.withColumn("h", F.md5(F.col("term"))).select(
+        "doc_id",
+        "tf",
+        *[
+            F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"d{i}")
+            for i in range(16)
+        ],
     )
     tf = F.col("tf")
     sums = [
