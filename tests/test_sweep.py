@@ -1,0 +1,85 @@
+"""Parameter-sweep harness (sweep.py) — the hw4test.py loop, in-process."""
+
+import json
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.plans.models import BM25
+from search_engine_framework_spark.sweep import sweep
+
+
+QUERIES = {"1": "search engine", "2": "merge window data", "3": "window search"}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    paths, _rows, _tdf = tiny_index
+    return SearchEngine(spark, paths)
+
+
+@pytest.fixture(scope="module")
+def qrels(spark, engine):
+    # Relevance = the top-3 of the DEFAULT BM25 config, so that config's
+    # AP is exactly 1.0 (cum_rel/rank = 1 at ranks 1..3, num_rel = 3) and
+    # every other configuration scores <= 1.0 by construction.
+    rows = []
+    for qid, text in QUERIES.items():
+        for r in engine.search(text, BM25(), k=3).collect():
+            rows.append((qid, r["ext_id"], 1))
+    return spark.createDataFrame(rows, "qid string, ext_id string, rel int")
+
+
+GRID = [
+    {"retrievalAlgorithm": "BM25", "BM25:k_1": "1.2", "BM25:b": "0.75"},
+    {"retrievalAlgorithm": "BM25", "BM25:k_1": "0.4", "BM25:b": "0.2"},
+    {"retrievalAlgorithm": "Indri", "Indri:mu": "2500", "Indri:lambda": "0.4"},
+    # fb renders a #wand(...) expansion — an Indri-only operator, exactly
+    # like the reference (QryExpansion.java:217-220 under the Indri model)
+    {
+        "retrievalAlgorithm": "Indri",
+        "fb": "true",
+        "fbDocs": "3",
+        "fbTerms": "5",
+        "fbOrigWeight": "0.5",
+    },
+]
+
+
+def test_sweep_shape_and_reference_config(engine, qrels):
+    out = sweep(engine, QUERIES, qrels, GRID, k=10, ks=(5, 10)).collect()
+    # one row per (config, qid) + one 'all' row per config
+    assert len(out) == len(GRID) * (len(QUERIES) + 1)
+    by = {(r["config"], r["qid"]): r for r in out}
+    labels = sorted({r["config"] for r in out})
+    assert len(labels) == len(GRID)
+    # every label is parseable json carrying the axes that define the config
+    for lbl in labels:
+        assert "retrievalAlgorithm" in json.loads(lbl)
+
+    default_lbl = next(
+        lbl for lbl in labels
+        if json.loads(lbl).get("BM25:k_1") == "1.2"
+    )
+    allrow = by[(default_lbl, "all")]
+    # qrels were derived from this exact config's top-3: perfect AP,
+    # P@5 = 3/5, P@10 = 3/10, and all 9 relevant docs retrieved.
+    assert allrow["ap"] == pytest.approx(1.0)
+    assert allrow["p_at_5"] == pytest.approx(0.6)
+    assert allrow["p_at_10"] == pytest.approx(0.3)
+    assert allrow["num_rel_ret"] == 9.0
+
+    # every configuration scored every query plus the summary row, and no
+    # config can beat the one the judgments were derived from
+    for lbl in labels:
+        assert by[(lbl, "all")]["ap"] <= 1.0 + 1e-12
+        for qid in QUERIES:
+            assert (lbl, qid) in by
+
+
+def test_sweep_fb_config_expands(engine, qrels):
+    fb_only = [g for g in GRID if g.get("fb") == "true"]
+    out = sweep(engine, QUERIES, qrels, fb_only, k=10).collect()
+    assert len(out) == len(QUERIES) + 1
+    # expanded queries still retrieve (the original terms keep weight 0.5)
+    assert all(r["num_ret"] > 0 for r in out if r["qid"] != "all")
