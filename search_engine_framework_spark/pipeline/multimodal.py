@@ -1,9 +1,9 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 The Spark-side contract is real and tested — schema, Arrow batch shape,
-partition sizing. The codec step decodes TWO container formats for real,
-in pure numpy/stdlib (the container ships no image/audio libraries, and
-these formats need none):
+partition sizing. The codec step decodes THREE container formats for
+real, in pure numpy/stdlib (the container ships no image/audio
+libraries, and these formats need none):
 
 * **WAV** (RIFF PCM, 8/16/32-bit int + 32-bit float): header parse →
   sample rate / channels / duration, mono mixdown, and a real feature —
@@ -11,6 +11,9 @@ these formats need none):
 * **BMP** (uncompressed 24/32-bit BI_RGB): header parse → width/height,
   bottom-up row-padded pixel decode, and a ``FEATURE_DIM``-bin grayscale
   histogram feature.
+* **PNG** (8-bit gray / gray+alpha / RGB / RGBA / palette, non-
+  interlaced): chunk walk → zlib inflate → scanline unfiltering (all
+  five PNG filter types) → the same grayscale histogram feature as BMP.
 
 Every other payload (JPEG, MP4, arbitrary bytes) falls back to the
 deterministic pseudo-embedding stub, or raises in strict mode — swapping
@@ -138,6 +141,136 @@ def _decode_bmp(payload: bytes) -> dict | None:
     return {"width": width, "height": h, "gray": gray}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → channels per pixel at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_luma(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Same BT.601 rounding as the BMP path — identical pixels through
+    either container produce identical gray (locked by tests)."""
+    return (
+        0.299 * r.astype(np.float64)
+        + 0.587 * g.astype(np.float64)
+        + 0.114 * b.astype(np.float64)
+        + 0.5
+    ).astype(np.uint8)
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray | None:
+    """PNG scanline reconstruction (RFC 2083 §6): each row starts with a
+    filter-type byte. None/Up vectorize whole-row; Sub is a per-lane
+    prefix sum (mod 256 distributes over the cumsum); Average and Paeth
+    recurse on the reconstructed left pixel, so they run a per-pixel
+    loop over ``bpp``-wide lanes — fine inside an Arrow batch (a real
+    deployment swaps in a C decoder at this one seam)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        ftype = int(row[0])
+        cur = row[1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
+            lanes = cur.reshape(-1, bpp)
+            rec = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(
+                stride
+            ).astype(np.int32)
+        elif ftype == 3:  # Average
+            rec = cur.copy()
+            rec[:bpp] = (rec[:bpp] + (prev[:bpp] >> 1)) & 0xFF
+            for x in range(bpp, stride, bpp):
+                left = rec[x - bpp:x]
+                rec[x:x + bpp] = (
+                    rec[x:x + bpp] + ((left + prev[x:x + bpp]) >> 1)
+                ) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = cur.copy()
+            rec[:bpp] = (rec[:bpp] + prev[:bpp]) & 0xFF  # a=c=0 → pred=b
+            for x in range(bpp, stride, bpp):
+                a = rec[x - bpp:x]
+                b = prev[x:x + bpp]
+                c = prev[x - bpp:x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                rec[x:x + bpp] = (rec[x:x + bpp] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _decode_png(payload: bytes) -> dict | None:
+    """Non-interlaced 8-bit-depth PNG (color types 0/2/3/4/6) →
+    {'width', 'height', 'gray': np.uint8 (h, w)} — or None if not
+    decodable. Pure zlib/numpy: chunk walk (CRCs skipped — corrupt
+    streams surface as zlib/shape failures → None), IDAT inflate,
+    scanline unfiltering, then luma/palette conversion to grayscale."""
+    import zlib
+
+    if len(payload) < 8 + 25 or payload[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    nch = _PNG_CHANNELS.get(ctype)
+    if (
+        nch is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0
+        or w <= 0 or h <= 0 or (ctype == 3 and plte is None)
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    rec = _png_unfilter(
+        np.frombuffer(raw, dtype=np.uint8), h, stride, bpp=nch
+    )
+    if rec is None:
+        return None
+    px = rec.reshape(h, w, nch)
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = px[..., 0]
+        if len(pal) == 0 or int(idx.max()) >= len(pal):
+            return None
+        rgb = pal[idx]
+        gray = _png_luma(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    elif ctype in (0, 4):  # gray / gray+alpha: first channel IS the luma
+        gray = px[..., 0]
+    else:  # 2 / 6: RGB(A) — note PNG is RGB order where BMP is BGR
+        gray = _png_luma(px[..., 0], px[..., 1], px[..., 2])
+    return {"width": w, "height": h, "gray": gray}
+
+
 def _bmp_feature(gray: np.ndarray, dim: int) -> list[float]:
     """Normalized ``dim``-bin grayscale histogram."""
     hist, _ = np.histogram(gray, bins=dim, range=(0, 256))
@@ -162,8 +295,10 @@ def decode_features(
     """assets → (asset_id, modality, n_bytes, sha1, feature, decode_ok,
     codec).
 
-    WAV and BMP payloads decode for REAL (``codec`` = 'wav'/'bmp':
-    spectral-band / grayscale-histogram features); every other payload
+    WAV, BMP, and PNG payloads decode for REAL (``codec`` =
+    'wav'/'bmp'/'png': spectral-band / grayscale-histogram features —
+    identical pixels through BMP or PNG give the identical feature);
+    every other payload
     takes the fallback: ``strict=True`` raises NotImplementedError at
     execution time (the posture for production until a full codec is
     wired in), ``strict=False`` emits the deterministic fake feature
@@ -178,9 +313,12 @@ def decode_features(
         bmp = _decode_bmp(payload)
         if bmp is not None:
             return _bmp_feature(bmp["gray"], dim), "bmp"
+        png = _decode_png(payload)
+        if png is not None:
+            return _bmp_feature(png["gray"], dim), "png"
         if strict:
             raise NotImplementedError(
-                "payload is neither WAV nor BMP and no full image/audio/"
+                "payload is none of WAV/BMP/PNG and no full image/audio/"
                 "video codec is available in this environment; wire a "
                 "decoder into pipeline.multimodal.decode_features"
             )
@@ -277,9 +415,11 @@ RESIZED_SCHEMA = (
 def resize_images(
     assets: DataFrame, width: int, height: int, strict: bool = False
 ) -> DataFrame:
-    """Image-resize stage: BMP payloads decode, nearest-neighbor resample
-    to (width, height) in grayscale, and re-encode as BMP — fully real in
-    pure numpy. Non-BMP payloads: ``strict=True`` raises (production
+    """Image-resize stage: BMP and PNG payloads decode, nearest-neighbor
+    resample to (width, height) in grayscale, and re-encode as BMP —
+    fully real in pure numpy (output container is always BMP: the stage
+    normalizes formats, which is what a training-data pipeline wants).
+    Other payloads: ``strict=True`` raises (production
     posture until a full image codec is wired in); otherwise the row is
     emitted with ``decode_ok = false`` and an empty ``resized`` payload,
     so a 100 TB sweep quantifies its undecodable tail instead of dying
@@ -293,12 +433,13 @@ def resize_images(
                 "width": [], "height": [], "resized": [], "decode_ok": [],
             }
             for p in pdf["payload"]:
-                bmp = _decode_bmp(bytes(p) if p is not None else b"")
+                raw = bytes(p) if p is not None else b""
+                bmp = _decode_bmp(raw) or _decode_png(raw)
                 if bmp is None:
                     if strict:
                         raise NotImplementedError(
-                            "payload is not BMP and no full image codec is "
-                            "available; wire a decoder into "
+                            "payload is neither BMP nor PNG and no full "
+                            "image codec is available; wire a decoder into "
                             "pipeline.multimodal.resize_images"
                         )
                     out["src_width"].append(0)

@@ -331,3 +331,150 @@ def test_sample_frames_rawvideo(spark):
         sample_frames(df, strict=True).collect()
     with _pytest.raises(ValueError):
         sample_frames(df, every_n=0)
+
+
+# ---------------------------------------------------------------------------
+# real PNG codec: test-side encoder does FORWARD filtering (independent code
+# from the decoder's unfiltering) with real chunk CRCs
+# ---------------------------------------------------------------------------
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + typ + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(px, ctype, filters=None, plte=None):
+    """Encode (h, w, nch) uint8 pixels as a PNG, applying the FORWARD
+    filter per row (``filters[y]``, default all 0). Spec: RFC 2083 §6."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, nch = px.shape
+    bpp = nch
+    filters = filters or [0] * h
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(plte))
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_unfilter_all_filter_types_roundtrip():
+    import numpy as np
+
+    from search_engine_framework_spark.pipeline.multimodal import _decode_png
+
+    rng = np.random.Generator(np.random.Philox(key=7))
+    for ctype, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = rng.integers(0, 256, (11, 7, nch), dtype=np.uint8)
+        # rows cycle through every PNG filter type, incl. y=0 edge cases
+        filters = [(y * 3 + 1) % 5 for y in range(11)]
+        meta = _decode_png(_png_bytes(px, ctype, filters))
+        assert meta is not None, f"ctype {ctype}"
+        assert (meta["width"], meta["height"]) == (7, 11)
+        if ctype in (0, 4):
+            expect = px[..., 0]
+        else:
+            r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+            expect = (0.299 * r + 0.587 * g + 0.114 * b + 0.5).astype(np.uint8)
+        assert (meta["gray"] == expect).all(), f"ctype {ctype}"
+
+
+def test_png_palette_and_gray_matches_bmp():
+    import numpy as np
+
+    from search_engine_framework_spark.pipeline.multimodal import (
+        _bmp_feature,
+        _decode_bmp,
+        _decode_png,
+        _encode_bmp_gray,
+    )
+
+    # palette image: 4 indexed colors
+    pal = bytes([10, 20, 30, 200, 100, 0, 0, 0, 255, 255, 255, 255])
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)[..., None]
+    meta = _decode_png(_png_bytes(idx, 3, plte=pal))
+    assert meta is not None
+    pal_rgb = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx[..., 0]]
+    expect = (
+        0.299 * pal_rgb[..., 0] + 0.587 * pal_rgb[..., 1]
+        + 0.114 * pal_rgb[..., 2] + 0.5
+    ).astype(np.uint8)
+    assert (meta["gray"] == expect).all()
+
+    # the same gray pixels through BMP and PNG containers → same feature
+    rng = np.random.Generator(np.random.Philox(key=11))
+    gray = rng.integers(0, 256, (9, 5), dtype=np.uint8)
+    bmp_gray = _decode_bmp(_encode_bmp_gray(gray))["gray"]
+    png_gray = _decode_png(_png_bytes(gray[..., None], 0))["gray"]
+    assert (bmp_gray == png_gray).all()
+    assert _bmp_feature(bmp_gray, 32) == _bmp_feature(png_gray, 32)
+
+
+def test_png_decode_features_and_resize(spark):
+    import numpy as np
+
+    from search_engine_framework_spark.pipeline.multimodal import (
+        _decode_bmp,
+        decode_features,
+        resize_images,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=3))
+    px = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    png = _png_bytes(px, 2, filters=[y % 5 for y in range(16)])
+    df = spark.createDataFrame(
+        [(5, "image", bytearray(png), {"src": "t"})],
+        "asset_id long, modality string, payload binary, meta map<string,string>",
+    )
+    row = decode_features(df, strict=True).collect()[0]
+    assert row["codec"] == "png" and row["decode_ok"]
+    assert abs(sum(row["feature"]) - 1.0) < 1e-6
+
+    rrow = resize_images(df, 6, 8, strict=True).collect()[0]
+    assert rrow["decode_ok"] and (rrow["src_width"], rrow["src_height"]) == (12, 16)
+    out = _decode_bmp(bytes(rrow["resized"]))
+    assert out["width"] == 6 and out["height"] == 8
+
+    # malformed PNG (corrupt IDAT) falls back to the raw stub, not a crash
+    bad = png[:40] + b"\x00" * 10
+    df2 = spark.createDataFrame(
+        [(6, "image", bytearray(bad), {})],
+        "asset_id long, modality string, payload binary, meta map<string,string>",
+    )
+    assert decode_features(df2).collect()[0]["codec"] == "raw"
