@@ -631,3 +631,26 @@ def test_search_bulk_bm25_unknown_field_raises(spark, tiny_index):
     eng = SearchEngine(spark, paths)
     with pytest.raises(UnknownFieldError, match="never indexed"):
         eng.search_bulk_bm25({"q": "search"}, field="bodyy")
+
+
+def test_term_stats_arrow_matches_spark_scan(spark, tiny_index):
+    """The driver-side pyarrow term_stats fast path must return the
+    IDENTICAL dict the distributed scan returns — same pairs, same
+    df/ctf/max_tf sums — including multi-term × multi-field requests
+    (where the cross-product filter matters) and absent terms."""
+    from search_engine_framework_spark.index.reader import IndexReader
+
+    paths, _rows, _tdf = tiny_index
+    r = IndexReader(spark, paths)
+    pairs = {
+        ("search", "body"), ("engine", "body"),
+        ("user", "role"), ("search", "role"),
+        ("zzznotaterm", "body"),
+    }
+    via_arrow = r._term_stats_arrow(pairs)
+    assert via_arrow is not None  # local dir → fast path must engage
+    r._term_stats_arrow = lambda p: None  # force the Spark scan
+    via_spark = r.term_stats(pairs)
+    assert via_arrow == via_spark
+    assert ("zzznotaterm", "body") not in via_arrow
+    assert via_arrow[("search", "body")]["df"] > 0
