@@ -57,6 +57,13 @@ BATTERY = [
     ("#NEAR/2(search search)", BM),  # duplicate-term proximity quirk
     ("query time", BM),
     ("#AND(#SYN(data document) model)", IND),
+    # IL-in-IL nesting: NEAR/WINDOW/SYN args are themselves inverted-list
+    # ops (legal in the reference — QryopIl children of QryopIl; e.g.
+    # QryopIlNear takes any QryopIl args). The inner op's merged
+    # position list feeds the outer op's cursor sweep.
+    ("#SYN(#NEAR/1(search engine) index)", BM),
+    ("#NEAR/4(#SYN(search find) engine)", RB),
+    ("#WINDOW/6(#SYN(data model) query)", IND),
 ]
 
 
