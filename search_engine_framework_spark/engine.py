@@ -133,7 +133,9 @@ class SearchEngine:
         k: int = 100,
     ) -> DataFrame:
         """Batched evaluation: every query in ``queries`` ({qid: text}) in
-        ONE stats job + ONE shared postings scan + ONE ranking action —
+        ONE stats lookup (driver-side pyarrow where the index is
+        driver-reachable, else one projected scan) + ONE shared postings
+        scan + ONE ranking action —
         → DataFrame(qid, doc_id, ext_id, rank, score), reference ordering
         per qid.
 

@@ -37,11 +37,12 @@ from .models import BM25, Indri, RankedBoolean, RetrievalModel, UnrankedBoolean
 
 
 # Block-max pruning engages only past this many (estimated) posting blocks
-# across the query's terms — the two-pass plan costs TWO extra driver
-# round-trips (metadata-stats job + seed-decode job, ~1 s of scheduling on
-# a local cluster), so it must be able to skip enough decode work to pay
-# for them. 4096 blocks ≈ 0.5M postings per query; below that, decode is
-# cheaper than the scheduling. Callers can override per query
+# across the query's terms — the two-pass plan costs an extra driver
+# round-trip (the seed-decode job; term stats themselves are a driver-side
+# pyarrow read when the index is driver-reachable, reader.term_stats), so
+# it must be able to skip enough decode work to pay for it. 4096 blocks ≈
+# 0.5M postings per query; below that, decode is cheaper than the
+# scheduling. Callers can override per query
 # (``SearchEngine.search(prune_min_blocks=...)``) — the bench forces a low
 # threshold to demonstrate the skip counters at test scale.
 _PRUNE_MIN_BLOCKS = 4096
