@@ -116,6 +116,12 @@ class IndexPaths:
     def manifests(self) -> str:
         return os.path.join(self.root, "_manifests")
 
+    @property
+    def tombstones(self) -> str:
+        """Deleted doc_ids awaiting physical removal (index/deletes.py).
+        Absent dir = no pending deletes."""
+        return os.path.join(self.root, "tombstones")
+
 
 def extract_postings(
     docs: DataFrame,
@@ -517,8 +523,16 @@ def build_segments_local_df(
     )
 
 
-def collection_stats(doclen: DataFrame, n_docs: int) -> dict:
-    """N, per-field total tokens + doc counts (QryopSlScore.java:95,132,140-141)."""
+def collection_stats(
+    doclen: DataFrame, n_docs: int, max_doc: int | None = None
+) -> dict:
+    """N, per-field total tokens + doc counts (QryopSlScore.java:95,132,140-141).
+
+    ``max_doc`` (default = n_docs) is the id-space high-water mark — after
+    a physical delete purge (index/deletes.py) live docs keep their ids,
+    so N (live count, drives idf) and max_doc (next append's id start,
+    streaming/incremental.py) diverge; conflating them would let an
+    append reuse a surviving document's id."""
     rows = (
         doclen.groupBy("field")
         .agg(
@@ -529,6 +543,7 @@ def collection_stats(doclen: DataFrame, n_docs: int) -> dict:
     )
     return {
         "N": n_docs,
+        "max_doc": int(max_doc if max_doc is not None else n_docs),
         "fields": {
             r["field"]: {
                 "sum_doclen": int(r["sum_doclen"] or 0),

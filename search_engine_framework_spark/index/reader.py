@@ -87,23 +87,53 @@ class IndexReader:
         dc = self.doc_count(field)
         return self.sum_doclen(field) / dc if dc else 0.0
 
+    # -- deletes ---------------------------------------------------------------
+    def tombstones(self) -> DataFrame | None:
+        """Logically-deleted doc_ids (index/deletes.py), or None when no
+        deletes are pending. Checked per call so a delete issued after
+        the reader opened takes effect on the next query."""
+        import os
+
+        if not os.path.isdir(self.paths.tombstones):
+            return None
+        try:
+            return (
+                self.spark.read.parquet(self.paths.tombstones)
+                .select("doc_id")
+                .distinct()
+            )
+        except Exception:  # dir exists but holds no readable parquet yet
+            return None
+
+    def _mask_deleted(self, df: DataFrame) -> DataFrame:
+        """Anti-join out tombstoned docs. Applied to every posting /
+        doclen / doc_terms / docmap read — INCLUDING the block-max seed
+        pass inside fetch_postings, so a deleted doc can never set the
+        top-k pruning threshold (which would unsoundly prune live docs).
+        The right side is the (small between purges) tombstone set; AQE
+        turns this into a broadcast anti-join at runtime."""
+        t = self.tombstones()
+        return df.join(t, "doc_id", "left_anti") if t is not None else df
+
     # -- tables ---------------------------------------------------------------
     def segments(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.segments)
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docmap)
+        return self._mask_deleted(self.spark.read.parquet(self.paths.docmap))
 
     def doclen(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.doclen)
+        return self._mask_deleted(self.spark.read.parquet(self.paths.doclen))
 
     def doc_terms(self) -> DataFrame:
         """Forward index (term, field, doc_id, tf, positions, doclen) —
         the reference's TermVector analog; input to PRF and LeToR.
         Filters out the NULL-term doclen marker rows the tokenizer embeds
         (index.build.extract_postings)."""
-        return self.spark.read.parquet(self.paths.doc_terms).where(
-            F.col("term").isNotNull()
+        return self._mask_deleted(
+            self.spark.read.parquet(self.paths.doc_terms).where(
+                F.col("term").isNotNull()
+            )
         )
 
     # -- posting access -------------------------------------------------------
@@ -397,4 +427,4 @@ class IndexReader:
                         }
                     )
 
-        return seg.mapInPandas(decode, schema=POSTING_SCHEMA)
+        return self._mask_deleted(seg.mapInPandas(decode, schema=POSTING_SCHEMA))

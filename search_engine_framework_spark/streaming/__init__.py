@@ -1,1 +1,2 @@
 from .incremental import append_index, compact_index, stream_index  # noqa: F401
+from ..index.deletes import delete_docs, pending_deletes, purge_deletes  # noqa: F401

@@ -242,7 +242,11 @@ def append_index(
         )
     with open(paths.stats) as fh:
         stats_before = json.load(fh)
-    base_n = stats_before["N"]
+    # New docids start past the id-space high-water mark, NOT past the
+    # live-doc count: after a delete purge (index/deletes.py) N shrinks
+    # but survivors keep their ids, so starting at N would reuse one.
+    # (Indexes from before the max_doc field: N == max_doc by construction.)
+    base_n = stats_before.get("max_doc", stats_before["N"])
     t0 = time.time()
 
     existing = spark.read.parquet(paths.docmap).select("conv_id", "turn_idx")
@@ -301,7 +305,8 @@ def append_index(
         .collect()
     )
     stats_after = json.loads(json.dumps(stats_before))  # deep copy
-    stats_after["N"] = base_n + n_new
+    stats_after["N"] = stats_before["N"] + n_new
+    stats_after["max_doc"] = base_n + n_new
     for r in delta_stats:
         f_ = stats_after["fields"].setdefault(
             r["field"], {"sum_doclen": 0, "doc_count": 0}

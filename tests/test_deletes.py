@@ -1,0 +1,173 @@
+"""Document deletes: tombstones, query-time masking, physical purge.
+
+Key invariant: a purged index is logically IDENTICAL to an index freshly
+built from the surviving turns — same ext_ids AND same scores (df/ctf/N/
+avg-doclen all recomputed), even though survivors keep their original
+(now gappy) doc_ids.
+"""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.index.build import IndexPaths, build_index
+from search_engine_framework_spark.index.deletes import (
+    delete_docs,
+    pending_deletes,
+    purge_deletes,
+    recover_purge,
+)
+from search_engine_framework_spark.plans.models import BM25
+from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+CFG = AnalyzerConfig.reference()
+QUERY = "search engine data"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_transcripts(spark, n_convs=30, seed=13).cache()
+
+
+@pytest.fixture()
+def index_dir(spark, corpus, tmp_path):
+    out = str(tmp_path / "ix")
+    build_index(spark, corpus, out, fields=("body",), n_buckets=8, n_salts=2)
+    return out
+
+
+def _hits(spark, out, k=10):
+    eng = SearchEngine(spark, out, CFG)
+    return [
+        (r["ext_id"], round(r["score"], 9))
+        for r in eng.search(QUERY, BM25(), k=k).collect()
+    ]
+
+
+def test_logical_delete_masks_queries_keeps_stats(spark, index_dir):
+    before = _hits(spark, index_dir)
+    victim_ext = before[0][0]
+    victim_conv = victim_ext.split(":")[0]
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        n_before = json.load(fh)["N"]
+
+    n = delete_docs(spark, index_dir, conv_ids=[victim_conv])
+    assert n > 0
+    assert pending_deletes(spark, index_dir) == n
+    # idempotent: same victims again → same distinct pending set
+    delete_docs(spark, index_dir, conv_ids=[victim_conv])
+    assert pending_deletes(spark, index_dir) == n
+
+    after = _hits(spark, index_dir)
+    assert all(not e.startswith(victim_conv + ":") for e, _ in after)
+    # Lucene-parity drift: N/df still count tombstoned docs until purge,
+    # so surviving docs' scores are UNCHANGED by a logical delete
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        assert json.load(fh)["N"] == n_before
+    surviving_before = {e: s for e, s in before if not e.startswith(victim_conv + ":")}
+    for e, s in after:
+        if e in surviving_before:
+            assert s == surviving_before[e]
+
+
+def test_delete_by_predicate_and_ext_id(spark, index_dir):
+    import pyspark.sql.functions as F
+
+    n_pred = delete_docs(spark, index_dir, predicate=F.col("turn_idx") >= 8)
+    assert n_pred > 0
+    eng = SearchEngine(spark, index_dir, CFG)
+    assert eng.reader.docmap().where("turn_idx >= 8").count() == 0
+
+    some_ext = eng.reader.docmap().where("turn_idx = 0").first()["ext_id"]
+    assert delete_docs(spark, index_dir, ext_ids=[some_ext]) == 1
+
+    with pytest.raises(ValueError):
+        delete_docs(spark, index_dir)
+
+
+def test_purge_equals_fresh_build(spark, corpus, index_dir, tmp_path):
+    before = _hits(spark, index_dir)
+    victim_conv = before[0][0].split(":")[0]
+    n_tomb = delete_docs(spark, index_dir, conv_ids=[victim_conv])
+
+    res = purge_deletes(spark, index_dir)
+    assert res["purged"] == n_tomb
+    assert not os.path.isdir(os.path.join(index_dir, "tombstones"))
+    assert pending_deletes(spark, index_dir) == 0
+    # second purge is a no-op
+    assert purge_deletes(spark, index_dir)["purged"] == 0
+
+    fresh = str(tmp_path / "fresh")
+    build_index(
+        spark,
+        corpus.where(f"conv_id != '{victim_conv}'"),
+        fresh, fields=("body",), n_buckets=8, n_salts=2,
+    )
+    # identical ranking AND identical scores: stats were recomputed
+    assert _hits(spark, index_dir) == _hits(spark, fresh)
+
+    # identical term statistics (ids differ — survivors keep gappy ids)
+    purged_eng = SearchEngine(spark, index_dir, CFG)
+    fresh_eng = SearchEngine(spark, fresh, CFG)
+    pairs = {("search", "body"), ("engine", "body"), ("data", "body")}
+    assert purged_eng.reader.term_stats(pairs) == fresh_eng.reader.term_stats(pairs)
+    assert purged_eng.reader.num_docs == fresh_eng.reader.num_docs
+
+    # id space: max_doc preserved, live ids unchanged (gaps allowed)
+    stats = json.load(open(os.path.join(index_dir, "stats.json")))
+    assert stats["max_doc"] >= stats["N"]
+
+
+def test_append_after_purge_never_reuses_ids(spark, corpus, index_dir):
+    from search_engine_framework_spark.streaming import append_index
+
+    victim_conv = _hits(spark, index_dir)[0][0].split(":")[0]
+    delete_docs(spark, index_dir, conv_ids=[victim_conv])
+    purge_deletes(spark, index_dir)
+    stats = json.load(open(os.path.join(index_dir, "stats.json")))
+    survivors = {
+        r["doc_id"]
+        for r in SearchEngine(spark, index_dir, CFG).reader.docmap().collect()
+    }
+
+    # distinct conv ids so the idempotency anti-join keeps them
+    new = synth_transcripts(spark, n_convs=3, seed=99).withColumn(
+        "conv_id", F.concat_ws("-", F.lit("new"), "conv_id")
+    )
+    n_new = append_index(spark, new, index_dir, fields=("body",))
+    assert n_new > 0
+    eng = SearchEngine(spark, index_dir, CFG)
+    new_ids = {
+        r["doc_id"]
+        for r in eng.reader.docmap().where("conv_id like 'new-%'").collect()
+    }
+    assert len(new_ids) == n_new
+    assert min(new_ids) >= stats["max_doc"]  # past the high-water mark
+    assert not (new_ids & survivors)
+
+
+def test_recover_purge_rolls_forward_and_back(spark, index_dir, tmp_path):
+    import shutil
+
+    paths = IndexPaths(index_dir)
+    # forward: live gone, staged complete → staged becomes live
+    staged = index_dir + ".purging"
+    shutil.copytree(index_dir, staged)
+    open(os.path.join(staged, ".purge_complete"), "w").write("complete\n")
+    shutil.move(index_dir, index_dir + ".old")
+    recover_purge(paths)
+    assert os.path.isdir(os.path.join(index_dir, "segments"))
+    assert not os.path.isdir(staged) and not os.path.isdir(index_dir + ".old")
+    assert _hits(spark, index_dir)
+
+    # back: live gone, staged INCOMPLETE, backup present → backup restored
+    shutil.copytree(index_dir, staged)  # no marker
+    shutil.move(index_dir, index_dir + ".old")
+    recover_purge(paths)
+    assert os.path.isdir(os.path.join(index_dir, "segments"))
+    assert not os.path.isdir(staged)
+    assert _hits(spark, index_dir)
