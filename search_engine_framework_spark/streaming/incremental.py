@@ -360,7 +360,12 @@ def compact_index(
     ``recover_compaction``), unlike a delete-then-rename.
 
     ``n_buckets`` defaults to the index's recorded bucket count (see
-    ``_lineage_n_buckets``); a conflicting explicit value raises."""
+    ``_lineage_n_buckets``); a conflicting explicit value raises.
+
+    Orthogonal to deletes: compaction merges generation block runs
+    without decoding, so tombstoned docs (index/deletes.py) survive it —
+    doc_ids are unchanged, the tombstone set stays valid, and queries
+    keep masking. Physical removal is ``purge_deletes``."""
     paths = IndexPaths(out_dir)
     recover_compaction(paths)
     recorded_nb = _lineage_n_buckets(paths)
