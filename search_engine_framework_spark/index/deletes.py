@@ -94,10 +94,14 @@ def delete_docs(
         docmap.where(reduce(lambda a, b: a | b, conds))
         .select("doc_id")
         .distinct()
+        .persist()  # one docmap scan feeds both the count and the write
     )
-    n = victims.count()
-    if n:
-        victims.write.mode("append").parquet(paths.tombstones)
+    try:
+        n = victims.count()
+        if n:
+            victims.write.mode("append").parquet(paths.tombstones)
+    finally:
+        victims.unpersist()
     return n
 
 
@@ -169,6 +173,13 @@ def purge_deletes(
     if tomb.limit(1).count() == 0:  # dir exists, nothing marked
         _rmtree(paths.tombstones)
         return {"purged": 0, "remaining": None}
+    # Snapshot the tombstone FILES backing this purge: deletes issued
+    # while the rebuild runs land as new part files, and those must
+    # survive the swap (carried into the staged root below) or a
+    # successful delete_docs call would be silently undone.
+    tomb_snapshot = {
+        f for f in os.listdir(paths.tombstones) if f.endswith(".parquet")
+    }
 
     # layout + analyzer from lineage (same source the reader trusts)
     from .reader import IndexReader
@@ -242,6 +253,23 @@ def purge_deletes(
         resume=True,
         segment_mode=segment_mode or lin.get("segment_mode") or "local",
     )
+    # Carry over tombstones written AFTER the snapshot (concurrent
+    # delete_docs during the rebuild): they stay pending in the new root.
+    # Re-tombstoning an id this purge already removed is harmless — the
+    # anti-join and the next purge both absorb ids with no live rows.
+    late = [
+        f
+        for f in os.listdir(paths.tombstones)
+        if f.endswith(".parquet") and f not in tomb_snapshot
+    ]
+    if late:
+        os.makedirs(spaths.tombstones, exist_ok=True)
+        for f in late:
+            shutil.copy2(
+                os.path.join(paths.tombstones, f),
+                os.path.join(spaths.tombstones, f),
+            )
+
     with open(os.path.join(staged, PURGE_MARKER), "w") as fh:
         fh.write("complete\n")
 

@@ -39,10 +39,13 @@ class IndexReader:
         self.spark = spark
         self.paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
         if not os.path.isdir(self.paths.segments):
-            # A compaction interrupted mid-swap leaves the live segments
-            # only under .old/.compacting — restore before failing.
+            # An interrupted purge (whole-root swap) or compaction
+            # (segments-dir swap) leaves the live data only under
+            # .purging/.old/.compacting — restore before failing.
             from ..streaming.incremental import recover_compaction
+            from .deletes import recover_purge
 
+            recover_purge(self.paths)
             recover_compaction(self.paths)
         with open(self.paths.stats) as fh:
             self.stats = json.load(fh)
@@ -257,7 +260,11 @@ class IndexReader:
                 filter=ds.field("term").isin(terms)
                 & ds.field("field").isin(fields),
             )
-        except (OSError, ImportError):
+        except Exception:
+            # Any driver-side read failure (ArrowInvalid on a file this
+            # pyarrow build can't read, unsupported codec, listing race
+            # with a concurrent writer) degrades to the distributed scan
+            # rather than failing the query — the documented contract.
             return None
         out: dict[tuple[str, str], dict] = {}
         for t, f, df, ctf, mtf in zip(

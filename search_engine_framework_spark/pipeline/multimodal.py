@@ -144,6 +144,9 @@ def _decode_bmp(payload: bytes) -> dict | None:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → channels per pixel at bit depth 8
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# hard ceiling on decoded scanline bytes (h × (w·nch + 1)) — bounds both
+# the inflate output and the unfilter buffer per payload
+_PNG_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _png_luma(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -243,12 +246,23 @@ def _decode_png(payload: bytes) -> dict | None:
         or w <= 0 or h <= 0 or (ctype == 3 and plte is None)
     ):
         return None
+    stride = w * nch
+    expected = h * (stride + 1)
+    # Header-declared size caps BOTH allocations before any inflate: a
+    # crafted IHDR (or a decompression bomb — tiny IDAT, huge output)
+    # must land in the undecodable tail (None → stub/strict), never
+    # OOM-kill the executor task.
+    if expected > _PNG_MAX_BYTES:
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        # a bomb keeps producing past the declared size → not decodable
+        if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
+            return None
     except zlib.error:
         return None
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
+    if len(raw) < expected:
         return None
     rec = _png_unfilter(
         np.frombuffer(raw, dtype=np.uint8), h, stride, bpp=nch

@@ -163,6 +163,9 @@ def reconcile_index(paths: IndexPaths | str) -> None:
       complete flip and the staging delete) → drop the leaked staging dir.
     """
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    from ..index.deletes import recover_purge
+
+    recover_purge(paths)  # interrupted whole-root purge swap first
     recover_compaction(paths)
     if not os.path.isdir(paths.manifests):
         return
@@ -249,7 +252,21 @@ def append_index(
     base_n = stats_before.get("max_doc", stats_before["N"])
     t0 = time.time()
 
-    existing = spark.read.parquet(paths.docmap).select("conv_id", "turn_idx")
+    # Idempotency anti-join against the LIVE docmap: tombstoned docs
+    # (index/deletes.py) must not block re-ingestion — a corrected
+    # version of a deleted document re-indexes as a NEW doc (fresh id),
+    # while the tombstoned original stays masked until its purge. A
+    # replayed batch containing a doc deleted AFTER its original ingest
+    # is re-added by the same rule — deletes are point-in-time, not
+    # forever-bans (module docstring, replay caveat).
+    existing = spark.read.parquet(paths.docmap)
+    if os.path.isdir(paths.tombstones):
+        try:
+            tomb = spark.read.parquet(paths.tombstones).select("doc_id").distinct()
+            existing = existing.join(tomb, "doc_id", "left_anti")
+        except Exception:
+            pass  # dir exists but holds no readable parquet yet
+    existing = existing.select("conv_id", "turn_idx")
     fresh = new_transcripts.join(existing, ["conv_id", "turn_idx"], "left_anti")
 
     # Stage the generation OUTSIDE the live index paths: appending to a

@@ -171,3 +171,41 @@ def test_recover_purge_rolls_forward_and_back(spark, index_dir, tmp_path):
     assert os.path.isdir(os.path.join(index_dir, "segments"))
     assert not os.path.isdir(staged)
     assert _hits(spark, index_dir)
+
+
+def test_reader_auto_recovers_interrupted_purge(spark, index_dir):
+    """A crash between the purge's two root renames must heal on the next
+    index OPEN (reader runs recover_purge), not require manual repair."""
+    import shutil
+
+    # simulate: live gone, complete staged root present (crash before
+    # the staged→live rename)
+    staged = index_dir + ".purging"
+    shutil.copytree(index_dir, staged)
+    open(os.path.join(staged, ".purge_complete"), "w").write("complete\n")
+    shutil.move(index_dir, index_dir + ".old")
+    hits = _hits(spark, index_dir)  # SearchEngine open triggers recovery
+    assert hits
+    assert not os.path.isdir(staged)
+
+
+def test_reingest_after_logical_delete_readds(spark, corpus, index_dir):
+    """Re-indexing a tombstoned (unpurged) document must create a fresh
+    doc — tombstones are not forever-bans for the idempotency anti-join."""
+    from search_engine_framework_spark.streaming import append_index
+
+    victim_conv = _hits(spark, index_dir)[0][0].split(":")[0]
+    delete_docs(spark, index_dir, conv_ids=[victim_conv])
+    assert all(
+        not e.startswith(victim_conv + ":")
+        for e, _ in _hits(spark, index_dir)
+    )
+
+    corrected = corpus.where(f"conv_id = '{victim_conv}'")
+    n = append_index(spark, corrected, index_dir, fields=("body",))
+    assert n == corrected.count()  # re-added, not skipped
+    eng = SearchEngine(spark, index_dir, CFG)
+    rows = eng.reader.docmap().where(f"conv_id = '{victim_conv}'").collect()
+    assert len(rows) == n  # masked originals invisible, fresh ids live
+    stats = json.load(open(os.path.join(index_dir, "stats.json")))
+    assert all(r["doc_id"] >= stats["max_doc"] - n for r in rows)

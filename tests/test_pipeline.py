@@ -478,3 +478,32 @@ def test_png_decode_features_and_resize(spark):
         "asset_id long, modality string, payload binary, meta map<string,string>",
     )
     assert decode_features(df2).collect()[0]["codec"] == "raw"
+
+
+def test_png_bomb_and_huge_header_fall_back():
+    import zlib
+
+    import numpy as np
+
+    from search_engine_framework_spark.pipeline.multimodal import _decode_png
+
+    # header declares absurd dimensions → rejected before any allocation
+    big = _png_bytes(np.zeros((1, 1, 1), np.uint8), 0)
+    ihdr_at = big.index(b"IHDR") + 4
+    bomb_hdr = (
+        big[: ihdr_at]
+        + (2 ** 20).to_bytes(4, "big") + (2 ** 20).to_bytes(4, "big")
+        + big[ihdr_at + 8:]
+    )
+    assert _decode_png(bomb_hdr) is None
+
+    # small declared dims but IDAT inflates far past them (classic bomb):
+    # decode must stop at the declared size and reject, not materialize
+    px = np.zeros((2, 2, 1), np.uint8)
+    good = _png_bytes(px, 0)
+    raw_over = zlib.compress(b"\x00" * (64 * 1024))  # >> 2*(2+1) bytes
+    start = good.index(b"IDAT") - 4
+    end = good.index(b"IEND") - 4
+    bomb = good[:start] + _png_chunk(b"IDAT", raw_over) + good[end:]
+    assert _decode_png(bomb) is None
+    assert _decode_png(good) is not None  # sanity: the base image decodes
