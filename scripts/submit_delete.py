@@ -1,0 +1,82 @@
+"""Cluster delete job — the ``spark-submit --py-files`` entrypoint for
+document deletes (index/deletes.py).
+
+    (cd /root/repo && zip -qr /tmp/sefs.zip search_engine_framework_spark)
+    spark-submit --master <cluster> --py-files /tmp/sefs.zip \
+        scripts/submit_delete.py --index /path/to/index \
+        --conv-ids conv-42,conv-99            # and/or --ext-ids / --doc-ids
+    spark-submit ... scripts/submit_delete.py --index /path/to/index \
+        --ts-before 2025-06-01T00:00:00       # retention window
+    spark-submit ... scripts/submit_delete.py --index /path/to/index --purge
+
+Tombstoned docs vanish from query results immediately; ``--purge``
+physically removes all pending tombstones (full segment rewrite from the
+forward index — schedule it like a compaction). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--conv-ids", default=None, help="comma-separated")
+    ap.add_argument("--ext-ids", default=None, help="comma-separated")
+    ap.add_argument("--doc-ids", default=None, help="comma-separated ints")
+    ap.add_argument(
+        "--ts-before", default=None,
+        help="ISO timestamp: tombstone every turn with ts < this (retention)",
+    )
+    ap.add_argument(
+        "--purge", action="store_true",
+        help="physically remove all pending tombstones after any marking",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    from search_engine_framework_spark.index.deletes import (
+        delete_docs,
+        pending_deletes,
+        purge_deletes,
+    )
+
+    spark = SparkSession.builder.appName("sefs-delete").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    out: dict = {"index": args.index, "tombstoned": 0}
+    any_selector = any(
+        (args.conv_ids, args.ext_ids, args.doc_ids, args.ts_before)
+    )
+    if any_selector:
+        out["tombstoned"] = delete_docs(
+            spark,
+            args.index,
+            conv_ids=args.conv_ids.split(",") if args.conv_ids else None,
+            ext_ids=args.ext_ids.split(",") if args.ext_ids else None,
+            doc_ids=[int(x) for x in args.doc_ids.split(",")]
+            if args.doc_ids
+            else None,
+            predicate=F.col("ts") < F.lit(args.ts_before).cast("timestamp")
+            if args.ts_before
+            else None,
+        )
+    elif not args.purge:
+        ap.error("nothing to do: pass a selector and/or --purge")
+    if args.purge:
+        out["purge"] = purge_deletes(spark, args.index)
+    out["pending"] = pending_deletes(spark, args.index)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
