@@ -186,15 +186,26 @@ def normalize_per_query(feats: DataFrame) -> DataFrame:
 def svmlight_lines(
     feats: DataFrame,
     qrels: dict[tuple[str, str], int] | None = None,
+    feature_disable: set[int] | None = None,
 ) -> list[str]:
     """"rel qid:Q f:v ... # extid" rows (LearnToRank.java:45-61,
-    317-320); NaN features omitted; rel 0 when no judgment."""
+    317-320); NaN features omitted; rel 0 when no judgment.
+
+    ``feature_disable`` — 1-based feature numbers to omit, the
+    reference's ``letor:featureDisable=2,3,...`` param (the hw sweep's
+    feature-ablation knob): disabled features are skipped in the output
+    while the REMAINING features keep their original numbers, so an
+    svm_rank model trained on the ablated file maps back through
+    ``read_svmrank_model`` unchanged."""
+    dis = set(feature_disable or ())
     rows = feats.orderBy("qid", "doc_id").collect()
     out = []
     for r in rows:
         rel = qrels.get((r["qid"], r["ext_id"]), 0) if qrels else 0
         parts = [f"{rel} qid:{r['qid']}"]
         for i, f in enumerate(FEATURES, start=1):
+            if i in dis:
+                continue
             v = r[f]
             if v is not None and not math.isnan(v):
                 parts.append(f"{i}:{v:.6f}")
@@ -279,6 +290,7 @@ def run_letor(
     pagerank: DataFrame | None = None,
     k: int = 100,
     train_file: str | None = None,
+    feature_disable: set[int] | None = None,
 ) -> DataFrame:
     """The reference's LeToR pipeline end to end
     (LearnToRank.java entry point 3):
@@ -315,7 +327,7 @@ def run_letor(
             batch_query_features(engine, train_queries, train_cand, pagerank)
         )
         if train_file:
-            lines = svmlight_lines(feats, qrels)
+            lines = svmlight_lines(feats, qrels, feature_disable=feature_disable)
             with open(train_file, "w") as fh:
                 fh.write("\n".join(lines) + "\n")
 

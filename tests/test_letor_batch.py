@@ -140,3 +140,37 @@ def test_batch_ext_id_and_rerank(letor_setup):
         per_q.setdefault(r["qid"], []).append(r["rank"])
     for qid, ranks in per_q.items():
         assert ranks == sorted(ranks)
+
+
+def test_svmlight_feature_disable(letor_setup):
+    """letor:featureDisable semantics: disabled feature numbers are
+    omitted from the svmlight rows while remaining features keep their
+    ORIGINAL numbers (reference hw sweep's ablation knob)."""
+    from search_engine_framework_spark.letor import (
+        normalize_per_query,
+        svmlight_lines,
+    )
+
+    eng, cand, _seq = letor_setup
+    from search_engine_framework_spark.letor_batch import batch_query_features
+
+    feats = normalize_per_query(
+        batch_query_features(eng, {"q1": QUERIES["q1"]},
+                             cand.where("qid = 'q1'"))
+    )
+    full = svmlight_lines(feats)
+    ablated = svmlight_lines(feats, feature_disable={1, 2})
+    assert len(full) == len(ablated)
+    for line in ablated:
+        nums = {
+            int(tok.split(":")[0])
+            for tok in line.split("#")[0].split()[2:]
+        }
+        assert not (nums & {1, 2})
+    # surviving features keep identical number:value pairs
+    for lf, la in zip(full, ablated):
+        kept = {
+            t for t in lf.split("#")[0].split()[2:]
+            if int(t.split(":")[0]) not in (1, 2)
+        }
+        assert kept == set(la.split("#")[0].split()[2:])
