@@ -351,11 +351,26 @@ def run_letor(
 
 def read_pagerank(spark, path: str) -> DataFrame:
     """'extid<TAB>score' side file → DataFrame(ext_id, score) — the
-    reference's PageRank feature source (LearnToRank.java:130-144); feed
-    the result to ``query_features`` / ``batch_query_features``."""
+    reference's PageRank feature source (LearnToRank.java:130-144), as a
+    distributed text read (the reference's driver-side Scanner does not
+    survive a 10^12-doc side file).
+
+    Line semantics match the reference exactly: empty lines are skipped,
+    and a line is kept only when ``split("\\t")`` yields exactly 2
+    segments — Java's ``String.split`` drops TRAILING empty fields, so
+    ``"a\\t1.0\\t\\t"`` is kept while ``"a\\t\\t1.0"`` is not. One
+    deviation: a non-numeric score becomes NULL and the row is dropped
+    (the reference's ``Double.valueOf`` would crash the whole run)."""
+    parts = F.split(F.regexp_replace(F.col("value"), "\t+$", ""), "\t", -1)
     return (
-        spark.read.csv(path, sep="\t", schema="ext_id string, score double")
-        .where(F.col("ext_id").isNotNull())
+        spark.read.text(path)
+        .where(F.length("value") > 0)
+        .where(F.size(parts) == 2)
+        .select(
+            parts[0].alias("ext_id"),
+            parts[1].try_cast("double").alias("score"),
+        )
+        .where(F.col("score").isNotNull())
     )
 
 

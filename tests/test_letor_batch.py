@@ -125,6 +125,21 @@ def test_read_pagerank(spark, tmp_path):
     rows = {r["ext_id"]: r["score"] for r in read_pagerank(spark, str(p)).collect()}
     assert rows == {"doc-a": 0.25, "doc-b": 1.5}
 
+    # Reference line-skip parity (LearnToRank.java:133-143): empty lines
+    # and lines whose Java split("\t") — trailing empties dropped — is not
+    # exactly 2 segments are skipped; trailing tabs therefore survive,
+    # interior extra tabs do not.
+    p.write_text(
+        "doc-a\t0.25\n"          # plain                 -> kept
+        "\n"                     # empty                 -> skipped
+        "doc-b\t1.5\t\t\n"       # trailing empties      -> kept (Java drops them)
+        "doc-c\t\t2.0\n"         # interior empty, 3 seg -> skipped
+        "doc-d\n"                # 1 segment             -> skipped
+        "doc-e\tnot_a_number\n"  # bad score             -> dropped (ref would crash)
+    )
+    rows = {r["ext_id"]: r["score"] for r in read_pagerank(spark, str(p)).collect()}
+    assert rows == {"doc-a": 0.25, "doc-b": 1.5}
+
 
 def test_batch_ext_id_and_rerank(letor_setup):
     from search_engine_framework_spark.letor import normalize_per_query, rerank
