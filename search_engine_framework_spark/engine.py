@@ -47,18 +47,11 @@ class SearchEngine:
         (functions/stemmer.py STEMMER_IMPL) fails loudly with a rebuild
         hint instead of returning quietly empty results."""
         lin = self.reader.lineage
-        recorded = lin.get("analyzer") if isinstance(lin.get("analyzer"), dict) else None
+        recorded_cfg = AnalyzerConfig.from_lineage(lin)
         if analyzer is None:
-            analyzer = (
-                AnalyzerConfig(
-                    lowercase=bool(recorded.get("lowercase", True)),
-                    stopwords=bool(recorded.get("stopwords", True)),
-                    stemmer=str(recorded.get("stemmer", "kstem")),
-                )
-                if recorded
-                else AnalyzerConfig.reference()
-            )
-        elif recorded:
+            analyzer = recorded_cfg or AnalyzerConfig.reference()
+        elif recorded_cfg:
+            recorded = lin["analyzer"]
             mine = {
                 "lowercase": analyzer.lowercase,
                 "stopwords": analyzer.stopwords,
@@ -244,11 +237,10 @@ class SearchEngine:
         per-query #SUM plan uses, so scores match bit-for-bit, not just to
         rounding. Queries must be plain term bags (no # operators, no
         field suffixes — use search_many for structured queries)."""
-        import math
-
         from pyspark.sql import Window
 
         from .functions.analyzer import analyze_terms
+        from .functions.scoring import bm25_idf, bm25_tf_weight
         from .plans.models import BM25
 
         model = model or BM25()
@@ -259,8 +251,20 @@ class SearchEngine:
                 f"field {field!r} was never indexed; built fields: "
                 f"{sorted(self.reader.stats.get('fields', {}))}"
             )
+        from .plans.parser import TERM_FIELDS
+
         for qid, text in queries.items():
-            if "#" in text or "." in text:
+            # Reject exactly what the structured parser would NOT treat as
+            # a bare default-field term: operators, and tokens whose
+            # ``.suffix`` names a known field (plans/parser.py TERM_FIELDS).
+            # A bare '.' inside a token ("3.14", "e.g") is an ordinary
+            # analyzer token in the per-query path too — rejecting it here
+            # would break the advertised parity with ``search``.
+            if "#" in text or any(
+                tok.endswith("." + f)
+                for tok in text.split()
+                for f in TERM_FIELDS
+            ):
                 raise ValueError(
                     f"query {qid!r} is not a flat term bag; use search_many"
                 )
@@ -287,8 +291,7 @@ class SearchEngine:
             max_children = max(max_children, len(terms))
             for tix, t in enumerate(terms):
                 df = stats.get((t, field), {}).get("df", 0)
-                idf = math.log((n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
-                qt_rows.append((qid, tix, t, float(idf)))
+                qt_rows.append((qid, tix, t, float(bm25_idf(n_docs, df))))
         if not qt_rows:
             return empty
         qt = F.broadcast(
@@ -300,15 +303,7 @@ class SearchEngine:
         post = self.reader.fetch_postings(pairs, need_positions=False).where(
             F.col("field") == field
         )
-        tf = F.col("tf").cast("double")
-        tf_w = tf / (
-            tf
-            + F.lit(model.k_1)
-            * (
-                F.lit(1.0 - model.b)
-                + F.lit(model.b) * (F.col("doclen").cast("double") / F.lit(avg_dl))
-            )
-        )
+        tf_w = bm25_tf_weight(model.k_1, model.b, avg_dl)
         scored = post.join(qt, "term").select(
             "qid", "tix", "doc_id", (F.col("idf") * tf_w).alias("s")
         )

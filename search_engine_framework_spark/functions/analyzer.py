@@ -66,6 +66,22 @@ class AnalyzerConfig:
         """Expressible in ANSI SQL: lower + [^a-z0-9]+ split, no stop/stem."""
         return AnalyzerConfig(lowercase=True, stopwords=False, stemmer="none")
 
+    @staticmethod
+    def from_lineage(lineage: dict) -> "AnalyzerConfig | None":
+        """The analyzer recorded in an index's build lineage
+        (index/build.py bucket manifests), or None when the lineage has no
+        analyzer record. The ONE place lineage→config reconstruction
+        lives: engine open, append, and purge must all rebuild the exact
+        same config or index/query tokenization drifts apart silently."""
+        ana = lineage.get("analyzer")
+        if not isinstance(ana, dict):
+            return None
+        return AnalyzerConfig(
+            lowercase=bool(ana.get("lowercase", True)),
+            stopwords=bool(ana.get("stopwords", True)),
+            stemmer=str(ana.get("stemmer", "kstem")),
+        )
+
 
 def _raw_tokens(text: str, cfg: AnalyzerConfig) -> Iterator[str]:
     if cfg is SQL_SAFE or (not cfg.stopwords and cfg.stemmer == "none"):

@@ -191,12 +191,7 @@ def purge_deletes(
             f"{out_dir} has no bucket manifests/lineage; cannot prove the "
             "purged index would be scan-compatible"
         )
-    ana = lin.get("analyzer") or {}
-    cfg = AnalyzerConfig(
-        lowercase=bool(ana.get("lowercase", True)),
-        stopwords=bool(ana.get("stopwords", True)),
-        stemmer=str(ana.get("stemmer", "kstem")),
-    )
+    cfg = AnalyzerConfig.from_lineage(lin) or AnalyzerConfig.reference()
     with open(os.path.join(paths.manifests, "base.json")) as fh:
         base = json.load(fh)
     fields = tuple(base.get("fields") or lin.get("fields") or ("body",))

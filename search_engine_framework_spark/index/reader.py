@@ -32,6 +32,27 @@ POSTING_SCHEMA = (
 )
 
 
+def read_index_lineage(paths: IndexPaths | str) -> dict:
+    """Build lineage from the first bucket manifest (index/build.py writes
+    it per bucket). Empty dict → unknown layout: no bucket pruning, no
+    analyzer-parity check. Driver-local (no Spark session) so appends,
+    purges, and the reader all consult the SAME record."""
+    import os
+
+    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    mdir = paths.manifests
+    if not os.path.isdir(mdir):
+        return {}
+    for f in sorted(os.listdir(mdir)):
+        if f.startswith("bucket-") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            lin = m.get("lineage")
+            if lin:
+                return dict(lin)
+    return {}
+
+
 class IndexReader:
     def __init__(self, spark: SparkSession, paths: IndexPaths | str):
         import os
@@ -54,22 +75,7 @@ class IndexReader:
         self._n_buckets: int | None = int(nb) if nb else None
 
     def _read_lineage(self) -> dict:
-        """Build lineage from the first bucket manifest (index/build.py
-        writes it per bucket). Empty dict → unknown layout: no bucket
-        pruning, no analyzer-parity check."""
-        import os
-
-        mdir = self.paths.manifests
-        if not os.path.isdir(mdir):
-            return {}
-        for f in sorted(os.listdir(mdir)):
-            if f.startswith("bucket-") and f.endswith(".json"):
-                with open(os.path.join(mdir, f)) as fh:
-                    m = json.load(fh)
-                lin = m.get("lineage")
-                if lin:
-                    return dict(lin)
-        return {}
+        return read_index_lineage(self.paths)
 
     @property
     def lineage(self) -> dict:

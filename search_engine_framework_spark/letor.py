@@ -316,7 +316,10 @@ def run_letor(
 
     spark = engine.spark
 
-    if train_queries:
+    # The training feature wave (the most expensive phase: three job
+    # waves + a driver collect) only runs when its output is actually
+    # consumed — i.e. a train_file to hand to the external svm_rank_learn.
+    if train_queries and train_file:
         train_cand = spark.createDataFrame(
             [(qid, ext) for (qid, ext) in qrels.keys() if qid in train_queries],
             "qid string, ext_id string",
@@ -326,10 +329,9 @@ def run_letor(
         feats = normalize_per_query(
             batch_query_features(engine, train_queries, train_cand, pagerank)
         )
-        if train_file:
-            lines = svmlight_lines(feats, qrels, feature_disable=feature_disable)
-            with open(train_file, "w") as fh:
-                fh.write("\n".join(lines) + "\n")
+        lines = svmlight_lines(feats, qrels, feature_disable=feature_disable)
+        with open(train_file, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
 
     if svm_model_path is not None:
         weights = read_svmrank_model(svm_model_path)

@@ -36,6 +36,7 @@ from pyspark.sql.functions import pandas_udf
 
 from .engine import SearchEngine
 from .functions.analyzer import analyze_terms
+from .functions.scoring import bm25_idf, bm25_tf_weight
 from .letor import FEATURES, FIELDS
 from .operators.positional import near_match
 from .plans.models import BM25, Indri
@@ -101,9 +102,7 @@ def batch_query_features(
             for t, m in mult.items():
                 st = stats.get((t, f), {"df": 0, "ctf": 0})
                 df_, ctf = int(st["df"]), int(st["ctf"])
-                idf = (
-                    math.log((n_docs - df_ + 0.5) / (df_ + 0.5)) if df_ > 0 else 0.0
-                )
+                idf = bm25_idf(n_docs, df_)
                 pmle = ctf / sum_dl if sum_dl else 0.0
                 qt_rows.append(
                     (qid, f, t, m, len(terms), len(mult), df_, idf, pmle, avg_dl)
@@ -136,11 +135,7 @@ def batch_query_features(
         tf = F.col("tf").cast("double")
         dl = F.col("doclen").cast("double")
         pmle = F.col("pmle")
-        tf_w = tf / (
-            tf
-            + F.lit(bm25.k_1)
-            * (F.lit(1.0 - bm25.b) + F.lit(bm25.b) * (dl / F.col("avg_dl")))
-        )
+        tf_w = bm25_tf_weight(bm25.k_1, bm25.b, F.col("avg_dl"))
         matched = (
             post.join(qt, ["term", "field"])
             .join(cand, ["qid", "doc_id"])  # features only for candidates

@@ -79,6 +79,12 @@ def _decode_wav(payload: bytes) -> dict | None:
     if not fmt or data is None or not fmt["channels"] or not fmt["sr"]:
         return None
     af, bits, ch = fmt["audio_format"], fmt["bits"], fmt["channels"]
+    if bits % 8 == 0 and bits > 0:
+        # A data chunk truncated mid-sample (size not a multiple of the
+        # sample width) must not crash np.frombuffer — drop the partial
+        # trailing sample and decode the complete ones.
+        width = bits // 8
+        data = data[: (len(data) // width) * width]
     if af == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif af == 1 and bits == 8:
@@ -321,15 +327,21 @@ def decode_features(
     """
 
     def _one(payload: bytes) -> tuple[list[float], str]:
-        wav = _decode_wav(payload)
-        if wav is not None:
-            return _wav_feature(wav["mono"], dim), "wav"
-        bmp = _decode_bmp(payload)
-        if bmp is not None:
-            return _bmp_feature(bmp["gray"], dim), "bmp"
-        png = _decode_png(payload)
-        if png is not None:
-            return _bmp_feature(png["gray"], dim), "png"
+        # Each decoder is individually fenced: ONE malformed payload that
+        # trips a decoder-internal error (struct short-read, numpy shape
+        # mismatch, ...) lands in the undecodable tail like any other
+        # non-decodable asset — it must never kill the whole Spark job.
+        for decode, feat, codec in (
+            (_decode_wav, lambda d: _wav_feature(d["mono"], dim), "wav"),
+            (_decode_bmp, lambda d: _bmp_feature(d["gray"], dim), "bmp"),
+            (_decode_png, lambda d: _bmp_feature(d["gray"], dim), "png"),
+        ):
+            try:
+                d = decode(payload)
+                if d is not None:
+                    return feat(d), codec
+            except Exception:
+                continue
         if strict:
             raise NotImplementedError(
                 "payload is none of WAV/BMP/PNG and no full image/audio/"

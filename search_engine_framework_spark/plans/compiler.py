@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.scoring import bm25_idf, bm25_tf_weight
 from ..index.reader import IndexReader
 from ..operators.positional import near_match, syn_merge, window_match
 from . import ast
@@ -197,7 +198,7 @@ class QueryCompiler:
             df = int(st["df"])
             if df <= 0:
                 continue
-            i = math.log((n_docs - df + 0.5) / (df + 0.5))
+            i = bm25_idf(n_docs, df)
             idf[p] = i
             mtf = max(1, int(st["max_tf"] or 1))
             # contribution i·tf/(tf + k1((1−b) + b·dl/avg)) over tf ∈
@@ -221,15 +222,10 @@ class QueryCompiler:
             avg_dl = self.reader.avg_doclen(p[1])
             if not avg_dl:
                 continue
-            tf = F.col("tf").cast("double")
-            s = F.lit(mult[p]) * F.lit(i) * tf / (
-                tf
-                + F.lit(m.k_1)
-                * (
-                    F.lit(1.0 - m.b)
-                    + F.lit(m.b) * (F.col("doclen").cast("double") / F.lit(avg_dl))
-                )
-            )
+            # seed partials feed only the θ threshold (1e-6 margin below
+            # absorbs any ulp-level association difference vs the final
+            # scoring path, which multiplies lit(idf) * tf_weight too)
+            s = F.lit(mult[p]) * F.lit(i) * bm25_tf_weight(m.k_1, m.b, avg_dl)
             cond = (F.col("term") == p[0]) & (F.col("field") == p[1])
             score = F.when(cond, s) if score is None else score.when(cond, s)
         if score is None:
@@ -411,17 +407,9 @@ class QueryCompiler:
         if isinstance(m, BM25):
             n_docs = self.reader.num_docs
             ildf, _ = il.ensure_stats()
-            idf = math.log((n_docs - ildf + 0.5) / (ildf + 0.5))
+            idf = bm25_idf(n_docs, ildf)
             avg_dl = self.reader.avg_doclen(il.field)
-            tf = F.col("tf").cast("double")
-            tf_w = tf / (
-                tf
-                + F.lit(m.k_1)
-                * (
-                    F.lit(1.0 - m.b)
-                    + F.lit(m.b) * (F.col("doclen").cast("double") / F.lit(avg_dl))
-                )
-            )
+            tf_w = bm25_tf_weight(m.k_1, m.b, avg_dl)
             return SLResult(
                 il.df.select(
                     "doc_id", (F.lit(idf) * tf_w).alias("score"), "doclen"

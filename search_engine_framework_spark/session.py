@@ -13,6 +13,9 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# The directory that makes `import search_engine_framework_spark` work.
+_PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def get_spark(
     app_name: str = "search-engine-framework-spark",
@@ -30,6 +33,17 @@ def get_spark(
       is set per job from input size (see bench.py and index/build.py).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers resolve imports from PYTHONPATH + cwd, NOT the
+    # driver's sys.path — a driver script run from outside the repo root
+    # would build plans fine and then die inside the first pandas UDF
+    # with ModuleNotFoundError. Export the package location to workers
+    # here; on a real cluster the equivalent is spark-submit --py-files
+    # (scripts/submit_build.py), which this does not replace.
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PKG_PARENT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PKG_PARENT + (os.pathsep + pp if pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -45,6 +59,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

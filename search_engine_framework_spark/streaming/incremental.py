@@ -204,22 +204,17 @@ def _lineage_n_buckets(paths: IndexPaths) -> int | None:
     different count would land postings in directories the pruned scan
     never opens (silent data loss), so appends/compactions must use the
     recorded value, never an independent parameter."""
-    if not os.path.isdir(paths.manifests):
-        return None
-    for f in sorted(os.listdir(paths.manifests)):
-        if f.startswith("bucket-") and f.endswith(".json"):
-            with open(os.path.join(paths.manifests, f)) as fh:
-                nb = json.load(fh).get("lineage", {}).get("n_buckets")
-            if nb:
-                return int(nb)
-    return None
+    from ..index.reader import read_index_lineage
+
+    nb = read_index_lineage(paths).get("n_buckets")
+    return int(nb) if nb else None
 
 
 def append_index(
     spark: SparkSession,
     new_transcripts: DataFrame,
     out_dir: str,
-    fields: tuple[str, ...] = ("body",),
+    fields: tuple[str, ...] | None = None,
     cfg: AnalyzerConfig | None = None,
     n_buckets: int | None = None,
     n_salts: int = 8,
@@ -230,11 +225,19 @@ def append_index(
     are skipped, making replayed micro-batches idempotent at the document
     level). See the module docstring for the crash-safe commit protocol.
 
-    ``n_buckets`` defaults to the base build's recorded count
-    (``_lineage_n_buckets``); passing a conflicting value raises."""
+    ``n_buckets``, ``fields``, and ``cfg`` all default to the base build's
+    recorded values (bucket-manifest lineage / base.json); passing a
+    conflicting value raises. A generation tokenized with a different
+    analyzer (or missing a field) would be silently unsearchable — queries
+    adopt the RECORDED analyzer at engine open, so appended postings
+    stemmed differently never match."""
+    from ..index.reader import read_index_lineage
+
     paths = IndexPaths(out_dir)
     reconcile_index(paths)  # finish any interrupted predecessor first
-    recorded_nb = _lineage_n_buckets(paths)
+    lin = read_index_lineage(paths)
+    recorded_nb = lin.get("n_buckets")
+    recorded_nb = int(recorded_nb) if recorded_nb else None
     if n_buckets is None:
         n_buckets = recorded_nb or 32
     elif recorded_nb and n_buckets != recorded_nb:
@@ -242,6 +245,40 @@ def append_index(
             f"n_buckets={n_buckets} conflicts with the index's recorded "
             f"bucket count {recorded_nb}; appended postings would be "
             "invisible to the bucket-pruned scan"
+        )
+    recorded_cfg = AnalyzerConfig.from_lineage(lin)
+    if cfg is None:
+        cfg = recorded_cfg  # None-on-None → build default, same as base
+    elif recorded_cfg is not None and cfg != recorded_cfg:
+        raise ValueError(
+            f"analyzer {cfg} conflicts with the index's recorded analyzer "
+            f"{recorded_cfg}; pass cfg=None to adopt the index's analyzer"
+        )
+    impl_recorded = lin.get("stemmer_impl")
+    if impl_recorded:
+        from ..functions.stemmer import stemmer_impl
+
+        current = stemmer_impl((cfg or AnalyzerConfig.reference()).stemmer)
+        if current != impl_recorded:
+            raise ValueError(
+                f"index was built with stemmer implementation "
+                f"{impl_recorded!r} but the current code resolves to "
+                f"{current!r} — appended postings would stem differently; "
+                "rebuild the index"
+            )
+    recorded_fields = None
+    base_manifest = os.path.join(paths.manifests, "base.json")
+    if os.path.exists(base_manifest):
+        with open(base_manifest) as fh:
+            bf = json.load(fh).get("fields")
+        recorded_fields = tuple(bf) if bf else None
+    if fields is None:
+        fields = recorded_fields or ("body",)
+    elif recorded_fields and tuple(fields) != recorded_fields:
+        raise ValueError(
+            f"fields={tuple(fields)} conflicts with the index's recorded "
+            f"fields {recorded_fields}; appended docs would miss postings "
+            "for the absent fields"
         )
     with open(paths.stats) as fh:
         stats_before = json.load(fh)
@@ -456,7 +493,7 @@ def stream_index(
     transcript_stream: DataFrame,
     out_dir: str,
     checkpoint: str,
-    fields: tuple[str, ...] = ("body",),
+    fields: tuple[str, ...] | None = None,
     cfg: AnalyzerConfig | None = None,
     available_now: bool = True,
     **build_kwargs,
@@ -478,7 +515,8 @@ def stream_index(
             return
         if not os.path.exists(paths.stats):
             build_index(
-                spark, batch_df, out_dir, fields=fields, cfg=cfg,
+                spark, batch_df, out_dir, fields=fields or ("body",),
+                cfg=cfg,
                 **_accepted_kwargs(build_index, build_kwargs),
             )
         else:

@@ -263,6 +263,29 @@ def test_truncated_media_falls_back(spark):
     assert rows[1]["codec"] == "raw" and rows[2]["codec"] == "raw"
 
 
+def test_wav_truncated_mid_sample(spark):
+    """A data chunk cut mid-sample (valid RIFF/fmt headers, odd byte count
+    in 16-bit PCM data) must decode the complete samples — not crash the
+    whole mapInPandas job with a numpy buffer-size error."""
+    from search_engine_framework_spark.pipeline.multimodal import (
+        _decode_wav,
+        decode_features,
+    )
+
+    wav = _wav_bytes()
+    cut = wav[:-1]  # drops one byte of the final 16-bit sample
+    meta = _decode_wav(cut)
+    assert meta is not None
+    assert meta["n_samples"] == _decode_wav(wav)["n_samples"] - 1
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(cut), {})],
+        "asset_id long, modality string, payload binary, meta map<string,string>",
+    )
+    (row,) = decode_features(df).collect()
+    assert row["codec"] == "wav" and row["decode_ok"]
+
+
 def test_resize_images_real_bmp(spark):
     import numpy as np
 
