@@ -35,6 +35,46 @@ def test_spark_xxhash64_twin(spark):
         assert term_bucket(r["term"], r["field"], 8) == r["b"], r["term"]
 
 
+def test_spark_xxhash64_twin_random_corpus(spark):
+    """400 seeded-random strings (mixed unicode planes, every length
+    0..60, multi-byte chars straddling the 4/8/32-byte stripe boundaries)
+    cross-checked against Spark's own xxhash64 in ONE job. A divergence
+    here means bucket pruning would silently scan the WRONG directory —
+    empty results, no error — so the twin gets the widest net we can
+    cast, not just hand-picked cases."""
+    import random
+
+    from search_engine_framework_spark.functions.spark_hash import (
+        spark_xxhash64,
+        term_bucket,
+    )
+
+    rng = random.Random(20260818)
+    alphabets = [
+        "abcdefghijklmnopqrstuvwxyz0123456789",
+        "äöüßéèêñçøåæ",            # 2-byte UTF-8
+        "中文漢字カタカナ",  # 3-byte CJK
+        "\U0001f600\U0001f680\U0001d11e",  # 4-byte astral plane
+        " .-_/:#",
+    ]
+    cases = []
+    for n in range(400):
+        alpha = alphabets[n % len(alphabets)] if n % 3 else "".join(alphabets)
+        length = n % 61
+        term = "".join(rng.choice(alpha) for _ in range(length))
+        field = rng.choice(["body", "role", "tool", "url", "título"])
+        cases.append((term, field))
+    df = spark.createDataFrame(cases, "term string, field string").select(
+        "term",
+        "field",
+        F.xxhash64("term", "field").alias("h"),
+        F.pmod(F.xxhash64("term", "field"), F.lit(32)).cast("int").alias("b"),
+    )
+    for r in df.collect():
+        assert spark_xxhash64(r["term"], r["field"]) == r["h"], repr(r["term"])
+        assert term_bucket(r["term"], r["field"], 32) == r["b"], repr(r["term"])
+
+
 def test_bucket_pruning_in_plan(spark, tiny_index):
     """The segment scan must carry a PartitionFilters predicate on bucket
     and still return identical postings."""
