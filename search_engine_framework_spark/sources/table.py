@@ -58,6 +58,36 @@ def validate_transcripts(df: DataFrame) -> DataFrame:
     return df.select(*REQUIRED_COLS)
 
 
+def validate_transcript_keys(df: DataFrame, sample: int = 5) -> None:
+    """Opt-in (conv_id, turn_idx) uniqueness check — one aggregation job.
+
+    Duplicate keys no longer corrupt docids (index/docids.py detects them
+    and falls back to the row_number path), but they DO collide on
+    ext_id = "conv_id:turn_idx", so two distinct turns become
+    indistinguishable in trec output and qrels joins. That is an upstream
+    data defect; this check names the offending keys instead of letting
+    the collision surface as a confusing evaluation mismatch later. Not
+    run by default: at 10^12-turn scale it is a full-corpus shuffle the
+    caller should schedule deliberately (e.g. once per ingest, not once
+    per build)."""
+    import pyspark.sql.functions as F
+
+    dupes = (
+        df.groupBy("conv_id", "turn_idx")
+        .count()
+        .where(F.col("count") > 1)
+    )
+    hits = dupes.take(sample)
+    if hits:
+        total = dupes.count()
+        keys = ", ".join(f"({r['conv_id']!r}, {r['turn_idx']})" for r in hits)
+        raise ValueError(
+            f"{total} duplicate (conv_id, turn_idx) key(s) in the "
+            f"transcript input, e.g. {keys} — ext_ids would collide; "
+            "dedupe upstream before indexing"
+        )
+
+
 def read_transcripts(
     spark: SparkSession,
     source: str,

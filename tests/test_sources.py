@@ -68,3 +68,21 @@ def test_table_fmt_rejects_snapshot_pin(spark):
 
     with pytest.raises(ValueError, match="fmt='iceberg'"):
         read_transcripts(spark, "db.t", fmt="table", snapshot_id=1)
+
+
+def test_validate_transcript_keys(spark):
+    from search_engine_framework_spark.sources.table import (
+        validate_transcript_keys,
+    )
+
+    clean = spark.createDataFrame(
+        [("c0", 0), ("c0", 1), ("c1", 0)], "conv_id string, turn_idx int"
+    )
+    validate_transcript_keys(clean)  # no duplicates → no error
+
+    dirty = spark.createDataFrame(
+        [("c0", 0), ("c0", 1), ("c0", 1), ("c1", 0)],
+        "conv_id string, turn_idx int",
+    )
+    with pytest.raises(ValueError, match="duplicate \\(conv_id, turn_idx\\)"):
+        validate_transcript_keys(dirty)
