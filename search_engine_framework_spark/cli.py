@@ -82,10 +82,12 @@ def _load_initial_rankings(path: str, fb_docs: int, engine: SearchEngine):
             if rank <= fb_docs:
                 per_qid.setdefault(qid, []).append((ext_id, score))
     ext_ids = sorted({e for rows in per_qid.values() for e, _ in rows})
+    from pyspark.sql import functions as F
+
     id_map = {
         r["ext_id"]: r["doc_id"]
         for r in engine.reader.docmap()
-        .where(engine.reader.docmap().ext_id.isin(ext_ids))
+        .where(F.col("ext_id").isin(ext_ids))
         .select("ext_id", "doc_id")
         .collect()
     }
@@ -218,6 +220,7 @@ def main(argv: list[str] | None = None) -> None:
         src = params.get("transcriptsPath")
         if src:
             from .index.build import DEFAULT_FIELDS, build_index
+            from .sources.table import read_transcripts
 
             # indexFields=body,role,tool — which transcript fields to index
             # (the reference's web-field analog, QryEval.java:529)
@@ -226,8 +229,15 @@ def main(argv: list[str] | None = None) -> None:
                 for f in params.get("indexFields", ",".join(DEFAULT_FIELDS)).split(",")
                 if f.strip()
             )
+            # read_transcripts: schema-validates against the input contract
+            # and resolves parquet paths and catalog/Iceberg table names the
+            # same way (transcriptsFormat overrides the autodetect).
             build_index(
-                spark, spark.read.parquet(src), params["indexPath"],
+                spark,
+                read_transcripts(
+                    spark, src, fmt=params.get("transcriptsFormat")
+                ),
+                params["indexPath"],
                 fields=fields,
             )
     lines = run_param_file(spark, params)

@@ -152,3 +152,38 @@ def test_duplicate_qid_lines_each_evaluated(spark, tmp_path, tiny_index):
     # the two blocks differ (different queries → different top docs)
     first_block_end = ranks.index(1, 1)
     assert docs[:first_block_end] != docs[first_block_end:]
+
+
+def test_fb_initial_ranking_file(spark, param_setup, tmp_path):
+    """fbInitialRankingFile (QryExpansion.java:240-286): the pseudo-
+    relevant docs come from a supplied trec file, NOT a fresh retrieval —
+    expansion must resolve its ext_ids through the docmap and use exactly
+    the top fbDocs rows per qid."""
+    param, out = param_setup
+    params = parse_param_file(str(param))
+    # seed the initial ranking from a plain run's output
+    base_lines = run_param_file(spark, dict(params))
+    init = tmp_path / "initial.teIn"
+    init.write_text("\n".join(base_lines) + "\n")
+
+    params.update(
+        {
+            "fb": "true",
+            "fbDocs": "3",
+            "fbTerms": "5",
+            "fbMu": "0",
+            "fbOrigWeight": "0.5",
+            "fbInitialRankingFile": str(init),
+            "fbExpansionQueryFile": str(tmp_path / "exp.qry"),
+            "retrievalAlgorithm": "Indri",
+            "Indri:mu": "2500",
+            "Indri:lambda": "0.4",
+        }
+    )
+    lines = run_param_file(spark, params)
+    assert lines
+    exp = (tmp_path / "exp.qry").read_text().strip().splitlines()
+    assert len(exp) == 3
+    # queries 1 and 2 had real initial rankings -> non-empty expansions
+    assert exp[0].startswith("1: #wand( 0.5 #and(")
+    assert " 0.5 #wand( " in exp[0]
