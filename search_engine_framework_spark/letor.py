@@ -86,12 +86,22 @@ def query_features(
     qtext: str,
     candidates: DataFrame,
     pagerank: DataFrame | None = None,
+    side_features: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, doc_id, ext_id, f_*) for the candidate docs of one query.
 
     ``candidates``: DataFrame(doc_id) — judged docs (training) or an
     initial top-k ranking (testing), LearnToRank.java:265-276, 840-858.
     Missing scores → NaN (the reference's missing-feature sentinel).
+
+    ``side_features``: optional DataFrame(ext_id, <numeric cols>) of
+    per-document stored metadata — the reference's f1 spam score, f2 url
+    depth, and f3 wikipedia.org features are exactly this family
+    (LearnToRank.java:322-351: per-doc values from stored fields, no
+    query dependence), as is f4 pagerank. Each extra column ``c``
+    becomes feature ``f_side_c`` (broadcast ext_id join, missing → NaN)
+    and rides through normalization / svmlight / model intake after the
+    built-in features, in the side table's column order.
     """
     spark = engine.spark
     terms = analyze_terms(qtext, engine.analyzer)
@@ -159,9 +169,44 @@ def query_features(
     else:
         out = out.withColumn("f_pagerank", F.lit(nan))
 
-    return out.select("doc_id", "ext_id", *FEATURES).withColumn(
+    side_names = side_feature_names(side_features)
+    if side_names:
+        renamed = side_features.select(
+            "ext_id",
+            *[
+                F.col(c).cast("double").alias(n)
+                for c, n in zip(
+                    [c for c in side_features.columns if c != "ext_id"],
+                    side_names,
+                )
+            ],
+        )
+        out = out.join(F.broadcast(renamed), "ext_id", "left")
+        for n in side_names:
+            out = out.withColumn(n, F.coalesce(F.col(n), F.lit(nan)))
+
+    return out.select("doc_id", "ext_id", *FEATURES, *side_names).withColumn(
         "qid", F.lit(qid)
     )
+
+
+def side_feature_names(side_features: DataFrame | None) -> list[str]:
+    """Feature names contributed by a ``side_features`` table: every
+    non-``ext_id`` column, prefixed ``f_side_`` (column order preserved —
+    it defines the features' svmlight numbering after the built-ins)."""
+    if side_features is None:
+        return []
+    return [
+        c if c.startswith("f_side_") else f"f_side_{c}"
+        for c in side_features.columns
+        if c != "ext_id"
+    ]
+
+
+def _frame_features(feats: DataFrame) -> list[str]:
+    """The feature columns of an assembled frame, in column order (the
+    built-in FEATURES followed by any f_side_* extras)."""
+    return [c for c in feats.columns if c.startswith("f_")]
 
 
 def normalize_per_query(feats: DataFrame) -> DataFrame:
@@ -169,7 +214,7 @@ def normalize_per_query(feats: DataFrame) -> DataFrame:
     (LearnToRank.java:279-314 — NaN excluded from min/max and output)."""
     w = Window.partitionBy("qid")
     out = feats
-    for f in FEATURES:
+    for f in _frame_features(feats):
         c = F.col(f)
         valid = F.when(~F.isnan(c), c)
         mn = F.min(valid).over(w)
@@ -198,12 +243,13 @@ def svmlight_lines(
     svm_rank model trained on the ablated file maps back through
     ``read_svmrank_model`` unchanged."""
     dis = set(feature_disable or ())
+    names = _frame_features(feats)
     rows = feats.orderBy("qid", "doc_id").collect()
     out = []
     for r in rows:
         rel = qrels.get((r["qid"], r["ext_id"]), 0) if qrels else 0
         parts = [f"{rel} qid:{r['qid']}"]
-        for i, f in enumerate(FEATURES, start=1):
+        for i, f in enumerate(names, start=1):
             if i in dis:
                 continue
             v = r[f]
@@ -288,6 +334,7 @@ def run_letor(
     svm_model_path: str | None = None,
     weights: dict[str, float] | None = None,
     pagerank: DataFrame | None = None,
+    side_features: DataFrame | None = None,
     k: int = 100,
     train_file: str | None = None,
     feature_disable: set[int] | None = None,
@@ -327,14 +374,20 @@ def run_letor(
         dm = engine.reader.docmap().select("doc_id", "ext_id")
         train_cand = train_cand.join(dm, "ext_id").select("qid", "doc_id")
         feats = normalize_per_query(
-            batch_query_features(engine, train_queries, train_cand, pagerank)
+            batch_query_features(
+                engine, train_queries, train_cand, pagerank,
+                side_features=side_features,
+            )
         )
         lines = svmlight_lines(feats, qrels, feature_disable=feature_disable)
         with open(train_file, "w") as fh:
             fh.write("\n".join(lines) + "\n")
 
     if svm_model_path is not None:
-        weights = read_svmrank_model(svm_model_path)
+        weights = read_svmrank_model(
+            svm_model_path,
+            features=FEATURES + side_feature_names(side_features),
+        )
     if weights is None:
         raise ValueError("run_letor needs svm_model_path or weights to rerank")
 
@@ -344,7 +397,10 @@ def run_letor(
         "qid", "doc_id"
     )
     test_feats = normalize_per_query(
-        batch_query_features(engine, test_queries, test_cand, pagerank)
+        batch_query_features(
+            engine, test_queries, test_cand, pagerank,
+            side_features=side_features,
+        )
     )
     return rerank(test_feats, weights, k=k).orderBy(
         "qid", SF.asc("rank")

@@ -37,7 +37,7 @@ from pyspark.sql.functions import pandas_udf
 from .engine import SearchEngine
 from .functions.analyzer import analyze_terms
 from .functions.scoring import bm25_idf, bm25_tf_weight
-from .letor import FEATURES, FIELDS
+from .letor import FEATURES, FIELDS, side_feature_names
 from .operators.positional import near_match
 from .plans.models import BM25, Indri
 
@@ -55,12 +55,16 @@ def batch_query_features(
     queries: dict[str, str],
     candidates: DataFrame,
     pagerank: DataFrame | None = None,
+    side_features: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, doc_id, ext_id, f_*) for every (qid, doc_id) in
     ``candidates`` — the batched twin of ``letor.query_features``.
 
     ``queries``: {qid: raw query text}; ``candidates``: DataFrame(qid,
     doc_id) (judged docs for training, initial rankings for testing).
+    ``side_features``: optional DataFrame(ext_id, <numeric cols>) of
+    per-doc stored metadata (reference f1-f3 family,
+    LearnToRank.java:322-351) — see ``letor.query_features``.
     """
     spark = engine.spark
     reader = engine.reader
@@ -253,12 +257,25 @@ def batch_query_features(
     ]  # fields absent from the index → NaN (reference sentinel)
     for n in missing:
         out = out.withColumn(n, F.lit(_NAN))
+    side_names = side_feature_names(side_features)
+    if side_names:
+        renamed = side_features.select(
+            "ext_id",
+            *[
+                F.col(c).cast("double").alias(n)
+                for c, n in zip(
+                    [c for c in side_features.columns if c != "ext_id"],
+                    side_names,
+                )
+            ],
+        )
+        out = out.join(F.broadcast(renamed), "ext_id", "left")
     out = _nanify(
         out,
         feature_names + ["f_doclen_body", "f_turn_idx", "f_conv_n_turns",
-                         "f_pagerank"],
+                         "f_pagerank"] + side_names,
     )
-    out = out.select("qid", "doc_id", "ext_id", *FEATURES)
+    out = out.select("qid", "doc_id", "ext_id", *FEATURES, *side_names)
     # Materialize (bounded: one row per candidate pair, i.e. queries × k)
     # so the cached frames can be released — a long-lived session running
     # repeated LeToR extractions must not accumulate persisted RDDs, even
@@ -270,7 +287,7 @@ def batch_query_features(
             df.unpersist()
     schema = (
         "qid string, doc_id long, ext_id string, "
-        + ", ".join(f"{n} double" for n in FEATURES)
+        + ", ".join(f"{n} double" for n in FEATURES + side_names)
     )
     return spark.createDataFrame(rows, schema)
 

@@ -189,3 +189,93 @@ def test_svmlight_feature_disable(letor_setup):
             if int(t.split(":")[0]) not in (1, 2)
         }
         assert kept == set(la.split("#")[0].split()[2:])
+
+
+def test_side_features(letor_setup, tmp_path):
+    """The reference's stored-metadata feature family (f1 spam / f2 url
+    depth / f3 wikipedia, LearnToRank.java:322-351) generalized: a
+    (ext_id, cols...) side table becomes f_side_* features in both the
+    sequential and batched paths, rides through normalization, svmlight
+    numbering, and svm_rank model intake."""
+    import math
+
+    from search_engine_framework_spark.letor import (
+        FEATURES,
+        normalize_per_query,
+        query_features,
+        read_svmrank_model,
+        rerank,
+        side_feature_names,
+        svmlight_lines,
+    )
+    from search_engine_framework_spark.letor_batch import batch_query_features
+
+    eng, cand, _seq = letor_setup
+    spark = eng.spark
+    dm = eng.reader.docmap().select("doc_id", "ext_id")
+    exts = sorted(r["ext_id"] for r in dm.collect())
+    # side table covering only HALF the docs (the rest must go NaN),
+    # with two metadata columns of different types
+    side = spark.createDataFrame(
+        [(e, float(i % 7), i % 3) for i, e in enumerate(exts) if i % 2 == 0],
+        "ext_id string, spam double, depth int",
+    )
+    names = side_feature_names(side)
+    assert names == ["f_side_spam", "f_side_depth"]
+
+    q1cand = cand.where(F.col("qid") == "q1").select("doc_id")
+    seq = query_features(eng, "q1", QUERIES["q1"], q1cand, side_features=side)
+    assert seq.columns[-3:] == ["f_side_spam", "f_side_depth", "qid"]
+    batch = batch_query_features(
+        eng, {"q1": QUERIES["q1"]}, cand.where("qid = 'q1'"),
+        side_features=side,
+    )
+    assert batch.columns == ["qid", "doc_id", "ext_id"] + FEATURES + names
+
+    side_map = {r["ext_id"]: (r["spam"], float(r["depth"])) for r in side.collect()}
+    srows = {r["doc_id"]: r for r in seq.collect()}
+    brows = {r["doc_id"]: r for r in batch.collect()}
+    assert set(srows) == set(brows)
+    for did, br in brows.items():
+        sr = srows[did]
+        expect = side_map.get(br["ext_id"])
+        for i, n in enumerate(names):
+            if expect is None:
+                assert math.isnan(br[n]) and math.isnan(sr[n])
+            else:
+                assert br[n] == expect[i] == sr[n]
+
+    # normalization covers the side columns (values land in [0, 1])
+    norm = normalize_per_query(batch)
+    for r in norm.collect():
+        for n in names:
+            assert math.isnan(r[n]) or 0.0 <= r[n] <= 1.0
+
+    # svmlight numbering continues after the built-ins
+    lines = svmlight_lines(norm)
+    hi = len(FEATURES) + len(names)
+    seen = {
+        int(t.split(":")[0])
+        for line in lines
+        for t in line.split("#")[0].split()[2:]
+    }
+    assert max(seen) == hi  # at least one doc carries the last side feature
+
+    # svm_rank model round-trip in the extended feature space: a model
+    # that weights ONLY the last side feature reranks by it
+    model = tmp_path / "side_model"
+    header = [
+        "SVM-light Version V6.20", "0 # kernel type", "3 #", "1 #", "1 #",
+        "1 #", "empty#", f"{hi} # highest feature index", "2 #",
+        "2 # number of support vectors plus 1",
+        "0.5 # threshold b, each following set of lines is a SV",
+    ]
+    model.write_text("\n".join(header + [f"1.0 {hi}:3.0 # sv"]) + "\n")
+    w = read_svmrank_model(str(model), features=FEATURES + names)
+    assert w == {"f_side_depth": 3.0}
+    ranked = rerank(norm, w, k=100).collect()
+    scores = {r["doc_id"]: r["score"] for r in ranked}
+    vals = {r["doc_id"]: r[names[1]] for r in norm.collect()}
+    for did, s in scores.items():
+        v = vals[did]
+        assert s == pytest.approx(0.0 if math.isnan(v) else 3.0 * v)
