@@ -103,6 +103,7 @@ def worker(cpus: int, n_convs: int) -> None:
     extract_postings(warm, fields=("body",)).write.mode("overwrite").parquet(
         "/tmp/scale_warmup"
     )
+    warm._sefs_unpersist()
     out = f"/tmp/scale_ix_{cpus}"
     shutil.rmtree(out, ignore_errors=True)
     mode = os.environ.get("SEFS_SEGMENT_MODE", "local")

@@ -618,37 +618,51 @@ def build_index(
     par = max(1, spark.sparkContext.defaultParallelism)
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     old_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    assigned = None
     try:
         phases: dict[str, float] = {}
         if base_done:
             # Resume fast path: docmap / doc_terms / doclen / stats are
             # complete and deterministic — skip re-tokenization entirely.
-            docs = spark.read.parquet(paths.docmap)
             with open(paths.stats) as fh:
                 n_docs = json.load(fh)["N"]
         else:
+            # The input-bytes tuning gives BOTH corpus scans below (slim
+            # docmap projection and the tokenize pass) 4 even task waves
+            # per core (a handful of big input files would otherwise leave
+            # the last wave mostly idle; measured 25% of the tokenize
+            # phase on an 18-file corpus at 8 cores).
             _tune_scan_partitions(spark, _df_input_bytes(transcripts), par)
             assigned = assign_doc_ids(transcripts)
-            assigned.write.mode("overwrite").parquet(paths.docmap)
-            # Tokenization cost is per ROW, so wave evenness — not bytes —
-            # decides the phase's wall time: size the docmap scan to 4 even
-            # task waves per core (a handful of big input files would
-            # otherwise leave the last wave mostly idle; measured 25% of
-            # the tokenize phase on an 18-file corpus at 8 cores).
-            _tune_scan_partitions(spark, _dir_bytes(paths.docmap), par)
-            docs = spark.read.parquet(paths.docmap)
+            # SLIM docmap: every column except the text payload. No
+            # consumer reads text back from the docmap (query-time ext_id
+            # joins, LeToR conv metadata, delete predicates are all
+            # metadata-only), so the old full-row docmap was a SECOND
+            # on-disk copy of the whole corpus — at the 10^12-turn target
+            # that's duplicating ~100 TB of text for columns nobody reads.
+            # Parquet column pruning makes the slim projection scan cheap,
+            # and tokenization chains straight off the assigned corpus
+            # scan instead of re-reading the docmap (assign_doc_ids'
+            # dense path is a map-only broadcast join, so recomputing it
+            # costs one extra broadcast build, not a shuffle). Measured at
+            # local[8]/15.36M turns: docmap phase 26.7s → 21.1s, tokenize
+            # unchanged, index size minus one corpus copy.
+            slim_cols = [c for c in assigned.columns if c != "text"]
+            assigned.select(*slim_cols).write.mode("overwrite").parquet(
+                paths.docmap
+            )
             n_docs = getattr(assigned, "_sefs_n_docs", None)
             if n_docs is None:
-                n_docs = docs.count()
+                n_docs = spark.read.parquet(paths.docmap).count()
             phases["docmap"] = round(time.time() - t0, 2)
 
             # Forward index (the reference's TermVector analog,
             # /root/reference/src/TermVector.java:19-94): tokenization —
             # the only expensive Python crossing — runs ONCE here; doclen
             # and the inverted segments both derive from this table.
-            # Map-only write (no shuffle): files mirror the docmap
+            # Map-only write (no shuffle): files mirror the corpus scan
             # partitioning.
-            extract_postings(docs, fields=fields, cfg=cfg).write.mode(
+            extract_postings(assigned, fields=fields, cfg=cfg).write.mode(
                 "overwrite"
             ).parquet(paths.doc_terms)
             phases["tokenize"] = round(
@@ -667,13 +681,20 @@ def build_index(
         # multi-executor scan of the same files.
         _tune_encode_partitions(spark, _dir_bytes(paths.doc_terms), par)
         return _build_index_body(
-            spark, paths, docs, postings_path=paths.doc_terms,
+            spark, paths, postings_path=paths.doc_terms,
             n_docs=n_docs, base_done=base_done, base_manifest=base_manifest,
             fields=fields, cfg=cfg, n_buckets=n_buckets, n_salts=n_salts,
             block_size=block_size, resume=resume, segment_mode=segment_mode,
             t0=t0, phases=phases,
         )
     finally:
+        # Release the assignment's persisted conv stats even on failure —
+        # a stale entry is a plan-cache correctness hazard for later
+        # identical-looking assignments (see assign_doc_ids). Both
+        # consumers of `assigned` (docmap + doc_terms writes) ran inside
+        # the try.
+        if assigned is not None:
+            assigned._sefs_unpersist()
         # restore session-global confs even on failure (a leaked
         # maxPartitionBytes would silently reshape every later scan on a
         # shared session).
@@ -757,7 +778,6 @@ def _tune_encode_partitions(
 def _build_index_body(
     spark: SparkSession,
     paths: IndexPaths,
-    docs: DataFrame,
     postings_path: str,
     n_docs: int,
     base_done: bool,

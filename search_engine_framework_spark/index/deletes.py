@@ -74,7 +74,8 @@ def delete_docs(
     Selectors: ``conv_ids`` (whole conversations), ``ext_ids`` /
     ``doc_ids`` (individual turns), ``predicate`` (arbitrary Column over
     the docmap's columns — e.g. ``F.col("ts") < F.lit(cutoff)`` for a
-    retention window). At least one is required."""
+    retention window; the docmap is metadata-only, so ``text`` is not
+    available to predicates). At least one is required."""
     conds = []
     if conv_ids is not None:
         conds.append(F.col("conv_id").isin([str(c) for c in conv_ids]))

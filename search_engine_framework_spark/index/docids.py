@@ -149,4 +149,13 @@ def assign_doc_ids(
     # Row count fell out of the stats aggregation — expose it so callers
     # (build_index) don't pay a separate count job.
     out._sefs_n_docs = acc
+    # The persisted range-partitioned stats MUST be unpersisted by the
+    # caller once every action over `out` has run (out._sefs_unpersist).
+    # Beyond the memory leak, a stale entry is a CORRECTNESS hazard:
+    # Spark's CacheManager matches persisted plans by canonicalized
+    # logical plan, so a later assign_doc_ids over an identical-looking
+    # input (e.g. a replayed append batch anti-joined against a docmap
+    # path that has since gained files) would silently reuse the OLD
+    # run's conv stats instead of recomputing.
+    out._sefs_unpersist = ranged.unpersist
     return out

@@ -6,7 +6,9 @@ corpus. The reference's 18 features map as:
   reference (ClueWeb)                  ours (transcripts)
   ------------------------------------ ---------------------------------
   f1 spam, f2 url depth, f3 wikipedia  conv-structure metadata: turn_idx,
-  (stored web fields)                  conv_n_turns, doclen_body
+  (stored web fields)                  conv_n_turns, doclen_body; any
+                                       stored per-doc metadata plugs in
+                                       via ``side_features`` (f_side_*)
   f4 pagerank side file                optional (ext_id, score) side table
   f5-7  BM25/Indri/overlap  body       same, field=body
   f8-10 BM25/Indri/overlap  title      same, field=role
