@@ -103,16 +103,45 @@ def analyze_positions(text: str, cfg: AnalyzerConfig | None = None) -> list[tupl
 
     Stopwords are dropped but consume a position slot (Lucene
     posIncrement semantics). Position slots are 0-based.
+
+    This is the single hottest Python loop in the whole engine (it runs
+    once per token of the corpus inside the build's Arrow tokenizer), so
+    the body is hand-inlined: one regex pass, the possessive strip only
+    when an apostrophe is present, attribute lookups hoisted.
     """
     cfg = cfg or AnalyzerConfig.reference()
+    if cfg is SQL_SAFE or (not cfg.stopwords and cfg.stemmer == "none"):
+        # delegate the non-reference branches (sql_safe must EXACTLY
+        # match its SQL twin; see _raw_tokens)
+        stem = get_stemmer(cfg.stemmer)
+        drop = cfg.stopwords
+        out = []
+        pos = 0
+        for tok in _raw_tokens(text or "", cfg):
+            if drop and tok in LUCENE_ENGLISH_STOPWORDS:
+                pos += 1
+                continue
+            out.append((pos, stem(tok)))
+            pos += 1
+        return out
     stem = get_stemmer(cfg.stemmer)  # bound once — not per token
-    out: list[tuple[int, str]] = []
+    drop = cfg.stopwords
+    lower = cfg.lowercase
+    stops = LUCENE_ENGLISH_STOPWORDS
+    psub = _POSSESSIVE_RE.sub
+    out = []
+    append = out.append
     pos = 0
-    for tok in _raw_tokens(text or "", cfg):
-        if cfg.stopwords and tok in LUCENE_ENGLISH_STOPWORDS:
+    for m in _TOKEN_RE.finditer(text or ""):
+        tok = m.group(0)
+        if "'" in tok or "’" in tok:
+            tok = psub("", tok)
+        if lower:
+            tok = tok.lower()
+        if drop and tok in stops:
             pos += 1
             continue
-        out.append((pos, stem(tok)))
+        append((pos, stem(tok)))
         pos += 1
     return out
 

@@ -186,12 +186,17 @@ def encode_pos_blob(positions) -> bytes:
     of ``array<int>`` columns, and the segment encoder concatenates blobs
     instead of re-encoding the position stream.
     """
-    out = bytearray()
     prev = 0
     vals = [len(positions)]
     for p in positions:
         vals.append(p - prev)
         prev = p
+    if max(vals) < 0x80:
+        # every value fits one varint byte — true for almost every posting
+        # of a short-turn corpus (tf small, position deltas < 128); bytes()
+        # of the list IS the varint stream, no per-byte loop.
+        return bytes(vals)
+    out = bytearray()
     for v in vals:  # positions are tiny lists; the loop beats NumPy here
         while True:
             b = v & 0x7F
