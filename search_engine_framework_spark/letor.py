@@ -356,6 +356,11 @@ def run_letor(
          ranking, normalized, linearly scored, reranked
          (LearnToRank.java:608-826).
 
+    ``pagerank`` and ``side_features`` (per-doc stored metadata, the
+    reference's f1-f4 family — see ``query_features``) extend the
+    feature space of both waves; an svm_rank model is then read against
+    the extended feature list automatically.
+
     Returns the reranked DataFrame (qid, doc_id, ext_id, rank, score).
     """
     import pyspark.sql.functions as SF
