@@ -72,7 +72,9 @@ def main(argv: list[str] | None = None) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    transcripts = read_transcripts(spark, args.input)
+    # keep_extra: non-contract metadata columns land in the docmap for
+    # delete predicates / LeToR side features (never tokenized).
+    transcripts = read_transcripts(spark, args.input, keep_extra=True)
 
     t0 = time.time()
     paths = build_index(

@@ -40,6 +40,20 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    if args.ts_before is not None:
+        # Validate driver-side: a bad string cast to timestamp yields NULL,
+        # the predicate is NULL for every row, and a retention job would
+        # "succeed" (exit 0, tombstoned: 0) while deleting nothing.
+        from datetime import datetime
+
+        try:
+            datetime.fromisoformat(args.ts_before)
+        except ValueError:
+            ap.error(
+                f"--ts-before {args.ts_before!r} is not an ISO timestamp "
+                "(expected e.g. 2025-06-01T00:00:00)"
+            )
+
     from pyspark.sql import SparkSession
     import pyspark.sql.functions as F
 

@@ -232,10 +232,14 @@ def main(argv: list[str] | None = None) -> None:
             # read_transcripts: schema-validates against the input contract
             # and resolves parquet paths and catalog/Iceberg table names the
             # same way (transcriptsFormat overrides the autodetect).
+            # keep_extra: non-contract metadata columns ride into the
+            # docmap so delete predicates / LeToR side features can use
+            # them (they never enter the tokenize crossing).
             build_index(
                 spark,
                 read_transcripts(
-                    spark, src, fmt=params.get("transcriptsFormat")
+                    spark, src, fmt=params.get("transcriptsFormat"),
+                    keep_extra=True,
                 ),
                 params["indexPath"],
                 fields=fields,

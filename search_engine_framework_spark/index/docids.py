@@ -129,7 +129,17 @@ def assign_doc_ids(
     if dense_turns:
         pos = F.col("turn_idx").cast("long")
     else:
-        w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+        # The returned frame is evaluated more than once (build_index
+        # writes docmap and doc_terms as two independent actions), so the
+        # row_number order must be TOTAL — a bare turn_idx sort breaks
+        # ties by shuffle arrival order, and duplicate (conv_id, turn_idx)
+        # rows could then bind a doc_id to different physical rows in the
+        # two evaluations (docmap says id 5 = row A, postings tokenized
+        # row B). A full-payload hash tie-break makes the order
+        # deterministic for distinct rows; fully-identical rows remain
+        # interchangeable (either labeling yields identical tables).
+        tie = F.xxhash64(*[F.col(c) for c in transcripts.columns])
+        w_conv = Window.partitionBy("conv_id").orderBy("turn_idx", tie)
         pos = (F.row_number().over(w_conv) - 1).cast("long")
         range_fix_needed = True  # the window shuffle breaks contiguity
     out = (

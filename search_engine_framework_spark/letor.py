@@ -173,17 +173,9 @@ def query_features(
 
     side_names = side_feature_names(side_features)
     if side_names:
-        renamed = side_features.select(
-            "ext_id",
-            *[
-                F.col(c).cast("double").alias(n)
-                for c, n in zip(
-                    [c for c in side_features.columns if c != "ext_id"],
-                    side_names,
-                )
-            ],
+        out = out.join(
+            F.broadcast(side_features_frame(side_features)), "ext_id", "left"
         )
-        out = out.join(F.broadcast(renamed), "ext_id", "left")
         for n in side_names:
             out = out.withColumn(n, F.coalesce(F.col(n), F.lit(nan)))
 
@@ -203,6 +195,22 @@ def side_feature_names(side_features: DataFrame | None) -> list[str]:
         for c in side_features.columns
         if c != "ext_id"
     ]
+
+
+def side_features_frame(side_features: DataFrame) -> DataFrame:
+    """``side_features`` projected to (ext_id, <f_side_* doubles>) ready
+    for a broadcast left join — the shared intake of the sequential
+    (query_features) and batched (letor_batch) feature paths."""
+    names = side_feature_names(side_features)
+    return side_features.select(
+        "ext_id",
+        *[
+            F.col(c).cast("double").alias(n)
+            for c, n in zip(
+                [c for c in side_features.columns if c != "ext_id"], names
+            )
+        ],
+    )
 
 
 def _frame_features(feats: DataFrame) -> list[str]:

@@ -37,7 +37,12 @@ from pyspark.sql.functions import pandas_udf
 from .engine import SearchEngine
 from .functions.analyzer import analyze_terms
 from .functions.scoring import bm25_idf, bm25_tf_weight
-from .letor import FEATURES, FIELDS, side_feature_names
+from .letor import (
+    FEATURES,
+    FIELDS,
+    side_feature_names,
+    side_features_frame,
+)
 from .operators.positional import near_match
 from .plans.models import BM25, Indri
 
@@ -259,17 +264,9 @@ def batch_query_features(
         out = out.withColumn(n, F.lit(_NAN))
     side_names = side_feature_names(side_features)
     if side_names:
-        renamed = side_features.select(
-            "ext_id",
-            *[
-                F.col(c).cast("double").alias(n)
-                for c, n in zip(
-                    [c for c in side_features.columns if c != "ext_id"],
-                    side_names,
-                )
-            ],
+        out = out.join(
+            F.broadcast(side_features_frame(side_features)), "ext_id", "left"
         )
-        out = out.join(F.broadcast(renamed), "ext_id", "left")
     out = _nanify(
         out,
         feature_names + ["f_doclen_body", "f_turn_idx", "f_conv_n_turns",

@@ -338,10 +338,14 @@ def decode_features(
         ):
             try:
                 d = decode(payload)
-                if d is not None:
-                    return feat(d), codec
             except Exception:
                 continue
+            if d is not None:
+                # Outside the fence: the payload DID decode as this
+                # container, so a feature-computation error is a real bug
+                # (or resource exhaustion) that must surface, not a reason
+                # to misclassify the asset as the next container type.
+                return feat(d), codec
         if strict:
             raise NotImplementedError(
                 "payload is none of WAV/BMP/PNG and no full image/audio/"

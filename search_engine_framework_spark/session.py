@@ -37,10 +37,15 @@ def get_spark(
     # driver's sys.path — a driver script run from outside the repo root
     # would build plans fine and then die inside the first pandas UDF
     # with ModuleNotFoundError. Export the package location to workers
-    # here; on a real cluster the equivalent is spark-submit --py-files
-    # (scripts/submit_build.py), which this does not replace.
-    pp = os.environ.get("PYTHONPATH", "")
-    if _PKG_PARENT not in pp.split(os.pathsep):
+    # here. Caveats: this only takes effect when getOrCreate actually
+    # CREATES the session (executorEnv + the env mutation are ignored by
+    # an already-running JVM and its forked workers), and it is scoped to
+    # new sessions only — the env is restored below so unrelated
+    # subprocesses don't inherit it. On a real cluster the equivalent is
+    # spark-submit --py-files (scripts/submit_build.py), which this does
+    # not replace.
+    pp = os.environ.get("PYTHONPATH")
+    if _PKG_PARENT not in (pp or "").split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             _PKG_PARENT + (os.pathsep + pp if pp else "")
         )
@@ -63,4 +68,13 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    try:
+        return builder.getOrCreate()
+    finally:
+        # local-mode python workers inherit the driver env at fork, so the
+        # mutation has done its job once the session exists; restore it so
+        # every later unrelated subprocess doesn't carry the package path.
+        if pp is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = pp

@@ -37,10 +37,18 @@ REQUIRED_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def validate_transcripts(df: DataFrame) -> DataFrame:
+def validate_transcripts(df: DataFrame, keep_extra: bool = False) -> DataFrame:
     """Assert the input-contract columns exist with the contracted types;
     returns the frame projected to exactly those columns (extra columns
-    are dropped, so downstream plans never scan them)."""
+    are dropped, so downstream plans never scan them).
+
+    ``keep_extra=True`` passes non-contract columns through (after the
+    contract columns) instead: the index build stores every non-text
+    column in the docmap, so extra per-doc metadata (a user_id, a spam
+    score) stays addressable by delete predicates (index/deletes.py) and
+    LeToR ``side_features`` (letor.py). Tokenization selects only the
+    columns it needs, so extras never enter the Arrow crossing either
+    way."""
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     problems = []
     for col, accepted in REQUIRED_COLS.items():
@@ -55,7 +63,10 @@ def validate_transcripts(df: DataFrame) -> DataFrame:
             "transcript input does not match the input contract: "
             + "; ".join(problems)
         )
-    return df.select(*REQUIRED_COLS)
+    extra = (
+        [c for c in df.columns if c not in REQUIRED_COLS] if keep_extra else []
+    )
+    return df.select(*REQUIRED_COLS, *extra)
 
 
 def validate_transcript_keys(df: DataFrame, sample: int = 5) -> None:
@@ -94,8 +105,11 @@ def read_transcripts(
     fmt: str | None = None,
     snapshot_id: int | None = None,
     as_of_timestamp: int | None = None,
+    keep_extra: bool = False,
 ) -> DataFrame:
-    """Load the transcript corpus from ``source`` and validate its schema.
+    """Load the transcript corpus from ``source`` and validate its schema
+    (``keep_extra`` passes non-contract columns through — see
+    ``validate_transcripts``).
 
     ``fmt``:
       * ``"table"`` — ``source`` is a catalog table name
@@ -141,4 +155,4 @@ def read_transcripts(
         df = spark.read.parquet(source)
     else:
         raise ValueError(f"unknown transcript source format: {fmt!r}")
-    return validate_transcripts(df)
+    return validate_transcripts(df, keep_extra=keep_extra)

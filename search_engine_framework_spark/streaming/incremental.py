@@ -313,31 +313,36 @@ def append_index(
     staging = os.path.join(paths.root, "_staging", f"gen-{gen:05d}")
     _rmtree(staging)
     docs = assign_doc_ids(fresh, start=base_n)
-    # SLIM docmap (no text payload) — must stay schema-consistent with the
-    # base build's docmap (index/build.py) or cross-generation reads break.
-    slim_cols = [c for c in docs.columns if c != "text"]
-    docs.select(*slim_cols).write.mode("overwrite").parquet(
-        os.path.join(staging, "docmap")
-    )
-    n_new = getattr(docs, "_sefs_n_docs", None)
-    if n_new is None:
-        n_new = spark.read.parquet(os.path.join(staging, "docmap")).count()
-    if n_new == 0:
-        docs._sefs_unpersist()
-        _rmtree(staging)
-        return 0
+    try:
+        # SLIM docmap (no text payload) — must stay schema-consistent with
+        # the base build's docmap (index/build.py) or cross-generation
+        # reads break.
+        slim_cols = [c for c in docs.columns if c != "text"]
+        docs.select(*slim_cols).write.mode("overwrite").parquet(
+            os.path.join(staging, "docmap")
+        )
+        n_new = getattr(docs, "_sefs_n_docs", None)
+        if n_new is None:
+            n_new = spark.read.parquet(
+                os.path.join(staging, "docmap")
+            ).count()
+        if n_new == 0:
+            _rmtree(staging)
+            return 0
 
-    # Tokenization chains from the assigned batch directly (the anti-join
-    # against the live docmap re-runs for this action, but it reads the
-    # PRE-publish docmap either way — staging keeps the lineage stable).
-    extract_postings(docs, fields=fields, cfg=cfg).write.mode("overwrite").parquet(
-        os.path.join(staging, "doc_terms")
-    )
-    # Last consumer of `docs` has run (everything below reads the staged
-    # parquet) — release the persisted conv stats; a stale entry would be
-    # replayed into the NEXT append's identical-looking assignment plan
-    # (see assign_doc_ids).
-    docs._sefs_unpersist()
+        # Tokenization chains from the assigned batch directly (the
+        # anti-join against the live docmap re-runs for this action, but
+        # it reads the PRE-publish docmap either way — staging keeps the
+        # lineage stable).
+        extract_postings(docs, fields=fields, cfg=cfg).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staging, "doc_terms"))
+    finally:
+        # Release the persisted conv stats even if a staged write fails —
+        # everything below reads the staged parquet, and a stale entry
+        # would be replayed into the NEXT append's identical-looking
+        # assignment plan (see assign_doc_ids).
+        docs._sefs_unpersist()
     delta = spark.read.parquet(os.path.join(staging, "doc_terms"))
 
     # doclen = the tokenizer's NULL-term marker rows (map-only; covers

@@ -209,3 +209,25 @@ def test_reingest_after_logical_delete_readds(spark, corpus, index_dir):
     assert len(rows) == n  # masked originals invisible, fresh ids live
     stats = json.load(open(os.path.join(index_dir, "stats.json")))
     assert all(r["doc_id"] >= stats["max_doc"] - n for r in rows)
+
+
+def test_submit_delete_rejects_bad_ts_before(monkeypatch):
+    """A malformed --ts-before must fail the submit driver-side: cast to
+    timestamp it becomes NULL, the predicate matches nothing, and a
+    retention job would 'succeed' while deleting nothing."""
+    import os
+    import sys
+
+    import pytest
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    monkeypatch.syspath_prepend(scripts)
+    import submit_delete
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["submit_delete.py", "--index", "/tmp/nonexistent",
+         "--ts-before", "06/01/2025"],
+    )
+    with pytest.raises(SystemExit):
+        submit_delete.main()

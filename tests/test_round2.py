@@ -472,6 +472,32 @@ def test_duplicate_turn_idx_falls_back_to_dense_unique_ids(spark):
     assert ids == [0, 1, 2], "duplicate turn_idx must not yield duplicate ids"
 
 
+def test_row_number_fallback_binds_ids_deterministically(spark):
+    """The assigned frame is evaluated once per downstream table (docmap
+    write, postings write) — with duplicate (conv_id, turn_idx) keys the
+    row_number tie-break must be a total order, or the two evaluations
+    can bind the same doc_id to different physical rows (docmap metadata
+    for row A, postings for row B)."""
+    from search_engine_framework_spark.index.docids import assign_doc_ids
+
+    rows = [("c1", 0, "u", "alpha", "", None)] + [
+        ("c1", 2, "u", f"text-{i}", "", None) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    bindings = []
+    for p in (1, 7, 3):
+        out = assign_doc_ids(df.repartition(p))
+        bindings.append({(r["doc_id"], r["text"]) for r in out.collect()})
+        out._sefs_unpersist()
+    assert bindings[0] == bindings[1] == bindings[2], (
+        "doc_id↔row binding must not depend on partitioning/arrival order"
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-2 review fixes: compaction crash recovery, lineage-derived
 # n_buckets, analyzer/stemmer lineage parity, NULL-text token counts

@@ -41,6 +41,48 @@ def test_validate_drops_extra_columns(spark, tmp_path):
     assert "extra" not in out.columns
 
 
+def test_validate_keep_extra_passes_metadata_through(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from search_engine_framework_spark.sources.table import validate_transcripts
+
+    path = _write_corpus(spark, tmp_path)
+    df = (
+        spark.read.parquet(path)
+        .withColumn("user_id", F.lit("u1"))
+        .withColumn("spam", F.lit(0.5))
+    )
+    out = validate_transcripts(df, keep_extra=True)
+    # contract columns first (fixed order), extras after in input order
+    assert out.columns == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "user_id", "spam",
+    ]
+
+
+def test_build_with_keep_extra_stores_metadata_in_docmap(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.sources.table import read_transcripts
+
+    path = _write_corpus(spark, tmp_path)
+    extra = spark.read.parquet(path).withColumn(
+        "user_id", F.concat(F.lit("u-"), F.col("conv_id"))
+    )
+    src = str(tmp_path / "corpus_extra")
+    extra.write.mode("overwrite").parquet(src)
+    ix = str(tmp_path / "ix_extra")
+    build_index(
+        spark, read_transcripts(spark, src, keep_extra=True), ix,
+        fields=("body",), n_buckets=2,
+    )
+    dm = spark.read.parquet(ix + "/docmap")
+    assert "user_id" in dm.columns  # addressable by delete predicates
+    assert "text" not in dm.columns  # docmap stays slim
+    assert dm.where(F.col("user_id").startswith("u-")).count() == dm.count()
+
+
 def test_validate_rejects_missing_and_mistyped(spark, tmp_path):
     import pyspark.sql.functions as F
 
