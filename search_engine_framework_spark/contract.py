@@ -754,6 +754,237 @@ FROM per_run p LEFT JOIN ideal i ON p.qid = i.qid
 
 
 # --------------------------------------------------------------------------
+# round-2 extensions: conversation rollup, BM25F, PMI collocations
+# --------------------------------------------------------------------------
+
+_CONV_ENGINES: dict[str, SearchEngine] = {}
+_MF_ENGINES: dict[str, SearchEngine] = {}
+
+
+def get_conv_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """documents reshaped as 10-turn conversations (conv_id = doc_id // 10,
+    turn_idx = doc_id % 10) → a second cached index for the
+    conversation-rollup entry. Same documents, same tokens ⇒ identical
+    N / avg doclen / df to the flat index, so the per-turn BM25 oracle
+    SQL is the flat one, grouped by doc_id // 10."""
+    key = os.path.abspath(sf_dir)
+    if key in _CONV_ENGINES:
+        return _CONV_ENGINES[key]
+    digest = hashlib.sha1(key.encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "sefs_entry_idx", digest + "-conv")
+    cfg = AnalyzerConfig.sql_safe()
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _read(spark, sf_dir, "documents")
+        trans = docs.select(
+            F.format_string(
+                "conv-%07d", F.floor(F.col("doc_id") / 10).cast("long")
+            ).alias("conv_id"),
+            (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+            F.coalesce(F.col("lang"), F.lit("")).alias("role"),
+            F.col("text"),
+            F.coalesce(F.col("source"), F.lit("")).alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        build_index(spark, trans, out, fields=("body",), cfg=cfg,
+                    n_buckets=8, n_salts=4)
+    eng = SearchEngine(spark, out, analyzer=cfg)
+    _CONV_ENGINES[key] = eng
+    return eng
+
+
+def get_mf_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Multi-field index for the BM25F entry: body = text, tool = the
+    source tag + the document's first whitespace token (so some terms
+    genuinely occur in BOTH fields of one document and the cross-field
+    tf combination is exercised, not just per-field saturation)."""
+    key = os.path.abspath(sf_dir)
+    if key in _MF_ENGINES:
+        return _MF_ENGINES[key]
+    digest = hashlib.sha1(key.encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "sefs_entry_idx", digest + "-mf")
+    cfg = AnalyzerConfig.sql_safe()
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _read(spark, sf_dir, "documents")
+        first_tok = F.element_at(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "), 1
+        )
+        trans = docs.select(
+            F.format_string("doc-%09d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.coalesce(F.col("lang"), F.lit("")).alias("role"),
+            F.col("text"),
+            F.concat_ws(
+                " ", F.coalesce(F.col("source"), F.lit("")), first_tok
+            ).alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        build_index(spark, trans, out, fields=("body", "tool"), cfg=cfg,
+                    n_buckets=8, n_salts=4)
+    eng = SearchEngine(spark, out, analyzer=cfg)
+    _MF_ENGINES[key] = eng
+    return eng
+
+
+def q_conv_rollup(spark, sf_dir):
+    """Conversation-level retrieval: BM25 turn scores rolled up per
+    conversation (sum-passage) — every conv with ≥1 matching turn."""
+    from .plans.models import BM25
+
+    eng = get_conv_engine(spark, sf_dir)
+    out = eng.conversation_scores_df(BM25_QUERY, BM25(), agg="sum")
+    return out.select("conv_id", _r4(F.col("score")).alias("score"), "n_turns")
+
+
+BM25F_WEIGHTS = {"body": 1.0, "tool": 2.0}
+BM25F_B = {"body": 0.75, "tool": 0.4}
+
+
+def q_bm25f(spark, sf_dir):
+    """Field-weighted BM25 (BM25F): full ranking over (body, tool)."""
+    eng = get_mf_engine(spark, sf_dir)
+    out = eng.bm25f_scores_df(
+        "spark merge src3", BM25F_WEIGHTS, b=BM25F_B
+    )
+    return out.select(
+        _orig_id(F.col("ext_id")), _r4(F.col("score")).alias("score")
+    )
+
+
+def q_collocations(spark, sf_dir):
+    """Bigram PMI collocation mining over the documents table."""
+    return textstats.collocations(
+        _read(spark, sf_dir, "documents"), min_count=5
+    )
+
+
+def _bm25f_term_sql(term: str) -> str:
+    """Per-term BM25F tf~ (field-combined, length-normalized) — operand
+    order mirrors bm25f.bm25f_tilde_tf exactly; b/weight literals match
+    BM25F_WEIGHTS / BM25F_B."""
+    wb, wt = BM25F_WEIGHTS["body"], BM25F_WEIGHTS["tool"]
+    bb, bt = BM25F_B["body"], BM25F_B["tool"]
+    return f"""
+  SELECT COALESCE(bb.doc_id, tt.doc_id) AS doc_id,
+         COALESCE(bb.wtf, 0.0) + COALESCE(tt.wtf, 0.0) AS tft
+  FROM (
+    SELECT tf.doc_id,
+           {wb} * (tf.tf::DOUBLE /
+             ((1.0 - {bb}) + {bb} * (dl.doclen::DOUBLE
+               / (cstats.sum_doclen::DOUBLE / cstats.doc_count)))) AS wtf
+    FROM tf JOIN dl USING (doc_id) CROSS JOIN cstats
+    WHERE tf.term = '{term}'
+  ) bb
+  FULL JOIN (
+    SELECT ttf.doc_id,
+           {wt} * (ttf.tf::DOUBLE /
+             ((1.0 - {bt}) + {bt} * (tdl.doclen::DOUBLE
+               / (tstats.sum_doclen::DOUBLE / tstats.doc_count)))) AS wtf
+    FROM ttf JOIN tdl USING (doc_id) CROSS JOIN tstats
+    WHERE ttf.term = '{term}'
+  ) tt ON tt.doc_id = bb.doc_id
+"""
+
+
+# tool-field CTEs for the BM25F oracle (appended to _SQL_BASE): tool text
+# = source || ' ' || first whitespace token of text (get_mf_engine twin)
+_SQL_TOOL = """,
+ttoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(concat(coalesce(source, ''),
+                     ' ', split_part(coalesce(text, ''), ' ', 1))),
+                     '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+ttf AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM ttoks) s GROUP BY 1, 2
+),
+tdl AS (SELECT doc_id, len(toks)::BIGINT AS doclen FROM ttoks),
+tstats AS (
+  SELECT sum(doclen)::BIGINT AS sum_doclen,
+         count(*) FILTER (WHERE doclen > 0)::BIGINT AS doc_count
+  FROM tdl
+)
+"""
+
+
+def _bm25f_sql() -> str:
+    terms = ["spark", "merge", "src3"]
+    ctes = ",\n".join(
+        f"pt{i} AS ({_bm25f_term_sql(t)}),\n"
+        f"s{i} AS (\n"
+        f"  SELECT pt{i}.doc_id,\n"
+        f"         ln((cstats.n_docs - d{i}.df + 0.5) / (d{i}.df + 0.5))\n"
+        f"           * (pt{i}.tft / (1.2 + pt{i}.tft)) AS s\n"
+        f"  FROM pt{i}\n"
+        f"  CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM pt{i}) d{i}\n"
+        f"  CROSS JOIN cstats\n"
+        f")"
+        for i, t in enumerate(terms)
+    )
+    ids = " UNION ".join(f"SELECT doc_id FROM s{i}" for i in range(len(terms)))
+    score = " + ".join(
+        f"COALESCE(s{i}.s * 1.0, 0.0)" for i in range(len(terms))
+    )
+    joins = "\n".join(
+        f"LEFT JOIN s{i} ON s{i}.doc_id = ids.doc_id"
+        for i in range(len(terms))
+    )
+    return (
+        _SQL_BASE + _SQL_TOOL + f""", {ctes},
+ids AS ({ids})
+SELECT ids.doc_id, round(0.0 + {score}, 4) + 0.0 AS score
+FROM ids
+{joins}
+"""
+    )
+
+
+_CONV_ROLLUP_SQL_TAIL = """,
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+per AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+)
+SELECT printf('conv-%07d', doc_id // 10) AS conv_id,
+       round(sum(s), 4) + 0.0 AS score,
+       count(*)::BIGINT AS n_turns
+FROM per GROUP BY 1
+"""
+
+_COLLOCATIONS_SQL_TAIL = """,
+big AS (
+  SELECT t1.term AS w1, t2.term AS w2
+  FROM tokpos t1
+  JOIN tokpos t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+bcnt AS (
+  SELECT w1, w2, count(*)::BIGINT AS c_ab FROM big
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+ucnt AS (SELECT term AS w, count(*)::BIGINT AS c FROM tokpos GROUP BY 1),
+tots AS (
+  SELECT (SELECT count(*) FROM tokpos)::BIGINT AS t_u,
+         (SELECT count(*) FROM big)::BIGINT AS t_b
+)
+SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+       round(ln((c_ab::DOUBLE / t_b::DOUBLE)
+             / ((a.c::DOUBLE / t_u::DOUBLE)
+                * (b.c::DOUBLE / t_u::DOUBLE))), 4) + 0.0 AS pmi
+FROM bcnt
+JOIN ucnt a ON a.w = bcnt.w1
+JOIN ucnt b ON b.w = bcnt.w2
+CROSS JOIN tots
+"""
+
+
+# --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
 
@@ -1123,6 +1354,15 @@ ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
 # The LSH scale path at total-recall parameters must equal the exact pairs.
 ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
+ORACLE_SQL["conv_rollup"] = (
+    _SQL_BASE
+    + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')})"""
+    + _CONV_ROLLUP_SQL_TAIL
+)
+ORACLE_SQL["bm25f"] = _bm25f_sql()
+ORACLE_SQL["collocations"] = _SQL_BASE + _COLLOCATIONS_SQL_TAIL
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1159,6 +1399,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
     "ir_metrics": q_ir_metrics,
+    "conv_rollup": q_conv_rollup,
+    "bm25f": q_bm25f,
+    "collocations": q_collocations,
     # rows-only checks (not SQL-expressible):
     # bm25_ref_analyzer — Krovetz stemming can't be written in ANSI SQL;
     #   locked instead by a pytest golden fixture (tests/test_ranking_extras).

@@ -386,3 +386,127 @@ class SearchEngine:
         return scored.join(F.broadcast(docmap), "doc_id").select(
             "doc_id", "ext_id", "score"
         )
+
+    # -- BM25F (field-weighted BM25; bm25f.py) ---------------------------------
+    def search_bm25f(
+        self,
+        query: str,
+        weights: dict[str, float],
+        k: int = 100,
+        k1: float = 1.2,
+        b: float | dict[str, float] = 0.75,
+    ) -> DataFrame:
+        """Field-weighted BM25 (BM25F) top-k: per-field tf is
+        length-normalized and weight-combined BEFORE saturation (see
+        bm25f.py for semantics and the contrast with the reference's
+        per-field #SUM). ``query`` is bare terms (duplicates collapse:
+        BM25F is defined on the term set); ``weights`` maps built index
+        fields to field weights. → DataFrame(doc_id, ext_id, rank, score),
+        reference ordering (desc score, asc ext_id)."""
+        from .bm25f import _scores_from_tilde, bm25f_tilde_tf
+        from .functions.analyzer import analyze_terms
+
+        built = set(self.reader.stats.get("fields", {}))
+        missing = sorted(set(weights) - built)
+        if missing:
+            raise UnknownFieldError(
+                f"BM25F weights reference field(s) {missing} not built "
+                f"into this index (built: {sorted(built)})"
+            )
+        terms = list(dict.fromkeys(analyze_terms(query, self.analyzer)))
+        per_dt = bm25f_tilde_tf(self.reader, terms, weights, b=b)
+        # persist the combined-tf frame: the scoring plan reads it twice
+        # (per-term df aggregate + the scoring fold) and the postings
+        # decode behind it is the expensive subtree
+        per_dt = per_dt.persist()
+        try:
+            scored = _scores_from_tilde(self.reader, per_dt, k1=k1)
+            docmap = self.reader.docmap().select("doc_id", "ext_id")
+            rows = (
+                scored.join(docmap, "doc_id")
+                .orderBy(F.desc("score"), F.asc("ext_id"))
+                .limit(k)
+                .collect()
+            )
+        finally:
+            per_dt.unpersist()
+        out = [
+            (r["doc_id"], r["ext_id"], i + 1, float(r["score"]))
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(
+            out, "doc_id long, ext_id string, rank int, score double"
+        )
+
+    def bm25f_scores_df(
+        self,
+        query: str,
+        weights: dict[str, float],
+        k1: float = 1.2,
+        b: float | dict[str, float] = 0.75,
+    ) -> DataFrame:
+        """Lazy full BM25F ranking (doc_id, ext_id, score) — the
+        search_df analog for BM25F (contract / pipeline composition)."""
+        from .bm25f import bm25f_scores
+        from .functions.analyzer import analyze_terms
+
+        terms = list(dict.fromkeys(analyze_terms(query, self.analyzer)))
+        scored = bm25f_scores(self.reader, terms, weights, k1=k1, b=b)
+        docmap = self.reader.docmap().select("doc_id", "ext_id")
+        return scored.join(docmap, "doc_id").select("doc_id", "ext_id", "score")
+
+    # -- conversation-level retrieval ------------------------------------------
+    _CONV_AGGS = {"sum": F.sum, "max": F.max, "avg": F.avg}
+
+    def conversation_scores_df(
+        self, query: str, model: RetrievalModel, agg: str = "sum"
+    ) -> DataFrame:
+        """Roll turn-level scores up to conversations (the
+        passage→document aggregation of passage retrieval; the reference
+        ranks turns only). → lazy (conv_id, score, n_turns) over every
+        conversation with ≥1 matching turn: ``agg`` ∈ {sum, max, avg}
+        combines the matching turns' scores (max-passage / sum-passage /
+        mean-passage). Under UnrankedBoolean every match scores 1.0, so
+        ``sum`` degrades to the matching-turn count. One extra shuffle on
+        conv_id over the MATCHING turns only — scale-safe (map-side
+        combinable aggregate)."""
+        if agg not in self._CONV_AGGS:
+            raise ValueError(f"agg must be one of {sorted(self._CONV_AGGS)}")
+        node = parse_query(query, model, self.analyzer)
+        if node is None:
+            return self.spark.createDataFrame(
+                [], "conv_id string, score double, n_turns long"
+            )
+        self._check_fields(node)
+        compiler = QueryCompiler(self.reader, model)
+        compiler.prepare(node)
+        scored = compiler.compile_query(node)
+        docmap = self.reader.docmap().select("doc_id", "conv_id")
+        return (
+            scored.join(docmap, "doc_id")
+            .groupBy("conv_id")
+            .agg(
+                self._CONV_AGGS[agg]("score").alias("score"),
+                F.count("*").cast("long").alias("n_turns"),
+            )
+        )
+
+    def search_conversations(
+        self, query: str, model: RetrievalModel, k: int = 100, agg: str = "sum"
+    ) -> DataFrame:
+        """Eager top-k conversations: → DataFrame(conv_id, rank, score,
+        n_turns), ordered desc score with asc conv_id tie-break (the
+        reference's tie-break rule lifted to the conversation key)."""
+        rows = (
+            self.conversation_scores_df(query, model, agg=agg)
+            .orderBy(F.desc("score"), F.asc("conv_id"))
+            .limit(k)
+            .collect()
+        )
+        out = [
+            (r["conv_id"], i + 1, float(r["score"]), r["n_turns"])
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(
+            out, "conv_id string, rank int, score double, n_turns long"
+        )

@@ -136,3 +136,84 @@ def fingerprints(docs: DataFrame, prefix_tokens: int = 32) -> DataFrame:
         F.md5(F.concat_ws(" ", toks)).alias("fp_full"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))).alias("fp_prefix"),
     )
+
+
+def collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information — the
+    phrase-discovery pass of a pretraining pipeline (and the classic
+    collocation statistic: Church & Hanks 1990, public knowledge).
+
+    For adjacent token pairs (a, b) within a document:
+
+        pmi = ln( (c_ab / T_b) / ((c_a / T_u) * (c_b / T_u)) )
+
+    with c_ab the bigram count, c_a / c_b unigram counts, T_b / T_u the
+    corpus bigram / unigram totals. Returns every bigram with
+    ``c_ab >= min_count`` (a deterministic integer cut — no float top-k
+    boundary): (w1, w2, c_ab, c_a, c_b, pmi), pmi rounded to 4 decimals.
+
+    Scale shape: bigram extraction is per-row array math (zero UDF);
+    both counts are map-side-combinable groupBys; unigram counts join
+    onto the (min_count-filtered, so heavily shrunk) bigram table by
+    plain keyed joins — no collect, no cross product, Zipf-head safe
+    (a hot unigram row joins many bigram rows, but AQE skew-join splits
+    it; counts themselves never concentrate on one task).
+    """
+    toks = tokens_col(F.col("text"))
+    base = docs.select(toks.alias("toks")).where(F.size("toks") >= 2)
+    bigrams = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= int(min_count))
+    )
+    unigrams = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = unigrams.agg(
+        F.sum("c").cast("long").alias("t_u"),
+        # every doc with n>=2 tokens contributes n-1 bigrams; docs with
+        # fewer tokens contribute none — derive T_b from the same pass
+    )
+    t_b = (
+        docs.select(F.size(tokens_col(F.col("text"))).alias("n"))
+        .where(F.col("n") >= 2)
+        .agg(F.sum(F.col("n") - 1).cast("long").alias("t_b"))
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("t_b").cast("double"))
+        / (
+            (F.col("c_a").cast("double") / F.col("t_u").cast("double"))
+            * (F.col("c_b").cast("double") / F.col("t_u").cast("double"))
+        )
+    )
+    return (
+        bigrams.join(
+            unigrams.select(F.col("w").alias("w1"), F.col("c").alias("c_a")),
+            "w1",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w2"), F.col("c").alias("c_b")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t_b))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
+        )
+    )

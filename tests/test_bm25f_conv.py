@@ -1,0 +1,198 @@
+"""Round-2 extensions: BM25F, conversation-level rollup, PMI collocations.
+
+BM25F is verified against an independent pure-Python computation over the
+PyIndex (same analyzer, independent arithmetic path); the rollup against
+a driver-side aggregation of the engine's own full turn ranking; the
+collocations against hand-computed counts/PMI on a tiny corpus.
+"""
+
+import math
+
+import pytest
+import pyspark.sql.functions as F
+
+from search_engine_framework_spark.engine import SearchEngine, UnknownFieldError
+from search_engine_framework_spark.oracle.pyoracle import PyIndex
+from search_engine_framework_spark.plans.models import BM25, UnrankedBoolean
+
+WEIGHTS = {"body": 1.0, "role": 2.5}
+B = {"body": 0.75, "role": 0.4}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    paths, _, _ = tiny_index
+    return SearchEngine(spark, paths)
+
+
+@pytest.fixture(scope="module")
+def pyidx(tiny_index):
+    _, rows, _ = tiny_index
+    return PyIndex.build(rows, fields=("body", "role"))
+
+
+def _py_bm25f(idx: PyIndex, terms, weights, k1=1.2, b=0.75):
+    """Independent BM25F: doc -> score (bm25f.py docstring semantics)."""
+    fields = sorted(weights)
+    bmap = b if isinstance(b, dict) else {f: b for f in fields}
+    tft: dict[tuple[int, str], float] = {}
+    for t in terms:
+        for f in fields:
+            dc = idx.doc_count.get(f, 0)
+            if not dc:
+                continue
+            avg = idx.sum_doclen[f] / dc
+            for doc_id, tf, _pos in idx.postings.get((t, f), []):
+                dl = idx.doclen[(doc_id, f)]
+                w = weights[f] * (
+                    tf / ((1.0 - bmap[f]) + bmap[f] * (dl / avg))
+                )
+                tft[(doc_id, t)] = tft.get((doc_id, t), 0.0) + w
+    dfs: dict[str, int] = {}
+    for _doc, t in tft:
+        dfs[t] = dfs.get(t, 0) + 1
+    scores: dict[int, float] = {}
+    for (doc, t), v in tft.items():
+        idf = math.log((idx.n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        scores[doc] = scores.get(doc, 0.0) + idf * (v / (k1 + v))
+    return scores
+
+
+def test_bm25f_matches_python_oracle(engine, pyidx):
+    # "user" occurs in BOTH body and role of some docs — the cross-field
+    # tf~ combination is exercised, not just per-field saturation
+    terms = ["search", "engine", "user"]
+    expected = _py_bm25f(pyidx, terms, WEIGHTS, b=B)
+    assert expected, "query must match the corpus"
+    got = {
+        r["doc_id"]: r["score"]
+        for r in engine.search_bm25f(
+            "search engine user", WEIGHTS, k=10_000, b=B
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for d, s in expected.items():
+        assert got[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_bm25f_cross_field_df_is_doc_level(engine, pyidx):
+    # df for idf must count DOCS (term in any weighted field), not
+    # (term, field) postings rows — docs where 'user' is in both fields
+    # would otherwise be double-counted and every idf would shift
+    terms = ["user"]
+    body_df = len(pyidx.postings.get(("user", "body"), []))
+    role_df = len(pyidx.postings.get(("user", "role"), []))
+    doc_level = len(
+        {d for d, _, _ in pyidx.postings.get(("user", "body"), [])}
+        | {d for d, _, _ in pyidx.postings.get(("user", "role"), [])}
+    )
+    assert doc_level < body_df + role_df, "fixture must overlap fields"
+    expected = _py_bm25f(pyidx, terms, WEIGHTS, b=B)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in engine.search_bm25f("user", WEIGHTS, k=10_000, b=B).collect()
+    }
+    for d, s in expected.items():
+        assert got[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_bm25f_duplicate_terms_collapse(engine):
+    a = engine.search_bm25f("search engine", WEIGHTS, k=20, b=B).collect()
+    bb = engine.search_bm25f("search search engine", WEIGHTS, k=20, b=B).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in bb
+    ]
+
+
+def test_bm25f_ordering_and_rank(engine):
+    rows = engine.search_bm25f("search engine", WEIGHTS, k=15, b=B).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r["score"], r["ext_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_bm25f_unknown_field_raises(engine):
+    with pytest.raises(UnknownFieldError):
+        engine.search_bm25f("search", {"body": 1.0, "url": 1.0})
+
+
+def test_conv_rollup_matches_turn_ranking(engine):
+    model = BM25()
+    turns = engine.search_df("search engine", model).collect()
+    expected: dict[str, list[float]] = {}
+    for r in turns:
+        conv = r["ext_id"].rsplit(":", 1)[0]
+        expected.setdefault(conv, []).append(r["score"])
+    for agg, fn in [("sum", sum), ("max", max),
+                    ("avg", lambda v: sum(v) / len(v))]:
+        got = {
+            r["conv_id"]: (r["score"], r["n_turns"])
+            for r in engine.search_conversations(
+                "search engine", model, k=10_000, agg=agg
+            ).collect()
+        }
+        assert set(got) == set(expected)
+        for conv, scores in expected.items():
+            assert got[conv][0] == pytest.approx(fn(scores), rel=1e-9)
+            assert got[conv][1] == len(scores)
+
+
+def test_conv_rollup_ordering_ties_by_conv_id(engine):
+    rows = engine.search_conversations(
+        "search engine", BM25(), k=10_000, agg="max"
+    ).collect()
+    keys = [(-r["score"], r["conv_id"]) for r in rows]
+    assert keys == sorted(keys)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_conv_rollup_unranked_sum_counts_matches(engine):
+    got = {
+        r["conv_id"]: r["score"]
+        for r in engine.search_conversations(
+            "#OR(search engine)", UnrankedBoolean(), k=10_000, agg="sum"
+        ).collect()
+    }
+    counts = {
+        r["conv_id"]: r["n_turns"]
+        for r in engine.search_conversations(
+            "#OR(search engine)", UnrankedBoolean(), k=10_000, agg="sum"
+        ).collect()
+    }
+    assert got and all(got[c] == float(n) for c, n in counts.items())
+
+
+def test_conv_rollup_bad_agg_raises(engine):
+    with pytest.raises(ValueError):
+        engine.conversation_scores_df("search", BM25(), agg="median")
+
+
+def test_collocations_hand_computed(spark):
+    from search_engine_framework_spark.pipeline.textstats import collocations
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    rows = collocations(docs, min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["c_ab"], r["c_a"], r["c_b"]) == (
+        "a", "b", 3, 3, 3,
+    )
+    # T_u = 7 tokens, T_b = 5 bigrams
+    pmi = math.log((3 / 5) / ((3 / 7) * (3 / 7)))
+    assert r["pmi"] == pytest.approx(round(pmi, 4))
+
+
+def test_collocations_min_count_is_exact(spark):
+    from search_engine_framework_spark.pipeline.textstats import collocations
+
+    docs = spark.createDataFrame(
+        [(0, "x y x y z"), (1, "y z")], "doc_id long, text string"
+    )
+    # bigrams: (x,y)x2 (y,x)x1 (y,z)x2
+    got = {
+        (r["w1"], r["w2"]): r["c_ab"]
+        for r in collocations(docs, min_count=2).collect()
+    }
+    assert got == {("x", "y"): 2, ("y", "z"): 2}
