@@ -512,7 +512,7 @@ def q_vsm_cosine(spark, sf_dir):
     eng = get_engine(spark, sf_dir)
     scored = vsm_scores(eng.reader, ["spark", "merge", "window"])
     docmap = eng.reader.docmap().select("doc_id", "ext_id")
-    return scored.join(F.broadcast(docmap), "doc_id").select(
+    return scored.join(docmap, "doc_id").select(
         _orig_id(F.col("ext_id")), _r4(F.col("score")).alias("score")
     )
 

@@ -102,8 +102,12 @@ class SearchEngine:
         compiler.prepare(node, topk=k, prune_min_blocks=prune_min_blocks)
         try:
             scored = compiler.compile_query(node)
+            # No broadcast hint: the docmap is corpus-sized (10^12 rows
+            # at target scale) — AQE broadcasts it when it is actually
+            # small and sort-merge-joins otherwise; a forced broadcast
+            # would OOM the driver on a real corpus.
             docmap = self.reader.docmap().select("doc_id", "ext_id")
-            withext = scored.join(F.broadcast(docmap), "doc_id")
+            withext = scored.join(docmap, "doc_id")
             if isinstance(model, UnrankedBoolean):
                 ordered = withext.orderBy(F.asc("ext_id"))
             else:
@@ -189,7 +193,7 @@ class SearchEngine:
             for f in frames[1:]:
                 union = union.unionByName(f)
             docmap = self.reader.docmap().select("doc_id", "ext_id")
-            withext = union.join(F.broadcast(docmap), "doc_id")
+            withext = union.join(docmap, "doc_id")
             if isinstance(model, UnrankedBoolean):
                 w = Window.partitionBy("qid").orderBy(F.asc("ext_id"))
             else:
@@ -319,7 +323,7 @@ class SearchEngine:
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))
         rows = (
             grouped.select("qid", "doc_id", expr.alias("score"))
-            .join(F.broadcast(docmap), "doc_id")
+            .join(docmap, "doc_id")
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .collect()
@@ -359,7 +363,7 @@ class SearchEngine:
         scored = vsm_scores(self.reader, terms, field=field)
         docmap = self.reader.docmap().select("doc_id", "ext_id")
         rows = (
-            scored.join(F.broadcast(docmap), "doc_id")
+            scored.join(docmap, "doc_id")
             .orderBy(F.desc("score"), F.asc("ext_id"))
             .limit(k)
             .collect()
@@ -383,7 +387,7 @@ class SearchEngine:
         compiler.prepare(node)
         scored = compiler.compile_query(node)
         docmap = self.reader.docmap().select("doc_id", "ext_id")
-        return scored.join(F.broadcast(docmap), "doc_id").select(
+        return scored.join(docmap, "doc_id").select(
             "doc_id", "ext_id", "score"
         )
 

@@ -53,7 +53,14 @@ def assign_doc_ids(
         F.min("turn_idx").alias("min_ti"),
         F.max("turn_idx").alias("max_ti"),
         F.countDistinct("turn_idx").alias("n_uniq"),
-    )
+    # Persisted because repartitionByRange EVALUATES its child twice: once
+    # for the range-boundary sampling job, once for the shuffle itself —
+    # unpersisted, the full corpus aggregation ran twice back-to-back.
+    # Measured (3.84M turns): the assignment's driver-side phase is wall-
+    # equal at 2 and 8 cores (~20 s), i.e. it behaves as a SERIAL
+    # component of the build; halving its aggregation work is a direct
+    # N→4N scaling-efficiency win, not just an absolute one.
+    ).persist()
 
     n_parts = range_partitions or max(
         1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -86,6 +93,9 @@ def assign_doc_ids(
         )
         .collect()
     )
+    # The collect above materialized `ranged`; every later consumer reads
+    # that cache, so the upstream conv_stats cache is dead weight now.
+    conv_stats.unpersist()
     part_sums = {r["pid"]: r["s"] for r in agg_rows}
     n_convs = sum(r["n_convs"] for r in agg_rows)
     dense_turns = all(r["sparse"] == 0 for r in agg_rows)
