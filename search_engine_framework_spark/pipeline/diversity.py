@@ -1,0 +1,102 @@
+"""Maximal Marginal Relevance (MMR) diversity rerank.
+
+MMR (Carbonell & Goldstein, SIGIR 1998 — public knowledge) re-orders a
+relevance-ranked list so near-duplicate results don't crowd the top:
+
+    next = argmax_{d ∉ S}  lam * rel(d) - (1 - lam) * max_{s ∈ S} sim(d, s)
+
+with rel min-max-normalized over the candidate pool and sim = cosine over
+an embedding column. For transcript search this is the "don't show me
+ten copies of the same boilerplate turn" knob, and for training-data
+curation the batch-diversification pass after retrieval.
+
+Spark shape (100 TB posture): the ranked list is cut to the top ``pool``
+candidates DISTRIBUTED (TakeOrderedAndProject), their embeddings arrive
+via a keyed join against the embeddings table (AQE broadcasts the
+pool-sized side), and only then do ``pool`` rows (pool × dim floats)
+collect to the driver for the greedy loop — MMR's selection step is
+inherently sequential (each pick depends on all previous picks), so the
+loop is driver-side numpy by design; ``pool`` bounds the collect, never
+the corpus. k·pool dot products over pool ≤ ~1000 is microseconds.
+
+No SQL oracle: the greedy recurrence is not expressible as a fixed
+DataFrame/ANSI-SQL plan (each step's argmax conditions on the previous
+steps' output). Verified instead against an independent pure-Python
+implementation in tests/test_diversity.py, plus the lam=1 degeneracy
+(MMR ≡ relevance order) and a duplicate-demotion property.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["mmr_rerank"]
+
+
+def mmr_rerank(
+    scored: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    pool: int = 100,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """Rerank ``scored`` (id, relevance score) by MMR over ``embeddings``
+    (id, vector). → DataFrame(id_col, mmr_rank, mmr_score, score),
+    ``k`` rows in selection order.
+
+    Candidates missing an embedding are dropped from the pool (they
+    cannot be diversity-compared); zero vectors get cosine 0 against
+    everything. Ties at every argmax break by ascending id — fully
+    deterministic output for a deterministic input.
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    spark = scored.sparkSession
+    out_schema = (
+        f"{id_col} long, mmr_rank int, mmr_score double, {score_col} double"
+    )
+    cand = (
+        scored.select(id_col, score_col)
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(int(pool))
+        .join(embeddings.select(id_col, emb_col), id_col)
+    )
+    rows = cand.collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    # deterministic pool order: desc rel, asc id (the join may reorder)
+    rows.sort(key=lambda r: (-r[score_col], r[id_col]))
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    rel = np.array([r[score_col] for r in rows], dtype=np.float64)
+    emb = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    # unit-normalize once → cosine is a dot product; zero vectors stay 0
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    np.divide(emb, norms, out=emb, where=norms > 0)
+    # min-max normalize relevance over the pool (constant pool → all 1.0)
+    lo, hi = rel.min(), rel.max()
+    nrel = (rel - lo) / (hi - lo) if hi > lo else np.ones_like(rel)
+
+    n = len(ids)
+    k = min(int(k), n)
+    data: list[tuple] = []
+    max_sim = np.zeros(n)  # max cosine to any selected item
+    picked = np.zeros(n, dtype=bool)
+    for r in range(k):
+        mmr = lam * nrel - (1.0 - lam) * max_sim
+        mmr[picked] = -np.inf
+        # argmax with ascending-id tie-break (pool order is (-rel, id),
+        # not id, so scan the tied set explicitly)
+        tied = np.flatnonzero(mmr == mmr.max())
+        best = int(min(tied, key=lambda i: ids[i]))
+        picked[best] = True
+        data.append(
+            (int(ids[best]), r + 1, float(mmr[best]), float(rel[best]))
+        )
+        np.maximum(max_sim, emb @ emb[best], out=max_sim)
+    return spark.createDataFrame(data, out_schema)

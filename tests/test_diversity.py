@@ -1,0 +1,122 @@
+"""MMR diversity rerank vs an independent pure-Python implementation,
+plus its degeneracies (lam=1 ≡ relevance order, duplicates demoted)."""
+
+import math
+
+import pytest
+
+
+def _py_mmr(items, k, lam):
+    """items: [(id, rel, vec)]. Independent MMR (no numpy)."""
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def unit(v):
+        n = math.sqrt(dot(v, v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    items = sorted(items, key=lambda t: (-t[1], t[0]))
+    ids = [t[0] for t in items]
+    rel = [t[1] for t in items]
+    vecs = [unit(t[2]) for t in items]
+    lo, hi = min(rel), max(rel)
+    nrel = [1.0 if hi == lo else (r - lo) / (hi - lo) for r in rel]
+    out, chosen = [], []
+    maxsim = [0.0] * len(ids)
+    for _ in range(min(k, len(ids))):
+        best, best_key = None, None
+        for i in range(len(ids)):
+            if i in chosen:
+                continue
+            m = lam * nrel[i] - (1.0 - lam) * maxsim[i]
+            key = (m, -ids[i])
+            if best_key is None or key > best_key:
+                best, best_key = i, key
+        chosen.append(best)
+        out.append((ids[best], best_key[0]))
+        for i in range(len(ids)):
+            maxsim[i] = max(maxsim[i], dot(vecs[i], vecs[best]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def pool(spark):
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(key=11))
+    items = []
+    for i in range(40):
+        vec = rng.normal(size=8).tolist()
+        items.append((i, float(rng.uniform(0.1, 2.0)), vec))
+    # two exact duplicates of item 0's vector with near-top relevance
+    items.append((100, items[0][1] + 0.001, list(items[0][2])))
+    items.append((101, items[0][1] + 0.002, list(items[0][2])))
+    scored = spark.createDataFrame(
+        [(i, r) for i, r, _ in items], "doc_id long, score double"
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, _, v in items], "doc_id long, emb array<double>"
+    )
+    return items, scored, emb
+
+
+@pytest.mark.parametrize("lam", [0.3, 0.7, 1.0])
+def test_mmr_matches_python(spark, pool, lam):
+    from search_engine_framework_spark.pipeline.diversity import mmr_rerank
+
+    items, scored, emb = pool
+    expected = _py_mmr(items, k=12, lam=lam)
+    got = mmr_rerank(scored, emb, k=12, lam=lam, pool=100).collect()
+    assert [(r["doc_id"]) for r in got] == [i for i, _ in expected]
+    for r, (_, m) in zip(got, expected):
+        assert r["mmr_score"] == pytest.approx(m, rel=1e-9, abs=1e-12)
+    assert [r["mmr_rank"] for r in got] == list(range(1, 13))
+
+
+def test_mmr_lam1_is_relevance_order(spark, pool):
+    from search_engine_framework_spark.pipeline.diversity import mmr_rerank
+
+    items, scored, emb = pool
+    got = [r["doc_id"] for r in mmr_rerank(scored, emb, k=10, lam=1.0).collect()]
+    by_rel = [i for i, _, _ in sorted(items, key=lambda t: (-t[1], t[0]))]
+    assert got == by_rel[:10]
+
+
+def test_mmr_demotes_duplicates(spark, pool):
+    from search_engine_framework_spark.pipeline.diversity import mmr_rerank
+
+    _, scored, emb = pool
+    got = [r["doc_id"] for r in mmr_rerank(scored, emb, k=10, lam=0.5).collect()]
+    # 101, 100, 0 share one vector; under lam=0.5 at most one of the
+    # three clones may appear before the list has diversified
+    clones = {0, 100, 101}
+    assert len(clones & set(got[:3])) <= 1
+
+
+def test_mmr_pool_caps_candidates(spark, pool):
+    from search_engine_framework_spark.pipeline.diversity import mmr_rerank
+
+    _, scored, emb = pool
+    got = mmr_rerank(scored, emb, k=50, lam=0.5, pool=5).collect()
+    assert len(got) == 5  # k > pool → pool bounds the output
+
+
+def test_mmr_missing_embeddings_dropped(spark):
+    from search_engine_framework_spark.pipeline.diversity import mmr_rerank
+
+    scored = spark.createDataFrame(
+        [(1, 2.0), (2, 1.5), (3, 1.0)], "doc_id long, score double"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])], "doc_id long, emb array<double>"
+    )
+    got = [r["doc_id"] for r in mmr_rerank(scored, emb, k=10, lam=0.5).collect()]
+    assert got == [1, 3]
+
+
+def test_mmr_bad_lambda_raises(spark, pool):
+    from search_engine_framework_spark.pipeline.diversity import mmr_rerank
+
+    _, scored, emb = pool
+    with pytest.raises(ValueError):
+        mmr_rerank(scored, emb, lam=1.5)
