@@ -857,6 +857,26 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_context_window(spark, sf_dir):
+    """Context-window expansion on the conversation index: every
+    #AND(spark merge) hit turn ± 1 neighbor within its conversation.
+    Doc ids are mapped back to the original documents.doc_id space
+    (conv*10 + turn) so the oracle is pure integer arithmetic."""
+    from .plans.models import UnrankedBoolean
+
+    eng = get_conv_engine(spark, sf_dir)
+    hits = eng.search_df("#AND(spark merge)", UnrankedBoolean())
+    out = eng.fetch_context(hits, m=1)
+    conv_num = F.regexp_extract(F.col("conv_id"), r"conv-(\d+)", 1).cast("long")
+    return out.select(
+        (conv_num * 10 + F.col("turn_idx") - F.col("offset")).alias(
+            "hit_doc_id"
+        ),
+        (conv_num * 10 + F.col("turn_idx")).alias("doc_id"),
+        "offset",
+    )
+
+
 def _bm25f_term_sql(term: str) -> str:
     """Per-term BM25F tf~ (field-combined, length-normalized) — operand
     order mirrors bm25f.bm25f_tilde_tf exactly; b/weight literals match
@@ -1363,6 +1383,21 @@ t3 AS ({_bm25_term_sql('window')})"""
 )
 ORACLE_SQL["bm25f"] = _bm25f_sql()
 ORACLE_SQL["collocations"] = _SQL_BASE + _COLLOCATIONS_SQL_TAIL
+ORACLE_SQL["context_window"] = (
+    _SQL_BASE
+    + """,
+hits AS (
+  SELECT a.doc_id FROM (SELECT doc_id FROM tf WHERE term = 'spark') a
+  JOIN (SELECT doc_id FROM tf WHERE term = 'merge') b USING (doc_id)
+)
+SELECT h.doc_id AS hit_doc_id, d.doc_id AS doc_id,
+       ((d.doc_id % 10) - (h.doc_id % 10))::BIGINT AS offset
+FROM hits h
+JOIN documents d
+  ON d.doc_id // 10 = h.doc_id // 10
+ AND abs((d.doc_id % 10) - (h.doc_id % 10)) <= 1
+"""
+)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1402,6 +1437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_rollup": q_conv_rollup,
     "bm25f": q_bm25f,
     "collocations": q_collocations,
+    "context_window": q_context_window,
     # rows-only checks (not SQL-expressible):
     # bm25_ref_analyzer — Krovetz stemming can't be written in ANSI SQL;
     #   locked instead by a pytest golden fixture (tests/test_ranking_extras).

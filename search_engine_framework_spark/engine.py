@@ -495,6 +495,53 @@ class SearchEngine:
             )
         )
 
+    def fetch_context(self, hits: DataFrame, m: int = 1) -> DataFrame:
+        """Context-window expansion: for every hit turn, the turns within
+        ±``m`` turn positions in the SAME conversation (the "show the
+        surrounding exchange" feature of transcript search; the reference
+        has no conversation structure to expand into).
+
+        ``hits``: any frame with a ``doc_id`` column (e.g. ``search``
+        output). → (hit_doc_id, doc_id, conv_id, turn_idx, ext_id,
+        offset) with one row per (hit, context turn) — the hit itself
+        appears at offset 0; overlapping windows of different hits stay
+        separate rows (callers needing a deduped turn set select
+        ``doc_id`` distinct). Text is not stored in the slim docmap, so
+        callers join ``doc_id``/``ext_id`` back to the corpus for
+        display text.
+
+        Scale shape: the hit list (small) joins the docmap once to bind
+        its conversation coordinates, then once more on conv_id with a
+        turn_idx range predicate — AQE broadcasts the hit side, so the
+        docmap is scanned, never shuffled."""
+        dm = self.reader.docmap().select(
+            "doc_id", "conv_id", "turn_idx", "ext_id"
+        )
+        h = (
+            hits.select("doc_id")
+            .join(dm, "doc_id")
+            .select(
+                F.col("doc_id").alias("hit_doc_id"),
+                F.col("conv_id").alias("h_conv"),
+                F.col("turn_idx").alias("h_turn"),
+            )
+        )
+        ctx = h.join(
+            dm,
+            (dm["conv_id"] == h["h_conv"])
+            & dm["turn_idx"].between(
+                h["h_turn"] - int(m), h["h_turn"] + int(m)
+            ),
+        )
+        return ctx.select(
+            "hit_doc_id",
+            "doc_id",
+            "conv_id",
+            "turn_idx",
+            "ext_id",
+            (F.col("turn_idx") - F.col("h_turn")).cast("long").alias("offset"),
+        )
+
     def search_conversations(
         self, query: str, model: RetrievalModel, k: int = 100, agg: str = "sum"
     ) -> DataFrame:

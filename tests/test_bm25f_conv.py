@@ -13,7 +13,11 @@ import pyspark.sql.functions as F
 
 from search_engine_framework_spark.engine import SearchEngine, UnknownFieldError
 from search_engine_framework_spark.oracle.pyoracle import PyIndex
-from search_engine_framework_spark.plans.models import BM25, UnrankedBoolean
+from search_engine_framework_spark.plans.models import (
+    BM25,
+    RankedBoolean,
+    UnrankedBoolean,
+)
 
 WEIGHTS = {"body": 1.0, "role": 2.5}
 B = {"body": 0.75, "role": 0.4}
@@ -196,3 +200,33 @@ def test_collocations_min_count_is_exact(spark):
         for r in collocations(docs, min_count=2).collect()
     }
     assert got == {("x", "y"): 2, ("y", "z"): 2}
+
+
+def test_fetch_context_neighbors(engine, tiny_index):
+    _, rows, _ = tiny_index
+    turns = {}  # conv -> sorted turn list
+    for r in rows:
+        turns.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    hits = engine.search("#AND(search engine)", RankedBoolean(), k=10_000)
+    got = engine.fetch_context(hits, m=1).collect()
+    by_hit = {}
+    hit_meta = {}
+    for g in got:
+        by_hit.setdefault(g["hit_doc_id"], set()).add(g["turn_idx"])
+        if g["offset"] == 0:
+            hit_meta[g["hit_doc_id"]] = (g["conv_id"], g["turn_idx"])
+    assert set(by_hit) == {r["doc_id"] for r in hits.collect()}
+    for hid, (conv, ht) in hit_meta.items():
+        expected = {
+            t for t in turns[conv] if abs(t - ht) <= 1
+        }
+        assert by_hit[hid] == expected, (hid, conv, ht)
+    # offsets are bounded and the hit itself is present at offset 0
+    assert all(-1 <= g["offset"] <= 1 for g in got)
+
+
+def test_fetch_context_m0_is_hits_only(engine):
+    hits = engine.search("#AND(search engine)", RankedBoolean(), k=10_000)
+    got = engine.fetch_context(hits, m=0).collect()
+    assert {g["doc_id"] for g in got} == {r["doc_id"] for r in hits.collect()}
+    assert all(g["offset"] == 0 for g in got)
