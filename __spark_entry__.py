@@ -9,12 +9,19 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). Two rows-only entries remain,
-                  each with a hard twin elsewhere: bm25_ref_analyzer
-                  (Krovetz stemming is not ANSI-SQL-expressible; locked by
-                  a pytest golden fixture) and ann_ivf (partial-probe
-                  subset depends on learned centroids; its nprobe=nlist
-                  twin ann_ivf_exactprobe IS oracle-checked).
+                  summation orders differ). 37 of 39 entries are
+                  oracle-checked — including the round-2 extensions
+                  bm25f (multi-field index), conv_rollup (10-turn
+                  conversation index), collocations, and context_window.
+                  Two rows-only entries remain, each with a hard twin
+                  elsewhere: bm25_ref_analyzer (Krovetz stemming is not
+                  ANSI-SQL-expressible; locked by a pytest golden
+                  fixture) and ann_ivf (partial-probe subset depends on
+                  learned centroids; its nprobe=nlist twin
+                  ann_ivf_exactprobe IS oracle-checked). MMR rerank
+                  (pipeline/diversity.py) is pytest-only by nature: its
+                  greedy recurrence is not expressible as a fixed SQL
+                  plan.
 
 Implementation lives in search_engine_framework_spark/contract.py.
 """
