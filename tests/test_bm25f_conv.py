@@ -230,3 +230,57 @@ def test_fetch_context_m0_is_hits_only(engine):
     got = engine.fetch_context(hits, m=0).collect()
     assert {g["doc_id"] for g in got} == {r["doc_id"] for r in hits.collect()}
     assert all(g["offset"] == 0 for g in got)
+
+
+def test_collocations_randomized_vs_counter(spark):
+    """Randomized cross-check: collocations() vs a pure-Python Counter
+    oracle over a 120-doc random corpus (seeded — deterministic)."""
+    import random
+    from collections import Counter
+
+    from search_engine_framework_spark.pipeline.textstats import collocations
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for d in range(120):
+        n = rng.randint(0, 9)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # python oracle (tokenizer == lower+split on non-alnum == plain split here)
+    uni, big = Counter(), Counter()
+    for _, text in docs:
+        toks = text.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    t_u, t_b = sum(uni.values()), sum(big.values())
+    expected = {}
+    for (a, b), c in big.items():
+        if c >= 3:
+            pmi = math.log((c / t_b) / ((uni[a] / t_u) * (uni[b] / t_u)))
+            expected[(a, b)] = (c, uni[a], uni[b], round(pmi, 4))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["c_a"], r["c_b"], r["pmi"])
+        for r in collocations(df, min_count=3).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (c, ca, cb, pmi) in expected.items():
+        gc, gca, gcb, gpmi = got[k]
+        assert (gc, gca, gcb) == (c, ca, cb)
+        assert gpmi == pytest.approx(pmi, abs=2e-4)
+
+
+def test_fetch_context_window_width(engine):
+    """Window closure: m=2 context ⊇ m=1 context ⊇ hits; every offset
+    within ±m; per-hit rows stay within one conversation."""
+    hits = engine.search("#OR(search engine)", RankedBoolean(), k=10_000)
+    sets = {}
+    for m in (0, 1, 2):
+        rows = engine.fetch_context(hits, m=m).collect()
+        assert all(abs(r["offset"]) <= m for r in rows)
+        convs = {}
+        for r in rows:
+            convs.setdefault(r["hit_doc_id"], set()).add(r["conv_id"])
+        assert all(len(c) == 1 for c in convs.values())
+        sets[m] = {(r["hit_doc_id"], r["doc_id"]) for r in rows}
+    assert sets[0] <= sets[1] <= sets[2]
