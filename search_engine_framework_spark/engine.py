@@ -96,6 +96,30 @@ class SearchEngine:
                 [], "doc_id long, ext_id string, rank int, score double"
             )
         self._check_fields(node)
+        # Driver-side fast path (fastpath.py): flat #SUM BM25 over a
+        # driver-readable index whose matched postings fit the budget is
+        # answered with pyarrow + the numpy codec — no Spark job at all,
+        # bit-identical ranks AND scores (identity argument in the module
+        # docstring; locked by tests/test_fastpath.py). Skipped when the
+        # caller tunes block pruning (they are exercising the distributed
+        # path) and for every query above the gates — head-term queries
+        # on a 10^12-turn corpus always run the distributed plan.
+        from .plans.models import BM25 as _BM25
+
+        if prune_min_blocks is None and isinstance(model, _BM25):
+            flat = QueryCompiler._flat_sum_pairs(node)
+            if flat is not None:
+                from .fastpath import bm25_topk_driver
+
+                hit = bm25_topk_driver(self.reader, flat, model, k)
+                if hit is not None:
+                    return self.spark.createDataFrame(
+                        [
+                            (d, e, i + 1, s)
+                            for i, (d, e, s) in enumerate(hit)
+                        ],
+                        "doc_id long, ext_id string, rank int, score double",
+                    )
         compiler = QueryCompiler(self.reader, model)
         # topk enables block-max decode pruning on the BM25 #SUM fast path
         # (exact top-k; no-op for other models/trees — compiler.prepare).

@@ -1,0 +1,268 @@
+"""Driver-side BM25 top-k fast path — the Lucene single-node analog.
+
+Interactive BM25 queries at small-to-medium selectivity are dominated by
+Spark's fixed per-job costs (scheduler round-trips, python worker wakeup,
+plan optimization), not by work: at sf0.1 the whole posting volume behind
+a typical query is a few hundred KB. This module answers a flat
+``#SUM(term ...)`` BM25 query entirely on the driver with pyarrow + the
+same numpy varint codec the executors run — the exact analog of Lucene
+serving a query from one shard (InvList.java:73-111's in-process seek +
+scan) — and is used ONLY under explicit gates:
+
+* the index (segments, docmap, tombstones) is driver-readable local
+  storage, and
+* the query's total matched postings (Σ df from segment metadata) fit a
+  budget (default 2M — a few MB decoded).
+
+Above the gates — every head-term query on a 10^12-turn corpus — the
+caller falls back to the distributed plan unchanged, so the cluster
+story is untouched; the gate simply removes ~1s of Spark fixed cost
+from the small-query path that dominates a latency p50.
+
+Rank AND score identity with the distributed path is bit-exact, not
+approximate, because both paths compute with the same Python-float
+constants in the same operand order (plans/compiler.py:11-14: idf and
+avg_doclen are injected as literals):
+
+    tfw   = tf / (tf + k1*((1-b) + b*(dl/avg)))       same assoc order
+    score = 0.0 + (idf1*tfw1)*user_w + ...            child order fold
+
+IEEE-754 ops on equal doubles in equal order give equal bits on JVM and
+numpy; the only textual difference — the distributed fold adds literal
+0.0 for absent children — cannot change any bit (x + 0.0 == x for every
+x reachable here; -0.0 partial sums are impossible since a zero
+contribution requires idf == +0.0). Locked by rank+score identity tests
+(tests/test_fastpath.py), including under tombstones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .functions.scoring import bm25_idf
+
+__all__ = ["bm25_topk_driver", "MAX_POSTINGS"]
+
+# Gate: queries whose Σ df exceeds this run distributed. Overridable per
+# call; SEFS_DRIVER_TOPK=0 disables the fast path entirely (bench A/Bs).
+MAX_POSTINGS = 2_000_000
+# Safety valve for degenerate score-tie plateaus at the k-th score: if
+# the tie set needs more ext_id fetches than this, run distributed.
+_MAX_TIE_FETCH = 20_000
+
+
+def _local_dir(path: str) -> bool:
+    return os.path.isdir(path)
+
+
+def _parquet_files(*dirs: str) -> list[str]:
+    return [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+
+
+def _tombstones(reader) -> "set[int] | None":
+    """Tombstoned doc_ids via pyarrow, None on any read problem."""
+    root = reader.paths.tombstones
+    if not os.path.isdir(root):
+        return set()
+    try:
+        import pyarrow.dataset as ds
+
+        files = _parquet_files(root)
+        if not files:
+            return set()
+        tbl = ds.dataset(files, format="parquet").to_table(
+            columns=["doc_id"]
+        )
+        return set(tbl["doc_id"].to_pylist())
+    except Exception:
+        return None
+
+
+def bm25_topk_driver(
+    reader,
+    child_pairs: list[tuple[str, str]],
+    model,
+    k: int,
+    max_postings: int | None = None,
+) -> "list[tuple[int, str, float]] | None":
+    """Exact BM25 top-``k`` for a flat #SUM over ``child_pairs`` (child
+    order preserved, duplicates kept), computed driver-side.
+
+    → [(doc_id, ext_id, score)] in final rank order, or None when any
+    gate fails (caller falls back to the distributed plan). Scores are
+    bit-identical to the distributed path's.
+    """
+    if os.environ.get("SEFS_DRIVER_TOPK", "1") == "0":
+        return None
+    budget = MAX_POSTINGS if max_postings is None else max_postings
+    seg_root = reader.paths.segments
+    doc_root = reader.paths.docmap
+    if not (_local_dir(seg_root) and _local_dir(doc_root)):
+        return None
+
+    pairs = set(child_pairs)
+    stats = reader.term_stats(pairs)
+    total_df = sum(s["df"] for s in stats.values())
+    if total_df == 0:
+        return []
+    if total_df > budget:
+        return None
+    dead = _tombstones(reader)
+    if dead is None:
+        return None
+
+    try:
+        postings = _fetch_postings_arrow(reader, pairs)
+    except Exception:
+        return None
+    if postings is None:
+        return None
+
+    import numpy as np
+
+    m = model
+    user_w = (m.k_3 + 1.0) * 1.0 / (m.k_3 + 1.0)  # qtf=1 per child
+    n_docs = reader.num_docs
+
+    # child-order accumulation over a dense union index of matched docs
+    all_docs = (
+        np.unique(np.concatenate([p[0] for p in postings.values()]))
+        if postings
+        else np.empty(0, np.int64)
+    )
+    if dead and len(all_docs):
+        all_docs = all_docs[~np.isin(all_docs, np.fromiter(dead, np.int64))]
+    if not len(all_docs):
+        return []
+    scores = np.zeros(len(all_docs), dtype=np.float64)
+    for t, f in child_pairs:
+        got = postings.get((t, f))
+        if got is None:
+            continue
+        docs, tfs, dls = got
+        st = stats.get((t, f))
+        if not st or st["df"] == 0:
+            continue
+        idf = bm25_idf(n_docs, st["df"])
+        avg = reader.avg_doclen(f)
+        # same operand order as functions/scoring.bm25_tf_weight +
+        # compiler leaf (lit(idf) * tfw) and fold (* user_w)
+        tfw = tfs / (tfs + m.k_1 * ((1.0 - m.b) + m.b * (dls / avg)))
+        contrib = (idf * tfw) * user_w
+        ix = np.searchsorted(all_docs, docs)
+        keep = (ix < len(all_docs)) & (all_docs[np.minimum(ix, len(all_docs) - 1)] == docs)
+        scores[ix[keep]] += contrib[keep]
+
+    # top-k cut with the reference tie-break (desc score, asc ext_id):
+    # candidates = every doc scoring >= the k-th score (bit-equal compare)
+    if len(all_docs) > k:
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = scores >= kth
+    else:
+        cand = np.ones(len(all_docs), dtype=bool)
+    cand_ids = all_docs[cand]
+    cand_scores = scores[cand]
+    if len(cand_ids) > max(_MAX_TIE_FETCH, k):
+        return None
+    ext = _ext_ids_arrow(reader, cand_ids)
+    if ext is None or len(ext) != len(cand_ids):
+        return None  # docmap gap — let the distributed join decide
+    order = sorted(
+        range(len(cand_ids)), key=lambda i: (-cand_scores[i], ext[i])
+    )[:k]
+    return [
+        (int(cand_ids[i]), ext[i], float(cand_scores[i])) for i in order
+    ]
+
+
+def _fetch_postings_arrow(reader, pairs):
+    """{(term, field): (docs, tfs, doclens)} int64/int64/int64 numpy —
+    decoded from the pruned bucket files, all generations concatenated,
+    docid-ascending per pair. None when the layout is unreadable."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    from .functions.codec import varint_decode_np
+
+    root = reader.paths.segments
+    if reader._n_buckets:
+        from .functions.spark_hash import term_bucket
+
+        buckets = sorted(
+            {term_bucket(t, f, reader._n_buckets) for t, f in pairs}
+        )
+        dirs = [
+            p
+            for p in (os.path.join(root, f"bucket={b}") for b in buckets)
+            if os.path.isdir(p)
+        ]
+    else:
+        dirs = [
+            os.path.join(root, e)
+            for e in sorted(os.listdir(root))
+            if e.startswith("bucket=")
+        ] or [root]
+    files = _parquet_files(*dirs)
+    if not files:
+        return {}
+    terms = sorted({t for t, _ in pairs})
+    fields = sorted({f for _, f in pairs})
+    tbl = ds.dataset(files, format="parquet").to_table(
+        columns=["term", "field", "blocks"],
+        filter=ds.field("term").isin(terms) & ds.field("field").isin(fields),
+    )
+    out: dict[tuple[str, str], list] = {}
+    for t, f, blocks in zip(
+        tbl["term"].to_pylist(), tbl["field"].to_pylist(),
+        tbl["blocks"].to_pylist(),
+    ):
+        if (t, f) not in pairs:
+            continue
+        acc = out.setdefault((t, f), [])
+        for blk in blocks:
+            gaps = varint_decode_np(blk["docs"]).astype(np.int64)
+            docs = np.cumsum(gaps) + int(blk["first_doc"])
+            tfs = varint_decode_np(blk["tfs"]).astype(np.int64)
+            dls = varint_decode_np(blk["doclens"]).astype(np.int64)
+            acc.append((docs, tfs, dls))
+    result = {}
+    for p, parts in out.items():
+        docs = np.concatenate([a for a, _, _ in parts])
+        tfs = np.concatenate([a for _, a, _ in parts])
+        dls = np.concatenate([a for _, _, a in parts])
+        order = np.argsort(docs, kind="stable")
+        result[p] = (docs[order], tfs[order], dls[order])
+    return result
+
+
+def _ext_ids_arrow(reader, doc_ids) -> "list[str] | None":
+    """ext_id per doc_id (input order) via a row-group-pruned pyarrow read
+    of the docmap; None on any failure or missing id."""
+    try:
+        import pyarrow.dataset as ds
+
+        files = _parquet_files(reader.paths.docmap)
+        if not files:
+            return None
+        ids = [int(d) for d in doc_ids]
+        tbl = ds.dataset(files, format="parquet").to_table(
+            columns=["doc_id", "ext_id"],
+            filter=ds.field("doc_id").isin(ids),
+        )
+        lut = dict(
+            zip(tbl["doc_id"].to_pylist(), tbl["ext_id"].to_pylist())
+        )
+        out = []
+        for d in ids:
+            e = lut.get(d)
+            if e is None:
+                return None
+            out.append(e)
+        return out
+    except Exception:
+        return None
