@@ -9,7 +9,7 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 37 of 39 entries are
+                  summation orders differ). 38 of 40 entries are
                   oracle-checked — including the round-2 extensions
                   bm25f (multi-field index), conv_rollup (10-turn
                   conversation index), collocations, and context_window.

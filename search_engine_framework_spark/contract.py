@@ -408,6 +408,12 @@ def q_neardup_pairs(spark, sf_dir):
     return pairs.select("a", "b", _r4(F.col("jaccard")).alias("jaccard"))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=3)
+    return pairs.select("a", "b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
 def q_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     q = textstats.quality_features(docs)
@@ -1201,6 +1207,30 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
 """,
+    "ngram_jaccard": _SQL_BASE
+    + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(list_transform(toks,
+           (x, i) -> CASE WHEN i + 2 <= len(toks)
+                     THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+           x -> x IS NOT NULL)) AS sh
+  FROM toks
+),
+inv AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE len(sh) > 0),
+sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.a, inter.b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 4) + 0.0 AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+""",
     "quality": _SQL_BASE
     + """
 SELECT t.doc_id,
@@ -1420,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "minhash_sigs": q_minhash_sigs,
     "neardup_pairs": q_neardup_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
     "quality": q_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,

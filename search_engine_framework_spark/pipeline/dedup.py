@@ -196,6 +196,73 @@ def near_dup_pairs(
     return jaccard_pairs(cand, sh).where(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
+    index — the *exact* set-similarity scale path (vs. the MinHash
+    approximation in :func:`near_dup_pairs`).
+
+    Plan shape: explode distinct word k-grams → ONE shuffle keyed on the
+    shingle (inverted-index self-join) → ``count(*)`` per (a, b) pair =
+    |A ∩ B| (map-side combinable) → join per-doc set sizes →
+    ``J = i / (|A| + |B| − i)``. Only doc pairs that actually co-occur in
+    at least one shingle ever materialize, so the cost tracks the
+    collision structure of the corpus, not n².
+
+    ``max_df`` drops shingles appearing in more than ``max_df`` documents
+    *before* pairing. At corpus scale ubiquitous boilerplate shingles
+    otherwise blow the self-join quadratic; dropping them can only lower
+    the measured intersection while denominators keep the full set sizes,
+    so the reported Jaccard is a *lower bound* of the true value — pairs
+    returned under a ``max_df`` cap are always a subset of the exact
+    answer at the same threshold (no false positives). Default ``None``
+    = fully exact.
+
+    Returns (a, b, jaccard) with a < b and jaccard ≥ threshold.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingles(docs, k=k).where(F.size("sh") > 0)
+    # Single lineage: sizes derive from the exploded view (shingles are
+    # distinct per doc, so count == set size), sparing a second
+    # tokenize+shingle pass over the corpus. The exploded view has three
+    # consumers (both self-join sides + sizes), so persist it — same
+    # policy as near_dup_pairs; at cluster scale write it to a table.
+    inv = sh.select("doc_id", F.explode("sh").alias("g")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if max_df is not None:
+        keep = (
+            inv.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("g")
+        )
+        inv = inv.join(keep, "g")
+    a = inv.select(F.col("doc_id").alias("a"), "g")
+    b = inv.select(F.col("doc_id").alias("b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

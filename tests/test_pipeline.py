@@ -101,6 +101,74 @@ def test_minhash_jaccard_pipeline(docs_df):
     assert abs(pairs[(0, 1)] - len(sh0 & sh1) / len(sh0 | sh1)) < 1e-12
 
 
+def _python_jaccard_pairs(docs, threshold, k=3):
+    sh = {
+        doc_id: set(
+            " ".join(_toks(text)[i : i + k])
+            for i in range(len(_toks(text)) - k + 1)
+        )
+        for doc_id, text in docs
+    }
+    out = {}
+    ids = sorted(d for d in sh if sh[d])
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_ngram_jaccard_exact_vs_python(docs_df):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    expect = _python_jaccard_pairs(DOCS, 0.3)
+    assert got.keys() == expect.keys()
+    for pair, j in expect.items():
+        assert abs(got[pair] - j) < 1e-12
+
+
+def test_ngram_jaccard_random_corpus(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    expect = _python_jaccard_pairs(docs, 0.1)
+    assert got.keys() == expect.keys()
+    for pair, j in expect.items():
+        assert abs(got[pair] - j) < 1e-12
+
+
+def test_ngram_jaccard_max_df_is_lower_bound(docs_df):
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.0).collect()
+    }
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.0, max_df=2).collect()
+    }
+    # capped pairs are a subset, each with jaccard <= the exact value
+    # (df=3 shingles shared by docs 0/1/3 are dropped, so values shrink)
+    assert set(capped) < set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12
+    # (0,3) share "the old barn" (df=2, survives the cap): 1 of 11+11-1
+    assert abs(capped[(0, 3)] - 1.0 / 21.0) < 1e-12
+    assert exact[(0, 3)] == 1.0
+
+
 def test_minhash_signature_is_md5_min(docs_df, spark):
     sh = dedup.shingles(docs_df, k=3)
     sigs = {r["doc_id"]: r["sigs"] for r in dedup.minhash_signatures(sh, 4).collect()}
