@@ -121,8 +121,7 @@ def _skewed_corpus(spark, n_light=400, n_heavy=10):
     )
 
 
-def test_blockmax_prune_exact_topk(spark, tmp_path, monkeypatch):
-    from search_engine_framework_spark import plans
+def test_blockmax_prune_exact_topk(spark, tmp_path):
     from search_engine_framework_spark.engine import SearchEngine
     from search_engine_framework_spark.index.build import build_index
     from search_engine_framework_spark.plans.models import BM25
@@ -131,27 +130,27 @@ def test_blockmax_prune_exact_topk(spark, tmp_path, monkeypatch):
     # small blocks so the light docs span many max_tf=1 blocks
     build_index(spark, _skewed_corpus(spark), out, fields=("body",),
                 n_buckets=8, n_salts=4, block_size=8)
-    monkeypatch.setattr(plans.compiler, "_PRUNE_MIN_BLOCKS", 1)
     eng = SearchEngine(spark, out)
 
+    # prune_min_blocks through the public API also sidesteps the
+    # driver-side fast path, so the DISTRIBUTED pruning plan is what runs
+    # (fastpath answers flat #SUM without decoding any blocks at all).
     q = "#SUM(zzz w1)"
     dec0, skip0 = eng.decode_metrics().values()
-    pruned = [tuple(r) for r in eng.search(q, BM25(), k=5).collect()]
+    pruned = [tuple(r) for r in eng.search(q, BM25(), k=5, prune_min_blocks=1).collect()]
     dec1, skip1 = eng.decode_metrics().values()
     assert skip1 > skip0, "no blocks were skipped — pruning not engaged"
 
     # force-disable pruning via a fresh engine and a huge threshold
-    monkeypatch.setattr(plans.compiler, "_PRUNE_MIN_BLOCKS", 10**9)
     eng2 = SearchEngine(spark, out)
-    full = [tuple(r) for r in eng2.search(q, BM25(), k=5).collect()]
+    full = [tuple(r) for r in eng2.search(q, BM25(), k=5, prune_min_blocks=10**9).collect()]
     assert pruned == full
     assert len(full) == 5
 
 
-def test_blockmax_prune_noop_on_unskewed(spark, tmp_path, monkeypatch):
+def test_blockmax_prune_noop_on_unskewed(spark, tmp_path):
     """On a corpus where no block can be excluded the planner returns
     None (or skips nothing) and results are identical either way."""
-    from search_engine_framework_spark import plans
     from search_engine_framework_spark.engine import SearchEngine
     from search_engine_framework_spark.index.build import build_index
     from search_engine_framework_spark.plans.models import BM25
@@ -161,13 +160,13 @@ def test_blockmax_prune_noop_on_unskewed(spark, tmp_path, monkeypatch):
     tdf = synth_transcripts(spark, n_convs=60, seed=11)
     build_index(spark, tdf, out, fields=("body",), n_buckets=8, n_salts=4,
                 block_size=8)
-    monkeypatch.setattr(plans.compiler, "_PRUNE_MIN_BLOCKS", 1)
     eng = SearchEngine(spark, out)
     q = "#SUM(search engine data)"  # negative-idf heads: unprunable
-    pruned = [tuple(r) for r in eng.search(q, BM25(), k=10).collect()]
-    monkeypatch.setattr(plans.compiler, "_PRUNE_MIN_BLOCKS", 10**9)
+    pruned = [tuple(r)
+              for r in eng.search(q, BM25(), k=10, prune_min_blocks=1).collect()]
     eng2 = SearchEngine(spark, out)
-    full = [tuple(r) for r in eng2.search(q, BM25(), k=10).collect()]
+    full = [tuple(r)
+            for r in eng2.search(q, BM25(), k=10, prune_min_blocks=10**9).collect()]
     assert pruned == full
 
 
