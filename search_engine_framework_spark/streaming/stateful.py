@@ -1,0 +1,204 @@
+"""Custom stateful streaming operator: sharded Misra-Gries heavy hitters.
+
+The reference engine is strictly batch (SURVEY.md §2.9); streaming/events.py
+covers what Spark's BUILT-IN streaming operators express (watermarked
+windows, ``session_window``).  This module is the one semantics Structured
+Streaming cannot express declaratively — **bounded-memory approximate
+top-k ("heavy hitters") over an unbounded stream** — implemented the way
+the task brief prescribes for custom stateful operators:
+``applyInPandasWithState`` over a sharded key, with explicit user state.
+
+Why not ``groupBy(item).count()``?  On a 10^12-turn stream the full
+term-frequency state is the vocabulary itself (unbounded: ids, typos,
+hashes).  A Misra-Gries sketch keeps **exactly ``capacity`` counters per
+shard** no matter how many distinct items flow by, with the classic
+deterministic guarantee (Misra & Gries 1982, "Finding repeated elements";
+weighted form per Berinde et al. 2010):
+
+    est(x) <= true(x) <= est(x) + decr        for tracked items
+    true(x) <= decr                           for untracked items
+    decr <= W_shard / (capacity + 1)          (W_shard = shard's total weight)
+
+so every item with true weight > W_shard/(capacity+1) is guaranteed
+present.  ``decr`` (the shard's cumulative decrement) is emitted alongside
+every row as the machine-checkable error bound.
+
+Scale design: items are hash-sharded (``pmod(xxhash64(item), n_shards)``)
+so each item's whole stream lands on ONE shard — per-shard guarantees are
+therefore exact per-item guarantees, shards process in parallel across
+executors, and state is ``n_shards * capacity`` counters total.  Raising
+``n_shards`` tightens the bound (W_shard shrinks) AND adds parallelism —
+the knob a 1000-executor deployment turns.
+
+Output is a full per-shard snapshot each trigger (update semantics); the
+parquet sink helper keeps only the newest snapshot per shard via dynamic
+partition overwrite, so the sink directory always reads as the current
+sketch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = "shard int, item string, est long, err long"
+_STATE_SCHEMA = "items array<string>, counts array<long>, decr long"
+
+
+def _mg_fold(
+    sketch: dict[str, int], decr: int, items: Iterable[str], weights: Iterable[int],
+    capacity: int,
+) -> int:
+    """Weighted Misra-Gries fold of one batch into ``sketch`` (mutated).
+
+    Returns the updated cumulative decrement.  Insertion when full
+    decrements ALL counters by d = min(new weight, current min) — the
+    invariant "decr only grows by <= W/(capacity+1)" is what yields the
+    error bound documented in the module docstring.
+    """
+    for item, w in zip(items, weights):
+        w = int(w)
+        if w <= 0:
+            continue
+        have = sketch.get(item)
+        if have is not None:
+            sketch[item] = have + w
+        elif len(sketch) < capacity:
+            sketch[item] = w
+        else:
+            m = min(sketch.values())
+            d = m if m < w else w
+            decr += d
+            for k in list(sketch):
+                nv = sketch[k] - d
+                if nv > 0:
+                    sketch[k] = nv
+                else:
+                    del sketch[k]
+            if w > d:
+                sketch[item] = w - d
+    return decr
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str = "item",
+    weight_col: str | None = None,
+    capacity: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming approximate top-k: → (shard, item, est, err) snapshots.
+
+    ``df`` must be a STREAMING DataFrame (``applyInPandasWithState`` is a
+    streaming-only operator); use plain ``groupBy(item).sum()`` for batch.
+    ``err`` is the shard's cumulative decrement: est <= true <= est + err.
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    keyed = df.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+        w.alias("w"),
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        pdf_iter: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_items, s_counts, decr = state.get
+            sketch = dict(zip(s_items, (int(c) for c in s_counts)))
+            decr = int(decr)
+        else:
+            sketch, decr = {}, 0
+        for pdf in pdf_iter:
+            decr = _mg_fold(sketch, decr, pdf["item"], pdf["w"], capacity)
+        order = sorted(sketch.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update((
+            [k for k, _ in order], [v for _, v in order], decr,
+        ))
+        yield pd.DataFrame({
+            "shard": [key[0]] * len(order),
+            "item": [k for k, _ in order],
+            "est": [v for _, v in order],
+            "err": [decr] * len(order),
+        })
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def term_stream(
+    turns: DataFrame,
+    field: str = "text",
+    cfg=None,
+) -> DataFrame:
+    """Stateless tokenize of a (streaming or batch) turn frame into
+    (item=term, w=tf) rows via the index's own Arrow-vectorized analyzer —
+    the same terms the inverted index would ingest, so the sketch tracks
+    exactly the index's vocabulary head."""
+    from ..functions.analyzer import tokenize_udf
+
+    tok = tokenize_udf(cfg)
+    e = turns.select(F.explode(tok(F.col(field))).alias("p"))
+    return e.select(
+        F.col("p.term").alias("item"), F.col("p.tf").cast("long").alias("w")
+    )
+
+
+def heavy_hitter_terms(
+    turns: DataFrame,
+    capacity: int = 64,
+    n_shards: int = 8,
+    field: str = "text",
+    cfg=None,
+) -> DataFrame:
+    """Bounded-memory running vocabulary head of a transcript stream."""
+    return heavy_hitters(
+        term_stream(turns, field=field, cfg=cfg),
+        item_col="item", weight_col="w",
+        capacity=capacity, n_shards=n_shards,
+    )
+
+
+def run_snapshot_to_parquet(
+    hh: DataFrame, out_dir: str, checkpoint: str
+):
+    """Drive a heavy-hitters stream into a parquet dir that always holds
+    the LATEST snapshot per shard (dynamic partition overwrite inside
+    foreachBatch — a trigger that touches a shard replaces that shard's
+    rows; untouched shards keep their previous snapshot)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .repartition("shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    q = (
+        hh.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

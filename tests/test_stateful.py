@@ -1,0 +1,179 @@
+"""applyInPandasWithState heavy-hitter sketch: exactness at high capacity,
+Misra-Gries guarantees at low capacity, state carry across micro-batches."""
+
+import collections
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _items(spark, rows):
+    # rows: list[(item, weight)]
+    return spark.createDataFrame(rows, "item string, w long")
+
+
+def _true_counts(rows):
+    c = collections.Counter()
+    for item, w in rows:
+        c[item] += w
+    return c
+
+
+def _run(spark, src_dir, out, ckpt, schema, capacity, n_shards, max_files=None):
+    from search_engine_framework_spark.streaming.stateful import (
+        heavy_hitters,
+        run_snapshot_to_parquet,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.parquet(src_dir)
+    hh = heavy_hitters(
+        stream, item_col="item", weight_col="w",
+        capacity=capacity, n_shards=n_shards,
+    )
+    run_snapshot_to_parquet(hh, out, ckpt)
+    return {
+        r["item"]: (r["est"], r["err"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_exact_at_high_capacity(spark, tmp_path):
+    """capacity >= distinct items per shard -> sketch IS the exact count."""
+    rows = [(f"t{i % 23}", (i % 5) + 1) for i in range(400)]
+    src = str(tmp_path / "src")
+    _items(spark, rows).write.mode("append").parquet(src)
+    got = _run(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        "item string, w long", capacity=64, n_shards=4,
+    )
+    truth = _true_counts(rows)
+    assert {k: v[0] for k, v in got.items()} == dict(truth)
+    assert all(err == 0 for _, err in got.values())
+
+
+def test_mg_guarantees_at_low_capacity(spark, tmp_path):
+    """est <= true <= est + err for tracked items; every item heavier than
+    its shard's err is tracked; state stays <= capacity per shard."""
+    # Zipf-ish: item t0 huge, long tail of singletons
+    rows = (
+        [("t0", 1)] * 300 + [("t1", 1)] * 120 + [("t2", 1)] * 60
+        + [(f"tail{i}", 1) for i in range(500)]
+    )
+    src = str(tmp_path / "src")
+    _items(spark, rows).write.mode("append").parquet(src)
+    n_shards = 2
+    got = _run(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        "item string, w long", capacity=8, n_shards=n_shards,
+    )
+    truth = _true_counts(rows)
+
+    # which shard each item went to (same hash the operator uses)
+    shard_of = {
+        r["item"]: r["shard"]
+        for r in _items(spark, rows)
+        .select("item", F.pmod(F.xxhash64("item"), F.lit(n_shards)).alias("shard"))
+        .distinct()
+        .collect()
+    }
+    per_shard = collections.Counter()
+    for k, v in truth.items():
+        per_shard[shard_of[k]] += v
+    shard_err = {}
+    for item, (est, err) in got.items():
+        assert est <= truth[item] <= est + err, item
+        shard_err[shard_of[item]] = err
+        # decr bound: W_shard / (capacity + 1)
+        assert err <= per_shard[shard_of[item]] // 9 + 1
+    # guaranteed-present property: true weight > shard decr -> tracked
+    for item, t in truth.items():
+        if t > shard_err.get(shard_of[item], 0):
+            assert item in got, f"{item} (true {t}) missing from sketch"
+    # bounded state: snapshot rows per shard <= capacity
+    by_shard = collections.Counter(shard_of[i] for i in got)
+    assert all(n <= 8 for n in by_shard.values())
+
+
+def test_state_carries_across_microbatches_and_runs(spark, tmp_path):
+    """Two forced micro-batches + a second availableNow run over the same
+    checkpoint must fold into ONE running sketch (not per-batch counts)."""
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "item string, w long"
+    b1 = [("a", 5), ("b", 3), ("c", 1)]
+    b2 = [("a", 2), ("d", 7)]
+    _items(spark, b1).coalesce(1).write.mode("append").parquet(src)
+    _items(spark, b2).coalesce(1).write.mode("append").parquet(src)
+    got = _run(spark, src, out, ckpt, schema,
+               capacity=16, n_shards=2, max_files=1)
+    truth = _true_counts(b1 + b2)
+    assert {k: v[0] for k, v in got.items()} == dict(truth)
+
+    # restart from the checkpoint with NEW files only: prior state resumes
+    b3 = [("a", 1), ("e", 4)]
+    _items(spark, b3).coalesce(1).write.mode("append").parquet(src)
+    got2 = _run(spark, src, out, ckpt, schema,
+                capacity=16, n_shards=2, max_files=1)
+    truth2 = _true_counts(b1 + b2 + b3)
+    assert {k: v[0] for k, v in got2.items()} == dict(truth2)
+
+
+def test_heavy_hitter_terms_matches_batch_tokenize(spark, tmp_path):
+    """End-to-end on transcript turns: the streamed sketch at ample
+    capacity equals the batch analyzer's exact term counts."""
+    from search_engine_framework_spark.sources.transcripts import synth_transcripts
+    from search_engine_framework_spark.streaming.stateful import (
+        heavy_hitter_terms,
+        run_snapshot_to_parquet,
+        term_stream,
+    )
+
+    turns = synth_transcripts(spark, n_convs=8, seed=11)
+    src = str(tmp_path / "turns")
+    turns.write.mode("append").parquet(src)
+
+    truth = {
+        r["item"]: r["n"]
+        for r in term_stream(spark.read.parquet(src))
+        .groupBy("item").agg(F.sum("w").alias("n")).collect()
+    }
+    stream = spark.readStream.schema(turns.schema).parquet(src)
+    hh = heavy_hitter_terms(stream, capacity=len(truth) + 8, n_shards=4)
+    run_snapshot_to_parquet(hh, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    got = {
+        r["item"]: r["est"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == truth
+
+
+def test_weighted_mg_fold_property():
+    """Pure-kernel property check (no Spark): for random weighted streams
+    the fold keeps <= capacity counters and the MG error invariant."""
+    import random
+
+    from search_engine_framework_spark.streaming.stateful import _mg_fold
+
+    rng = random.Random(1234)
+    for trial in range(25):
+        n = rng.randrange(1, 400)
+        cap = rng.randrange(1, 12)
+        stream = [
+            (f"i{rng.randrange(1, 40)}", rng.randrange(1, 9)) for _ in range(n)
+        ]
+        sketch: dict[str, int] = {}
+        decr = _mg_fold(
+            sketch, 0, [i for i, _ in stream], [w for _, w in stream], cap
+        )
+        truth = _true_counts(stream)
+        total = sum(truth.values())
+        assert len(sketch) <= cap
+        assert decr <= total // (cap + 1)
+        for item, est in sketch.items():
+            assert est <= truth[item] <= est + decr
+        for item, t in truth.items():
+            if t > decr:
+                assert item in sketch
