@@ -440,6 +440,37 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (pipeline/sampling.py):
+    per-doc split must match the oracle's md5-bucket CASE expression."""
+    from .pipeline import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    return sampling.split_assign(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    ).select("doc_id", "split")
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli(0.25) subsample, seed 7."""
+    from .pipeline import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, 0.25, seed=7).select("doc_id", "lang")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact 5-per-(lang, source) deterministic sample, seed 13 —
+    including the bucket-threshold prefilter scale path, which must be
+    invisible in the output (provably a superset of the winners)."""
+    from .pipeline import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, n=5, strata=("lang", "source"), seed=13
+    ).select("lang", "source", "doc_id")
+
+
 def q_knn_cosine(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
@@ -1396,6 +1427,51 @@ SELECT doc_id, n_ws, n_bpe,
 FROM c
 """
 
+def _b16_sql(key_expr: str, seed: int) -> str:
+    """DuckDB twin of sampling.bucket16: first 4 hex digits of
+    md5(key || '|seed') as an int (digit-by-digit, no hex cast needed)."""
+    h = f"md5({key_expr} || '|{seed}')"
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ) + ")"
+
+
+def _hash_split_sql() -> str:
+    from .pipeline.sampling import split_thresholds
+
+    thr = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    case = "CASE " + " ".join(
+        f"WHEN b < {hi} THEN '{name}'" for name, hi in thr
+    ) + " END"
+    return f"""
+WITH b AS (
+  SELECT doc_id, {_b16_sql("doc_id::VARCHAR", 42)} AS b FROM documents
+)
+SELECT doc_id, {case} AS split FROM b
+"""
+
+
+ORACLE_SQL["hash_split"] = _hash_split_sql()
+
+ORACLE_SQL["hash_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_b16_sql("doc_id::VARCHAR", 7)} < {round(0.25 * 65536)}
+"""
+
+ORACLE_SQL["stratified_sample"] = f"""
+WITH r AS (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(doc_id::VARCHAR || '|13') ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT lang, source, doc_id FROM r WHERE rk <= 5
+"""
+
 ORACLE_SQL["bm25_batch"] = _bm25_batch_sql()
 ORACLE_SQL["bm25_bulk"] = _bm25_batch_sql()
 ORACLE_SQL["simhash_pairs"] = _simhash_sql()
@@ -1454,6 +1530,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
+    "hash_split": q_hash_split,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "knn_cosine": q_knn_cosine,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,

@@ -1,0 +1,179 @@
+"""Deterministic sampling / splitting operators for training-data curation.
+
+The three operations every large-scale pretraining pipeline runs over its
+corpus table, designed for the 100 TB posture and for *reproducibility*:
+assignment is a pure function of (key, seed) — no ``rand()``, no state,
+no driver RNG — so re-running over a re-partitioned, re-ordered, or
+incrementally-grown corpus yields the identical sample/split, and any
+engine (the DuckDB oracle included) can replay it bit-for-bit.
+
+* :func:`split_assign` — train/val/test (any number of named splits)
+  via a 16-bit md5 bucket and cumulative weight thresholds. Map-only:
+  no shuffle, survives predicate pushdown, linear at any scale.
+* :func:`hash_sample` — deterministic Bernoulli(frac) subsample (the
+  "0.5 % quality-eval slice" op). Map-only filter; granularity 1/65536
+  (documented below).
+* :func:`stratified_sample` — EXACT n-per-stratum sample (e.g. 10k docs
+  per (lang, source) cell for eval sets), taking the n smallest md5
+  values per stratum — a deterministic uniform draw. Scale path: a
+  stratum's whole membership never funnels through one window task;
+  a bucket-threshold prefilter (provably a superset of the winners)
+  cuts each stratum to ~oversample·n rows first, so the final
+  per-stratum window ranks a bounded candidate set.
+
+Hash convention (shared with the DuckDB oracle, see contract.py):
+``bucket16(key, seed) = int(md5(cast(key as string) || '|' || seed)[:4], 16)``
+— the first 16 bits of an md5 are uniform; md5 is bit-identical across
+engines (same reason pipeline/dedup.py uses it for MinHash).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+N_BUCKETS = 65536  # 16-bit bucket space: frac granularity = 1/65536
+
+
+def _hash_str(key: Column, seed: int) -> Column:
+    """Full md5 hex of ``key|seed`` — the per-row 'random' draw."""
+    return F.md5(F.concat(key.cast("string"), F.lit(f"|{seed}")))
+
+
+def bucket16(key: Column, seed: int = 42) -> Column:
+    """Uniform int in [0, 65536) as a pure function of (key, seed)."""
+    return F.conv(F.substring(_hash_str(key, seed), 1, 4), 16, 10).cast("int")
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket bound) per split, in dict order; the
+    last split absorbs rounding remainder so every bucket is assigned."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to > 0")
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for split {name!r}")
+        acc += w / total
+        out.append((name, min(N_BUCKETS, round(acc * N_BUCKETS))))
+    out[-1] = (out[-1][0], N_BUCKETS)
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Append a deterministic ``split`` column (train/val/test/…).
+
+    Weights are normalized; each split owns a contiguous bucket range, so
+    realized proportions are within 1/65536 of requested per bucket
+    boundary. A document's split NEVER changes as the corpus grows —
+    the property incremental training pipelines rely on.
+    """
+    b = bucket16(F.col(key_col), seed)
+    expr: Column | None = None
+    for name, hi in split_thresholds(weights):
+        cond = b < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    frac: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Bernoulli subsample: keep rows whose bucket falls
+    below ``round(frac * 65536)`` (exact expected fraction to 1/65536).
+    Different seeds give independent samples of the same table."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("frac must be in [0, 1]")
+    return df.where(bucket16(F.col(key_col), seed) < round(frac * N_BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    n: int,
+    strata: tuple[str, ...] = ("lang",),
+    key_col: str = "doc_id",
+    seed: int = 42,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum: the n smallest
+    ``(md5(key|seed), key)`` per stratum — a deterministic uniform draw
+    without replacement.
+
+    Scale design: ranking a 10^10-row stratum in ONE window task is the
+    naive plan's failure mode. Instead, per-stratum counts (one
+    map-combinable agg, strata cardinality assumed driver-small — eval
+    cells, not user ids) derive a bucket-threshold prefilter keeping
+    ~``oversample * n`` expected candidates per stratum. Correctness of
+    the prefilter is exact, not approximate: every row with a 16-bit
+    bucket below T sorts before every row with bucket ≥ T in full-md5
+    order, so if ≥ n rows survive the filter the true n smallest all
+    survive; the one-in-a-billion undershoot (binomial tail at 4×
+    oversampling) is detected by a count and falls back to the unfiltered
+    window for that stratum.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    h = _hash_str(F.col(key_col), seed)
+    skey = [F.col(c) for c in strata]
+    counts = {
+        tuple(r[c] for c in strata): r["cnt"]
+        for r in df.groupBy(*skey).agg(F.count("*").alias("cnt")).collect()
+    }
+
+    def threshold(cnt: int) -> int:
+        if cnt <= n:
+            return N_BUCKETS
+        t = int(oversample * n / cnt * N_BUCKETS) + 1
+        return min(N_BUCKETS, t)
+
+    thr = F.lit(None).cast("int")
+    expr = None
+    for key, cnt in sorted(counts.items(), key=lambda kv: str(kv[0])):
+        cond = None
+        for c, v in zip(strata, key):
+            p = F.col(c).eqNullSafe(F.lit(v))
+            cond = p if cond is None else cond & p
+        t = F.lit(threshold(cnt))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = expr if expr is not None else thr
+
+    cand = df.where(bucket16(F.col(key_col), seed) < thr)
+    w = Window.partitionBy(*skey).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = cand.withColumn("_rk", F.row_number().over(w))
+    picked = ranked.where(F.col("_rk") <= n).drop("_rk")
+
+    # undershoot guard: a stratum whose filtered candidate count fell
+    # below min(n, |stratum|) re-ranks unfiltered (exactness over speed;
+    # at oversample=4 this branch is ~never taken).
+    got = {
+        tuple(r[c] for c in strata): r["cnt"]
+        for r in picked.groupBy(*skey).agg(F.count("*").alias("cnt")).collect()
+    }
+    short = [k for k, cnt in counts.items() if got.get(k, 0) < min(n, cnt)]
+    if short:
+        cond = None
+        for key in short:
+            p = None
+            for c, v in zip(strata, key):
+                e = F.col(c).eqNullSafe(F.lit(v))
+                p = e if p is None else p & e
+            cond = p if cond is None else cond | p
+        redo = (
+            df.where(cond)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n)
+            .drop("_rk")
+        )
+        keep = ~cond if cond is not None else F.lit(True)
+        picked = picked.where(keep).unionByName(redo)
+    return picked

@@ -1,0 +1,126 @@
+"""Deterministic sampling/splitting: hashlib cross-check, growth
+stability, exact stratified counts, prefilter-invisibility, fallback."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_framework_spark.pipeline import sampling
+
+
+def _py_bucket16(key, seed) -> int:
+    return int(hashlib.md5(f"{key}|{seed}".encode()).hexdigest()[:4], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"text {i}", ["en", "de", "fr"][i % 3], f"src{i % 4}")
+        for i in range(3000)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).cache()
+
+
+def test_bucket16_matches_hashlib(spark):
+    """The Spark md5-bucket must equal the pure-Python twin (the same
+    convention the DuckDB oracle replays digit-by-digit)."""
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    got = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", sampling.bucket16(F.col("k"), seed=42).alias("b")
+        ).collect()
+    }
+    assert got == {k: _py_bucket16(k, 42) for k in range(500)}
+
+
+def test_split_assign_proportions_and_determinism(docs):
+    out = sampling.split_assign(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == 3000 and set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.9) < 0.03
+    assert abs(counts["val"] / n - 0.05) < 0.02
+    # rerun → identical assignment
+    again = sampling.split_assign(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    )
+    assert out.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")
+    ).count() == 0
+
+
+def test_split_stable_under_corpus_growth(spark, docs):
+    """A doc's split must not change when the corpus grows (incremental
+    pipelines append; assignments are per-key pure functions)."""
+    small = docs.where(F.col("doc_id") < 100)
+    w = {"train": 0.8, "val": 0.2}
+    s1 = {r["doc_id"]: r["split"] for r in
+          sampling.split_assign(small, w).select("doc_id", "split").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in
+          sampling.split_assign(docs, w).select("doc_id", "split").collect()
+          if r["doc_id"] < 100}
+    assert s1 == s2
+
+
+def test_hash_sample_semantics(docs):
+    """Exact membership: kept iff bucket16 < round(frac*65536); seeds
+    decorrelate."""
+    frac, seed = 0.25, 7
+    kept = {r["doc_id"] for r in sampling.hash_sample(
+        docs, frac, seed=seed).select("doc_id").collect()}
+    expect = {i for i in range(3000)
+              if _py_bucket16(i, seed) < round(frac * 65536)}
+    assert kept == expect
+    assert abs(len(kept) / 3000 - frac) < 0.03
+    other = {r["doc_id"] for r in sampling.hash_sample(
+        docs, frac, seed=8).select("doc_id").collect()}
+    overlap = len(kept & other) / max(1, len(kept))
+    assert 0.1 < overlap < 0.45  # ~frac expected under independence
+
+
+def test_stratified_exact_counts_and_prefilter_invisible(docs):
+    """n per stratum exactly; the scale prefilter must not change the
+    picked set vs a naive full-stratum ranking."""
+    out = sampling.stratified_sample(
+        docs, n=7, strata=("lang", "source"), seed=13
+    )
+    counts = {(r["lang"], r["source"]): r["n"] for r in
+              out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()}
+    assert len(counts) == 12 and all(v == 7 for v in counts.values())
+
+    # naive oracle: rank full strata by (md5, key) in Python
+    rows = docs.select("doc_id", "lang", "source").collect()
+    by_stratum: dict = {}
+    for r in rows:
+        by_stratum.setdefault((r["lang"], r["source"]), []).append(r["doc_id"])
+    expect = set()
+    for k, ids in by_stratum.items():
+        ids.sort(key=lambda d: (hashlib.md5(f"{d}|13".encode()).hexdigest(), d))
+        expect.update((k[0], k[1], d) for d in ids[:7])
+    got = {(r["lang"], r["source"], r["doc_id"]) for r in out.collect()}
+    assert got == expect
+
+
+def test_stratified_small_strata_and_fallback(docs):
+    """|stratum| < n → the whole stratum; absurdly low oversample forces
+    the undershoot fallback, which must still be exact."""
+    tiny = docs.where(F.col("doc_id") < 10)  # strata of size <= 4
+    out = sampling.stratified_sample(tiny, n=5, strata=("lang",), seed=1)
+    assert out.count() == 10
+
+    full = sampling.stratified_sample(
+        docs, n=7, strata=("lang", "source"), seed=13
+    )
+    forced = sampling.stratified_sample(
+        docs, n=7, strata=("lang", "source"), seed=13, oversample=0.05
+    )
+    a = {(r["lang"], r["source"], r["doc_id"]) for r in full.collect()}
+    b = {(r["lang"], r["source"], r["doc_id"]) for r in forced.collect()}
+    assert a == b
