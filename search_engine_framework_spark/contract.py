@@ -290,6 +290,22 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_snippets(spark, sf_dir):
+    """Best-window snippets (snippets.py) for the flagship BM25 top-k:
+    the 8-token span with the most query-term matches per hit, rendered
+    from the analyzed token stream (deterministic in both engines)."""
+    from .plans.models import BM25
+    from .snippets import best_window_snippets
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")), F.col("rank"))
+    docs = _read(spark, sf_dir, "documents")
+    return best_window_snippets(
+        hits, docs, ["spark", "merge", "window"], window=8
+    )
+
+
 # Batched evaluation (engine.search_many): three BM25 query plans sharing
 # ONE stats job + ONE postings scan + ONE ranking window — per-qid results
 # must equal running each query alone (and the DuckDB twin per query).
@@ -1427,6 +1443,60 @@ SELECT doc_id, n_ws, n_bpe,
 FROM c
 """
 
+def _snippets_sql() -> str:
+    """DuckDB twin of q_snippets: same top-k CTE as bm25_topk, then
+    best-window selection over tokpos (optimal windows start at a match;
+    self-join counts matches in [start, start+8))."""
+    return (
+        _SQL_BASE
+        + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+scored AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+),
+topk AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+),
+matches AS (
+  SELECT k.doc_id, k.rank, p.pos
+  FROM topk k JOIN tokpos p ON p.doc_id = k.doc_id
+  WHERE p.term IN ('spark', 'merge', 'window')
+),
+wins AS (
+  SELECT m1.doc_id, m1.rank, m1.pos AS start_tok, count(*)::BIGINT AS n_matches
+  FROM matches m1 JOIN matches m2
+    ON m2.doc_id = m1.doc_id AND m2.pos >= m1.pos AND m2.pos < m1.pos + 8
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, rank, start_tok, n_matches,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_matches DESC, start_tok ASC) AS rn
+  FROM wins
+)
+SELECT b.doc_id, b.rank, b.start_tok::BIGINT AS start_tok, b.n_matches,
+       array_to_string(list_slice(t.toks, b.start_tok + 1, b.start_tok + 8),
+                       ' ') AS snippet
+FROM best b JOIN toks t ON t.doc_id = b.doc_id
+WHERE b.rn = 1
+"""
+    )
+
+
+ORACLE_SQL["snippets"] = _snippets_sql()
+
+
 def _b16_sql(key_expr: str, seed: int) -> str:
     """DuckDB twin of sampling.bucket16: first 4 hex digits of
     md5(key || '|seed') as an int (digit-by-digit, no hex cast needed)."""
@@ -1519,6 +1589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syn_ranked": q_syn_ranked,
     "bm25_single": q_bm25_single,
     "bm25_topk": q_bm25_topk,
+    "snippets": q_snippets,
     "bm25_batch": q_bm25_batch,
     "bm25_bulk": q_bm25_bulk,
     "indri_and": q_indri_and,

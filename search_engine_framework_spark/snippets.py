@@ -1,0 +1,99 @@
+"""Snippet / best-window highlighting for result presentation.
+
+Engine extension (the reference framework ranks but never renders — its
+trec_eval sink emits ids only; SURVEY.md §2.9b): for each top-k hit,
+find the ``window``-token span of the document containing the MOST query
+-term occurrences — the classic search-result snippet — and return it
+with its start offset and match count.
+
+Spark-first plan shape (everything after the search touches only the k
+hit documents, never the corpus):
+
+1. the hits frame (k rows — broadcast side) joins the corpus on doc_id,
+   so the scan of ``docs`` prunes to text + join key and Catalyst
+   broadcasts the hits;
+2. hit texts re-tokenize with the same ``sql_safe`` analyzer twin the
+   index used (pipeline/textstats.tokens_col), positions = token index;
+3. an optimal window always starts AT a match, so candidate windows =
+   match positions; a self-join of the per-doc match lists counts
+   matches inside ``[start, start + window)`` — O(matches²) per doc,
+   bounded by doc length, zero Python;
+4. one ranking window (per doc: most matches, then smallest start)
+   picks the snippet; ``slice`` + ``concat_ws`` renders it.
+
+Determinism: ties break toward the earliest window; every hit produces
+exactly one row (a BM25/boolean hit always contains ≥ 1 matched term).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .pipeline.textstats import tokens_col
+
+
+def best_window_snippets(
+    hits: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    window: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, rank, start_tok, n_matches, snippet) — one row per hit.
+
+    ``hits`` needs (doc_id, rank); ``docs`` needs (doc_id, text).
+    ``query_terms`` are ALREADY-ANALYZED terms (the engine's flat query
+    bag); matching is exact on the analyzed token stream.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+
+    h = hits.select("doc_id", "rank")
+    toked = (
+        F.broadcast(h)
+        .join(docs.select("doc_id", text_col), "doc_id")
+        .select("doc_id", "rank", tokens_col(F.col(text_col)).alias("toks"))
+    )
+    tokpos = toked.select(
+        "doc_id",
+        "rank",
+        "toks",
+        F.posexplode("toks").alias("pos", "term"),
+    )
+    matches = tokpos.where(F.col("term").isin(list(query_terms))).select(
+        "doc_id", "rank", "pos"
+    )
+    m2 = matches.select(F.col("doc_id").alias("d2"), F.col("pos").alias("p2"))
+    wins = (
+        matches.join(
+            m2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("p2") >= F.col("pos"))
+            & (F.col("p2") < F.col("pos") + window),
+        )
+        .groupBy("doc_id", "rank", "pos")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_matches"), F.asc("pos")
+    )
+    best = (
+        wins.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        best.join(toked.select("doc_id", "toks"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("pos").cast("long").alias("start_tok"),
+            "n_matches",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("pos") + 1, window)
+            ).alias("snippet"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Best-window snippet selection: hand-computed windows, tie-breaks,
+slicing at doc end, one row per hit."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_framework_spark.snippets import best_window_snippets
+
+
+def _frames(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    hits = spark.createDataFrame(
+        [(i, i + 1) for i in range(len(texts))], "doc_id long, rank long"
+    )
+    return hits, docs
+
+
+def test_best_window_hand_computed(spark):
+    texts = [
+        # doc 0: best window must capture both 'cat' hits + 'dog' (pos 4..6)
+        "x x y z cat dog cat y y y",
+        # doc 1: two equal windows (1 match each) -> earliest start wins
+        "a cat b b b b b b b b b cat",
+        # doc 2: match at the very end -> slice clamps at doc end
+        "m m m m m m m m m cat",
+    ]
+    hits, docs = _frames(spark, texts)
+    out = {
+        r["doc_id"]: (r["start_tok"], r["n_matches"], r["snippet"])
+        for r in best_window_snippets(
+            hits, docs, ["cat", "dog"], window=4
+        ).collect()
+    }
+    assert out[0] == (4, 3, "cat dog cat y")
+    assert out[1] == (1, 1, "cat b b b")
+    assert out[2] == (9, 1, "cat")
+
+
+def test_one_row_per_hit_and_rank_passthrough(spark):
+    texts = ["q q cat", "cat cat cat", "z cat z cat"]
+    hits, docs = _frames(spark, texts)
+    rows = best_window_snippets(hits, docs, ["cat"], window=2).collect()
+    assert len(rows) == 3
+    assert {r["doc_id"]: r["rank"] for r in rows} == {0: 1, 1: 2, 2: 3}
+    by = {r["doc_id"]: r for r in rows}
+    assert by[1]["n_matches"] == 2 and by[1]["start_tok"] == 0
+    # doc 2: windows [1,2) and [3,4) both 1 match -> earliest
+    assert by[2]["start_tok"] == 1
+
+
+def test_analyzer_twin_tokenization(spark):
+    """Matching happens on the sql_safe analyzed stream: punctuation and
+    case fold exactly like the index/oracle tokenizer."""
+    hits, docs = _frames(spark, ["The CAT, the cat! dog?"])
+    out = best_window_snippets(hits, docs, ["cat"], window=3).collect()[0]
+    # tokens: the cat the cat dog -> best window starts at pos 1 (2 cats)
+    assert (out["start_tok"], out["n_matches"]) == (1, 2)
+    assert out["snippet"] == "cat the cat"
+
+
+def test_input_validation(spark):
+    hits, docs = _frames(spark, ["a"])
+    with pytest.raises(ValueError):
+        best_window_snippets(hits, docs, [], window=4)
+    with pytest.raises(ValueError):
+        best_window_snippets(hits, docs, ["a"], window=0)
