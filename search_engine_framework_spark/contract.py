@@ -456,6 +456,25 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_pq_exactcode(spark, sf_dir):
+    """Product quantization in its provably-exact configuration
+    (ksub ≥ N, refine=0 → identity codes): the full train → encode →
+    ADC-scan path must reproduce brute-force squared-L2 top-10. The
+    compressed production configuration (ksub ≪ N) of the SAME code is
+    recall-tested in tests/test_pq.py."""
+    from .pipeline import pq as pqm
+
+    embs = _read(spark, sf_dir, "embeddings")
+    books = pqm.pq_train(embs, m=8, ksub=embs.count(), refine=0)
+    qvec = [
+        float(x)
+        for x in embs.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    codes = pqm.pq_encode(embs.where(F.col("vec_id") != 0), books)
+    top = pqm.pq_query_adc(codes, books, qvec, k=10)
+    return top.select("vec_id", _r4(F.col("adc_dist")).alias("adc_dist"))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment (pipeline/sampling.py):
     per-doc split must match the oracle's md5-bucket CASE expression."""
@@ -1525,6 +1544,19 @@ SELECT doc_id, {case} AS split FROM b
 
 ORACLE_SQL["hash_split"] = _hash_split_sql()
 
+ORACLE_SQL["pq_exactcode"] = """
+WITH d AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(
+           list_zip(e.embedding,
+                    (SELECT embedding FROM embeddings WHERE vec_id = 0)),
+           p -> (p[1]::DOUBLE - p[2]::DOUBLE) ^ 2)) AS dist
+  FROM embeddings e WHERE e.vec_id != 0
+)
+SELECT vec_id, round(dist, 4) + 0.0 AS adc_dist
+FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10
+"""
+
 ORACLE_SQL["hash_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_b16_sql("doc_id::VARCHAR", 7)} < {round(0.25 * 65536)}
@@ -1614,6 +1646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
+    "pq_exactcode": q_pq_exactcode,
     "ir_metrics": q_ir_metrics,
     "conv_rollup": q_conv_rollup,
     "bm25f": q_bm25f,

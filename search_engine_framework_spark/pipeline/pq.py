@@ -1,0 +1,219 @@
+"""Product quantization (PQ) for embedding similarity at corpus scale.
+
+The third ANN tier next to RP-LSH and IVF (similarity.py), and the one
+that changes the STORAGE story: a ``dim``-float32 vector (256 B at
+dim=64) compresses to ``m`` uint8 codes (8 B at m=8) — 32× — so the
+scan side of a 10^12-vector search reads codes, not vectors
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — public method).
+
+* :func:`pq_train`   — per-subspace k-means codebooks, trained
+  distributed: deterministic stepped-id seeding (same convention as
+  ``similarity.ivf_centroids``) + Lloyd passes where assignment runs as
+  an Arrow-vectorized encode and the per-(subspace, code, dim) means
+  aggregate map-side (posexplode → hash agg — no ``collect_list`` of
+  vectors, the round-1 IVF lesson). Driver holds only m·ksub·dsub
+  floats.
+* :func:`pq_encode`  — (id, codes): argmin-L2 sub-assignment, one
+  numpy-vectorized pandas UDF, linear, no shuffle.
+* :func:`pq_query_adc` — asymmetric distance computation: the query
+  builds an (m × ksub) lookup table of exact sub-distances; each row's
+  approximate ``||q - v||²`` is m JVM array lookups + a sum (whole-stage
+  codegen — no Python, no vector reads). Top-k by ascending distance.
+
+Exactness property (the verification hook): with ``ksub ≥ N`` and
+``refine=0`` every vector seeds its own codebook entry, encode is the
+identity, and ADC distances equal exact ``||q - v||²`` — so the full
+PQ path is checkable against a brute-force SQL oracle, while
+production parameters (ksub=256 ≪ N) trade that exactness for the 32×
+compression, verified by a recall floor in pytest.
+
+Compose with IVF for the full FAISS-shaped ``IVF+PQ``: route by
+``similarity.ivf_assign``, store codes partitioned by list_id, ADC-scan
+only probed lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+
+
+def _check_dims(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    return dim // m
+
+
+def _encode_np(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) float64 × (m, ksub, dsub) → (n, m) int32 argmin-L2 codes.
+    Ties go to the lowest code index (np.argmin convention) — mirrored
+    by the pure-Python oracle in tests."""
+    n = X.shape[0]
+    m, ksub, dsub = books.shape
+    sub = X.reshape(n, m, dsub)
+    codes = np.empty((n, m), dtype=np.int32)
+    for j in range(m):
+        # (n, ksub) squared distances via ||a-b||² = ||a||² - 2ab + ||b||²
+        d = (
+            (sub[:, j, :] ** 2).sum(1)[:, None]
+            - 2.0 * sub[:, j, :] @ books[j].T
+            + (books[j] ** 2).sum(1)[None, :]
+        )
+        codes[:, j] = d.argmin(1)
+    return codes
+
+
+def pq_encode(
+    embs: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): the compressed index build. Linear scan,
+    zero shuffle; at 10^12 rows write codes partitioned by an IVF
+    list_id for probe-time pruning."""
+    books = np.ascontiguousarray(books, dtype=np.float64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series([c.tolist() for c in _encode_np(X, books)])
+
+    return embs.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_train(
+    embs: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train (m, ksub_eff, dsub) codebooks. Deterministic: stepped-id
+    seeds (ids ≡ 0 mod ⌈N/ksub⌉), then ``refine`` Lloyd passes; a
+    codebook entry that loses all members keeps its previous value."""
+    dim = len(embs.select(vec_col).first()[0])
+    dsub = _check_dims(dim, m)
+    n = embs.count()
+    k = min(ksub, n)
+    step = max(1, n // k)
+    seeds = (
+        embs.where((F.col(id_col) % step == 0) & (F.col(id_col) < step * k))
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    S = np.asarray([list(map(float, r[0])) for r in seeds], dtype=np.float64)
+    books = np.ascontiguousarray(
+        S.reshape(len(S), m, dsub).transpose(1, 0, 2)
+    )  # (m, k, dsub)
+
+    for _ in range(refine):
+        enc = pq_encode(embs, books, id_col=id_col, vec_col=vec_col)
+        # per-(subspace, code, sub-dim) mean — posexplode + hash agg,
+        # map-side combinable; m·k·dsub scalars reach the driver.
+        means = (
+            enc.join(embs.select(id_col, vec_col), id_col)
+            .select("codes", F.posexplode(F.col(vec_col)).alias("d", "x"))
+            .select(
+                (F.col("d") / dsub).cast("int").alias("j"),
+                (F.col("d") % dsub).alias("sd"),
+                F.element_at(F.col("codes"), (F.col("d") / dsub).cast("int") + 1).alias("c"),
+                F.col("x").cast("double").alias("x"),
+            )
+            .groupBy("j", "c", "sd")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        nxt = books.copy()
+        for r in means:
+            nxt[r["j"], r["c"], r["sd"]] = float(r["mu"])
+        books = nxt
+    return books
+
+
+def adc_lut(books: np.ndarray, query: list[float]) -> np.ndarray:
+    """(m, ksub) exact squared sub-distances from the query to every
+    codebook entry — the per-query table ADC scans against."""
+    books = np.asarray(books, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64).reshape(m, dsub)
+    return ((books - q[:, None, :]) ** 2).sum(-1)
+
+
+def pq_query_adc(
+    codes_df: DataFrame,
+    books: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by approximate L2: per row, m array lookups into the
+    query's LUT + a fold — all JVM codegen over the codes column; the
+    raw vectors are never read. Returns (id, adc_dist) ascending,
+    ties broken ascending id."""
+    lut = adc_lut(books, query)
+    lut_col = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(lut.shape[0] - 1)),
+            lambda c, j: F.element_at(
+                F.element_at(lut_col, j + 1), c.cast("int") + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_search(
+    embs: DataFrame,
+    codes_df: DataFrame,
+    books: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production two-stage search: ADC scans the CODES (cheap,
+    compressed, the whole corpus) for a ``shortlist``, then exact L2
+    reranks only those ``shortlist`` raw vectors — the FAISS
+    ``IVFPQ + refine`` shape. Returns (id, l2_sq) ascending. Quality is
+    governed by shortlist/k (recall@k rises toward 1 as the shortlist
+    grows), cost by the 32×-smaller scan."""
+    cand = pq_query_adc(
+        codes_df, books, query, k=shortlist, id_col=id_col
+    ).select(id_col)
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            qarr,
+            lambda v, q: (v.cast("double") - q) * (v.cast("double") - q),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        embs.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), l2.alias("l2_sq"))
+        .orderBy(F.asc("l2_sq"), F.asc(id_col))
+        .limit(k)
+    )
