@@ -456,6 +456,19 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_curation(spark, sf_dir):
+    """Full C4-shaped curation funnel (pipeline/curate.py): per-doc gate
+    verdicts (quality, language, dedup-winner) + split assignment — the
+    oracle replays every gate in SQL."""
+    from .pipeline import curate as cur
+
+    docs = _read(spark, sf_dir, "documents")
+    return cur.curation_flags(
+        docs, min_tokens=40, min_ttr=0.45, max_digit_ratio=0.3,
+        langs=("en",), seed=42,
+    )
+
+
 def q_pq_exactcode(spark, sf_dir):
     """Product quantization in its provably-exact configuration
     (ksub ≥ N, refine=0 → identity codes): the full train → encode →
@@ -1544,6 +1557,61 @@ SELECT doc_id, {case} AS split FROM b
 
 ORACLE_SQL["hash_split"] = _hash_split_sql()
 
+def _curation_sql() -> str:
+    from .pipeline.sampling import split_thresholds
+
+    thr = split_thresholds({"train": 0.98, "val": 0.01, "test": 0.01})
+    case = "CASE " + " ".join(
+        f"WHEN b < {hi} THEN '{name}'" for name, hi in thr
+    ) + " END"
+    return (
+        _SQL_BASE
+        + f""", f AS (
+  SELECT t.doc_id, d.text, len(t.toks) AS n_tok,
+    CASE WHEN len(t.toks) > 0
+         THEN len(list_distinct(t.toks))::DOUBLE / len(t.toks)
+         ELSE 0.0 END AS ttr,
+    CASE WHEN length(d.text) > 0
+         THEN (length(d.text)
+               - length(regexp_replace(d.text, '[0-9]', '', 'g')))::DOUBLE
+              / length(d.text)
+         ELSE 0.0 END AS dr,
+    CASE WHEN len(t.toks) > 0 THEN len(list_filter(t.toks, x -> list_contains(
+      ['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE / len(t.toks)
+      ELSE 0.0 END AS r_en,
+    CASE WHEN len(t.toks) > 0 THEN len(list_filter(t.toks, x -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','mit','von','zu'], x)))::DOUBLE / len(t.toks)
+      ELSE 0.0 END AS r_de,
+    CASE WHEN len(t.toks) > 0 THEN len(list_filter(t.toks, x -> list_contains(
+      ['le','la','les','de','et','est','un','une','pour','dans'], x)))::DOUBLE / len(t.toks)
+      ELSE 0.0 END AS r_fr
+  FROM toks t JOIN documents d USING (doc_id)
+),
+g AS (
+  SELECT doc_id, text,
+    (n_tok >= 40 AND dr <= 0.3 AND ttr >= 0.45) AS q_ok,
+    (CASE WHEN r_en >= r_de AND r_en >= r_fr THEN 'en'
+          WHEN r_de >= r_fr THEN 'de' ELSE 'fr' END) = 'en' AS l_ok
+  FROM f
+),
+win AS (
+  SELECT min(doc_id) AS doc_id FROM g WHERE q_ok AND l_ok GROUP BY md5(text)
+),
+k AS (
+  SELECT g.doc_id, g.q_ok, g.l_ok,
+         (w.doc_id IS NOT NULL) AS keep,
+         {_b16_sql("g.doc_id::VARCHAR", 42)} AS b
+  FROM g LEFT JOIN win w ON w.doc_id = g.doc_id
+)
+SELECT doc_id, q_ok, l_ok, keep,
+       CASE WHEN keep THEN ({case}) END AS split
+FROM k
+"""
+    )
+
+
+ORACLE_SQL["curation"] = _curation_sql()
+
 ORACLE_SQL["pq_exactcode"] = """
 WITH d AS (
   SELECT e.vec_id,
@@ -1633,6 +1701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
+    "curation": q_curation,
     "hash_split": q_hash_split,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,

@@ -1,0 +1,123 @@
+"""End-to-end corpus curation: the C4/RefinedWeb-shaped gate sequence.
+
+One operator composing the pipeline a pretraining corpus actually runs —
+quality gate → language gate → exact dedup (among survivors) → split
+assignment — as a SINGLE Spark lineage with per-document decision flags,
+so the whole pipeline is auditable ("why was doc X dropped?") and
+SQL-mirrorable (the DuckDB contract twin replays every gate).
+
+Stage semantics (ordered, each applies among the previous stage's
+survivors — the order changes results, so it is frozen and documented):
+
+1. ``q_ok``  — quality: ≥ ``min_tokens`` analyzed tokens, digit ratio ≤
+   ``max_digit_ratio``, type/token ratio ≥ ``min_ttr`` (textstats
+   expressions inlined — no join).
+2. ``l_ok``  — language: predicted language (textstats.pred_lang_col) in
+   ``langs``.
+3. ``keep``  — exact dedup among q_ok ∧ l_ok survivors: the smallest
+   doc_id per md5(text) survives (groupBy-min on the hash — map-side
+   combinable, so the shuffle carries one (md5, id) row per distinct
+   text per map partition — then an id join marks winners; NOT a
+   window over the hash, whose all-losers NULL partition would funnel
+   every dropped doc through one task).
+4. ``split`` — deterministic train/val/test assignment
+   (pipeline/sampling.split_assign) for kept docs, NULL otherwise.
+
+Scale notes: stages 1-2 and 4 are map-only column math (zero UDF,
+whole-stage codegen, pushdown-safe); stage 3 costs one combinable agg
+shuffle plus one id join (AQE broadcasts the winner ids when small).
+Flags-then-filter costs nothing extra: Catalyst collapses the
+projection, and the audit frame and the curated frame share the scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .sampling import split_assign
+from .textstats import pred_lang_col, tokens_col
+
+
+DEFAULT_WEIGHTS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+def curation_flags(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_digit_ratio: float = 0.3,
+    min_ttr: float = 0.2,
+    langs: tuple[str, ...] = ("en",),
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, q_ok, l_ok, keep, split): every gate's verdict per doc.
+
+    ``keep`` ⇒ the doc is in the curated corpus; ``split`` is non-NULL
+    exactly for kept docs.
+    """
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    n_digit = n_chars - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(0.0)
+    ttr = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(
+        0.0
+    )
+    q_ok = (
+        (n_tok >= F.lit(min_tokens))
+        & (digit_ratio <= F.lit(max_digit_ratio))
+        & (ttr >= F.lit(min_ttr))
+    )
+    l_ok = pred_lang_col(F.col("text")).isin(list(langs))
+
+    flagged = docs.select(
+        "doc_id",
+        "text",
+        q_ok.alias("q_ok"),
+        l_ok.alias("l_ok"),
+    )
+    winners = (
+        flagged.where(F.col("q_ok") & F.col("l_ok"))
+        .groupBy(F.md5(F.col("text")).alias("_k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("_w"))
+    )
+    flagged = flagged.join(winners, "doc_id", "left").withColumn(
+        "keep", F.coalesce(F.col("_w"), F.lit(False))
+    )
+    out = split_assign(
+        flagged, weights or DEFAULT_WEIGHTS, key_col="doc_id", seed=seed
+    )
+    return out.select(
+        "doc_id",
+        "q_ok",
+        "l_ok",
+        "keep",
+        F.when(F.col("keep"), F.col("split")).alias("split"),
+    )
+
+
+def curate(
+    docs: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """The curated corpus: input columns + ``split``, kept docs only."""
+    flags = curation_flags(docs, **kwargs).where("keep").select(
+        "doc_id", "split"
+    )
+    return docs.join(flags, "doc_id")
+
+
+def curation_report(flags: DataFrame) -> DataFrame:
+    """One-row funnel: docs in, quality pass, lang pass, kept, and the
+    per-split counts — the pipeline's audit artifact."""
+    return flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality_ok"),
+        F.sum((F.col("q_ok") & F.col("l_ok")).cast("long")).alias("n_lang_ok"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+    )

@@ -67,24 +67,35 @@ def quality_features(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Language ID via function-word hit ratios; argmax with the frozen
-    tie-break order en > de > fr (greatest-by tuple)."""
-    toks = tokens_col(F.col("text"))
+def lang_ratio_cols(text: Column) -> dict[str, Column]:
+    """Per-language function-word hit ratios (the lang-ID signal)."""
+    toks = tokens_col(text)
     n_tok = F.size(toks)
     ratios = {}
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array([F.lit(w) for w in words])
         hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
         ratios[lang] = F.when(n_tok > 0, hits / n_tok).otherwise(0.0)
-    # deterministic argmax: compare (score, priority) tuples
-    pred = (
+    return ratios
+
+
+def pred_lang_col(text: Column) -> Column:
+    """Deterministic argmax of the ratios, frozen tie-break en > de > fr."""
+    ratios = lang_ratio_cols(text)
+    return (
         F.when(
             (ratios["en"] >= ratios["de"]) & (ratios["en"] >= ratios["fr"]), "en"
         )
         .when(ratios["de"] >= ratios["fr"], "de")
         .otherwise("fr")
     )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language ID via function-word hit ratios; argmax with the frozen
+    tie-break order en > de > fr (greatest-by tuple)."""
+    ratios = lang_ratio_cols(F.col("text"))
+    pred = pred_lang_col(F.col("text"))
     return docs.select(
         "doc_id",
         F.round(ratios["en"], 6).alias("r_en"),

@@ -1,0 +1,90 @@
+"""Curation funnel: gate semantics, stage ordering, dedup-among-survivors,
+split nullability, report funnel math."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_framework_spark.pipeline import curate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    good = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, good),                       # passes everything
+        (1, good),                       # exact dup of 0 -> dropped (0 wins)
+        (2, "der hund und die katze und der vogel mit dem ball und zu"),  # de
+        (3, "a a a a a a a a a a a a"),  # low ttr -> quality fail
+        (4, "one 22 333 4444 55555 123456 7890123 89 01 234 56 78"),  # digits
+        (5, "too short"),                # min_tokens fail
+        (6, good + " extra words here to make it unique and long enough"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _flags(docs):
+    return {
+        r["doc_id"]: r
+        for r in curate.curation_flags(
+            docs, min_tokens=10, max_digit_ratio=0.3, min_ttr=0.5,
+            langs=("en",), seed=42,
+        ).collect()
+    }
+
+
+def test_gates(docs):
+    f = _flags(docs)
+    assert f[0]["q_ok"] and f[0]["l_ok"] and f[0]["keep"]
+    # dup of 0: passes gates but loses dedup to the smaller doc_id
+    assert f[1]["q_ok"] and f[1]["l_ok"] and not f[1]["keep"]
+    # German text: quality fine, language gate drops it
+    assert f[2]["q_ok"] and not f[2]["l_ok"] and not f[2]["keep"]
+    assert not f[3]["q_ok"] and not f[3]["keep"]   # ttr
+    assert not f[4]["q_ok"] and not f[4]["keep"]   # digit ratio
+    assert not f[5]["q_ok"] and not f[5]["keep"]   # min_tokens
+    assert f[6]["keep"]
+
+
+def test_split_only_for_kept(docs):
+    f = _flags(docs)
+    for i, r in f.items():
+        if r["keep"]:
+            assert r["split"] in ("train", "val", "test"), i
+        else:
+            assert r["split"] is None, i
+
+
+def test_dedup_winner_is_min_id(spark):
+    """Among a 3-way duplicate group the smallest doc_id survives; ids
+    are non-contiguous to catch accidental positional logic."""
+    t = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [(907, t), (31, t), (500, t)], "doc_id long, text string"
+    )
+    f = {
+        r["doc_id"]: r["keep"]
+        for r in curate.curation_flags(
+            docs, min_tokens=10, min_ttr=0.5, langs=("en",)
+        ).collect()
+    }
+    assert f == {31: True, 500: False, 907: False}
+
+
+def test_curate_and_report(docs):
+    out = curate.curate(
+        docs, min_tokens=10, max_digit_ratio=0.3, min_ttr=0.5, langs=("en",)
+    )
+    assert {r["doc_id"] for r in out.collect()} == {0, 6}
+    assert "text" in out.columns and "split" in out.columns
+
+    rep = curate.curation_report(
+        curate.curation_flags(
+            docs, min_tokens=10, max_digit_ratio=0.3, min_ttr=0.5,
+            langs=("en",),
+        )
+    ).collect()[0]
+    assert rep["n_docs"] == 7
+    assert rep["n_quality_ok"] == 4      # 0, 1, 2, 6
+    assert rep["n_lang_ok"] == 3         # 0, 1, 6
+    assert rep["n_kept"] == 2            # 0, 6
+    assert rep["n_train"] + rep["n_val"] + rep["n_test"] == 2
