@@ -9,15 +9,19 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 44 of 46 entries are
+                  summation orders differ). 48 of 50 entries are
                   oracle-checked — including the round-2 extensions
                   bm25f (multi-field index), conv_rollup (10-turn
                   conversation index), collocations, context_window, and
                   the deterministic sampling trio (hash_split,
                   hash_sample, stratified_sample), best-window
                   snippets, product quantization in its
-                  provably-exact configuration (pq_exactcode), and the
-                  end-to-end curation funnel (curation).
+                  provably-exact configuration (pq_exactcode), the
+                  end-to-end curation funnel (curation), hybrid
+                  BM25+vector Reciprocal Rank Fusion (hybrid_rrf),
+                  SymSpell fuzzy suggestion (spell_suggest), prefix
+                  autocomplete (term_prefix), and facet counts over
+                  the flagship hit set (facet_counts).
                   Two rows-only entries remain, each with a hard twin
                   elsewhere: bm25_ref_analyzer (Krovetz stemming is not
                   ANSI-SQL-expressible; locked by a pytest golden

@@ -962,6 +962,104 @@ def q_context_window(spark, sf_dir):
     )
 
 
+# Hybrid retrieval: fuse the flagship BM25 top-k with an embedding-
+# cosine top-k via Reciprocal Rank Fusion (fusion.py; k0 = 60 per
+# Cormack/Clarke/Buettcher 2009). documents.doc_id and
+# embeddings.vec_id share the id space, standing in for a corpus that
+# serves both postings and vectors.
+HYBRID_K0 = 60.0
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    from .fusion import ranked, rrf_fuse
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    lex = eng.search(BM25_QUERY, BM25(), k=BM25_K).select(
+        _orig_id(F.col("ext_id")), "rank"
+    )
+    embs = _read(spark, sf_dir, "embeddings")
+    qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
+    qcol = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    scored = embs.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        (
+            similarity._dot(F.col("embedding"), qcol)
+            / (similarity._norm(F.col("embedding")) * similarity._norm(qcol))
+        ).alias("cosine"),
+    )
+    order = [F.desc("cosine"), F.asc("doc_id")]
+    vec = ranked(scored.orderBy(*order).limit(BM25_K), order, k=BM25_K)
+    fused = rrf_fuse(
+        [
+            ("lex", lex.select("doc_id", "rank")),
+            ("vec", vec.select("doc_id", "rank")),
+        ],
+        k0=HYBRID_K0,
+    )
+    return fused.select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("rrf")).alias("rrf"),
+    )
+
+
+SPELL_QUERIES = ("sprak", "mergge", "window", "zzzqqq")
+
+
+def q_spell_suggest(spark, sf_dir):
+    """SymSpell-style did-you-mean over the index's term dictionary
+    (spell.py): delete-1 neighborhood join + exact levenshtein filter,
+    provably equal to the oracle's brute-force lev<=1 scan."""
+    from .spell import suggest
+
+    eng = get_engine(spark, sf_dir)
+    dic = (
+        eng.reader.term_stats_df()
+        .where(F.col("field") == "body")
+        .select("term", "df")
+    )
+    out = suggest(spark, dic, list(SPELL_QUERIES), max_edit=1, topn=5)
+    return out.select(
+        "query",
+        "term",
+        F.col("dist").cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_term_prefix(spark, sf_dir):
+    """Autocomplete: top dictionary terms by df under a prefix, served
+    from the index's term-stats table (pushable StringStartsWith)."""
+    from .spell import suggest_prefix
+
+    eng = get_engine(spark, sf_dir)
+    dic = (
+        eng.reader.term_stats_df()
+        .where(F.col("field") == "body")
+        .select("term", "df")
+    )
+    return suggest_prefix(dic, "s", n=15)
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet counts over the flagship BM25 top-k: per-(facet, value)
+    hit tallies for the lang and source metadata columns."""
+    from .facets import facet_counts
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")))
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+    )
+    return facet_counts(hits, docs, ["lang", "source"])
+
+
 def _bm25f_term_sql(term: str) -> str:
     """Per-term BM25F tf~ (field-combined, length-normalized) — operand
     order mirrors bm25f.bm25f_tilde_tf exactly; b/weight literals match
@@ -1675,6 +1773,114 @@ JOIN documents d
 """
 )
 
+# Flagship lex ranking as a reusable CTE chain (identical to the
+# bm25_topk oracle's scored CTE, cut to BM25_K with the engine's
+# desc-score / asc-id tie-break).
+_LEX_RANK_SQL = f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+lexscored AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+),
+lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+    FROM lexscored) WHERE r <= {BM25_K}
+)
+"""
+
+ORACLE_SQL["hybrid_rrf"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + f""",
+vecscored AS (
+  SELECT e.vec_id AS doc_id,
+         list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(e.embedding,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(q.qv,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cosine
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+),
+vec AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r
+    FROM vecscored) WHERE r <= {BM25_K}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         0.0 + COALESCE(1.0 / ({HYBRID_K0} + lex.r), 0.0)
+             + COALESCE(1.0 / ({HYBRID_K0} + vec.r), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::BIGINT AS rank,
+       round(rrf, 4) + 0.0 AS rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC
+"""
+)
+
+ORACLE_SQL["spell_suggest"] = (
+    _SQL_BASE
+    + f""",
+qs AS (SELECT * FROM (VALUES {", ".join(f"('{q}')" for q in SPELL_QUERIES)})
+       AS q(query)),
+cand AS (
+  SELECT q.query, d.term, levenshtein(q.query, d.term) AS dist, d.df
+  FROM dfreq d CROSS JOIN qs q
+  WHERE levenshtein(q.query, d.term) <= 1
+),
+rk AS (
+  SELECT query, term, dist, df,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY dist ASC, df DESC, term ASC) AS rank
+  FROM cand
+)
+SELECT query, term, dist::BIGINT AS dist, df, rank::BIGINT AS rank
+FROM rk WHERE rank <= 5
+"""
+)
+
+ORACLE_SQL["term_prefix"] = (
+    _SQL_BASE
+    + """
+SELECT term, df FROM dfreq WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 15
+"""
+)
+
+ORACLE_SQL["facet_counts"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+meta AS (
+  SELECT d.doc_id, COALESCE(d.lang, '') AS lang,
+         COALESCE(d.source, '') AS source
+  FROM documents d JOIN lex ON lex.doc_id = d.doc_id
+),
+unp AS (
+  SELECT 'lang' AS facet, lang AS value FROM meta
+  UNION ALL
+  SELECT 'source' AS facet, source AS value FROM meta
+)
+SELECT facet, value, count(*)::BIGINT AS n
+FROM unp GROUP BY 1, 2 ORDER BY facet ASC, n DESC, value ASC
+"""
+)
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats_top": q_term_stats_top,
@@ -1721,6 +1927,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25f": q_bm25f,
     "collocations": q_collocations,
     "context_window": q_context_window,
+    "hybrid_rrf": q_hybrid_rrf,
+    "spell_suggest": q_spell_suggest,
+    "term_prefix": q_term_prefix,
+    "facet_counts": q_facet_counts,
     # rows-only checks (not SQL-expressible):
     # bm25_ref_analyzer — Krovetz stemming can't be written in ANSI SQL;
     #   locked instead by a pytest golden fixture (tests/test_ranking_extras).

@@ -1,0 +1,56 @@
+"""Result faceting — metadata breakdowns of a hit set.
+
+The reference emits a flat trec_eval ranking and nothing else
+(QryEval.java:268-318). A transcript search UI additionally wants
+facet counts over the hits ("12 of these turns are role=assistant,
+3 used tool=bash"), which is a grouped count over the top-k join of
+hits x stored metadata.
+
+Scale posture: the hits side is a top-k cut (k rows), broadcast into
+the metadata join, so facet computation never shuffles the corpus;
+the groupBy runs on <= k rows per facet column. Counting over the
+FULL match set (not just top-k) is the same plan with the scored
+match frame substituted for hits — still one map-side-combinable
+aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def facet_counts(
+    hits: DataFrame,
+    metadata: DataFrame,
+    facet_cols: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(facet column, value) hit counts.
+
+    hits     — DataFrame carrying ``id_col`` (typically a top-k result).
+    metadata — DataFrame carrying ``id_col`` + the facet columns
+               (the corpus table or a slim stored-fields projection).
+    Returns DataFrame(facet:string, value:string, n:long) sorted by
+    (facet asc, n desc, value asc) — the conventional facet display
+    order, deterministic under ties.
+    """
+    if not facet_cols:
+        raise ValueError("facet_counts needs at least one facet column")
+    joined = metadata.select(id_col, *facet_cols).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    # One unpivoted pass: stack the facet columns, then a single
+    # groupBy — no per-column job fan-out.
+    stack_expr = ", ".join(f"'{c}', cast({c} as string)" for c in facet_cols)
+    unpivoted = joined.selectExpr(
+        f"stack({len(facet_cols)}, {stack_expr}) as (facet, value)"
+    )
+    return (
+        unpivoted.groupBy("facet", "value")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.asc("facet"), F.desc("n"), F.asc("value"))
+    )

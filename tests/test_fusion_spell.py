@@ -1,0 +1,211 @@
+"""fusion.py (RRF), spell.py (SymSpell suggest / prefix), facets.py.
+
+Each operator is checked against an independent pure-Python oracle on
+hand-built or randomized inputs (the contract entries add the DuckDB
+twins over the driver corpus)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_framework_spark.facets import facet_counts
+from search_engine_framework_spark.fusion import ranked, rrf_fuse
+from search_engine_framework_spark.spell import (
+    deletion_variants,
+    suggest,
+    suggest_prefix,
+)
+
+# ------------------------------------------------------------------ RRF
+
+
+def _py_rrf(rankings, k0=60.0, weights=None):
+    weights = weights or {}
+    acc = {}
+    for name, pairs in rankings:
+        w = weights.get(name, 1.0)
+        for doc, r in pairs:
+            acc[doc] = acc.get(doc, 0.0) + w / (k0 + r)
+    return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_rrf_matches_python_oracle(spark):
+    lex = [(10, 1), (11, 2), (12, 3), (13, 4)]
+    vec = [(12, 1), (99, 2), (10, 3)]
+    a = spark.createDataFrame(lex, "doc_id long, rank int")
+    b = spark.createDataFrame(vec, "doc_id long, rank int")
+    out = rrf_fuse([("lex", a), ("vec", b)]).collect()
+    expect = _py_rrf([("lex", lex), ("vec", vec)])
+    assert [(r["doc_id"], r["rank"]) for r in out] == [
+        (doc, i + 1) for i, (doc, _) in enumerate(expect)
+    ]
+    for row, (_, score) in zip(out, expect):
+        assert row["rrf"] == pytest.approx(score, rel=1e-12)
+
+
+def test_rrf_weights_and_topk(spark):
+    lex = [(1, 1), (2, 2)]
+    vec = [(2, 1), (3, 2)]
+    a = spark.createDataFrame(lex, "doc_id long, rank int")
+    b = spark.createDataFrame(vec, "doc_id long, rank int")
+    out = rrf_fuse(
+        [("lex", a), ("vec", b)], weights={"lex": 2.0}, k=2
+    ).collect()
+    expect = _py_rrf([("lex", lex), ("vec", vec)], weights={"lex": 2.0})[:2]
+    assert [(r["doc_id"], r["rrf"]) for r in out] == [
+        (d, pytest.approx(s, rel=1e-12)) for d, s in expect
+    ]
+
+
+def test_rrf_tie_breaks_on_id(spark):
+    # doc 5 only in lex at rank 2, doc 3 only in vec at rank 2 —
+    # identical rrf, asc doc_id decides.
+    a = spark.createDataFrame([(5, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 2)], "doc_id long, rank int")
+    out = rrf_fuse([("lex", a), ("vec", b)]).collect()
+    assert [r["doc_id"] for r in out] == [3, 5]
+
+
+def test_rrf_multi_query_key(spark):
+    a = spark.createDataFrame(
+        [("q1", 1, 1), ("q2", 1, 1)], "qid string, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [("q1", 2, 1)], "qid string, doc_id long, rank int"
+    )
+    out = rrf_fuse([("lex", a), ("vec", b)], on=("qid", "doc_id")).collect()
+    got = {(r["qid"], r["doc_id"]): r["rrf"] for r in out}
+    assert got[("q2", 1)] == pytest.approx(1 / 61)
+    assert got[("q1", 1)] == pytest.approx(1 / 61)
+    assert got[("q1", 2)] == pytest.approx(1 / 61)
+
+
+def test_ranked_cuts_and_orders(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)], "doc_id long, s double"
+    )
+    out = ranked(df, [F.desc("s"), F.asc("doc_id")], k=3).collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(2, 1), (3, 2), (1, 3)]
+
+
+# ----------------------------------------------------------------- spell
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_deletion_variants_py():
+    assert deletion_variants("ab") == {"ab", "a", "b"}
+    assert deletion_variants("aa") == {"aa", "a"}
+    assert "spark" in deletion_variants("sparks")
+
+
+def test_deletion_neighborhood_complete_for_distance_1():
+    # The SymSpell completeness property the join relies on:
+    # lev(a,b) <= 1 => variants(a) & variants(b) != {}.
+    rng = random.Random(11)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 5)))
+        for _ in range(40)
+    ]
+    for a, b in itertools.combinations(words, 2):
+        if _lev(a, b) <= 1:
+            assert deletion_variants(a) & deletion_variants(b)
+
+
+def test_suggest_matches_bruteforce(spark):
+    rng = random.Random(5)
+    vocab = sorted(
+        {
+            "".join(rng.choice("abcd") for _ in range(rng.randint(2, 6)))
+            for _ in range(120)
+        }
+    )
+    dic = spark.createDataFrame(
+        [(t, rng.randint(1, 50)) for t in vocab], "term string, df long"
+    )
+    dfs = {r["term"]: r["df"] for r in dic.collect()}
+    queries = ["abca", "dd", "zzz", vocab[0]]
+    out = suggest(spark, dic, queries, topn=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query"], []).append(
+            (r["term"], r["dist"], r["df"], r["rank"])
+        )
+    for q in queries:
+        brute = sorted(
+            (
+                (_lev(q, t), -dfs[t], t)
+                for t in vocab
+                if _lev(q, t) <= 1
+            ),
+        )[:4]
+        expect = [
+            (t, d, -negdf, i + 1) for i, (d, negdf, t) in enumerate(brute)
+        ]
+        assert got.get(q, []) == expect
+
+
+def test_suggest_exact_term_ranks_first(spark):
+    dic = spark.createDataFrame(
+        [("spark", 10), ("spars", 99), ("sparse", 5)], "term string, df long"
+    )
+    out = suggest(spark, dic, ["spark"], topn=3).collect()
+    # "sparse" is distance 2 — filtered; dist-0 self first, then spars.
+    assert [(r["term"], r["dist"], r["rank"]) for r in out] == [
+        ("spark", 0, 1),
+        ("spars", 1, 2),
+    ]
+
+
+def test_suggest_prefix(spark):
+    dic = spark.createDataFrame(
+        [("spark", 10), ("spam", 10), ("span", 3), ("merge", 50)],
+        "term string, df long",
+    )
+    out = suggest_prefix(dic, "sp", n=2).collect()
+    # df desc, then term asc on the tie
+    assert [(r["term"], r["df"]) for r in out] == [("spam", 10), ("spark", 10)]
+
+
+# ---------------------------------------------------------------- facets
+
+
+def test_facet_counts(spark):
+    hits = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    meta = spark.createDataFrame(
+        [
+            (1, "en", "web"),
+            (2, "en", "chat"),
+            (3, "de", "web"),
+            (4, "fr", "web"),  # not a hit — must not count
+        ],
+        "doc_id long, lang string, source string",
+    )
+    out = facet_counts(hits, meta, ["lang", "source"]).collect()
+    got = [(r["facet"], r["value"], r["n"]) for r in out]
+    assert got == [
+        ("lang", "en", 2),
+        ("lang", "de", 1),
+        ("source", "web", 2),
+        ("source", "chat", 1),
+    ]
+
+
+def test_facet_counts_requires_columns(spark):
+    hits = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        facet_counts(hits, hits, [])
