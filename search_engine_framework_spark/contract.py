@@ -430,6 +430,22 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs.select("a", "b", _r4(F.col("jaccard")).alias("jaccard"))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """End-to-end dedup ACTION: minhash-LSH pairs → large-star/small-star
+    connected components (pipeline/cc.py) → per-doc cluster id + canonical
+    election. Same pair parameterization as `neardup_pairs` (LSH provably
+    exhaustive at these settings on the test corpus), so the DuckDB twin
+    regenerates the pairs brute-force and closes them with a recursive CTE.
+    """
+    from .pipeline import cc as ccm
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.8, k=3, num_hashes=32, bands=16)
+    return ccm.dedup_clusters(docs, pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 def q_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     q = textstats.quality_features(docs)
@@ -1748,6 +1764,43 @@ ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
 # The LSH scale path at total-recall parameters must equal the exact pairs.
 ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
+# Standalone (not _SQL_BASE) because the recursive closure needs the
+# RECURSIVE keyword on the whole WITH clause.
+ORACLE_SQL["neardup_clusters"] = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(list_transform(toks,
+           (x, i) -> CASE WHEN i + 2 <= len(toks)
+                     THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+           x -> x IS NOT NULL)) AS sh
+  FROM toks WHERE len(toks) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+),
+sym AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+reach AS (
+  SELECT x, y FROM sym
+  UNION
+  SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y WHERE s.y <> r.x
+),
+comp AS (
+  SELECT x AS node, least(min(y), x) AS component FROM reach GROUP BY x
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id)::BIGINT AS cluster_id,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
 ORACLE_SQL["conv_rollup"] = (
     _SQL_BASE
     + f""", t1 AS ({_bm25_term_sql('spark')}),
@@ -1903,6 +1956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "minhash_sigs": q_minhash_sigs,
     "neardup_pairs": q_neardup_pairs,
+    "neardup_clusters": q_neardup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "quality": q_quality,
     "lang_id": q_lang_id,

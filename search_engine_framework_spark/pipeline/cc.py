@@ -1,0 +1,166 @@
+"""Connected components over near-duplicate pair graphs (the dedup action).
+
+Pair generators (``dedup.near_dup_pairs``, ``dedup.ngram_jaccard_pairs``,
+``similarity.embedding_near_dup_pairs``, ``dedup.simhash_near_pairs``)
+emit *edges*; actually deduplicating a corpus requires grouping those
+edges into equivalence classes and electing one canonical document per
+class. Transitivity matters: A~B and B~C must collapse to ONE kept doc
+even when A~C was never emitted as a pair.
+
+The component algorithm is the alternating **large-star / small-star**
+method (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) — the standard shared-nothing formulation:
+
+* it converges in O(log² n) rounds on ANY graph shape (a plain
+  min-label-propagation loop needs O(diameter) rounds, and near-dup
+  chains A~B~C~... of boilerplate docs create long paths);
+* every round is expressible as two groupBy-style shuffles with
+  map-side combinable ``min`` aggregates — no driver-side union-find,
+  no ``collect()``, no state that grows with component size;
+* per-node work is bounded by the node's degree, so a 10⁸-member
+  boilerplate cluster never funnels through one task (contrast a
+  GraphX-style Pregel superstep holding whole adjacency lists).
+
+Each star operation here is ONE shuffle (a ``Window.partitionBy(u)``
+min rather than groupBy+self-join), so a round costs two shuffles of
+the current edge set, which only shrinks round over round.
+
+Reference tie-in: the reference has no dedup at all (it reads a
+prebuilt Lucene index — QryEval.java:102-103); this module is part of
+the training-data-pipeline extension surface mandated by the task.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u>v) pairs, no self-loops, distinct."""
+    return (
+        edges.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Input/output: canonical (u>v) edge sets."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    starred = sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    return _canon(
+        starred.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u (over edges oriented u>v), connect every smaller
+    neighbor AND u itself to min(N(u) ∪ {u}) = min neighbor."""
+    w = Window.partitionBy("u")
+    starred = edges.withColumn("m", F.min("v").over(w))
+    to_center = starred.select("v", F.col("m").alias("v2"))
+    self_edge = starred.select(F.col("u").alias("v"), F.col("m").alias("v2"))
+    return _canon(
+        to_center.union(self_edge).select(
+            F.col("v").alias("u"), F.col("v2").alias("v")
+        )
+    )
+
+
+def _edge_signature(edges: DataFrame) -> tuple[int, int]:
+    """Cheap convergence check: (count, sum of per-edge hashes).
+
+    One action per round; the aggregate is map-side combinable so the
+    driver sees two scalars, never the edge set. The hash sum runs in
+    decimal(38,0) because a sum of 64-bit hashes overflows a long
+    (ANSI mode raises on that) after only a handful of edges.
+    """
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node that appears in ``pairs``;
+    ``component`` is the minimum node id of the node's component.
+
+    Alternates large-star / small-star until the edge set is stable
+    (signature-equal two rounds running), then reads components off the
+    final star forest. Each round materializes the (shrinking) edge set
+    via localCheckpoint so lineage doesn't deepen with iterations —
+    the same cycle-breaking discipline as an iterative MLlib job.
+    """
+    edges = _canon(
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+    ).localCheckpoint(eager=True)
+    sig = _edge_signature(edges)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nsig = _edge_signature(nxt)
+        edges, prev = nxt, edges
+        prev.unpersist()
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # Converged small-star output is a star forest: (member>root) edges.
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    return (
+        members.union(roots)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Cluster assignment + canonical election for a whole corpus.
+
+    Returns one row per input doc: (id_col, cluster_id, is_canonical).
+    Docs in no near-dup pair are singleton clusters of themselves; the
+    canonical member of a multi-doc cluster is its minimum id (a pure
+    deterministic rule — swap in quality-ranked election by re-keying
+    ids upstream). Downstream dedup = ``.where("is_canonical")``.
+
+    The components frame is component-count sized (tiny next to the
+    corpus), so the join back to ``docs`` broadcasts under AQE.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = docs.join(
+        comp.withColumnRenamed("node", id_col), on=id_col, how="left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col).cast("long")).alias("cluster_id"),
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(id_col).cast("long") == F.col("cluster_id"))
+    )

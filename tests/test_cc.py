@@ -1,0 +1,119 @@
+"""Connected components (large-star/small-star) vs a union-find oracle."""
+
+import random
+
+import pyspark.sql.functions as F
+
+from search_engine_framework_spark.pipeline import cc, dedup
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(m) for r, m in comp.items() for x in m}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in cc.connected_components(df).collect()
+    }
+    return got
+
+
+def test_chain_star_and_cycle(spark):
+    # long chain (worst case for label propagation), a star, a cycle,
+    # a self-loop, a duplicate edge, and an isolated pair
+    edges = (
+        [(i, i + 1) for i in range(20)]          # chain 0..20
+        + [(100, v) for v in range(101, 110)]    # star at 100
+        + [(200, 201), (201, 202), (202, 200)]   # cycle
+        + [(300, 300), (400, 401), (401, 400), (400, 401)]
+    )
+    got = _run(spark, edges)
+    for i in range(21):
+        assert got[i] == 0
+    for v in range(100, 110):
+        assert got[v] == 100
+    assert got[200] == got[201] == got[202] == 200
+    assert got[400] == got[401] == 400
+    # self-loop-only node has no real edge: absent from pair components
+    assert 300 not in got
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(30, 140))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _uf_components(n, edges)
+        touched = {x for e in edges for x in e}
+        got = _run(spark, edges)
+        assert set(got) == touched
+        for x in touched:
+            assert got[x] == want[x], (trial, x)
+
+
+def test_dedup_clusters_singletons_and_canonicals(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 7), (2, 3)], "a long, b long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in cc.dedup_clusters(docs, pairs).collect()
+    }
+    assert len(rows) == 8
+    assert rows[1] == (1, True)
+    assert rows[5] == (1, False)
+    assert rows[7] == (1, False)
+    assert rows[2] == (2, True)
+    assert rows[3] == (2, False)
+    for single in (0, 4, 6):
+        assert rows[single] == (single, True)
+    # downstream dedup keeps exactly one doc per cluster
+    kept = [d for d, (_, canon) in rows.items() if canon]
+    assert sorted(kept) == [0, 1, 2, 4, 6]
+
+
+def test_end_to_end_with_near_dup_pairs(spark):
+    # two exact-ish dup families A (3 docs) and B (2 docs) + distinct docs
+    base_a = "spark shuffles the posting lists across executor partitions"
+    base_b = "duckdb verifies every contract query against the oracle"
+    rows = [
+        (0, base_a), (1, base_a), (2, base_a + " quickly"),
+        (3, base_b), (4, base_b),
+        (5, "completely unrelated text about sampling strata and buckets"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.6, k=3, num_hashes=32, bands=16)
+    out = cc.dedup_clusters(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == 3
+    assert got[5] == 5
+    assert out.where("is_canonical").count() == 3
