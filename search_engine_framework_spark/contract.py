@@ -446,6 +446,20 @@ def q_neardup_clusters(spark, sf_dir):
     )
 
 
+def q_chunks(spark, sf_dir):
+    """RAG-style token-window chunking (pipeline/chunking.py):
+    chunk_size=32, overlap=8 over `documents`; the DuckDB twin replays
+    the identical geometry with generate_series + list_slice."""
+    from .pipeline.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_size=32, overlap=8)
+    return ch.select(
+        "doc_id", "chunk_idx", "start_tok", "end_tok", "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def q_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     q = textstats.quality_features(docs)
@@ -1764,6 +1778,28 @@ ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
 # The LSH scale path at total-recall parameters must equal the exact pairs.
 ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
+# chunk_size=32, overlap=8 => stride=24; geometry per pipeline/chunking.py
+ORACLE_SQL["chunks"] = _SQL_BASE + r"""
+, g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT) END AS n_chunks
+  FROM toks WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM g
+)
+SELECT doc_id,
+       chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * 24)::BIGINT AS start_tok,
+       least(chunk_idx * 24 + 32, n)::BIGINT AS end_tok,
+       (least(chunk_idx * 24 + 32, n) - chunk_idx * 24)::BIGINT AS n_tokens,
+       md5(array_to_string(
+         list_slice(toks, chunk_idx * 24 + 1, least(chunk_idx * 24 + 32, n)),
+         ' ')) AS chunk_md5
+FROM c
+"""
 # Standalone (not _SQL_BASE) because the recursive closure needs the
 # RECURSIVE keyword on the whole WITH clause.
 ORACLE_SQL["neardup_clusters"] = r"""
@@ -1958,6 +1994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_pairs": q_neardup_pairs,
     "neardup_clusters": q_neardup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
+    "chunks": q_chunks,
     "quality": q_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,

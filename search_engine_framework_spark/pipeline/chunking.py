@@ -1,0 +1,86 @@
+"""Token-window document chunking for RAG / training-data pipelines.
+
+Splits each document's token stream into fixed-size windows with a
+configurable overlap — the preprocessing step between a curated corpus
+and an embedding/indexing stage (every RAG ingestion pipeline and most
+long-context training mixes run exactly this op over their full corpus).
+
+Scale posture: the whole operator is JVM-side column math over one
+narrow projection — tokenize (``split``/``filter``), a ``sequence`` of
+chunk starts, one ``posexplode``. No shuffle at all: chunking is
+embarrassingly parallel per document, output partitioning inherits the
+input's, and Catalyst prunes the scan to (id, text). At 100 TB the job
+is a single map stage whose output is ~``n_tokens/stride`` rows per doc.
+
+Chunk geometry (deterministic, engine-independent):
+  stride   = chunk_size - overlap            (must be > 0)
+  n_chunks = 1                               if n_tokens <= chunk_size
+           = 1 + ceil((n_tokens - chunk_size) / stride)   otherwise
+  chunk i  = tokens[i*stride : min(i*stride + chunk_size, n_tokens)]
+The last chunk is the only one allowed to be short; empty documents
+produce no chunks. Chunk text is the space-joined *normalized* token
+window (the same sql-safe tokenizer as pipeline/textstats.py), which is
+what embedding models consume; byte-offset fidelity to the raw text is
+the snippets module's job (snippets.py), not this one's.
+
+The reference has no chunking (it queries a prebuilt Lucene index,
+QryEval.java:102-103); this is part of the training-data extension
+surface. The DuckDB twin in contract.py replays the identical geometry
+with generate_series + list_slice.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.analyzer import sql_safe_tokens_col
+
+__all__ = ["chunk_documents"]
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, chunk): id_col, chunk_idx, start_tok, end_tok,
+    n_tokens (of the chunk), chunk_text."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be > 0, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size), got {overlap} vs {chunk_size}"
+        )
+    stride = chunk_size - overlap
+    toks = docs.select(
+        F.col(id_col), sql_safe_tokens_col(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.when(F.col("n") <= chunk_size, F.lit(1)).otherwise(
+        (F.col("n") - chunk_size + stride - 1) / stride + 1
+    ).cast("int")
+    chunked = (
+        toks.where(F.col("n") > 0)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("start_tok", (F.col("chunk_idx") * stride).cast("long"))
+        .withColumn(
+            "end_tok", F.least(F.col("start_tok") + chunk_size, F.col("n").cast("long"))
+        )
+    )
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "start_tok",
+        "end_tok",
+        (F.col("end_tok") - F.col("start_tok")).alias("n_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.col("start_tok").cast("int") + 1,
+                (F.col("end_tok") - F.col("start_tok")).cast("int"),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

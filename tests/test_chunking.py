@@ -1,0 +1,75 @@
+"""Token-window chunking vs a pure-Python geometry oracle."""
+
+import math
+import random
+import re
+
+import pytest
+
+from search_engine_framework_spark.pipeline.chunking import chunk_documents
+
+
+def _py_chunks(text, chunk_size, overlap):
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    n = len(toks)
+    if n == 0:
+        return []
+    stride = chunk_size - overlap
+    n_chunks = 1 if n <= chunk_size else 1 + math.ceil((n - chunk_size) / stride)
+    out = []
+    for i in range(n_chunks):
+        s = i * stride
+        e = min(s + chunk_size, n)
+        out.append((i, s, e, e - s, " ".join(toks[s:e])))
+    return out
+
+
+def test_geometry_matches_python_oracle(spark):
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 90))))
+        for i in range(40)
+    ]
+    rows.append((99, ""))  # empty doc: no chunks
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for cs, ov in [(16, 4), (8, 0), (5, 4)]:
+        got = {}
+        for r in chunk_documents(docs, chunk_size=cs, overlap=ov).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["start_tok"], r["end_tok"], r["n_tokens"],
+                 r["chunk_text"])
+            )
+        for doc_id, text in rows:
+            want = _py_chunks(text, cs, ov)
+            have = sorted(got.get(doc_id, []))
+            assert have == want, (cs, ov, doc_id)
+
+
+def test_coverage_and_overlap_invariants(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(103)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_size=20, overlap=5).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # full coverage: first starts at 0, last ends at n, no gaps
+    assert rows[0]["start_tok"] == 0
+    assert rows[-1]["end_tok"] == 103
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_tok"] == a["start_tok"] + 15  # stride
+        assert b["start_tok"] < a["end_tok"]  # overlap really overlaps
+    # every chunk except the last is full-size
+    assert all(r["n_tokens"] == 20 for r in rows[:-1])
+    assert 0 < rows[-1]["n_tokens"] <= 20
+
+
+def test_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=8, overlap=-1)
