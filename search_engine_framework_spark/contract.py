@@ -486,6 +486,20 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_cooccur(spark, sf_dir):
+    """Windowed skip-gram co-occurrence counts (textstats.cooccurrence,
+    window=3, min_count=5); DuckDB twin is a tokpos position self-join."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.cooccurrence(docs, window=3, min_count=5)
+
+
+def q_corpus_profile(spark, sf_dir):
+    """One-row corpus report (textstats.corpus_profile) — exact columns
+    only; the HLL sketch twin is pytest-bounded (test_textstats_extra)."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.corpus_profile(docs).drop("approx_vocab")
+
+
 def q_curation(spark, sf_dir):
     """Full C4-shaped curation funnel (pipeline/curate.py): per-doc gate
     verdicts (quality, language, dedup-winner) + split assignment — the
@@ -1778,6 +1792,29 @@ ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
 # The LSH scale path at total-recall parameters must equal the exact pairs.
 ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
+ORACLE_SQL["cooccur"] = _SQL_BASE + r"""
+, co AS (
+  SELECT least(x.term, y.term) AS w1, greatest(x.term, y.term) AS w2,
+         count(*)::BIGINT AS c
+  FROM tokpos x JOIN tokpos y
+    ON x.doc_id = y.doc_id AND y.pos > x.pos AND y.pos <= x.pos + 3
+  GROUP BY 1, 2
+)
+SELECT w1, w2, c FROM co WHERE c >= 5
+"""
+ORACLE_SQL["corpus_profile"] = _SQL_BASE + r"""
+SELECT
+  (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+  (SELECT sum(doclen) FROM dl)::BIGINT AS n_tokens,
+  (SELECT count(DISTINCT term) FROM tf)::BIGINT AS vocab,
+  round((SELECT avg(doclen) FROM dl), 4) + 0.0 AS avg_doclen,
+  round((SELECT quantile_cont(doclen, 0.5) FROM dl), 4) + 0.0 AS p50_doclen,
+  round((SELECT quantile_cont(doclen, 0.9) FROM dl), 4) + 0.0 AS p90_doclen,
+  (SELECT max(doclen) FROM dl)::BIGINT AS max_doclen,
+  (SELECT count(DISTINCT md5(text)) FROM documents)::BIGINT AS distinct_texts,
+  round(1.0 - (SELECT count(DISTINCT md5(text)) FROM documents)::DOUBLE
+            / (SELECT count(*) FROM documents), 4) + 0.0 AS dup_ratio
+"""
 # chunk_size=32, overlap=8 => stride=24; geometry per pipeline/chunking.py
 ORACLE_SQL["chunks"] = _SQL_BASE + r"""
 , g AS (
@@ -1998,6 +2035,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
+    "cooccur": q_cooccur,
+    "corpus_profile": q_corpus_profile,
     "curation": q_curation,
     "hash_split": q_hash_split,
     "hash_sample": q_hash_sample,

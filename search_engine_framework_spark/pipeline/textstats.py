@@ -228,3 +228,99 @@ def collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
             (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
         )
     )
+
+
+def cooccurrence(
+    docs: DataFrame, window: int = 5, min_count: int = 5
+) -> DataFrame:
+    """Windowed co-occurrence counts — the skip-gram pair table that
+    count-based embedding training (GloVe-style) and query-expansion
+    statistics consume.
+
+    For every token position pair (i, j) with ``0 < j - i <= window``
+    within a document, counts the UNORDERED pair (canonicalized so
+    ``w1 <= w2``); each position pair contributes exactly 1. Returns
+    (w1, w2, c) with ``c >= min_count``.
+
+    Scale shape: pair generation is per-row array math — a ``transform``
+    over offsets 1..window of ``zip_with`` on shifted slices, flattened
+    and exploded (zero UDF, zero shuffle) — followed by ONE map-side
+    combinable groupBy. Output volume is ~window × corpus tokens before
+    the count cut, the op's inherent cost; nothing concentrates per
+    task beyond ordinary Zipf-head keys, which partial aggregation
+    absorbs. The DuckDB twin replays it as a position self-join.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = tokens_col(F.col("text"))
+    base = docs.select(toks.alias("toks")).where(F.size("toks") >= 2)
+    n = F.size("toks")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(int(window)), n - 1)),
+            lambda d: F.zip_with(
+                F.slice(F.col("toks"), F.lit(1), n - d),
+                F.slice(F.col("toks"), d + 1, n - d),
+                lambda a, b: F.struct(
+                    F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")
+                ),
+            ),
+        )
+    )
+    return (
+        base.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .where(F.col("c") >= int(min_count))
+    )
+
+
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """One-row corpus report: the numbers a curation run logs per
+    snapshot. Exact columns (DuckDB-verifiable) plus sketch twins:
+
+    n_docs, n_tokens, vocab (exact distinct), approx_vocab (HLL++, the
+    100 TB path — exact distinct is a full vocabulary shuffle), avg/p50/
+    p90/max doclen (exact interpolated percentiles), distinct_texts +
+    dup_ratio (md5 exact-dup rate).
+
+    Three independent single-row aggregates (doc-level, token-level,
+    vocab) combined by cross-joining 1-row frames — each is map-side
+    combinable; only the exact-vocab leg shuffles the term dictionary.
+    Pytest bounds the HLL estimate against the exact count; the contract
+    entry selects the exact columns only (sketches are
+    algorithm-specific and have no cross-engine twin).
+    """
+    toks = tokens_col(F.col("text"))
+    dl = docs.select(
+        F.size(toks).alias("doclen"), F.md5(F.col("text")).alias("h")
+    )
+    doc_level = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doclen").cast("long").alias("n_tokens"),
+        (F.round(F.avg("doclen"), 4) + F.lit(0.0)).alias("avg_doclen"),
+        (F.round(F.percentile("doclen", F.lit(0.5)), 4) + F.lit(0.0)).alias(
+            "p50_doclen"
+        ),
+        (F.round(F.percentile("doclen", F.lit(0.9)), 4) + F.lit(0.0)).alias(
+            "p90_doclen"
+        ),
+        F.max("doclen").cast("long").alias("max_doclen"),
+        F.count_distinct("h").cast("long").alias("distinct_texts"),
+    ).withColumn(
+        "dup_ratio",
+        F.round(
+            F.lit(1.0) - F.col("distinct_texts") / F.col("n_docs"), 4
+        )
+        + F.lit(0.0),
+    )
+    terms = docs.select(F.explode(toks).alias("t"))
+    vocab = terms.agg(
+        F.count_distinct("t").cast("long").alias("vocab"),
+        F.approx_count_distinct("t").cast("long").alias("approx_vocab"),
+    )
+    return doc_level.crossJoin(vocab).select(
+        "n_docs", "n_tokens", "vocab", "approx_vocab", "avg_doclen",
+        "p50_doclen", "p90_doclen", "max_doclen", "distinct_texts",
+        "dup_ratio",
+    )

@@ -1,0 +1,92 @@
+"""cooccurrence + corpus_profile vs pure-Python oracles."""
+
+import hashlib
+import random
+import re
+from collections import Counter
+
+import pytest
+
+from search_engine_framework_spark.pipeline import textstats
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_cooc(texts, window):
+    c = Counter()
+    for text in texts:
+        toks = _toks(text)
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                a, b = sorted((toks[i], toks[j]))
+                c[(a, b)] += 1
+    return c
+
+
+def test_cooccurrence_matches_python(spark):
+    rng = random.Random(11)
+    words = ["red", "green", "blue", "cyan", "teal"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 25)))
+        for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for window, min_count in [(1, 1), (3, 2), (50, 1)]:
+        want = {
+            k: v
+            for k, v in _py_cooc(texts, window).items()
+            if v >= min_count
+        }
+        got = {
+            (r["w1"], r["w2"]): r["c"]
+            for r in textstats.cooccurrence(
+                docs, window=window, min_count=min_count
+            ).collect()
+        }
+        assert got == want, (window, min_count)
+
+
+def test_cooccurrence_window_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.cooccurrence(docs, window=0)
+
+
+def test_corpus_profile_matches_python(spark):
+    rng = random.Random(5)
+    words = ["spark", "duck", "index", "merge", "scan"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 40)))
+        for _ in range(50)
+    ]
+    texts += [texts[0], texts[1], texts[1]]  # exact dups
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = textstats.corpus_profile(docs).collect()[0]
+
+    lens = sorted(len(_toks(t)) for t in texts)
+    n = len(texts)
+
+    def pct(p):
+        pos = p * (n - 1)
+        lo, hi = int(pos), min(int(pos) + 1, n - 1)
+        return lens[lo] + (pos - int(pos)) * (lens[hi] - lens[lo])
+
+    vocab = len({t for txt in texts for t in _toks(txt)})
+    assert row["n_docs"] == n
+    assert row["n_tokens"] == sum(lens)
+    assert row["vocab"] == vocab
+    assert row["avg_doclen"] == round(sum(lens) / n, 4)
+    assert row["p50_doclen"] == round(pct(0.5), 4)
+    assert row["p90_doclen"] == round(pct(0.9), 4)
+    assert row["max_doclen"] == max(lens)
+    distinct = len({hashlib.md5(t.encode()).hexdigest() for t in texts})
+    assert row["distinct_texts"] == distinct
+    assert row["dup_ratio"] == round(1.0 - distinct / n, 4)
+    # HLL sketch (the scale path) must land near the exact count
+    assert abs(row["approx_vocab"] - vocab) / vocab < 0.15
