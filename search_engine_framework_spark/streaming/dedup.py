@@ -1,0 +1,59 @@
+"""Streaming exact dedup over a transcript/document stream.
+
+The batch pipeline dedups with a hash-groupBy (pipeline/dedup.py,
+pipeline/curate.py); an *ingestion* pipeline needs the same gate before
+documents reach the incremental indexer (streaming/incremental.py), and
+it must hold state bounded at 10^12-turn scale. This module wraps
+Spark's own streaming dedup operator rather than hand-rolling state:
+
+* ``with_fingerprint`` — md5 of the sql-safe token stream (the same
+  normalization fingerprint as ``textstats.fingerprints``): dedup is
+  case/punctuation-insensitive, matching the batch gate.
+* ``dedup_stream`` — first-arrival-wins dedup on the fingerprint.
+  Streaming input: ``dropDuplicatesWithinWatermark`` keyed on the
+  fingerprint with an event-time watermark, so per-key state is
+  DROPPED once the watermark passes it — bounded state, the only
+  posture that survives an unbounded stream. The documented tradeoff:
+  two duplicates farther apart in event time than the horizon both
+  survive (cross-horizon dedup belongs to the batch compaction pass,
+  exactly how production ingest pipelines split the job).
+  Batch input: plain ``dropDuplicates`` on the same key — identical
+  semantics with an unbounded horizon, used by tests as the oracle.
+
+The reference engine has no streaming at all (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.analyzer import sql_safe_tokens_col
+
+__all__ = ["with_fingerprint", "dedup_stream"]
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``fp`` = md5 of the normalized token stream."""
+    return df.withColumn(
+        "fp", F.md5(F.concat_ws(" ", sql_safe_tokens_col(F.col(text_col))))
+    )
+
+
+def dedup_stream(
+    src: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-arrival-wins exact dedup on the normalized-text fingerprint.
+
+    Works on both streaming and batch frames (unified API); on a stream
+    the watermark bounds the dedup state to the horizon.
+    """
+    out = with_fingerprint(src, text_col=text_col)
+    if out.isStreaming:
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fp"]
+        )
+    return out.dropDuplicates(["fp"])
