@@ -1,0 +1,72 @@
+"""Sequential Dependence Model (SDM) query builder.
+
+Metzler & Croft's SDM (SIGIR'05, public knowledge) interpolates three
+evidence channels for a query q1..qn under a language model:
+
+    score = wt · Σ f(qi)  +  wo · Σ f(#1(qi qi+1))  +  wu · Σ f(#uwN(qi qi+1))
+
+i.e. unigrams, exact-ordered bigrams, and unordered-window bigrams. The
+reference computes SDM only as LeToR feature f17 (repo: letor.py, citing
+LearnToRank.java:600-668); this module exposes it as a first-class
+retrieval model by COMPILING an SDM query string in the engine's own
+structured language — no new operator or scorer is needed, because the
+language already has weighted interpolation (#WSUM), ordered adjacency
+(#NEAR/1), and unordered windows (#WINDOW/N), all rank-identical to the
+reference's kernels (operators/positional.py):
+
+    #WSUM( wt #AND(q1 .. qn)
+           wo #AND(#NEAR/1(q1 q2) .. #NEAR/1(qn-1 qn))
+           wu #AND(#WINDOW/8(q1 q2) ..) )
+
+Under the Indri model, #AND is the geometric mean of its children's
+query-likelihood scores — exactly SDM's Σ log f(·) channel up to the
+1/n exponent, which is rank-preserving per channel. Execution therefore
+inherits every distributed property of the compiled plan: bucket-pruned
+posting scans, vectorized positional kernels, TakeOrderedAndProject
+top-k.
+
+Terms are analyzed (stop/stem) BEFORE bigram construction, so bigrams
+never straddle a dropped stopword slot with a phantom child — the same
+convention as the reference's f17 feature (and standard SDM practice).
+"""
+
+from __future__ import annotations
+
+from ..functions.analyzer import AnalyzerConfig, analyze_terms
+
+__all__ = ["sdm_query"]
+
+
+def sdm_query(
+    text: str,
+    wt: float = 0.8,
+    wo: float = 0.1,
+    wu: float = 0.1,
+    window: int = 8,
+    cfg: AnalyzerConfig | None = None,
+    field: str | None = None,
+) -> str:
+    """Compile free text into an SDM query string for the Indri model.
+
+    Single-term queries (after analysis) degrade to the bare term —
+    there are no bigrams to weight. Raises on empty/all-stopword text
+    (the reference fatalErrors on empty operators, QryEval.java:670-671).
+    """
+    if not 0 < window:
+        raise ValueError(f"window must be >= 1, got {window}")
+    terms = analyze_terms(text, cfg)
+    if not terms:
+        raise ValueError(f"SDM query is empty after analysis: {text!r}")
+    suffix = f".{field}" if field else ""
+    qt = [t + suffix for t in terms]
+    if len(qt) == 1:
+        return qt[0]
+    unigrams = f"#AND({' '.join(qt)})"
+    pairs = list(zip(qt, qt[1:]))
+    ordered = "#AND({})".format(
+        " ".join(f"#NEAR/1({a} {b})" for a, b in pairs)
+    )
+    unordered = "#AND({})".format(
+        " ".join(f"#WINDOW/{int(window)}({a} {b})" for a, b in pairs)
+    )
+    return f"#WSUM({wt} {unigrams} {wo} {ordered} {wu} {unordered})"

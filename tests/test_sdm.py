@@ -1,0 +1,54 @@
+"""SDM query builder: compiled string shape + engine-vs-pyoracle rank
+identity of the compiled query under Indri."""
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.oracle.pyoracle import Oracle, PyIndex
+from search_engine_framework_spark.plans.models import Indri
+from search_engine_framework_spark.plans.parser import parse_query
+from search_engine_framework_spark.plans.sdm import sdm_query
+
+CFG = AnalyzerConfig.reference()
+IND = Indri(mu=2500.0, lam=0.4)
+
+
+def test_compiled_shape():
+    q = sdm_query("search engine index", cfg=CFG)
+    assert q == (
+        "#WSUM(0.8 #AND(search engine index) "
+        "0.1 #AND(#NEAR/1(search engine) #NEAR/1(engine index)) "
+        "0.1 #AND(#WINDOW/8(search engine) #WINDOW/8(engine index)))"
+    )
+    # analysis happens BEFORE bigram construction: the stopword never
+    # produces a phantom bigram child
+    q2 = sdm_query("search the engine", cfg=CFG)
+    assert "#NEAR/1(search engine)" in q2
+    assert "the" not in q2
+    # field qualification propagates to every leaf
+    q3 = sdm_query("search engine", field="role", cfg=CFG)
+    assert "#NEAR/1(search.role engine.role)" in q3
+
+
+def test_degenerate_and_errors():
+    assert sdm_query("searching", cfg=CFG) == "search"  # single term: bare
+    with pytest.raises(ValueError):
+        sdm_query("the of and", cfg=CFG)  # all stopwords
+    with pytest.raises(ValueError):
+        sdm_query("search engine", window=0, cfg=CFG)
+
+
+def test_rank_identity_vs_pyoracle(spark, tiny_index):
+    paths, rows, _ = tiny_index
+    engine = SearchEngine(spark, paths, CFG)
+    oracle = Oracle(PyIndex.build(rows, fields=("body", "role"), cfg=CFG), IND)
+    q = sdm_query("search engine index", wt=0.7, wo=0.2, wu=0.1, cfg=CFG)
+    expected = oracle.run(parse_query(q, IND, CFG), k=50)
+    got = [
+        (r["doc_id"], r["ext_id"], r["rank"], r["score"])
+        for r in engine.search(q, IND, k=50).collect()
+    ]
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    assert [g[3] for g in got] == pytest.approx([e[3] for e in expected], rel=1e-9)
+    assert len(got) > 0
