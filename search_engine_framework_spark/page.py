@@ -1,0 +1,105 @@
+"""One-call search page: hits + snippets + facets + did-you-mean.
+
+Composes the engine's verified building blocks into the response shape
+a search frontend actually renders (the Elasticsearch/Solr "one request,
+one SERP" contract): ranked hits, a best-window snippet per hit, facet
+counts over the hit set, and spelling suggestions for query terms that
+look misspelled. Pure composition — every part is its own oracle-checked
+operator (`bm25_topk`/`snippets`/`facet_counts`/`spell_suggest` contract
+entries), so this module adds orchestration, not new semantics, and its
+test asserts part-for-part agreement with the standalone operators.
+
+Cost shape: ONE engine.search plan (the expensive part), then three
+hit-set-bounded follow-ups — snippets re-tokenize only the k hit docs
+(broadcast join), facets tally one unpivot pass over k rows, spelling
+probes the term dictionary only for query terms below a df floor. At
+any corpus scale the marginal cost over the bare search is O(k), not
+O(corpus).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import spell as spellmod
+from .engine import SearchEngine
+from .facets import facet_counts
+from .plans import ast
+from .plans.models import RetrievalModel
+from .plans.parser import parse_query
+from .snippets import best_window_snippets
+
+__all__ = ["SearchPage", "search_page"]
+
+
+@dataclass
+class SearchPage:
+    hits: DataFrame          # (doc_id, ext_id, rank, score)
+    snippets: DataFrame      # (doc_id, rank, start_tok, n_matches, snippet)
+    facets: DataFrame | None  # (facet, value, n)
+    suggestions: DataFrame | None  # (query, term, dist, df, rank)
+
+
+def search_page(
+    spark: SparkSession,
+    engine: SearchEngine,
+    docs: DataFrame,
+    query: str,
+    model: RetrievalModel,
+    *,
+    k: int = 10,
+    facet_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    snippet_window: int = 8,
+    suggest_df_floor: int = 1,
+    suggest_field: str | None = None,
+) -> SearchPage:
+    """Run ``query`` and assemble the page.
+
+    docs — the corpus table carrying ``id_col``, ``text``, and any
+    ``facet_cols``. Hit doc_ids must be joinable to it (the engine's
+    ext_id ↔ doc mapping is the caller's: pass the same frame the index
+    was built over, or a slim projection of it).
+
+    suggest_df_floor — query terms whose document frequency is at or
+    below this get did-you-mean candidates (0 disables never-seen-only,
+    None disables suggestions entirely).
+    """
+    node = parse_query(query, model, engine.analyzer)
+    pairs = sorted(ast.query_terms(node))
+    terms = sorted({t for t, _ in pairs})
+    hits = engine.search(query, model, k=k)
+
+    hid = hits.select(F.col("doc_id").alias(id_col), "rank")
+    snips = best_window_snippets(
+        hid, docs.select(F.col(id_col).alias("doc_id"), "text"),
+        terms, window=snippet_window,
+    )
+
+    facets = None
+    if facet_cols:
+        facets = facet_counts(
+            hits.select(F.col("doc_id").alias(id_col)),
+            docs, list(facet_cols), id_col=id_col,
+        )
+
+    suggestions = None
+    if suggest_df_floor is not None:
+        field = suggest_field or pairs[0][1]
+        dictionary = engine.reader.term_stats_df().where(
+            F.col("field") == field
+        ).select("term", "df")
+        # terms absent from the index have no term_stats row at all —
+        # default them to df=0 (the strongest "misspelled" signal)
+        stats = engine.reader.term_stats(set(pairs))
+        weak = sorted(
+            t for (t, f) in pairs
+            if f == field
+            and stats.get((t, f), {}).get("df", 0) <= suggest_df_floor
+        )
+        if weak:
+            suggestions = spellmod.suggest(spark, dictionary, weak)
+    return SearchPage(hits, snips, facets, suggestions)

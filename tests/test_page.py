@@ -1,0 +1,80 @@
+"""search_page composition ≡ the standalone oracle-checked operators."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.facets import facet_counts
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.page import search_page
+from search_engine_framework_spark.plans.models import BM25
+from search_engine_framework_spark.snippets import best_window_snippets
+
+CFG = AnalyzerConfig.reference()
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tiny_index):
+    paths, _, tdf = tiny_index
+    engine = SearchEngine(spark, paths, CFG)
+    # corpus table keyed by INTERNAL doc_id (join transcripts through the
+    # docmap on ext_id = conv_id:turn_idx), carrying a facetable column
+    docmap = engine.reader.docmap().select("doc_id", "ext_id")
+    docs = (
+        tdf.withColumn(
+            "ext_id", F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"))
+        )
+        .join(docmap, "ext_id")
+        .select("doc_id", "text", "role")
+    )
+    return engine, docs
+
+
+def test_page_parts_match_standalone_operators(spark, setup):
+    engine, docs = setup
+    page = search_page(
+        spark, engine, docs, "search engine index", BM25(),
+        k=10, facet_cols=("role",), suggest_df_floor=1,
+    )
+    hits = page.hits.collect()
+    assert [r["rank"] for r in hits] == list(range(1, len(hits) + 1))
+
+    # snippets part ≡ standalone best_window_snippets on the same hits
+    hid = page.hits.select("doc_id", "rank")
+    want_sn = sorted(
+        (r["doc_id"], r["rank"], r["start_tok"], r["n_matches"], r["snippet"])
+        for r in best_window_snippets(
+            hid, docs, ["search", "engine", "index"], window=8
+        ).collect()
+    )
+    got_sn = sorted(
+        (r["doc_id"], r["rank"], r["start_tok"], r["n_matches"], r["snippet"])
+        for r in page.snippets.collect()
+    )
+    assert got_sn == want_sn and len(got_sn) == len(hits)
+
+    # facets part ≡ standalone facet_counts; totals bounded by k
+    want_f = [
+        (r["facet"], r["value"], r["n"])
+        for r in facet_counts(
+            page.hits.select("doc_id"), docs, ["role"]
+        ).collect()
+    ]
+    got_f = [(r["facet"], r["value"], r["n"]) for r in page.facets.collect()]
+    assert got_f == want_f
+    assert sum(n for _, _, n in got_f) == len(hits)
+
+    # every query term exists in the dictionary → no suggestion frame
+    assert page.suggestions is None
+
+
+def test_page_suggests_for_misspelled_term(spark, setup):
+    engine, docs = setup
+    page = search_page(
+        spark, engine, docs, "serch engine", BM25(), k=5, suggest_df_floor=0,
+    )
+    assert page.suggestions is not None
+    sug = {r["query"]: r["term"] for r in page.suggestions.collect() if r["rank"] == 1}
+    assert sug.get("serch") == "search"
+    # facets disabled by default
+    assert page.facets is None
