@@ -9,8 +9,12 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 48 of 50 entries are
+                  summation orders differ). 52 of 54 entries are
                   oracle-checked — including the round-2 extensions
+                  near-dup clustering (neardup_clusters, recursive-CTE
+                  closure twin), token-window chunking (chunks),
+                  skip-gram co-occurrence (cooccur), the one-row corpus
+                  profile (corpus_profile),
                   bm25f (multi-field index), conv_rollup (10-turn
                   conversation index), collocations, context_window, and
                   the deterministic sampling trio (hash_split,

@@ -58,6 +58,9 @@ def rrf_fuse(
     weights = weights or {}
     on = list(on)
 
+    names = [name for name, _ in rankings]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate ranking names in rrf_fuse: {names}")
     contribs = []
     for name, df in rankings:
         w = float(weights.get(name, 1.0))

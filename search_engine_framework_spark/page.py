@@ -59,25 +59,41 @@ def search_page(
 ) -> SearchPage:
     """Run ``query`` and assemble the page.
 
-    docs — the corpus table carrying ``id_col``, ``text``, and any
-    ``facet_cols``. Hit doc_ids must be joinable to it (the engine's
-    ext_id ↔ doc mapping is the caller's: pass the same frame the index
-    was built over, or a slim projection of it).
+    docs — a frame keyed by the engine's INTERNAL dense ``doc_id``
+    (column name ``id_col``) carrying ``text`` and any ``facet_cols``.
+    Internal ids are index-assigned, NOT the corpus table's own ids:
+    build this frame once by joining the corpus through
+    ``engine.reader.docmap()`` on ``ext_id`` (see tests/test_page.py) —
+    passing the raw corpus frame keyed by its own ids silently joins
+    the wrong rows.
 
     suggest_df_floor — query terms whose document frequency is at or
     below this get did-you-mean candidates (0 disables never-seen-only,
     None disables suggestions entirely).
+
+    Snippet matching is on the analyzed (stemmed) term forms against
+    the raw token stream: a hit that matched only via a stem variant
+    degrades to the leading-window snippet (best_window_snippets docs).
     """
     node = parse_query(query, model, engine.analyzer)
-    pairs = sorted(ast.query_terms(node))
+    pairs = sorted(ast.query_terms(node)) if node is not None else []
     terms = sorted({t for t, _ in pairs})
     hits = engine.search(query, model, k=k)
 
-    hid = hits.select(F.col("doc_id").alias(id_col), "rank")
-    snips = best_window_snippets(
-        hid, docs.select(F.col(id_col).alias("doc_id"), "text"),
-        terms, window=snippet_window,
-    )
+    # hits keep the literal column name "doc_id" (snippets' contract);
+    # only the docs side is re-keyed from id_col
+    hid = hits.select("doc_id", "rank")
+    docs_text = docs.select(F.col(id_col).alias("doc_id"), "text")
+    if terms:
+        snips = best_window_snippets(
+            hid, docs_text, terms, window=snippet_window
+        )
+    else:  # empty/all-stopword query: 0 hits, 0 snippets (engine parity)
+        snips = spark.createDataFrame(
+            [],
+            "doc_id long, rank long, start_tok long, n_matches long, "
+            "snippet string",
+        )
 
     facets = None
     if facet_cols:
@@ -87,7 +103,7 @@ def search_page(
         )
 
     suggestions = None
-    if suggest_df_floor is not None:
+    if suggest_df_floor is not None and pairs:
         field = suggest_field or pairs[0][1]
         dictionary = engine.reader.term_stats_df().where(
             F.col("field") == field

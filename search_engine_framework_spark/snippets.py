@@ -22,7 +22,12 @@ hit documents, never the corpus):
    picks the snippet; ``slice`` + ``concat_ws`` renders it.
 
 Determinism: ties break toward the earliest window; every hit produces
-exactly one row (a BM25/boolean hit always contains ≥ 1 matched term).
+exactly one row. A hit whose text contains none of the given terms
+verbatim (possible when the caller's terms are analyzer-stemmed forms —
+the index matched ``engines`` via the stem ``engine`` — or matched in a
+different field) falls back to the LEADING window with ``n_matches=0``,
+the standard highlighter degradation, instead of silently dropping the
+hit from the snippet set.
 """
 
 from __future__ import annotations
@@ -85,15 +90,20 @@ def best_window_snippets(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # left join from the full hit set: match-less hits keep a row and
+    # degrade to the leading window (start 0, n_matches 0)
+    start = F.coalesce(F.col("pos"), F.lit(0)).cast("long")
     return (
-        best.join(toked.select("doc_id", "toks"), "doc_id")
+        toked.join(best.select("doc_id", "pos", "n_matches"), "doc_id", "left")
         .select(
             "doc_id",
             F.col("rank").cast("long").alias("rank"),
-            F.col("pos").cast("long").alias("start_tok"),
-            "n_matches",
+            start.alias("start_tok"),
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
             F.concat_ws(
-                " ", F.slice(F.col("toks"), F.col("pos") + 1, window)
+                " ", F.slice(F.col("toks"), (start + 1).cast("int"), window)
             ).alias("snippet"),
         )
     )

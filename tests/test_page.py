@@ -78,3 +78,44 @@ def test_page_suggests_for_misspelled_term(spark, setup):
     assert sug.get("serch") == "search"
     # facets disabled by default
     assert page.facets is None
+
+
+def test_stem_variant_hit_degrades_to_leading_window(spark):
+    """A doc matched via a stem variant still gets a snippet row
+    (leading window, n_matches=0) instead of silently vanishing."""
+    from search_engine_framework_spark.snippets import best_window_snippets
+
+    hits = spark.createDataFrame([(7, 1)], "doc_id long, rank long")
+    docs = spark.createDataFrame(
+        [(7, "many engines running smoothly today")], "doc_id long, text string"
+    )
+    rows = best_window_snippets(hits, docs, ["engine"], window=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["start_tok"], r["n_matches"]) == (0, 0)
+    assert r["snippet"] == "many engines running"
+
+
+def test_page_custom_id_col_and_empty_query(spark, setup):
+    engine, docs = setup
+    # custom id_col exercises the docs-side rename
+    page = search_page(
+        spark, engine, docs.withColumnRenamed("doc_id", "turn_id"),
+        "search engine", BM25(), k=5, id_col="turn_id",
+        facet_cols=("role",),
+    )
+    assert page.snippets.count() == page.hits.count() > 0
+    assert page.facets is not None
+    # all-stopword query: empty hits, empty snippets, no crash
+    empty = search_page(spark, engine, docs, "the of", BM25(), k=5)
+    assert empty.hits.count() == 0
+    assert empty.snippets.count() == 0
+    assert empty.suggestions is None
+
+
+def test_rrf_duplicate_names_raise(spark):
+    from search_engine_framework_spark.fusion import rrf_fuse
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    with pytest.raises(ValueError):
+        rrf_fuse([("bm25", df), ("bm25", df)])
