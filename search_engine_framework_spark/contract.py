@@ -1073,6 +1073,27 @@ def q_spell_suggest(spark, sf_dir):
     )
 
 
+def q_spell_suggest2(spark, sf_dir):
+    """Edit-distance-2 SymSpell (delete-2 neighborhoods on both sides,
+    exact levenshtein filter) vs the oracle's brute-force lev<=2 scan."""
+    from .spell import suggest
+
+    eng = get_engine(spark, sf_dir)
+    dic = (
+        eng.reader.term_stats_df()
+        .where(F.col("field") == "body")
+        .select("term", "df")
+    )
+    out = suggest(spark, dic, list(SPELL_QUERIES), max_edit=2, topn=5)
+    return out.select(
+        "query",
+        "term",
+        F.col("dist").cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_term_prefix(spark, sf_dir):
     """Autocomplete: top dictionary terms by df under a prefix, served
     from the index's term-stats table (pushable StringStartsWith)."""
@@ -1980,6 +2001,27 @@ FROM rk WHERE rank <= 5
 """
 )
 
+ORACLE_SQL["spell_suggest2"] = (
+    _SQL_BASE
+    + f""",
+qs AS (SELECT * FROM (VALUES {", ".join(f"('{q}')" for q in SPELL_QUERIES)})
+       AS q(query)),
+cand AS (
+  SELECT q.query, d.term, levenshtein(q.query, d.term) AS dist, d.df
+  FROM dfreq d CROSS JOIN qs q
+  WHERE levenshtein(q.query, d.term) <= 2
+),
+rk AS (
+  SELECT query, term, dist, df,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY dist ASC, df DESC, term ASC) AS rank
+  FROM cand
+)
+SELECT query, term, dist::BIGINT AS dist, df, rank::BIGINT AS rank
+FROM rk WHERE rank <= 5
+"""
+)
+
 ORACLE_SQL["term_prefix"] = (
     _SQL_BASE
     + """
@@ -2059,6 +2101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_window": q_context_window,
     "hybrid_rrf": q_hybrid_rrf,
     "spell_suggest": q_spell_suggest,
+    "spell_suggest2": q_spell_suggest2,
     "term_prefix": q_term_prefix,
     "facet_counts": q_facet_counts,
     # rows-only checks (not SQL-expressible):

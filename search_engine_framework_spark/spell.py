@@ -46,14 +46,11 @@ def deletion_variants(term: str, max_del: int = 1) -> set[str]:
     return out
 
 
-def _variants_col(term_col: str) -> F.Column:
-    """Array column of delete-1 variants of ``term_col``, plus itself.
-
-    Pure JVM expression (transform over a position sequence) — no UDF;
-    array_distinct collapses the duplicate variants a doubled letter
-    produces ("ll" -> deleting either l yields the same string).
-    """
-    c = F.col(term_col)
+def _dels1(c: F.Column) -> F.Column:
+    """Array of delete-1 variants of a (possibly lambda-bound) string
+    column. Guarded for the empty string: sequence(1, 0) would generate
+    a DESCENDING [1, 0] (Spark's default negative step), so empty input
+    maps to an empty variant array instead."""
     dels = F.transform(
         F.sequence(F.lit(1), F.length(c)),
         lambda i: F.concat(
@@ -61,7 +58,29 @@ def _variants_col(term_col: str) -> F.Column:
             c.substr(i + F.lit(1), F.length(c)),
         ),
     )
-    return F.array_distinct(F.concat(F.array(c), dels))
+    return F.when(F.length(c) > 0, dels).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _variants_col(term_col: str, max_del: int = 1) -> F.Column:
+    """Array column of delete-<=max_del variants of ``term_col``, plus
+    itself.
+
+    Pure JVM expression (transform over a position sequence) — no UDF;
+    array_distinct collapses the duplicate variants a doubled letter
+    produces ("ll" -> deleting either l yields the same string).
+    max_del=2 appends the delete-1 neighborhood of every delete-1
+    variant (flatten of a nested transform).
+    """
+    if max_del not in (1, 2):
+        raise ValueError(f"max_del must be 1 or 2, got {max_del}")
+    c = F.col(term_col)
+    d1 = _dels1(c)
+    out = F.concat(F.array(c), d1)
+    if max_del == 2:
+        out = F.concat(out, F.flatten(F.transform(d1, _dels1)))
+    return F.array_distinct(out)
 
 
 def suggest(
@@ -77,26 +96,33 @@ def suggest(
     dictionary — DataFrame(term:string, df:long) (e.g.
         ``IndexReader.term_stats_df()`` filtered to one field).
     queries    — driver-side list of query terms (broadcast side).
-    max_edit   — currently 1 (the deletion-neighborhood completeness
-        proof above is for distance 1; deeper distances need delete-2
-        neighborhoods on both sides).
+    max_edit   — 1 or 2. The SymSpell construction generalizes: two
+        strings with levenshtein(a, b) <= d always share a member of
+        their delete-<=d neighborhoods (align an optimal edit script;
+        delete each edit's touched character from whichever side
+        carries it — at most d deletions per side reach a common
+        string), so the equi-join stays a complete candidate generator
+        and the exact levenshtein filter removes false positives. At
+        depth 2 the dictionary side explodes to ~len²/2 variants per
+        term (the standard SymSpell index-size tradeoff) and very short
+        variant keys ("" for 2-char terms) are hot join keys — bounded
+        by the short-term vocabulary, and AQE skew-split handles them.
 
     Returns DataFrame(query, term, dist:int, df:long, rank:int) with
     rank 1..topn per query by (dist asc, df desc, term asc). A query
     term that IS in the dictionary ranks itself first (dist 0).
     """
-    if max_edit != 1:
-        raise NotImplementedError(
-            "suggest() implements the delete-1 neighborhood; "
-            "max_edit must be 1"
-        )
+    if max_edit not in (1, 2):
+        raise NotImplementedError("suggest() supports max_edit 1 or 2")
     qrows = [
-        (q, v) for q in dict.fromkeys(queries) for v in deletion_variants(q)
+        (q, v)
+        for q in dict.fromkeys(queries)
+        for v in deletion_variants(q, max_del=max_edit)
     ]
     qdf = spark.createDataFrame(qrows, "query string, variant string")
     dvar = dictionary.select(
         "term", F.col("df").cast("long").alias("df"),
-        F.explode(_variants_col("term")).alias("variant"),
+        F.explode(_variants_col("term", max_del=max_edit)).alias("variant"),
     )
     cand = (
         dvar.join(F.broadcast(qdf), "variant")

@@ -209,3 +209,51 @@ def test_facet_counts_requires_columns(spark):
     hits = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         facet_counts(hits, hits, [])
+
+
+def test_deletion_neighborhood_complete_for_distance_2():
+    # generalized SymSpell completeness: lev(a,b) <= 2 =>
+    # delete<=2 neighborhoods intersect.
+    rng = random.Random(13)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    ]
+    for a, b in itertools.combinations(words, 2):
+        if _lev(a, b) <= 2:
+            assert deletion_variants(a, 2) & deletion_variants(b, 2), (a, b)
+
+
+def test_suggest_edit2_matches_bruteforce(spark):
+    rng = random.Random(9)
+    vocab = sorted(
+        {
+            "".join(rng.choice("abcd") for _ in range(rng.randint(2, 6)))
+            for _ in range(100)
+        }
+    )
+    dic = spark.createDataFrame(
+        [(t, rng.randint(1, 50)) for t in vocab], "term string, df long"
+    )
+    dfs = {r["term"]: r["df"] for r in dic.collect()}
+    queries = ["abca", "dd", "zzzzzz", vocab[0]]
+    out = suggest(spark, dic, queries, max_edit=2, topn=6).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query"], []).append(
+            (r["term"], r["dist"], r["df"], r["rank"])
+        )
+    for q in queries:
+        brute = sorted(
+            ((_lev(q, t), -dfs[t], t) for t in vocab if _lev(q, t) <= 2),
+        )[:6]
+        expect = [
+            (t, d, -negdf, i + 1) for i, (d, negdf, t) in enumerate(brute)
+        ]
+        assert got.get(q, []) == expect
+
+
+def test_suggest_rejects_bad_max_edit(spark):
+    dic = spark.createDataFrame([("ab", 1)], "term string, df long")
+    with pytest.raises(NotImplementedError):
+        suggest(spark, dic, ["ab"], max_edit=3)
