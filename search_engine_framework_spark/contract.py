@@ -746,6 +746,30 @@ def q_ann_ivf_exactprobe(spark, sf_dir):
     return top.select("vec_id", _r4(F.col("cosine")).alias("cosine"))
 
 
+def q_ivf_store(spark, sf_dir):
+    """Persisted IVF store (pipeline/ivf_store.py) at full probe width:
+    write half the table, APPEND the other half under the frozen
+    centroids, then search with nprobe = nlist — must equal exact kNN
+    (the knn_cosine oracle), proving the partitioned write + append +
+    pruned read lose and duplicate nothing."""
+    import tempfile
+
+    from .pipeline import ivf_store
+
+    embs = _read(spark, sf_dir, "embeddings")
+    qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    rest = embs.where(F.col("vec_id") != 0)
+    path = os.path.join(
+        tempfile.gettempdir(), f"sefs_ivfstore_{abs(hash(sf_dir))}"
+    )
+    half = rest.where(F.col("vec_id") % 2 == 0)
+    ivf_store.ivf_write(spark, half, path, nlist=8)
+    ivf_store.ivf_append(spark, rest.where(F.col("vec_id") % 2 == 1), path)
+    top = ivf_store.ivf_search(spark, path, qvec, k=10, nprobe=8)
+    return top.select("vec_id", _r4(F.col("cosine")).alias("cosine"))
+
+
 def q_emb_neardup_lsh(spark, sf_dir):
     """The LSH-bucketed near-dup SCALE path, parameterized (few planes,
     many tables) so its recall is total on the test embeddings — verified
@@ -1810,6 +1834,7 @@ ORACLE_SQL["bm25_bulk"] = _bm25_batch_sql()
 ORACLE_SQL["simhash_pairs"] = _simhash_sql()
 # nprobe = nlist degenerates to exact kNN over vec_id <> 0 — same oracle.
 ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
+ORACLE_SQL["ivf_store"] = ORACLE_SQL["knn_cosine"]
 # The LSH scale path at total-recall parameters must equal the exact pairs.
 ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
@@ -2093,6 +2118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
+    "ivf_store": q_ivf_store,
     "pq_exactcode": q_pq_exactcode,
     "ir_metrics": q_ir_metrics,
     "conv_rollup": q_conv_rollup,

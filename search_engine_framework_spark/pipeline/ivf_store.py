@@ -1,0 +1,115 @@
+"""Persisted, appendable IVF index over an embedding table.
+
+pipeline/similarity.py's IVF pieces (train / assign / probe) compose in
+memory; a deployment needs them as an on-disk index with a maintenance
+story — the same generation discipline as the text index
+(streaming/incremental.py):
+
+* ``ivf_write``  — train coarse centroids, assign every vector, write
+  the vectors parquet **partitioned by list_id** (probe-time partition
+  pruning is the whole point of IVF), persist the centroids + config as
+  a JSON manifest.
+* ``ivf_append`` — assign NEW vectors under the FROZEN centroids and
+  append their partitions. Freezing is the standard IVF maintenance
+  contract (FAISS `add` after `train`): recall for new vectors equals
+  build-time recall as long as the data distribution holds; periodic
+  re-train + rewrite (a fresh ``ivf_write``) is the compaction analog.
+  Append never rewrites existing partitions and never touches the
+  manifest, so readers stay consistent (parquet append within a
+  partition directory is file-level atomic per task commit).
+* ``ivf_search`` — nearest ``nprobe`` centroid lists, read ONLY those
+  partitions (``list_id`` is a partition column → directory-level
+  pruning, verified by PartitionFilters in tests), exact cosine rerank
+  of the candidates.
+
+At 10^12 vectors a probe touches ~nprobe/nlist of the data as a pruned
+directory read; appends are embarrassingly parallel assign + write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .similarity import cosine_topk, ivf_centroids, _nearest_centroid
+
+__all__ = ["ivf_write", "ivf_append", "ivf_search", "read_manifest"]
+
+_MANIFEST = "ivf_manifest.json"
+
+
+def _assigned(embs: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
+    return embs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroid(F.col(vec_col), cents).alias("list_id"),
+    )
+
+
+def ivf_write(
+    spark: SparkSession,
+    embs: DataFrame,
+    path: str,
+    nlist: int = 16,
+    refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train + assign + write; returns the manifest dict."""
+    cents = ivf_centroids(
+        embs, nlist=nlist, id_col=id_col, vec_col=vec_col, refine=refine
+    )
+    _assigned(embs, cents, id_col, vec_col).write.partitionBy(
+        "list_id"
+    ).mode("overwrite").parquet(os.path.join(path, "vectors"))
+    manifest = {
+        "centroids": cents,
+        "nlist": len(cents),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        return json.load(f)
+
+
+def ivf_append(spark: SparkSession, embs_new: DataFrame, path: str) -> None:
+    """Assign new vectors under the frozen centroids and append."""
+    m = read_manifest(path)
+    _assigned(
+        embs_new, m["centroids"], m["id_col"], m["vec_col"]
+    ).write.partitionBy("list_id").mode("append").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(id, cosine) top-k from the nprobe nearest lists only."""
+    import numpy as np
+
+    m = read_manifest(path)
+    q = np.asarray(query, dtype=np.float64)
+    dots = [
+        (i, float(np.dot(q, np.asarray(c)))) for i, c in enumerate(m["centroids"])
+    ]
+    probe = [i for i, _ in sorted(dots, key=lambda x: (-x[1], x[0]))[:nprobe]]
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("list_id").isin(probe)
+    )
+    return cosine_topk(
+        vecs, query, k=k, id_col=m["id_col"], vec_col=m["vec_col"]
+    )

@@ -1,0 +1,73 @@
+"""Persisted IVF store: append-consistency, full-probe exactness,
+partition pruning."""
+
+import numpy as np
+import pytest
+
+from search_engine_framework_spark.pipeline import ivf_store, similarity
+
+
+def _embs(spark, n, dim=8, seed=3, start=0):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (start + i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def test_write_append_search_consistency(spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    df1, rows1 = _embs(spark, 80, seed=3, start=0)
+    df2, rows2 = _embs(spark, 40, seed=4, start=1000)
+    m = ivf_store.ivf_write(spark, df1, path, nlist=8)
+    assert m["nlist"] == 8
+    ivf_store.ivf_append(spark, df2, path)
+
+    query = [0.3] * 8
+    # full probe (nprobe = nlist) over write+append must equal exact
+    # brute-force cosine over the union — append lost/duplicated nothing
+    got = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_store.ivf_search(spark, path, query, k=10, nprobe=8).collect()
+    ]
+    union = spark.createDataFrame(
+        rows1 + rows2, "vec_id long, embedding array<float>"
+    )
+    want = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in similarity.cosine_topk(union, query, k=10).collect()
+    ]
+    assert got == want
+
+    # appended vectors land under the SAME frozen centroids: searching
+    # only partition files must see exactly 120 assigned rows
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.count() == 120
+    assert vecs.select("list_id").distinct().count() <= 8
+
+
+def test_partial_probe_recall_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "ivf2")
+    df, rows = _embs(spark, 200, seed=7)
+    ivf_store.ivf_write(spark, df, path, nlist=10)
+    query = [float(x) for x in np.random.default_rng(9).normal(size=8)]
+
+    res = ivf_store.ivf_search(spark, path, query, k=5, nprobe=3)
+    # plan prunes on the list_id PARTITION column
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    got = {r["vec_id"] for r in res.collect()}
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(df, query, k=5).collect()
+    }
+    # partial probe is approximate but must overlap the exact top-5
+    assert len(got & exact) >= 2
+    # and the true nearest vector's list is always probed first when
+    # nprobe covers it at full width
+    full = {
+        r["vec_id"]
+        for r in ivf_store.ivf_search(spark, path, query, k=5, nprobe=10).collect()
+    }
+    assert full == exact
