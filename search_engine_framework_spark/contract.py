@@ -581,6 +581,21 @@ def q_knn_cosine(spark, sf_dir):
     return top.select("vec_id", _r4(F.col("cosine")).alias("cosine"))
 
 
+def q_knn_join(spark, sf_dir):
+    """Batched exact kNN: the first 5 vectors each retrieve their top-5
+    neighbors from the rest of the table in ONE job (numpy-matmul
+    candidate generation + JVM fold-cosine rerank). Scores must be
+    IEEE-identical to the oracle's per-query scans."""
+    embs = _read(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.knn_join(embs.where(F.col("vec_id") >= 5), queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "rank", _r4(F.col("cosine")).alias("cosine")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _read(spark, sf_dir, "events")
@@ -1564,6 +1579,28 @@ scored AS (
 SELECT vec_id, round(cosine, 4) + 0.0 AS cosine
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
+    "knn_join": """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_reduce(list_transform(list_zip(e.embedding, q.embedding),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(e.embedding,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(q.embedding,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cosine
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE q.vec_id < 5 AND e.vec_id >= 5
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank,
+         cosine
+  FROM scored
+)
+SELECT query_id, vec_id, rank::BIGINT AS rank,
+       round(cosine, 4) + 0.0 AS cosine
+FROM ranked WHERE rank <= 5
+""",
     "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
        event_type,
@@ -2109,6 +2146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "knn_cosine": q_knn_cosine,
+    "knn_join": q_knn_join,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "multimodal_features": q_multimodal_features,

@@ -227,6 +227,117 @@ def ivf_query(
 
 
 # --------------------------------------------------------------------------
+# batched kNN join (many query vectors at once)
+# --------------------------------------------------------------------------
+
+def knn_join(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "embedding",
+    margin: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for EVERY query vector in one job:
+    (query_id, vec_id, rank, cosine), rank 1..k per query.
+
+    The batch tier of similarity search (single-query ``cosine_topk``
+    run q times would be q full corpus scans). Two stages:
+
+    1. **Candidate generation** (``mapInPandas``): one pass over the
+       corpus; each Arrow batch computes all q scores at BLAS rate
+       (normalized batch × queriesᵀ matmul, float64) and emits only its
+       per-batch top-(k+margin) ids per query. No shuffle of the corpus;
+       the global top-k per query is provably contained in the union of
+       per-batch top-k (every batch is a subset of the corpus), and the
+       margin absorbs float ulp disagreement between the matmul and the
+       rerank fold at the cut boundary.
+    2. **Exact rerank** (JVM): the ~q·(k+margin)·n_batches candidate rows
+       join back to their vectors, cosine recomputed with the same
+       sequential ``F.aggregate`` fold every other operator (and the SQL
+       oracle's ``list_reduce``) uses, then a per-query window top-k with
+       the deterministic (desc cosine, asc id) tie-break.
+
+    The query side is collected to the driver and shipped in the UDF
+    closure — the realistic regime for batch kNN (up to ~10^5 queries ×
+    dim floats); tile the query set for more. The corpus side streams at
+    any scale.
+    """
+    if q_id_col == id_col:
+        raise ValueError(
+            "knn_join: alias the query id column (q_id_col) to a name "
+            f"different from the corpus id column ({id_col!r})"
+        )
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    if not qrows:
+        raise ValueError("knn_join: empty query set")
+    q_ids = [r[0] for r in qrows]
+    qmat = np.asarray([list(map(float, r[1])) for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    m = k + margin
+
+    spark = embs.sparkSession
+    src = embs.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+
+    def gen_candidates(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.vstack(pdf["_vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            s = (x / norms) @ qmat.T  # (batch, q)
+            take = min(m, s.shape[0])
+            # top-`take` row indices per query column (order irrelevant —
+            # the rerank stage decides ranks)
+            idx = np.argpartition(-s, take - 1, axis=0)[:take]  # (take, q)
+            vids = pdf["_vid"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "qi": np.repeat(np.arange(s.shape[1]), take),
+                    "_vid": vids[idx.T.reshape(-1)],
+                }
+            )
+
+    vid_type = src.schema["_vid"].dataType.simpleString()
+    cand = src.mapInPandas(gen_candidates, f"qi int, _vid {vid_type}")
+
+    qid_map = spark.createDataFrame(
+        [(i, qid) for i, qid in enumerate(q_ids)],
+        queries.select(q_id_col).withColumn("qi", F.lit(0))
+        .select("qi", q_id_col).schema,
+    )
+    qvecs = queries.select(
+        F.col(q_id_col).alias("_qid"), F.col(q_vec_col).alias("_qvec")
+    )
+    rer = (
+        cand.join(F.broadcast(qid_map), "qi")
+        .join(src, "_vid")
+        .join(F.broadcast(qvecs), F.col(q_id_col) == F.col("_qid"))
+        .select(
+            q_id_col,
+            F.col("_vid").alias(id_col),
+            (
+                _dot(F.col("_vec"), F.col("_qvec"))
+                / (_norm(F.col("_vec")) * _norm(F.col("_qvec")))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, F.col("rank").cast("long"), "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 

@@ -113,3 +113,37 @@ def test_embedding_near_dup_lsh_recall(embs):
     assert lsh <= exact  # LSH candidates are exact-filtered: no false pairs
     recall = len(lsh & exact) / max(1, len(exact))
     assert recall >= 0.6, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_knn_join_exact_vs_brute(embs):
+    """Batched kNN equals per-query brute force: ids, ranks, and scores
+    (scores to float32-storage tolerance); partitioning must not matter."""
+    df, vecs = embs
+    queries = df.where("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    corpus = df.where("vec_id >= 4").repartition(7)
+    out = sim.knn_join(corpus, queries, k=6, margin=2).collect()
+    v64 = vecs.astype(np.float64)
+    for qi in range(4):
+        mask = np.arange(N) >= 4
+        cos = (v64 / np.linalg.norm(v64, axis=1, keepdims=True)) @ (
+            v64[qi] / np.linalg.norm(v64[qi])
+        )
+        ids = np.arange(N)[mask]
+        order = np.lexsort((ids, -cos[mask]))
+        expect = [int(ids[j]) for j in order[:6]]
+        got = sorted(
+            ((r["rank"], r["vec_id"], r["cosine"]) for r in out
+             if r["query_id"] == qi)
+        )
+        assert [g[1] for g in got] == expect
+        assert [g[0] for g in got] == list(range(1, 7))
+        for rank, vid, c in got:
+            assert abs(c - cos[vid]) < 1e-6
+
+
+def test_knn_join_rejects_colliding_id_names(embs):
+    df, _ = embs
+    with pytest.raises(ValueError):
+        sim.knn_join(df, df, k=3, q_id_col="vec_id")
