@@ -563,6 +563,22 @@ def q_stratified_sample(spark, sf_dir):
     ).select("lang", "source", "doc_id")
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality gates per document — duplicate
+    lines, top-bigram dominance, duplicated trigram occurrences. Zero
+    shuffle, zero UDF (pure array expressions over the corpus scan)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textstats.repetition_signals(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        _r4(F.col("dup_line_frac")).alias("dup_line_frac"),
+        _r4(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        _r4(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+        _r4(F.col("dup_trigram_frac")).alias("dup_trigram_frac"),
+    )
+
+
 def q_knn_cosine(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
@@ -1579,6 +1595,56 @@ scored AS (
 SELECT vec_id, round(cosine, 4) + 0.0 AS cosine
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
+    "repetition": """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     x -> len(x) > 0) AS lines,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lines, t,
+         list_transform(
+           list_zip(list_slice(t, 1, greatest(len(t) - 1, 0)),
+                    list_slice(t, 2, len(t))),
+           p -> concat(p[1], ' ', p[2])) AS bi,
+         list_transform(
+           list_zip(list_slice(t, 1, greatest(len(t) - 2, 0)),
+                    list_slice(t, 2, greatest(len(t) - 1, 0)),
+                    list_slice(t, 3, len(t))),
+           p -> concat(p[1], ' ', p[2], ' ', p[3])) AS tri
+  FROM base
+), agg AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dl,
+         coalesce(list_sum(list_transform(lines, x -> len(x))), 0) AS ch,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          x -> len(x))), 0) AS ch_d,
+         len(bi) AS n_bi,
+         coalesce(list_max(list_transform(list_distinct(bi),
+                  b -> len(list_filter(bi, x -> x = b)))), 0) AS top_bi,
+         len(tri) AS n_tri,
+         len(list_distinct(tri)) AS n_dt
+  FROM grams
+)
+SELECT doc_id,
+       n_lines::BIGINT AS n_lines,
+       round(CASE WHEN n_lines > 0
+                  THEN (n_lines - n_dl)::DOUBLE / n_lines ELSE 0 END, 4)
+         + 0.0 AS dup_line_frac,
+       round(CASE WHEN ch > 0
+                  THEN (ch - ch_d)::DOUBLE / ch ELSE 0 END, 4)
+         + 0.0 AS dup_line_char_frac,
+       round(CASE WHEN n_bi > 0
+                  THEN top_bi::DOUBLE / n_bi ELSE 0 END, 4)
+         + 0.0 AS top_bigram_frac,
+       round(CASE WHEN n_tri > 0
+                  THEN (n_tri - n_dt)::DOUBLE / n_tri ELSE 0 END, 4)
+         + 0.0 AS dup_trigram_frac
+FROM agg
+""",
     "knn_join": """
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id,
@@ -2145,6 +2211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
+    "repetition": q_repetition,
     "knn_cosine": q_knn_cosine,
     "knn_join": q_knn_join,
     "events_hourly": q_events_hourly,

@@ -149,6 +149,84 @@ def fingerprints(docs: DataFrame, prefix_tokens: int = 32) -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher/FineWeb-style within-document repetition filters (Rae et
+    al. 2021 §A1.1; public knowledge) — the quality gates that catch
+    boilerplate, scraped templates, and degenerate generations:
+
+    * ``n_lines``            — non-empty ``\\n``-split lines;
+    * ``dup_line_frac``      — fraction of line occurrences that are
+      redundant copies of another line (1 − distinct/total);
+    * ``dup_line_char_frac`` — fraction of line characters inside those
+      redundant copies;
+    * ``top_bigram_frac``    — occurrences of the most frequent word
+      bigram / all bigram occurrences (template dominance);
+    * ``dup_trigram_frac``   — fraction of trigram occurrences that are
+      redundant copies (1 − distinct/total).
+
+    Entirely per-document array expressions (sort_array + slice/zip_with
+    + one struct-accumulator fold for the bigram mode count): zero
+    shuffle, zero UDF — the whole pass is a map over the corpus scan, so
+    it composes into the curation funnel at any scale. Each column has
+    an exact unnest+groupBy DuckDB twin (``repetition`` contract entry).
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    n_dist_lines = F.size(F.array_distinct(lines))
+    chars_total = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    chars_dist = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+
+    toks = tokens_col(text)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    trigrams = F.zip_with(
+        F.slice(bigrams, 1, F.greatest(n - 2, F.lit(0))),
+        F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # mode count of a sorted array: fold tracking (prev, run, best)
+    def _max_run(arr):
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+        return F.aggregate(F.sort_array(arr), acc0, step, lambda acc: acc["best"])
+
+    n_bi = F.size(bigrams)
+    n_tri = F.size(trigrams)
+    top_bi = _max_run(bigrams)
+    n_dist_tri = F.size(F.array_distinct(trigrams))
+
+    def _frac(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(0.0)
+
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        _frac(n_lines - n_dist_lines, n_lines).alias("dup_line_frac"),
+        _frac(chars_total - chars_dist, chars_total).alias("dup_line_char_frac"),
+        _frac(top_bi, n_bi).alias("top_bigram_frac"),
+        _frac(n_tri - n_dist_tri, n_tri).alias("dup_trigram_frac"),
+    )
+
+
 def collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
     """Bigram collocation mining by pointwise mutual information — the
     phrase-discovery pass of a pretraining pipeline (and the classic

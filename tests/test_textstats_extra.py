@@ -90,3 +90,48 @@ def test_corpus_profile_matches_python(spark):
     assert row["dup_ratio"] == round(1.0 - distinct / n, 4)
     # HLL sketch (the scale path) must land near the exact count
     assert abs(row["approx_vocab"] - vocab) / vocab < 0.15
+
+
+def _py_repetition(text):
+    text = text or ""
+    lines = [x for x in text.split("\n") if x]
+    toks = _toks(text)
+    bi = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    tri = [f"{a} {b} {c}" for a, b, c in zip(toks, toks[1:], toks[2:])]
+    ch = sum(map(len, lines))
+    ch_d = sum(map(len, set(lines)))
+    frac = lambda n, d: (n / d) if d else 0.0  # noqa: E731
+    return {
+        "n_lines": len(lines),
+        "dup_line_frac": frac(len(lines) - len(set(lines)), len(lines)),
+        "dup_line_char_frac": frac(ch - ch_d, ch),
+        "top_bigram_frac": frac(max(Counter(bi).values(), default=0), len(bi)),
+        "dup_trigram_frac": frac(len(tri) - len(set(tri)), len(tri)),
+    }
+
+
+def test_repetition_signals_matches_python(spark):
+    rng = random.Random(23)
+    words = ["spam", "ham", "eggs", "foo", "bar"]
+    rows = [
+        (1, "hello world\nhello world\nbye now"),
+        (2, "a b a b a b a b"),
+        (3, ""),
+        (4, None),
+    ] + [
+        (i, "\n".join(
+            " ".join(rng.choices(words, k=rng.randint(0, 8)))
+            for _ in range(rng.randint(1, 4))
+        ))
+        for i in range(5, 45)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.repetition_signals(df).collect()}
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        want = _py_repetition(text)
+        g = got[doc_id]
+        assert g["n_lines"] == want["n_lines"], doc_id
+        for k in ("dup_line_frac", "dup_line_char_frac",
+                  "top_bigram_frac", "dup_trigram_frac"):
+            assert abs(g[k] - want[k]) < 1e-12, (doc_id, k, g[k], want[k])
