@@ -271,6 +271,15 @@ def q_syn_ranked(spark, sf_dir):
     return _search_full(spark, sf_dir, "#SYN(spark data)", RankedBoolean())
 
 
+def q_wildcard(spark, sf_dir):
+    """Prefix wildcard ``s*`` (Lucene PrefixQuery analog): term-dictionary
+    expansion into #SYN of the 6 matching terms, merged-postings tf under
+    RankedBoolean. The SQL twin replays the expansion with LIKE."""
+    from .plans.models import RankedBoolean
+
+    return _search_full(spark, sf_dir, "s*", RankedBoolean())
+
+
 def q_bm25_single(spark, sf_dir):
     from .plans.models import BM25
 
@@ -1367,6 +1376,11 @@ FROM tokpos t1 JOIN tokpos t2
 SELECT doc_id, sum(tf)::DOUBLE AS score
 FROM tf WHERE term IN ('spark', 'data') GROUP BY 1
 """,
+    "wildcard": _SQL_BASE
+    + """
+SELECT doc_id, sum(tf)::DOUBLE AS score
+FROM tf WHERE term LIKE 's%' GROUP BY 1
+""",
     "bm25_single": _SQL_BASE
     + f""", t_spark AS ({_bm25_term_sql('spark')})
 SELECT doc_id, round(s, 4) + 0.0 AS score FROM t_spark
@@ -2189,6 +2203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near": q_near,
     "window_op": q_window_op,
     "syn_ranked": q_syn_ranked,
+    "wildcard": q_wildcard,
     "bm25_single": q_bm25_single,
     "bm25_topk": q_bm25_topk,
     "snippets": q_snippets,

@@ -90,12 +90,11 @@ class SearchEngine:
         ``prune_min_blocks`` overrides the block-max pruning engagement
         threshold (plans/compiler._PRUNE_MIN_BLOCKS; 0 forces pruning on
         any BM25 #SUM query, huge values disable it)."""
-        node = parse_query(query, model, self.analyzer)
+        node = self._parse(query, model)
         if node is None:
             return self.spark.createDataFrame(
                 [], "doc_id long, ext_id string, rank int, score double"
             )
-        self._check_fields(node)
         # Driver-side fast path (fastpath.py): flat #SUM BM25 over a
         # driver-readable index whose matched postings fit the budget is
         # answered with pyarrow + the numpy codec — no Spark job at all,
@@ -178,10 +177,9 @@ class SearchEngine:
 
         nodes: dict[str, ast.Node] = {}
         for qid, text in queries.items():
-            node = parse_query(text, model, self.analyzer)
+            node = self._parse(text, model)
             if node is None:
                 continue
-            self._check_fields(node)
             nodes[qid] = node
         if not nodes:
             return self.spark.createDataFrame(
@@ -366,9 +364,24 @@ class SearchEngine:
         dec, skip = self.reader.decode_counters
         return {"blocks_decoded": dec.value, "blocks_skipped": skip.value}
 
+    def _parse(self, query: str, model) -> "ast.Node | None":
+        """parse → field validation → wildcard expansion (the shared
+        front half of every free-text entry point). Expansion happens
+        against the index's term dictionary, so it needs the reader —
+        which is why it lives here and not in the parser."""
+        node = parse_query(query, model, self.analyzer)
+        if node is None:
+            return None
+        self._check_fields(node)
+        from .plans.wildcard import expand_wildcards, has_wildcards
+
+        if has_wildcards(node):
+            node = expand_wildcards(node, self.reader)
+        return node
+
     def _check_fields(self, node) -> None:
         built = set(self.reader.stats.get("fields", {}))
-        used = {f for _t, f in ast.query_terms(node)}
+        used = ast.query_fields(node)
         missing = sorted(used - built)
         if missing:
             raise UnknownFieldError(
@@ -403,10 +416,9 @@ class SearchEngine:
     def search_df(self, query: str, model: RetrievalModel) -> DataFrame:
         """Lazy variant: full scored list (doc_id, ext_id, score), unranked
         — for composition into larger pipelines without a driver collect."""
-        node = parse_query(query, model, self.analyzer)
+        node = self._parse(query, model)
         if node is None:
             return self.spark.createDataFrame([], "doc_id long, ext_id string, score double")
-        self._check_fields(node)
         compiler = QueryCompiler(self.reader, model)
         compiler.prepare(node)
         scored = compiler.compile_query(node)
@@ -500,12 +512,11 @@ class SearchEngine:
         combinable aggregate)."""
         if agg not in self._CONV_AGGS:
             raise ValueError(f"agg must be one of {sorted(self._CONV_AGGS)}")
-        node = parse_query(query, model, self.analyzer)
+        node = self._parse(query, model)
         if node is None:
             return self.spark.createDataFrame(
                 [], "conv_id string, score double, n_turns long"
             )
-        self._check_fields(node)
         compiler = QueryCompiler(self.reader, model)
         compiler.prepare(node)
         scored = compiler.compile_query(node)

@@ -186,6 +186,35 @@ class IndexReader:
             F.max("max_tf").alias("max_tf"),
         )
 
+    def expand_prefix(
+        self, prefix: str, field: str, limit: int = 128
+    ) -> list[str]:
+        """Distinct dictionary terms in ``field`` starting with ``prefix``,
+        sorted ascending — the wildcard-expansion seek (#SYN rewrite,
+        plans/wildcard.py). ``startswith`` pushes down as StringStartsWith,
+        so term-sorted segment files prune by row-group min/max term
+        stats; only the tiny ``term``/``field`` columns are read. Raises
+        if more than ``limit`` terms match (fail loudly rather than
+        silently truncate a SYN — the caller can raise the cap)."""
+        rows = (
+            self.segments()
+            .where(
+                F.col("term").startswith(prefix) & (F.col("field") == field)
+            )
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(limit + 1)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if len(terms) > limit:
+            raise ValueError(
+                f"wildcard {prefix!r}* matches more than {limit} terms in "
+                f"field {field!r}; raise max_expansions or narrow the prefix"
+            )
+        return terms
+
     def term_stats(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], dict]:
         """df/ctf/max_tf for each requested (term, field).
 

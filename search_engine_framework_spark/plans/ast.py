@@ -35,6 +35,18 @@ class Syn(Node):
 
 
 @dataclass(frozen=True)
+class Wildcard(Node):
+    """Prefix multi-term query (``spar*``) — our Lucene-PrefixQuery
+    analog (the reference has none). Never evaluated directly: the
+    engine rewrites it against the term dictionary into #SYN of the
+    matching terms (plans/wildcard.expand_wildcards) before compiling,
+    exactly Lucene's MultiTermQuery→rewrite design."""
+
+    prefix: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class Near(Node):
     n: int
     children: tuple[Node, ...]
@@ -78,7 +90,7 @@ class Wsum(Node):
     weights: tuple[float, ...] = dc_field(default=())
 
 
-IL_NODES = (Term, Syn, Near, WindowOp)
+IL_NODES = (Term, Syn, Near, WindowOp, Wildcard)
 SL_NODES = (And, Or, Not, Sum, Wand, Wsum)
 
 
@@ -88,6 +100,11 @@ def is_il(node: Node) -> bool:
 
 def query_terms(node: Node) -> set[tuple[str, str]]:
     """All (term, field) leaves — used to fetch postings in ONE scan."""
+    if isinstance(node, Wildcard):
+        raise ValueError(
+            f"unexpanded wildcard {node.prefix!r}* — run "
+            "plans.wildcard.expand_wildcards(tree, reader) first"
+        )
     if isinstance(node, Term):
         return {(node.term, node.field)}
     out: set[tuple[str, str]] = set()
@@ -98,13 +115,24 @@ def query_terms(node: Node) -> set[tuple[str, str]]:
 
 
 def query_fields(node: Node) -> set[str]:
-    return {f for _, f in query_terms(node)}
+    """All fields referenced by leaves — unlike query_terms this is safe
+    on a tree that still contains unexpanded Wildcard leaves (field
+    validation runs before dictionary expansion)."""
+    if isinstance(node, (Term, Wildcard)):
+        return {node.field}
+    out: set[str] = set()
+    kids = (node.child,) if isinstance(node, Not) else node.children
+    for c in kids:
+        out |= query_fields(c)
+    return out
 
 
 def needs_positions(node: Node) -> bool:
     """True iff the tree contains a positional operator (#NEAR/#WINDOW/#SYN)
     — only then does the posting scan need to decode position blobs."""
     if isinstance(node, (Near, WindowOp, Syn)):
+        return True
+    if isinstance(node, Wildcard):  # expands to #SYN
         return True
     if isinstance(node, Term):
         return False

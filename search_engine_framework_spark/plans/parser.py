@@ -171,6 +171,29 @@ def parse_query(
                     field = f
                     term_text = token[: -(len(f) + 1)]
                     break
+            if "*" in term_text and not (
+                term_text.endswith("*") and "*" not in term_text[:-1]
+            ):
+                raise ValueError(
+                    f"only trailing-prefix wildcards are supported: {token!r}"
+                )
+            if term_text.endswith("*"):
+                # Prefix wildcard (Lucene PrefixQuery analog). Like
+                # Lucene, the pattern is NOT analyzed — lowercased only
+                # (stemming a prefix would corrupt it); the engine
+                # expands it against the term dictionary into #SYN.
+                prefix = term_text[:-1].lower()
+                if not re.fullmatch(r"[a-z0-9]+", prefix):
+                    raise ValueError(
+                        f"wildcard prefix must be alphanumeric: {token!r}"
+                    )
+                current.children.append(
+                    ast.Wildcard(prefix, field or ast.DEFAULT_FIELD)
+                )
+                if has_weight and got_weight:
+                    current.weights.append(weight)
+                    got_weight = False
+                continue
             terms = analyze_terms(term_text, cfg)
             if terms:
                 current.children.append(

@@ -1,0 +1,70 @@
+"""Wildcard (prefix multi-term) query expansion.
+
+The reference engine has no wildcard operator; Lucene — the system the
+reference reads its index from — implements prefix queries as
+``MultiTermQuery`` rewritten against the term dictionary into a
+disjunction before scoring. We reproduce that design: the parser emits
+an ``ast.Wildcard(prefix, field)`` leaf for ``prefix*`` tokens, and the
+engine rewrites the tree here — each wildcard becomes ``#SYN`` of every
+dictionary term with that prefix (a *positional* union, so the rewrite
+is legal anywhere a term is: inside #SUM/#AND scoring, and even inside
+#NEAR/#WINDOW where match positions matter).
+
+The dictionary seek is one pruned metadata scan per distinct
+(prefix, field) — ``IndexReader.expand_prefix`` pushes StringStartsWith
+down to the term-sorted segment files. Zero matches rewrite to a
+guaranteed-empty term (``prefix*`` itself — analyzed terms never contain
+``*``), preserving the reference's unknown-term-matches-nothing
+behavior; more than ``max_expansions`` matches fail loudly.
+"""
+
+from __future__ import annotations
+
+from . import ast
+
+
+def has_wildcards(node: ast.Node) -> bool:
+    if isinstance(node, ast.Wildcard):
+        return True
+    if isinstance(node, ast.Term):
+        return False
+    kids = (node.child,) if isinstance(node, ast.Not) else node.children
+    return any(has_wildcards(c) for c in kids)
+
+
+def expand_wildcards(
+    node: ast.Node, reader, max_expansions: int = 128
+) -> ast.Node:
+    """Rebuild the tree with every Wildcard leaf rewritten to #SYN of its
+    dictionary matches (Term for a single match, an impossible term for
+    zero). One dictionary seek per distinct (prefix, field)."""
+    cache: dict[tuple[str, str], ast.Node] = {}
+
+    def rewrite(n: ast.Node) -> ast.Node:
+        if isinstance(n, ast.Wildcard):
+            key = (n.prefix, n.field)
+            if key not in cache:
+                terms = reader.expand_prefix(
+                    n.prefix, n.field, limit=max_expansions
+                )
+                if not terms:
+                    cache[key] = ast.Term(n.prefix + "*", n.field)
+                elif len(terms) == 1:
+                    cache[key] = ast.Term(terms[0], n.field)
+                else:
+                    cache[key] = ast.Syn(
+                        tuple(ast.Term(t, n.field) for t in terms)
+                    )
+            return cache[key]
+        if isinstance(n, ast.Term):
+            return n
+        if isinstance(n, ast.Not):
+            return ast.Not(rewrite(n.child))
+        kids = tuple(rewrite(c) for c in n.children)
+        if isinstance(n, (ast.Near, ast.WindowOp)):
+            return type(n)(n.n, kids)
+        if isinstance(n, (ast.Wand, ast.Wsum)):
+            return type(n)(kids, n.weights)
+        return type(n)(kids)
+
+    return rewrite(node)

@@ -1,0 +1,92 @@
+"""Prefix-wildcard queries (``spar*``): parser, expansion, rank identity
+with the equivalent hand-written #SYN, and the error paths."""
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.plans import ast
+from search_engine_framework_spark.plans.models import BM25, Indri, RankedBoolean
+from search_engine_framework_spark.plans.parser import parse_query
+from search_engine_framework_spark.plans.wildcard import (
+    expand_wildcards,
+    has_wildcards,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    paths, _, _ = tiny_index
+    return SearchEngine(spark, paths)
+
+
+def test_parser_emits_wildcard_nodes():
+    def leaves(n):
+        if isinstance(n, (ast.Term, ast.Wildcard)):
+            return [n]
+        kids = (n.child,) if isinstance(n, ast.Not) else n.children
+        return [x for c in kids for x in leaves(c)]
+
+    node = parse_query("#SUM(spar* engine)", BM25())
+    assert has_wildcards(node)
+    assert ast.Wildcard("spar", "body") in leaves(node)
+    # field-qualified, lowercased, not analyzed (no stemming of prefixes)
+    node2 = parse_query("ASSIST*.role", BM25())
+    assert ast.Wildcard("assist", "role") in leaves(node2)
+
+
+@pytest.mark.parametrize("bad", ["se*rch", "*", "**", "*s", "a*b*"])
+def test_parser_rejects_non_prefix_patterns(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad, BM25())
+
+
+def test_query_terms_refuses_unexpanded_wildcards():
+    node = parse_query("spar*", BM25())
+    with pytest.raises(ValueError, match="unexpanded wildcard"):
+        ast.query_terms(node)
+
+
+def _rows(df):
+    return [(r["ext_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+@pytest.mark.parametrize("model", [BM25(), RankedBoolean(), Indri()])
+def test_wildcard_equals_explicit_syn(engine, model):
+    terms = engine.reader.expand_prefix("se", "body")
+    assert len(terms) >= 1
+    syn = "#SYN(" + " ".join(terms) + ")" if len(terms) > 1 else terms[0]
+    got = _rows(engine.search("se*", model, k=10))
+    want = _rows(engine.search(syn, model, k=10))
+    assert got == want and got
+
+
+def test_wildcard_inside_positional_op(engine):
+    terms = engine.reader.expand_prefix("se", "body")
+    syn = "#SYN(" + " ".join(terms) + ")"
+    got = _rows(engine.search("#NEAR/3(se* engine)", RankedBoolean(), k=10))
+    want = _rows(engine.search(f"#NEAR/3({syn} engine)", RankedBoolean(), k=10))
+    assert got == want
+
+
+def test_wildcard_zero_matches_is_empty_not_error(engine):
+    assert engine.search("zzzzqqq*", BM25(), k=10).count() == 0
+
+
+def test_expand_prefix_cap_raises(engine):
+    with pytest.raises(ValueError, match="more than"):
+        engine.reader.expand_prefix("s", "body", limit=1)
+
+
+def test_expansion_caches_repeated_prefixes(engine):
+    calls = []
+    real = engine.reader.expand_prefix
+
+    class Spy:
+        def expand_prefix(self, prefix, field, limit=128):
+            calls.append((prefix, field))
+            return real(prefix, field, limit)
+
+    node = parse_query("#SUM(se* se* engine)", BM25())
+    expanded = expand_wildcards(node, Spy())
+    assert calls == [("se", "body")]  # one dictionary seek, cached
+    assert not has_wildcards(expanded)
