@@ -588,6 +588,18 @@ def q_repetition(spark, sf_dir):
     )
 
 
+def q_shard_assign(spark, sf_dir):
+    """Training-shard export assignment: deterministic shard (md5 bucket
+    mod 8) + each row's position in its shard's reproducible shuffled
+    order — the no-rand() global shuffle of a training pipeline."""
+    from .pipeline import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    return sampling.shard_assign(docs, 8, seed=9, with_pos=True).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def q_knn_cosine(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
@@ -1861,6 +1873,19 @@ SELECT doc_id, {case} AS split FROM b
 
 ORACLE_SQL["hash_split"] = _hash_split_sql()
 
+ORACLE_SQL["shard_assign"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         ({_b16_sql("doc_id::VARCHAR", 9)} % 8)::INT AS shard,
+         md5(doc_id::VARCHAR || '|9') AS h
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT
+         AS pos
+FROM b
+"""
+
 def _curation_sql() -> str:
     from .pipeline.sampling import split_thresholds
 
@@ -2226,6 +2251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
+    "shard_assign": q_shard_assign,
     "repetition": q_repetition,
     "knn_cosine": q_knn_cosine,
     "knn_join": q_knn_join,

@@ -97,6 +97,72 @@ def hash_sample(
     return df.where(bucket16(F.col(key_col), seed) < round(frac * N_BUCKETS))
 
 
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    with_pos: bool = False,
+) -> DataFrame:
+    """Append deterministic ``shard`` (and optionally ``pos``) columns —
+    the assignment half of training-shard export.
+
+    ``shard = bucket16(key|seed) % n_shards`` — a pure function of
+    (key, seed), so assignment replays bit-identically across engines,
+    partitionings, and corpus growth. Shard sizes are uniform to one
+    16-bit bucket (relative imbalance ≤ n_shards/65536 when n_shards
+    does not divide 65536 — 1.5 % at 1000 shards, 0 at powers of two).
+
+    ``with_pos=True`` adds each row's 1-based position in its shard's
+    deterministic order ``(md5(key|seed), key)`` — the reproducible
+    global pseudo-random shuffle training pipelines need instead of
+    ``rand()``: one shuffle on ``shard``, each shard sorted in one task
+    (shards are sized to be task-sized — that is what n_shards tunes).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    out = df.withColumn(
+        "shard", (bucket16(F.col(key_col), seed) % n_shards).cast("int")
+    )
+    if with_pos:
+        w = Window.partitionBy("shard").orderBy(
+            _hash_str(F.col(key_col), seed).asc(), F.col(key_col).asc()
+        )
+        out = out.withColumn("pos", F.row_number().over(w).cast("long"))
+    return out
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` as ``path/shard=K/`` with ONE file per shard, rows in
+    the deterministic shuffled order of :func:`shard_assign` — the export
+    stage of a training pipeline (fixed shard count, reproducible global
+    shuffle, no rand()).
+
+    Plan shape: one shuffle (``repartition`` on shard) + an in-task sort
+    + a partitioned write. All rows of a shard land in exactly one task,
+    so each ``shard=K`` directory holds exactly one ordered file at any
+    cluster size; re-running over a repartitioned input produces
+    byte-identical shard contents.
+    """
+    assigned = shard_assign(df, n_shards, key_col=key_col, seed=seed)
+    h = _hash_str(F.col(key_col), seed)
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), h.asc(), F.col(key_col).asc())
+        .write.partitionBy("shard")
+        .format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     n: int,

@@ -124,3 +124,47 @@ def test_stratified_small_strata_and_fallback(docs):
     a = {(r["lang"], r["source"], r["doc_id"]) for r in full.collect()}
     b = {(r["lang"], r["source"], r["doc_id"]) for r in forced.collect()}
     assert a == b
+
+
+def _py_shuffle_key(key, seed):
+    return (hashlib.md5(f"{key}|{seed}".encode()).hexdigest(), key)
+
+
+def test_shard_assign_matches_hashlib_and_is_growth_stable(docs):
+    out = sampling.shard_assign(docs, 8, seed=9, with_pos=True)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == 3000
+    by_shard = {}
+    for r in rows:
+        assert r["shard"] == _py_bucket16(r["doc_id"], 9) % 8
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    # pos = 1-based rank in (md5, id) order within the shard
+    for shard, members in by_shard.items():
+        ids = [d for _, d in sorted(members)]
+        want = sorted((d for d in ids), key=lambda d: _py_shuffle_key(d, 9))
+        assert ids == want
+    # assignment never changes as the corpus grows
+    sub = sampling.shard_assign(docs.where("doc_id < 100"), 8, seed=9)
+    for r in sub.collect():
+        assert r["shard"] == _py_bucket16(r["doc_id"], 9) % 8
+
+
+def test_export_shards_one_ordered_file_per_shard(spark, docs, tmp_path):
+    import glob
+    import os
+
+    out = str(tmp_path / "shards")
+    sampling.export_shards(docs.repartition(13), out, n_shards=4, seed=5)
+    seen = set()
+    for k in range(4):
+        files = [
+            f for f in glob.glob(os.path.join(out, f"shard={k}", "*.parquet"))
+            if not os.path.basename(f).startswith((".", "_"))
+        ]
+        assert len(files) == 1, f"shard {k}: {files}"
+        got = spark.read.parquet(files[0]).select("doc_id").collect()
+        ids = [r["doc_id"] for r in got]
+        assert ids == sorted(ids, key=lambda d: _py_shuffle_key(d, 5))
+        assert all(_py_bucket16(d, 5) % 4 == k for d in ids)
+        seen.update(ids)
+    assert len(seen) == 3000  # partition of the corpus, nothing lost
