@@ -259,6 +259,14 @@ def q_near(spark, sf_dir):
     return _search_full(spark, sf_dir, "#NEAR/3(key agg)", UnrankedBoolean())
 
 
+def q_phrase(spark, sf_dir):
+    """Quoted exact phrase (Lucene PhraseQuery analog): '"key agg"'
+    rewrites in the parser to #NEAR/1(key agg) — adjacent, in order."""
+    from .plans.models import UnrankedBoolean
+
+    return _search_full(spark, sf_dir, '"key agg"', UnrankedBoolean())
+
+
 def q_window_op(spark, sf_dir):
     from .plans.models import UnrankedBoolean
 
@@ -1376,6 +1384,13 @@ FROM tokpos t1 JOIN tokpos t2
   ON t1.doc_id = t2.doc_id AND t1.term = 'key' AND t2.term = 'agg'
  AND t2.pos - t1.pos BETWEEN 1 AND 3
 """,
+    "phrase": _SQL_BASE
+    + """
+SELECT DISTINCT t1.doc_id, 1.0 AS score
+FROM tokpos t1 JOIN tokpos t2
+  ON t1.doc_id = t2.doc_id AND t1.term = 'key' AND t2.term = 'agg'
+ AND t2.pos - t1.pos = 1
+""",
     "window_op": _SQL_BASE
     + """
 SELECT DISTINCT t1.doc_id, 1.0 AS score
@@ -2226,6 +2241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_or_ranked": q_bool_or_ranked,
     "bool_and_not": q_bool_and_not,
     "near": q_near,
+    "phrase": q_phrase,
     "window_op": q_window_op,
     "syn_ranked": q_syn_ranked,
     "wildcard": q_wildcard,

@@ -76,12 +76,46 @@ class _Builder:
         raise ValueError(f"unknown op kind {self.kind}")
 
 
+_PHRASE = re.compile(r'"([^"]*)"(?:\.(\w+))?')
+
+
+def _rewrite_phrases(qstring: str) -> str:
+    """Quoted exact phrases — the Lucene PhraseQuery analog (the
+    reference grammar has none): ``"a b c"`` rewrites to ``#NEAR/1(a b
+    c)`` (adjacent, in order — exactly PhraseQuery slop 0 over our NEAR
+    semantics) and ``"a b".field`` qualifies every phrase term with the
+    field. Pure string pre-pass, so phrases nest anywhere the grammar
+    allows an operator; stopwords inside a phrase are dropped by the
+    analyzer downstream (the standard approximation of Lucene's
+    position-gap behavior). An unbalanced quote is a syntax error."""
+    if '"' not in qstring:
+        return qstring
+
+    def repl(m: re.Match) -> str:
+        words = m.group(1).split()
+        field = m.group(2)
+        if field:
+            if field not in TERM_FIELDS:
+                raise ValueError(f"unknown phrase field: .{field}")
+            words = [f"{w}.{field}" for w in words]
+        if not words:
+            return ""
+        if len(words) == 1:
+            return words[0]
+        return "#NEAR/1(" + " ".join(words) + ")"
+
+    out = _PHRASE.sub(repl, qstring)
+    if '"' in out:
+        raise ValueError(f"unbalanced quote in query: {qstring!r}")
+    return out
+
+
 def parse_query(
     qstring: str,
     model: RetrievalModel,
     cfg: AnalyzerConfig | None = None,
 ) -> ast.Node | None:
-    qstring = qstring.strip()
+    qstring = _rewrite_phrases(qstring.strip())
     if isinstance(model, (RankedBoolean, UnrankedBoolean)):
         qstring = f"#or({qstring})"
     elif isinstance(model, BM25):

@@ -90,3 +90,35 @@ def test_expansion_caches_repeated_prefixes(engine):
     expanded = expand_wildcards(node, Spy())
     assert calls == [("se", "body")]  # one dictionary seek, cached
     assert not has_wildcards(expanded)
+
+
+# ---------------------------------------------------------------------------
+# quoted phrases ("a b c" → #NEAR/1)
+# ---------------------------------------------------------------------------
+
+def test_phrase_rewrites_to_near1():
+    node = parse_query('#SUM("search engine index" data)', BM25())
+    want = parse_query("#SUM(#NEAR/1(search engine index) data)", BM25())
+    assert node == want
+
+
+def test_phrase_field_qualified_and_single_word():
+    node = parse_query('"search engine".role', RankedBoolean())
+    want = parse_query("#NEAR/1(search.role engine.role)", RankedBoolean())
+    assert node == want
+    assert parse_query('"engine"', BM25()) == parse_query("engine", BM25())
+
+
+def test_phrase_errors():
+    with pytest.raises(ValueError, match="unbalanced quote"):
+        parse_query('"search engine', BM25())
+    with pytest.raises(ValueError, match="unknown phrase field"):
+        parse_query('"a b".nosuchfield', BM25())
+    # empty phrase is elided like an empty operator
+    assert parse_query('""', BM25()) is None
+
+
+def test_phrase_search_equals_near(engine):
+    got = _rows(engine.search('"search engine"', BM25(), k=10))
+    want = _rows(engine.search("#NEAR/1(search engine)", BM25(), k=10))
+    assert got == want and got
