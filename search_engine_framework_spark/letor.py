@@ -287,6 +287,78 @@ def rerank(feats: DataFrame, weights: dict[str, float], k: int = 100) -> DataFra
     )
 
 
+def train_pairwise_ranker(
+    feats: DataFrame,
+    qrels: dict[tuple[str, str], int],
+    iters: int = 200,
+    lr: float = 2.0,
+    l2: float = 0.0,
+) -> dict[str, float]:
+    """Train a linear ranking model IN Spark — pairwise logistic loss
+    (RankNet with a linear scorer; Burges et al. 2005, public knowledge)
+    over preference pairs derived from the qrels. Returns
+    {feature_name: weight} ready for :func:`rerank` — the native
+    replacement for the reference's external svm_rank executables
+    (LearnToRank.java:921-994; its shipped binaries are Windows .exe).
+
+    Distributed shape: preference pairs (rel_a > rel_b within a qid) are
+    materialized ONCE as per-feature deltas and persisted; each
+    full-batch gradient iteration is one map-side-combinable aggregation
+    (a handful of sum columns) returning a single row to the driver,
+    which updates the weight vector and re-broadcasts it as literals in
+    the next plan. Pairs per query are bounded by judged-docs² — the
+    standard LeToR regime (hundreds of judgments/query), so the pair
+    frame scales linearly in the query count. NaN features count as 0.0
+    (matching ``rerank``). Weights are deterministic up to float64
+    reduction order across partitions (~1e-12 per step).
+    """
+    names = _frame_features(feats)
+    if not names:
+        raise ValueError("no f_* feature columns in the frame")
+    if not qrels:
+        raise ValueError("empty qrels")
+    spark = feats.sparkSession
+    rel_rows = [(q, e, int(r)) for (q, e), r in sorted(qrels.items())]
+    rels = spark.createDataFrame(rel_rows, "qid string, ext_id string, rel int")
+    clean = feats.join(rels, ["qid", "ext_id"])
+    for f in names:
+        clean = clean.withColumn(
+            f, F.when(F.isnan(F.col(f)), F.lit(0.0)).otherwise(F.col(f))
+        )
+    a = clean.select(
+        "qid", F.col("rel").alias("rel_a"),
+        *[F.col(f).alias(f"a_{f}") for f in names],
+    )
+    b = clean.select(
+        "qid", F.col("rel").alias("rel_b"),
+        *[F.col(f).alias(f"b_{f}") for f in names],
+    )
+    pairs = (
+        a.join(b, "qid")
+        .where(F.col("rel_a") > F.col("rel_b"))
+        .select(*[(F.col(f"a_{f}") - F.col(f"b_{f}")).alias(f) for f in names])
+        .persist()
+    )
+    try:
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            raise ValueError("qrels induce no preference pairs")
+        w = {f: 0.0 for f in names}
+        for _ in range(iters):
+            s = F.lit(0.0)
+            for f in names:
+                s = s + F.lit(w[f]) * F.col(f)
+            g = F.lit(1.0) / (F.lit(1.0) + F.exp(s))  # σ(-s)
+            row = pairs.agg(
+                *[F.sum(g * F.col(f)).alias(f) for f in names]
+            ).collect()[0]
+            for f in names:
+                w[f] += lr * (float(row[f]) / n_pairs - l2 * w[f])
+    finally:
+        pairs.unpersist()
+    return w
+
+
 def read_svmrank_model(
     path: str, features: list[str] | None = None
 ) -> dict[str, float]:

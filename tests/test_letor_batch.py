@@ -279,3 +279,82 @@ def test_side_features(letor_setup, tmp_path):
     for did, s in scores.items():
         v = vals[did]
         assert s == pytest.approx(0.0 if math.isnan(v) else 3.0 * v)
+
+
+def test_train_pairwise_ranker_matches_python_gd(spark):
+    """In-Spark pairwise logistic training: weights match a pure-Python
+    full-batch GD on the same pairs to float tolerance, recover the
+    planted feature signs, and rank the training set ~perfectly."""
+    import itertools
+    import math
+    import random
+
+    from search_engine_framework_spark import letor
+
+    rng = random.Random(3)
+    rows, qrels = [], {}
+    for q in range(5):
+        for d in range(15):
+            f1, f2, f3 = rng.random(), rng.random(), rng.random()
+            s = 2 * f1 - f2
+            rel = 2 if s > 0.9 else (1 if s > 0.4 else 0)
+            ext = f"d{q}-{d}"
+            rows.append((f"q{q}", q * 100 + d, ext, f1, f2, f3))
+            qrels[(f"q{q}", ext)] = rel
+    feats = spark.createDataFrame(
+        rows,
+        "qid string, doc_id long, ext_id string, "
+        "f_a double, f_b double, f_c double",
+    )
+    w = letor.train_pairwise_ranker(feats, qrels, iters=60, lr=2.0)
+    assert w["f_a"] > 0 > w["f_b"]
+
+    featmap = {(r[0], r[2]): (r[3], r[4], r[5]) for r in rows}
+    by_q = {}
+    for (q, e), r in qrels.items():
+        by_q.setdefault(q, []).append((e, r))
+    pairs = []
+    for q, docs in by_q.items():
+        for (e1, r1), (e2, r2) in itertools.product(docs, docs):
+            if r1 > r2:
+                x1, x2 = featmap[(q, e1)], featmap[(q, e2)]
+                pairs.append(tuple(a - b for a, b in zip(x1, x2)))
+    wpy = [0.0, 0.0, 0.0]
+    for _ in range(60):
+        gs = [0.0, 0.0, 0.0]
+        for dd in pairs:
+            sig = 1.0 / (1.0 + math.exp(sum(wi * di for wi, di in zip(wpy, dd))))
+            for i in range(3):
+                gs[i] += sig * dd[i]
+        for i in range(3):
+            wpy[i] += 2.0 * gs[i] / len(pairs)
+    for i, f in enumerate(("f_a", "f_b", "f_c")):
+        assert abs(w[f] - wpy[i]) < 1e-6
+
+    scored = {
+        (r["qid"], r["ext_id"]): r["score"]
+        for r in letor.rerank(feats, w, k=100).collect()
+    }
+    good = bad = 0
+    for (q1, e1), r1 in qrels.items():
+        for (q2, e2), r2 in qrels.items():
+            if q1 == q2 and r1 > r2:
+                if scored[(q1, e1)] > scored[(q2, e2)]:
+                    good += 1
+                else:
+                    bad += 1
+    assert good / (good + bad) > 0.95
+
+
+def test_train_pairwise_ranker_error_paths(spark):
+    import pytest
+
+    from search_engine_framework_spark import letor
+
+    feats = spark.createDataFrame(
+        [("q1", 1, "a", 0.5)], "qid string, doc_id long, ext_id string, f_x double"
+    )
+    with pytest.raises(ValueError, match="empty qrels"):
+        letor.train_pairwise_ranker(feats, {})
+    with pytest.raises(ValueError, match="no preference pairs"):
+        letor.train_pairwise_ranker(feats, {("q1", "a"): 1}, iters=1)
