@@ -1,0 +1,115 @@
+"""Sequence packing — assemble variable-length chunks into fixed-capacity
+training sequences (the batch-assembly stage after chunking: T5 /
+GPT-style "packing" that turns a chunk table into dense context windows
+with minimal padding; public knowledge, e.g. Raffel et al. 2020 §2.2).
+
+Greedy next-fit in a DETERMINISTIC order: chunks are sharded and ordered
+by the same md5 convention as :mod:`sampling` (a reproducible global
+pseudo-random shuffle — no ``rand()``), then each shard packs
+independently: walk its chunks in order, appending to the current pack
+while the token sum fits ``capacity``, else open a new pack. Packing is
+a sequential recurrence, so it runs as one ``applyInPandas`` per shard
+with O(1) state — shards bound both the parallelism and the pack-id
+space, and the result is a pure function of (keys, seed, n_shards,
+capacity): re-running over any partitioning reproduces every pack
+bit-for-bit (the property training-data reproducibility needs).
+
+Oversized chunks (n_tokens > capacity) fail loudly by default —
+silently emitting an overfull pack corrupts downstream fixed-size
+consumers; pass ``drop_oversize=True`` to drop-and-count them instead.
+
+Not SQL-expressible (the greedy recurrence), so verification is a
+pure-Python oracle + invariants in tests/test_packing.py, like the MMR
+reranker (pipeline/diversity.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .sampling import _hash_str, bucket16
+
+# pack_id = shard * _SHARD_SPAN + local pack index: globally unique and
+# stable as long as one shard never opens more than _SHARD_SPAN packs.
+_SHARD_SPAN = 10**12
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    capacity: int,
+    key_col: str = "chunk_id",
+    len_col: str = "n_tokens",
+    n_shards: int = 64,
+    seed: int = 42,
+    drop_oversize: bool = False,
+) -> DataFrame:
+    """→ input columns + ``pack_id`` (long), ``pack_pos`` (long, 0-based
+    position within the pack). Every pack's token sum ≤ ``capacity``.
+
+    ``key_col`` must be unique per chunk (build one with e.g.
+    ``concat(doc_id, '#', chunk_idx)`` first); it drives both the shard
+    assignment and the in-shard order.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if n_shards <= 0 or n_shards > _SHARD_SPAN:
+        raise ValueError("n_shards out of range")
+    if not drop_oversize:
+        n_over = chunks.where(F.col(len_col) > capacity).count()
+        if n_over:
+            raise ValueError(
+                f"{n_over} chunks exceed capacity {capacity}; split them "
+                "first (pipeline/chunking.py) or pass drop_oversize=True"
+            )
+
+    src = chunks.withColumn(
+        "_shard", (bucket16(F.col(key_col), seed) % n_shards).cast("int")
+    ).withColumn("_h", _hash_str(F.col(key_col), seed))
+    if drop_oversize:
+        src = src.where(F.col(len_col) <= capacity)
+
+    out_cols = [c for c in chunks.columns]
+    schema = src.drop("_shard", "_h").schema.add("pack_id", "long").add(
+        "pack_pos", "long"
+    )
+    cap = int(capacity)
+
+    def pack_shard(pdf):
+        pdf = pdf.sort_values(["_h", key_col], kind="mergesort")
+        shard = int(pdf["_shard"].iloc[0])
+        base = shard * _SHARD_SPAN
+        pack_ids, pack_pos = [], []
+        cur, used, pos = 0, 0, 0
+        for n in pdf[len_col]:
+            n = int(n)
+            if used + n > cap and used > 0:
+                cur += 1
+                used, pos = 0, 0
+            pack_ids.append(base + cur)
+            pack_pos.append(pos)
+            used += n
+            pos += 1
+        pdf = pdf.drop(columns=["_shard", "_h"])
+        pdf["pack_id"] = pack_ids
+        pdf["pack_pos"] = pack_pos
+        return pdf
+
+    return src.groupBy("_shard").applyInPandas(pack_shard, schema).select(
+        *out_cols, "pack_id", "pack_pos"
+    )
+
+
+def pack_stats(packed: DataFrame, capacity: int, len_col: str = "n_tokens") -> DataFrame:
+    """One row: pack count, mean fill ratio, padding fraction — the
+    packing-efficiency report (how many pad tokens a fixed-size consumer
+    would burn)."""
+    per = packed.groupBy("pack_id").agg(F.sum(len_col).alias("fill"))
+    return per.agg(
+        F.count("*").cast("long").alias("n_packs"),
+        (F.avg("fill") / capacity).alias("mean_fill"),
+        (
+            F.lit(1.0)
+            - F.sum("fill").cast("double") / (F.count("*") * capacity)
+        ).alias("pad_frac"),
+    )

@@ -1,0 +1,90 @@
+"""Sequence packing vs a pure-Python oracle + invariants."""
+
+import hashlib
+import random
+
+import pytest
+
+from search_engine_framework_spark.pipeline import packing
+
+CAP = 100
+
+
+def _key(cid, seed):
+    return (hashlib.md5(f"{cid}|{seed}".encode()).hexdigest(), cid)
+
+
+def _py_pack(ids_lens, n_shards, seed, cap):
+    """The same greedy next-fit over the same deterministic order."""
+    shards = {}
+    for cid, n in ids_lens:
+        b = int(hashlib.md5(f"{cid}|{seed}".encode()).hexdigest()[:4], 16)
+        shards.setdefault(b % n_shards, []).append((cid, n))
+    out = {}
+    for shard, members in shards.items():
+        members.sort(key=lambda t: _key(t[0], seed))
+        cur, used, pos = 0, 0, 0
+        for cid, n in members:
+            if used + n > cap and used > 0:
+                cur, used, pos = cur + 1, 0, 0
+            out[cid] = (shard * packing._SHARD_SPAN + cur, pos)
+            used += n
+            pos += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    rng = random.Random(17)
+    rows = [(f"c{i:04d}", rng.randint(5, 80)) for i in range(800)]
+    df = spark.createDataFrame(rows, "chunk_id string, n_tokens int").cache()
+    return df, rows
+
+
+def test_pack_matches_python_oracle_any_partitioning(chunks):
+    df, rows = chunks
+    got = {
+        r["chunk_id"]: (r["pack_id"], r["pack_pos"])
+        for r in packing.pack_chunks(
+            df.repartition(11), CAP, n_shards=8, seed=5
+        ).collect()
+    }
+    want = _py_pack(rows, n_shards=8, seed=5, cap=CAP)
+    assert got == want
+
+
+def test_pack_invariants(chunks):
+    df, rows = chunks
+    packed = packing.pack_chunks(df, CAP, n_shards=8, seed=5).collect()
+    assert len(packed) == len(rows)  # nothing lost or duplicated
+    lens = dict(rows)
+    by_pack = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(lens[m["chunk_id"]] for m in members)
+        assert total <= CAP
+        assert sorted(m["pack_pos"] for m in members) == list(range(len(members)))
+    # greedy next-fit leaves no two consecutive packs that could merge —
+    # average fill must be decent on this size mix
+    fills = [sum(lens[m["chunk_id"]] for m in members) for members in by_pack.values()]
+    assert sum(fills) / (len(fills) * CAP) > 0.6
+
+
+def test_pack_stats_and_errors(chunks, spark):
+    df, rows = chunks
+    packed = packing.pack_chunks(df, CAP, n_shards=8, seed=5)
+    st = packing.pack_stats(packed, CAP).collect()[0]
+    assert st["n_packs"] == len({r["pack_id"] for r in packed.collect()})
+    assert 0.0 < st["pad_frac"] < 0.4
+    assert abs((1 - st["pad_frac"]) - st["mean_fill"]) < 1e-9
+
+    big = spark.createDataFrame(
+        [("x", CAP + 1), ("y", 10)], "chunk_id string, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="exceed capacity"):
+        packing.pack_chunks(big, CAP)
+    kept = packing.pack_chunks(big, CAP, drop_oversize=True).collect()
+    assert [r["chunk_id"] for r in kept] == ["y"]
+    with pytest.raises(ValueError, match="capacity"):
+        packing.pack_chunks(df, 0)
