@@ -295,6 +295,20 @@ def q_bm25_single(spark, sf_dir):
     return out.select("doc_id", _r4(F.col("score")).alias("score"))
 
 
+def q_filtered_search(spark, sf_dir):
+    """Metadata-filtered retrieval: BM25 scores restricted to docs whose
+    lang (indexed as the docmap's ``role`` column) is 'en'. Scores must
+    be identical to the unfiltered query — collection statistics stay
+    corpus-wide (Lucene-filter semantics); only membership changes."""
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    out = eng.search_df("spark", BM25(), doc_filter="role = 'en'")
+    return out.select(
+        _orig_id(F.col("ext_id")), _r4(F.col("score")).alias("score")
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     from .plans.models import BM25
 
@@ -1412,6 +1426,12 @@ FROM tf WHERE term LIKE 's%' GROUP BY 1
     + f""", t_spark AS ({_bm25_term_sql('spark')})
 SELECT doc_id, round(s, 4) + 0.0 AS score FROM t_spark
 """,
+    "filtered_search": _SQL_BASE
+    + f""", t_spark AS ({_bm25_term_sql('spark')})
+SELECT t.doc_id, round(t.s, 4) + 0.0 AS score
+FROM t_spark t JOIN documents d ON d.doc_id = t.doc_id
+WHERE d.lang = 'en'
+""",
     "bm25_topk": _SQL_BASE
     + f""", t1 AS ({_bm25_term_sql('spark')}),
 t2 AS ({_bm25_term_sql('merge')}),
@@ -2246,6 +2266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syn_ranked": q_syn_ranked,
     "wildcard": q_wildcard,
     "bm25_single": q_bm25_single,
+    "filtered_search": q_filtered_search,
     "bm25_topk": q_bm25_topk,
     "snippets": q_snippets,
     "bm25_batch": q_bm25_batch,

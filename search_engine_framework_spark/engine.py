@@ -84,12 +84,23 @@ class SearchEngine:
         model: RetrievalModel,
         k: int = 100,
         prune_min_blocks: int | None = None,
+        doc_filter: str | None = None,
     ) -> DataFrame:
         """→ DataFrame(doc_id, ext_id, rank, score), reference ordering.
 
         ``prune_min_blocks`` overrides the block-max pruning engagement
         threshold (plans/compiler._PRUNE_MIN_BLOCKS; 0 forces pruning on
-        any BM25 #SUM query, huge values disable it)."""
+        any BM25 #SUM query, huge values disable it).
+
+        ``doc_filter`` — optional SQL boolean over the docmap's metadata
+        columns (role/tool/conv_id/turn_idx/ts + any keep_extra columns),
+        e.g. ``"role = 'user' AND turn_idx > 0"``: standard filtered
+        retrieval. Applied AFTER scoring and before the top-k cut, so
+        scores are identical to the unfiltered query (collection
+        statistics are corpus-wide, the Lucene-filter semantics) and the
+        filter costs one predicate on the already-joined docmap — no
+        extra scan or shuffle. Filtered queries skip the driver fast
+        path (it never touches the docmap's metadata columns)."""
         node = self._parse(query, model)
         if node is None:
             return self.spark.createDataFrame(
@@ -105,7 +116,7 @@ class SearchEngine:
         # on a 10^12-turn corpus always run the distributed plan.
         from .plans.models import BM25 as _BM25
 
-        if prune_min_blocks is None and isinstance(model, _BM25):
+        if doc_filter is None and prune_min_blocks is None and isinstance(model, _BM25):
             flat = QueryCompiler._flat_sum_pairs(node)
             if flat is not None:
                 from .fastpath import bm25_topk_driver
@@ -129,7 +140,10 @@ class SearchEngine:
             # at target scale) — AQE broadcasts it when it is actually
             # small and sort-merge-joins otherwise; a forced broadcast
             # would OOM the driver on a real corpus.
-            docmap = self.reader.docmap().select("doc_id", "ext_id")
+            docmap = self.reader.docmap()
+            if doc_filter is not None:
+                docmap = docmap.where(F.expr(doc_filter))
+            docmap = docmap.select("doc_id", "ext_id")
             withext = scored.join(docmap, "doc_id")
             if isinstance(model, UnrankedBoolean):
                 ordered = withext.orderBy(F.asc("ext_id"))
@@ -413,17 +427,26 @@ class SearchEngine:
             out, "doc_id long, ext_id string, rank int, score double"
         )
 
-    def search_df(self, query: str, model: RetrievalModel) -> DataFrame:
+    def search_df(
+        self,
+        query: str,
+        model: RetrievalModel,
+        doc_filter: str | None = None,
+    ) -> DataFrame:
         """Lazy variant: full scored list (doc_id, ext_id, score), unranked
-        — for composition into larger pipelines without a driver collect."""
+        — for composition into larger pipelines without a driver collect.
+        ``doc_filter`` as in :meth:`search` (metadata predicate on the
+        docmap, applied via the join — scores unchanged)."""
         node = self._parse(query, model)
         if node is None:
             return self.spark.createDataFrame([], "doc_id long, ext_id string, score double")
         compiler = QueryCompiler(self.reader, model)
         compiler.prepare(node)
         scored = compiler.compile_query(node)
-        docmap = self.reader.docmap().select("doc_id", "ext_id")
-        return scored.join(docmap, "doc_id").select(
+        docmap = self.reader.docmap()
+        if doc_filter is not None:
+            docmap = docmap.where(F.expr(doc_filter))
+        return scored.join(docmap.select("doc_id", "ext_id"), "doc_id").select(
             "doc_id", "ext_id", "score"
         )
 

@@ -122,3 +122,36 @@ def test_phrase_search_equals_near(engine):
     got = _rows(engine.search('"search engine"', BM25(), k=10))
     want = _rows(engine.search("#NEAR/1(search engine)", BM25(), k=10))
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# metadata-filtered retrieval (doc_filter)
+# ---------------------------------------------------------------------------
+
+def test_doc_filter_is_membership_only(engine):
+    """Filtering must not change any surviving score (corpus-wide stats),
+    and must equal a post-hoc filter of the unfiltered scored list."""
+    full = {
+        r["ext_id"]: r["score"]
+        for r in engine.search_df("search engine", BM25()).collect()
+    }
+    filt = engine.search_df(
+        "search engine", BM25(), doc_filter="role = 'user'"
+    ).collect()
+    assert filt and len(filt) < len(full)
+    for r in filt:
+        assert r["score"] == full[r["ext_id"]]
+    # ranked variant: same membership, reference ordering, no fast path
+    ranked = engine.search(
+        "search engine", BM25(), k=1000, doc_filter="role = 'user'"
+    ).collect()
+    assert {r["ext_id"] for r in ranked} == {r["ext_id"] for r in filt}
+    scores = [r["score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_doc_filter_unknown_column_raises(engine):
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        engine.search_df("search", BM25(), doc_filter="nosuchcol = 1").collect()
