@@ -449,6 +449,22 @@ def q_minhash_sigs(spark, sf_dir):
     )
 
 
+def q_conv_fp(spark, sf_dir):
+    """Conversation-level exact-dedup fingerprints: documents grouped
+    into 5-turn conversations (doc_id div/mod 5 — the same synthetic
+    conv structure as conv_rollup), order-sensitive md5-of-turn-md5s
+    per conversation."""
+    docs = _read(spark, sf_dir, "documents")
+    turns = docs.select(
+        (F.col("doc_id") / 5).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        "text",
+    )
+    return dedup.conv_fingerprints(turns).select(
+        "conv_id", "n_turns", "conv_fp"
+    )
+
+
 def q_neardup_pairs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     pairs = dedup.near_dup_pairs(docs, threshold=0.8, k=3, num_hashes=32, bands=16)
@@ -1706,6 +1722,18 @@ SELECT doc_id,
          + 0.0 AS dup_trigram_frac
 FROM agg
 """,
+    "conv_fp": """
+WITH t AS (
+  SELECT doc_id // 5 AS conv_id, doc_id % 5 AS turn_idx,
+         md5(array_to_string(
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                         '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp
+  FROM documents
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       md5(string_agg(fp || '#', '' ORDER BY turn_idx, fp)) AS conv_fp
+FROM t GROUP BY conv_id
+""",
     "knn_join": """
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id,
@@ -2275,6 +2303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "indri_wsum": q_indri_wsum,
     "fingerprints": q_fingerprints,
     "minhash_sigs": q_minhash_sigs,
+    "conv_fp": q_conv_fp,
     "neardup_pairs": q_neardup_pairs,
     "neardup_clusters": q_neardup_clusters,
     "ngram_jaccard": q_ngram_jaccard,

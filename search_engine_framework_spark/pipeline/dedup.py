@@ -51,6 +51,70 @@ def exact_dup_groups(docs: DataFrame, key: Column | None = None) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# conversation-level exact dedup (transcript corpora)
+# --------------------------------------------------------------------------
+
+def conv_fingerprints(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_id, n_turns, conv_fp): an order-sensitive fingerprint of the
+    WHOLE conversation — dedup at the granularity a transcript corpus
+    actually duplicates at (re-ingested sessions, retried pipelines,
+    mirrored exports), where per-turn dedup would shred shared boilerplate
+    turns ("hello", "thanks") across unrelated conversations.
+
+    ``conv_fp = md5( concat over turns in order of md5(normalized turn
+    text) || '#' )`` — turn normalization is the engine's sql_safe token
+    stream (case/punct-insensitive, same as :func:`textstats.
+    fingerprints`), the per-turn md5 makes the concatenation
+    injective-in-practice and keeps the fold payload 33 bytes/turn, and
+    the trailing separator keeps [\"a\"] ≠ [\"a\",\"\"] distinguishable.
+
+    Plan: one groupBy(conv) collecting (turn_idx, fp32) structs — state
+    bounded by turns-per-conversation (tens to hundreds), never by corpus
+    size — then a JVM sort_array + fold. One shuffle, map-side combinable
+    list aggregation.
+    """
+    fp = F.md5(F.concat_ws(" ", tokens_col(F.col(text_col))))
+    pairs = turns.select(
+        F.col(conv_col),
+        F.struct(F.col(order_col).alias("i"), fp.alias("fp")).alias("p"),
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list("p")),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x["fp"], F.lit("#")),
+    )
+    return pairs.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.md5(folded).alias("conv_fp"),
+    )
+
+
+def conv_dup_groups(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-conversation groups: (conv_fp, n_dups, keep_conv)
+    with keep_conv the smallest conv_id (deterministic canonical
+    survivor) — ``exact_dup_groups`` lifted to conversations."""
+    fps = conv_fingerprints(turns, conv_col, order_col, text_col)
+    return (
+        fps.groupBy("conv_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min(conv_col).alias("keep_conv"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
 # shingling + MinHash + LSH
 # --------------------------------------------------------------------------
 

@@ -598,3 +598,27 @@ def test_png_bomb_and_huge_header_fall_back():
     bomb = good[:start] + _png_chunk(b"IDAT", raw_over) + good[end:]
     assert _decode_png(bomb) is None
     assert _decode_png(good) is not None  # sanity: the base image decodes
+
+
+def test_conv_fingerprints_and_dup_groups(spark):
+    """Order sensitivity, turn-count sensitivity, duplicate detection,
+    canonical election — against hand-built conversations."""
+    from search_engine_framework_spark.pipeline import dedup
+
+    rows = [
+        ("c1", 0, "Hello there"), ("c1", 1, "How are you?"),
+        ("c2", 0, "hello, THERE"), ("c2", 1, "how are you"),  # dup of c1 (normalized)
+        ("c3", 0, "How are you?"), ("c3", 1, "Hello there"),  # same turns, other order
+        ("c4", 0, "Hello there"),                             # prefix only
+        ("c5", 0, "Hello there"), ("c5", 1, "How are you?"),  # dup of c1
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    fps = {r["conv_id"]: (r["n_turns"], r["conv_fp"])
+           for r in dedup.conv_fingerprints(turns).collect()}
+    assert fps["c1"] == fps["c2"] == fps["c5"]
+    assert fps["c1"][1] != fps["c3"][1]  # order matters
+    assert fps["c1"][1] != fps["c4"][1]  # length matters
+    groups = dedup.conv_dup_groups(turns).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_dups"] == 3 and g["keep_conv"] == "c1"
