@@ -186,3 +186,80 @@ def summarize(per_query: DataFrame, exclude_no_rel: bool = True) -> DataFrame:
         *[F.avg(c).alias(rename.get(c, c)) for c in mean_cols],
     )
     return counted.crossJoin(means)
+
+
+def compare_runs(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    qrels: DataFrame,
+    metric: str = "ap",
+    n_perm: int = 10000,
+    seed: int = 42,
+    **metric_kwargs,
+) -> dict:
+    """Paired two-sided randomization test between two runs — the
+    "is B actually better than A" half of every IR evaluation (Smucker,
+    Allan & Carterette, CIKM 2007: the randomization test is the
+    recommended significance test for MAP-style metrics; public
+    knowledge).
+
+    Per-query metrics for both runs compute distributed (ONE Spark job
+    each, any corpus size); the test itself runs driver-side over the
+    |Q| paired deltas — topic counts are thousands at most, never
+    corpus-sized. Sign-flip permutations use a seeded ``random.Random``:
+    deterministic p-values. For |Q| ≤ 20 all 2^|Q| sign assignments are
+    enumerated — the EXACT permutation p-value, which the sampled
+    variant converges to.
+
+    Returns {metric_a, metric_b, delta, p_value, n_q, exact}: means over
+    queries with relevant docs (trec_eval convention), delta = B − A,
+    p_value = P(|mean sign-flipped delta| ≥ |observed|).
+    """
+    import random
+
+    pa = per_query_metrics(run_a, qrels, **metric_kwargs)
+    pb = per_query_metrics(run_b, qrels, **metric_kwargs)
+    if metric not in pa.columns:
+        raise ValueError(f"unknown metric {metric!r}; have {pa.columns}")
+    a_rows = {
+        r["qid"]: float(r[metric])
+        for r in pa.where(F.col("num_rel") > 0).select("qid", metric).collect()
+    }
+    b_rows = {
+        r["qid"]: float(r[metric])
+        for r in pb.where(F.col("num_rel") > 0).select("qid", metric).collect()
+    }
+    qids = sorted(set(a_rows) & set(b_rows))
+    if not qids:
+        raise ValueError("no shared queries with relevant docs")
+    deltas = [b_rows[q] - a_rows[q] for q in qids]
+    n = len(deltas)
+    obs = sum(deltas) / n
+    eps = 1e-12  # |mean| comparisons tolerate float reassociation
+    if n <= 20:
+        exact = True
+        hits = total = 0
+        for mask in range(1 << n):
+            s = sum(d if mask >> i & 1 else -d for i, d in enumerate(deltas))
+            total += 1
+            if abs(s / n) >= abs(obs) - eps:
+                hits += 1
+        p = hits / total
+    else:
+        exact = False
+        rng = random.Random(seed)
+        hits = 0
+        for _ in range(n_perm):
+            s = sum(d if rng.random() < 0.5 else -d for d in deltas)
+            if abs(s / n) >= abs(obs) - eps:
+                hits += 1
+        # +1 smoothing: the identity permutation always "hits"
+        p = (hits + 1) / (n_perm + 1)
+    return {
+        f"{metric}_a": sum(a_rows[q] for q in qids) / n,
+        f"{metric}_b": sum(b_rows[q] for q in qids) / n,
+        "delta": obs,
+        "p_value": p,
+        "n_q": n,
+        "exact": exact,
+    }

@@ -99,3 +99,59 @@ def test_unjudged_query_defaults_to_zero_metrics(spark):
     row = per_query_metrics(ranking, qrels, ks=(1,), ndcg_ks=(1,)).first()
     assert row["qid"] == "q9"
     assert row["num_rel"] == 0 and row["ap"] == 0.0 and row["ndcg_at_1"] == 0.0
+
+
+def test_compare_runs_exact_permutation(spark):
+    """Small-|Q| exact enumeration: identical runs → p = 1; a uniformly
+    better run on 6 queries → exact sign-test p = 2/2^6; p matches a
+    brute-force reference computation."""
+    from search_engine_framework_spark import eval as ev
+
+    qrels_rows = [(f"q{i}", f"d{i}", 1) for i in range(6)]
+    qrels = spark.createDataFrame(qrels_rows, "qid string, ext_id string, rel int")
+
+    def run(rank_of_rel):
+        rows = []
+        for i in range(6):
+            rel_rank = rank_of_rel(i)
+            docs = [f"d{i}" if r == rel_rank else f"x{i}-{r}" for r in range(1, 4)]
+            rows += [(f"q{i}", d, r + 1) for r, d in enumerate(docs)]
+        return spark.createDataFrame(rows, "qid string, ext_id string, rank int")
+
+    run_a = run(lambda i: 3)   # relevant doc always rank 3 → ap = 1/3
+    run_b = run(lambda i: 1)   # always rank 1 → ap = 1
+    same = ev.compare_runs(run_a, run_a, qrels)
+    assert same["exact"] and same["p_value"] == 1.0 and same["delta"] == 0.0
+
+    out = ev.compare_runs(run_a, run_b, qrels)
+    assert out["exact"] and out["n_q"] == 6
+    assert abs(out["ap_a"] - 1 / 3) < 1e-12 and out["ap_b"] == 1.0
+    assert abs(out["delta"] - 2 / 3) < 1e-12
+    # all deltas equal and positive: only the all-plus and all-minus
+    # assignments reach |obs| → p = 2/64
+    assert abs(out["p_value"] - 2 / 64) < 1e-12
+
+
+def test_compare_runs_sampled_branch_deterministic(spark):
+    from search_engine_framework_spark import eval as ev
+
+    n = 25  # > 20 → sampled
+    qrels = spark.createDataFrame(
+        [(f"q{i}", f"d{i}", 1) for i in range(n)],
+        "qid string, ext_id string, rel int",
+    )
+    rows_a, rows_b = [], []
+    for i in range(n):
+        # A: relevant at rank 2; B: rank 1 except every 5th query worse
+        rows_a += [(f"q{i}", f"z{i}", 1), (f"q{i}", f"d{i}", 2)]
+        if i % 5 == 0:
+            rows_b += [(f"q{i}", f"z{i}", 1), (f"q{i}", f"y{i}", 2),
+                       (f"q{i}", f"d{i}", 3)]
+        else:
+            rows_b += [(f"q{i}", f"d{i}", 1), (f"q{i}", f"z{i}", 2)]
+    run_a = spark.createDataFrame(rows_a, "qid string, ext_id string, rank int")
+    run_b = spark.createDataFrame(rows_b, "qid string, ext_id string, rank int")
+    o1 = ev.compare_runs(run_a, run_b, qrels, n_perm=2000, seed=7)
+    o2 = ev.compare_runs(run_a, run_b, qrels, n_perm=2000, seed=7)
+    assert o1 == o2 and not o1["exact"]
+    assert o1["delta"] > 0 and 0 < o1["p_value"] < 0.05
