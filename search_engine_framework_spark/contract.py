@@ -610,6 +610,28 @@ def q_stratified_sample(spark, sf_dir):
     ).select("lang", "source", "doc_id")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """C4-style PII scrub: emails → <EMAIL>, IPv4 → <IP>, 8+-digit runs
+    → <NUM>, plus per-doc match counts. Zero-UDF regexp chain; the twin
+    replays the same (Java-regex ∩ RE2)-portable patterns."""
+    docs = _read(spark, sf_dir, "documents")
+    # The synthetic corpus is PII-free; plant deterministic PII so the
+    # entry actually exercises every pattern (same expression in SQL).
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob.smith+x@example.co.uk or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 ref 1234567890"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return textstats.pii_scrub(planted)
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality gates per document — duplicate
     lines, top-bigram dominance, duplicated trigram occurrences. Zero
@@ -1672,6 +1694,37 @@ scored AS (
 SELECT vec_id, round(cosine, 4) + 0.0 AS cosine
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
+    "pii_scrub": r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           coalesce(text, '') || ' contact bob.smith+x@example.co.uk or 10.0.'
+             || (doc_id % 256)::VARCHAR || '.1 ref 1234567890'
+         ELSE coalesce(text, '') END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+           AS n_email,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS text
+  FROM planted
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+         regexp_replace(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(text, '\b\d{8,}\b', '<NUM>', 'g') AS clean_text,
+       n_email, n_ip,
+       len(regexp_extract_all(text, '\b\d{8,}\b'))::BIGINT AS n_longnum
+FROM s2
+""",
     "repetition": """
 WITH base AS (
   SELECT doc_id,
@@ -2319,6 +2372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "shard_assign": q_shard_assign,
     "repetition": q_repetition,
+    "pii_scrub": q_pii_scrub,
     "knn_cosine": q_knn_cosine,
     "knn_join": q_knn_join,
     "events_hourly": q_events_hourly,

@@ -149,6 +149,43 @@ def fingerprints(docs: DataFrame, prefix_tokens: int = 32) -> DataFrame:
     )
 
 
+# PII patterns, deliberately conservative and portable: each construct
+# (classes, bounded repeats, \b, alternation-free) means the same thing
+# in Java regex (Spark executors) and RE2 (DuckDB oracle). Order is
+# load-bearing: emails first (they contain digits and dots), then IPs,
+# then bare digit runs.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{8,}\b", "<NUM>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4-style PII cleaning pass every pretraining pipeline runs
+    before export: emails, IPv4 addresses, and 8+-digit runs (phone/SSN/
+    account-shaped identifiers) are replaced with typed redaction tokens,
+    with per-document match counts for audit/reporting.
+
+    → doc_id, clean_text, n_email, n_ip, n_longnum. Zero UDF — three
+    ``regexp_replace``/``regexp_count`` chains inside whole-stage
+    codegen, a pure map over the corpus scan; the DuckDB twin replays
+    the identical patterns (``pii_scrub`` contract entry). Counts are
+    measured on the PARTIALLY scrubbed text each pattern actually sees
+    (an email's digits can't double-count as a number run).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {}
+    for name, pat, rep in PII_PATTERNS:
+        counts[name] = F.regexp_count(text, F.lit(pat)).cast("long")
+        text = F.regexp_replace(text, pat, rep)
+    return docs.select(
+        "doc_id",
+        text.alias("clean_text"),
+        *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+    )
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Gopher/FineWeb-style within-document repetition filters (Rae et
     al. 2021 §A1.1; public knowledge) — the quality gates that catch

@@ -135,3 +135,34 @@ def test_repetition_signals_matches_python(spark):
         for k in ("dup_line_frac", "dup_line_char_frac",
                   "top_bigram_frac", "dup_trigram_frac"):
             assert abs(g[k] - want[k]) < 1e-12, (doc_id, k, g[k], want[k])
+
+
+def test_pii_scrub_hand_cases(spark):
+    rows = [
+        (1, "mail a.b@x.io and c@d.org now"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "card 12345678 ok, short 1234567 kept, 123456789 gone"),
+        (4, "mixed bob@x.com at 1.2.3.4 id 99999999"),
+        (5, ""),
+        (6, None),
+        (7, "no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.pii_scrub(df).collect()}
+    assert got[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[1]["n_email"] == 2 and got[1]["n_ip"] == 0
+    assert got[2]["clean_text"] == "server <IP> and <IP> up"
+    assert got[2]["n_ip"] == 2
+    assert got[3]["clean_text"] == "card <NUM> ok, short 1234567 kept, <NUM> gone"
+    assert got[3]["n_longnum"] == 2
+    assert got[4]["clean_text"] == "mixed <EMAIL> at <IP> id <NUM>"
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_longnum"]) == (1, 1, 1)
+    assert got[5]["clean_text"] == "" and got[6]["clean_text"] == ""
+    assert got[7]["clean_text"] == "no pii at all"
+    # an email's digits must not double-count as a number run
+    df2 = spark.createDataFrame(
+        [(1, "x12345678@y.com")], "doc_id long, text string"
+    )
+    r = textstats.pii_scrub(df2).collect()[0]
+    assert r["n_email"] == 1 and r["n_longnum"] == 0
+    assert r["clean_text"] == "<EMAIL>"
