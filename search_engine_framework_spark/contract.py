@@ -610,6 +610,20 @@ def q_stratified_sample(spark, sf_dir):
     ).select("lang", "source", "doc_id")
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style perplexity filter: add-alpha bigram LM trained on the
+    corpus, each doc scored by cross-entropy under it (two count aggs +
+    two scoring joins — no broadcast cap on the model size)."""
+    from .pipeline import lm
+
+    docs = _read(spark, sf_dir, "documents")
+    bigrams, contexts, vocab = lm.lm_train(docs)
+    out = lm.lm_score(docs, bigrams, contexts, vocab, alpha=0.1)
+    return out.select(
+        "doc_id", "n_bigrams", _r4(F.col("cross_entropy")).alias("cross_entropy")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """C4-style PII scrub: emails → <EMAIL>, IPv4 → <IP>, 8+-digit runs
     → <NUM>, plus per-doc match counts. Zero-UDF regexp chain; the twin
@@ -1694,6 +1708,44 @@ scored AS (
 SELECT vec_id, round(cosine, 4) + 0.0 AS cosine
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
+    "lm_score": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, p[1] AS v, p[2] AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(list_slice(t, 1, greatest(len(t) - 1, 0)),
+                           list_slice(t, 2, len(t)))) AS p
+    FROM toks
+  )
+), big AS (
+  SELECT v, w, count(*)::BIGINT AS c_vw FROM pos GROUP BY v, w
+), ctx AS (
+  SELECT v, count(*)::BIGINT AS c_v FROM pos GROUP BY v
+), voc AS (
+  SELECT count(DISTINCT u)::DOUBLE AS vs
+  FROM (SELECT unnest(t) AS u FROM toks)
+), scored AS (
+  SELECT pos.doc_id,
+         count(*)::BIGINT AS n_bigrams,
+         -avg(ln((coalesce(big.c_vw, 0)::DOUBLE + 0.1)
+                 / (coalesce(ctx.c_v, 0)::DOUBLE + 0.1 * voc.vs)))
+           AS ce
+  FROM pos
+  LEFT JOIN big ON big.v = pos.v AND big.w = pos.w
+  LEFT JOIN ctx ON ctx.v = pos.v
+  CROSS JOIN voc
+  GROUP BY pos.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(s.ce, 4) + 0.0 AS cross_entropy
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+""",
     "pii_scrub": r"""
 WITH planted AS (
   SELECT doc_id,
@@ -2373,6 +2425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_assign": q_shard_assign,
     "repetition": q_repetition,
     "pii_scrub": q_pii_scrub,
+    "lm_score": q_lm_score,
     "knn_cosine": q_knn_cosine,
     "knn_join": q_knn_join,
     "events_hourly": q_events_hourly,

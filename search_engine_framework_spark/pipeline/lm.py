@@ -1,0 +1,104 @@
+"""Bigram language-model quality scoring — the "perplexity filter" of a
+pretraining curation pipeline (CCNet, Wenzek et al. 2020: score each
+document under a reference LM and gate/bucket on the score; public
+knowledge). A tiny add-alpha bigram model stands in for KenLM: fully
+deterministic, exactly replayable in SQL, and the Spark plumbing (count
+→ join → per-doc aggregate) is identical to what a real LM-scoring pass
+needs at 100 TB.
+
+Model: ``P(w | v) = (c(v,w) + alpha) / (c(v) + alpha * V)`` with V the
+training vocabulary size; unseen context words fall back to the same
+formula with c = 0 (alpha-smoothed uniform). Document score =
+cross-entropy = −mean ln P over the doc's bigram positions (lower =
+more "in-distribution"); docs with < 2 tokens score NULL (no evidence).
+
+Scale shape: training is two map-combinable count aggregations over the
+reference corpus; scoring joins each document's bigram positions against
+the model tables — two shuffles on (v, w)/(v,) keys, the same plan at
+any corpus size (a broadcast would cap the model at driver memory; these
+joins do not). Tokenization is the engine's sql_safe mode, so the DuckDB
+oracle reproduces scores bit-for-bit up to 4-dp rounding
+(``lm_score`` contract entry).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .textstats import tokens_col
+
+
+def lm_train(docs: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame, int]:
+    """→ (bigrams(v, w, c_vw), contexts(v, c_v), vocab_size) — the
+    add-alpha bigram model's sufficient statistics."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+            )
+        ).alias("p")
+    ).select("p.v", "p.w")
+    bigrams = pairs.groupBy("v", "w").agg(F.count("*").cast("long").alias("c_vw"))
+    contexts = pairs.groupBy("v").agg(F.count("*").cast("long").alias("c_v"))
+    vocab = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("t")
+    ).agg(F.countDistinct("t")).collect()[0][0]
+    return bigrams, contexts, int(vocab)
+
+
+def lm_score(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab_size: int,
+    alpha: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_bigrams, cross_entropy): −mean ln P(w|v) under the
+    trained model. NULL cross_entropy for docs with < 2 tokens."""
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (unsmoothed zeros → -inf)")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    pos = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.v", "p.w")
+    joined = (
+        pos.join(bigrams, ["v", "w"], "left")
+        .join(contexts, ["v"], "left")
+        .select(
+            id_col,
+            (
+                (F.coalesce(F.col("c_vw"), F.lit(0)).cast("double") + F.lit(alpha))
+                / (
+                    F.coalesce(F.col("c_v"), F.lit(0)).cast("double")
+                    + F.lit(alpha) * F.lit(float(vocab_size))
+                )
+            ).alias("p"),
+        )
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (-F.avg(F.log("p"))).alias("cross_entropy"),
+    )
+    # keep every input doc: short docs (< 2 tokens) have no bigrams
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        "cross_entropy",
+    )

@@ -1,0 +1,82 @@
+"""Bigram LM quality scoring vs a pure-Python model."""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from search_engine_framework_spark.pipeline import lm
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "dogs chase the cat"),
+        (4, "zeta unseen zeta words"),
+        (5, "one"),          # no bigram
+        (6, ""),
+        (7, "the cat sat on the mat"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def _py_model(texts):
+    big, ctx, vocab = Counter(), Counter(), set()
+    for t in texts:
+        toks = _toks(t)
+        vocab.update(toks)
+        for v, w in zip(toks, toks[1:]):
+            big[(v, w)] += 1
+            ctx[v] += 1
+    return big, ctx, len(vocab)
+
+
+def _py_ce(text, big, ctx, vs, alpha):
+    toks = _toks(text)
+    ps = [
+        (big.get((v, w), 0) + alpha) / (ctx.get(v, 0) + alpha * vs)
+        for v, w in zip(toks, toks[1:])
+    ]
+    if not ps:
+        return 0, None
+    return len(ps), -sum(math.log(p) for p in ps) / len(ps)
+
+
+def test_lm_matches_python(corpus):
+    df, rows = corpus
+    bigrams, contexts, vocab = lm.lm_train(df)
+    pybig, pyctx, pyvs = _py_model([t for _, t in rows])
+    assert vocab == pyvs
+    got_big = {(r["v"], r["w"]): r["c_vw"] for r in bigrams.collect()}
+    assert got_big == dict(pybig)
+
+    out = {r["doc_id"]: r for r in
+           lm.lm_score(df, bigrams, contexts, vocab, alpha=0.1).collect()}
+    assert len(out) == len(rows)
+    for doc_id, text in rows:
+        n, ce = _py_ce(text, pybig, pyctx, pyvs, 0.1)
+        assert out[doc_id]["n_bigrams"] == n
+        if ce is None:
+            assert out[doc_id]["cross_entropy"] is None
+        else:
+            assert abs(out[doc_id]["cross_entropy"] - ce) < 1e-9
+    # in-distribution text scores lower than unseen-word text
+    assert out[1]["cross_entropy"] < out[4]["cross_entropy"]
+    # identical docs get identical scores
+    assert out[1]["cross_entropy"] == out[7]["cross_entropy"]
+
+
+def test_lm_score_validation(corpus):
+    df, _ = corpus
+    bigrams, contexts, vocab = lm.lm_train(df)
+    with pytest.raises(ValueError, match="alpha"):
+        lm.lm_score(df, bigrams, contexts, vocab, alpha=0.0)
+    with pytest.raises(ValueError, match="vocab_size"):
+        lm.lm_score(df, bigrams, contexts, 0)
