@@ -908,6 +908,28 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return pairs.select("a", "b", _r4(F.col("cosine")).alias("cosine"))
 
 
+def q_ivfpq_exact(spark, sf_dir):
+    """IVF-PQ (coarse routing + residual product quantization) in its
+    provably-exact configuration: nprobe=nlist, ksub ≥ N, refine=0 —
+    every residual is its own codebook entry, and since both sides
+    subtract the same centroid the ADC distance equals exact ||q−v||².
+    The compressed configuration of the same code is recall-tested in
+    tests/test_pq.py."""
+    from .pipeline import pq as pqm
+
+    embs = _read(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in embs.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    corpus = embs.where(F.col("vec_id") != 0)
+    codes, cents, books = pqm.ivfpq_build(
+        corpus, nlist=4, m=8, ksub=corpus.count(), refine=0
+    )
+    top = pqm.ivfpq_query(codes, cents, books, qvec, k=10, nprobe=4)
+    return top.select("vec_id", _r4(F.col("adc_dist")).alias("adc_dist"))
+
+
 def q_ir_metrics(spark, sf_dir):
     """Distributed trec_eval metrics (eval.py) over a deterministic
     synthetic evaluation set derived from `documents` with pure modular
@@ -2122,6 +2144,8 @@ SELECT vec_id, round(dist, 4) + 0.0 AS adc_dist
 FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10
 """
 
+ORACLE_SQL["ivfpq_exact"] = ORACLE_SQL["pq_exactcode"]
+
 ORACLE_SQL["hash_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_b16_sql("doc_id::VARCHAR", 7)} < {round(0.25 * 65536)}
@@ -2439,6 +2463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
     "ivf_store": q_ivf_store,
     "pq_exactcode": q_pq_exactcode,
+    "ivfpq_exact": q_ivfpq_exact,
     "ir_metrics": q_ir_metrics,
     "conv_rollup": q_conv_rollup,
     "bm25f": q_bm25f,

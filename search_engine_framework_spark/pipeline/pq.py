@@ -217,3 +217,134 @@ def pq_search(
         .orderBy(F.asc("l2_sq"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse routing + residual product quantization (the full
+# FAISS "IndexIVFPQ" composition of similarity.ivf_* and the PQ above)
+# --------------------------------------------------------------------------
+
+def _residual(vec_col, cent: list[float]):
+    carr = F.array(*[F.lit(float(x)) for x in cent])
+    return F.zip_with(vec_col, carr, lambda v, c: v.cast("double") - c)
+
+
+def ivfpq_build(
+    embs: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """→ (codes(id, list_id, codes), cents, books): the FAISS IVF-PQ
+    index build. Vectors route to ``nlist`` coarse centroids
+    (similarity.ivf_centroids — deterministic seeding), PQ codebooks
+    train on the RESIDUALS (v − centroid[list]) — residual quantization
+    is what makes IVF-PQ beat flat PQ: residual norms shrink with the
+    coarse fit, so the same ksub spends its codes on a tighter
+    distribution. At scale, persist ``codes`` partitioned by list_id
+    (pipeline/ivf_store.py layout) so probes prune partitions AND scan
+    8-byte codes instead of raw vectors."""
+    from . import similarity
+
+    cents = similarity.ivf_centroids(
+        embs, nlist=nlist, id_col=id_col, vec_col=vec_col
+    )
+    assigned = similarity.ivf_assign(
+        embs, cents, id_col=id_col, vec_col=vec_col
+    )
+    joined = embs.select(id_col, vec_col).join(assigned, id_col)
+    res = None
+    for i, c in enumerate(cents):
+        branch = _residual(F.col(vec_col), c)
+        res = (
+            F.when(F.col("list_id") == i, branch)
+            if res is None
+            else res.when(F.col("list_id") == i, branch)
+        )
+    res_df = joined.select(id_col, "list_id", res.alias("_res"))
+    books = pq_train(
+        res_df, m=m, ksub=ksub, refine=refine, id_col=id_col, vec_col="_res"
+    )
+    codes = pq_encode(res_df, books, id_col=id_col, vec_col="_res").join(
+        assigned, id_col
+    )
+    return codes, cents, books
+
+
+def ivfpq_query(
+    codes: DataFrame,
+    cents: list[list[float]],
+    books: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    embs: DataFrame | None = None,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` coarse lists nearest the query (L2 — the
+    PQ metric), ADC-scan ONLY those lists' codes with a per-list LUT
+    built from the query's residual (q − centroid), take top-k by
+    approximate distance. With ``embs``+``shortlist`` an exact-L2
+    rerank of the shortlist follows (FAISS refine). Returns
+    (id, adc_dist) or (id, l2_sq), ascending, ties to the lower id.
+
+    Identity property (the oracle hook): nprobe=nlist, ksub ≥ N,
+    refine=0 → every residual is its own codebook entry and
+    ||q_res − v_res||² = ||q − v||² (both residuals subtract the same
+    centroid), so the whole path equals brute-force squared L2."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = [
+        (i, float(((q - np.asarray(c)) ** 2).sum())) for i, c in enumerate(cents)
+    ]
+    probe = [i for i, _ in sorted(d2, key=lambda t: (t[1], t[0]))[:nprobe]]
+    parts = []
+    for i in probe:
+        q_res = (q - np.asarray(cents[i], dtype=np.float64)).tolist()
+        lut = adc_lut(books, q_res)
+        lut_col = F.array(
+            *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(lut.shape[0] - 1)),
+                lambda c, j: F.element_at(
+                    F.element_at(lut_col, j + 1), c.cast("int") + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        parts.append(
+            codes.where(F.col("list_id") == i).select(
+                F.col(id_col), dist.alias("adc_dist")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    cut = max(k, shortlist or 0)
+    top = out.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(cut)
+    if embs is None or shortlist is None:
+        return top.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            qarr,
+            lambda v, qq: (v.cast("double") - qq) * (v.cast("double") - qq),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        embs.join(F.broadcast(top.select(id_col)), id_col)
+        .select(F.col(id_col), l2.alias("l2_sq"))
+        .orderBy(F.asc("l2_sq"), F.asc(id_col))
+        .limit(k)
+    )

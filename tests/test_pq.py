@@ -119,3 +119,63 @@ def test_adc_recall_realistic_params(spark, data):
 def test_dim_divisibility_error(spark, data):
     with pytest.raises(ValueError):
         pq.pq_train(_emb_df(spark, data[:10]), m=5)
+
+
+def test_ivfpq_identity_config_equals_brute_l2(spark, data):
+    """IVF-PQ residual path in its provably-exact configuration
+    (nprobe=nlist, ksub ≥ N, refine=0): ADC distances must equal exact
+    squared L2 — residuals subtract the same centroid on both sides."""
+    import numpy as np
+
+    from search_engine_framework_spark.pipeline import pq as pqm
+
+    vecs = data
+    df = _emb_df(spark, vecs)
+    n = len(vecs)
+    q = vecs[0].astype(np.float64)
+    corpus = df.where("vec_id != 0")
+    codes, cents, books = pqm.ivfpq_build(corpus, nlist=4, m=4, ksub=n, refine=0)
+    got = pqm.ivfpq_query(codes, cents, books, q.tolist(), k=10, nprobe=4).collect()
+    d2 = ((vecs.astype(np.float64) - q) ** 2).sum(1)
+    ids = np.arange(len(vecs))
+    mask = ids != 0
+    order = np.lexsort((ids[mask], d2[mask]))
+    expect = [(int(ids[mask][j]), float(d2[mask][j])) for j in order[:10]]
+    assert [(r["vec_id"], round(r["adc_dist"], 9)) for r in got] == [
+        (i, round(d, 9)) for i, d in expect
+    ]
+
+
+def test_ivfpq_compressed_recall_and_probe_subset(spark, data):
+    import numpy as np
+
+    from search_engine_framework_spark.pipeline import pq as pqm
+
+    vecs = data
+    df = _emb_df(spark, vecs)
+    corpus = df.where("vec_id >= 5")
+    codes, cents, books = pqm.ivfpq_build(corpus, nlist=4, m=4, ksub=32, refine=1)
+    codes = codes.cache()
+    d2all = None
+    hits = 0
+    for qi in range(5):
+        q = vecs[qi].astype(np.float64)
+        got = {
+            r["vec_id"]
+            for r in pqm.ivfpq_query(
+                codes, cents, books, q.tolist(), k=10, nprobe=4,
+                embs=corpus, shortlist=100,
+            ).collect()
+        }
+        d2 = ((vecs.astype(np.float64) - q) ** 2).sum(1)
+        ids = np.arange(len(vecs))
+        mask = ids >= 5
+        order = np.lexsort((ids[mask], d2[mask]))
+        exact = {int(ids[mask][j]) for j in order[:10]}
+        hits += len(got & exact)
+    assert hits / 50 >= 0.6  # full-probe + rerank floor, fixed seeds
+    # partial probe returns a subset of the probed lists only
+    part = pqm.ivfpq_query(codes, cents, books, vecs[0].tolist(), k=10, nprobe=1)
+    probed_ids = {r["vec_id"] for r in part.collect()}
+    assigned = {r["vec_id"]: r["list_id"] for r in codes.collect()}
+    assert len({assigned[i] for i in probed_ids}) == 1
