@@ -133,7 +133,14 @@ class SearchEngine:
         compiler = QueryCompiler(self.reader, model)
         # topk enables block-max decode pruning on the BM25 #SUM fast path
         # (exact top-k; no-op for other models/trees — compiler.prepare).
-        compiler.prepare(node, topk=k, prune_min_blocks=prune_min_blocks)
+        # A doc_filter disables it: pruning keeps only the CORPUS-WIDE
+        # top-k, but the filtered top-k can contain docs ranked below
+        # that globally — the filter needs the full scored list.
+        compiler.prepare(
+            node,
+            topk=None if doc_filter is not None else k,
+            prune_min_blocks=prune_min_blocks,
+        )
         try:
             scored = compiler.compile_query(node)
             # No broadcast hint: the docmap is corpus-sized (10^12 rows

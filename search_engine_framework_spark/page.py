@@ -29,7 +29,6 @@ from .engine import SearchEngine
 from .facets import facet_counts
 from .plans import ast
 from .plans.models import RetrievalModel
-from .plans.parser import parse_query
 from .snippets import best_window_snippets
 
 __all__ = ["SearchPage", "search_page"]
@@ -75,7 +74,9 @@ def search_page(
     the raw token stream: a hit that matched only via a stem variant
     degrades to the leading-window snippet (best_window_snippets docs).
     """
-    node = parse_query(query, model, engine.analyzer)
+    # engine._parse expands wildcard leaves against the term dictionary
+    # (ast.query_terms refuses unexpanded Wildcard nodes by design)
+    node = engine._parse(query, model)
     pairs = sorted(ast.query_terms(node)) if node is not None else []
     terms = sorted({t for t, _ in pairs})
     hits = engine.search(query, model, k=k)

@@ -31,23 +31,45 @@ from .textstats import tokens_col
 
 def lm_train(docs: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame, int]:
     """→ (bigrams(v, w, c_vw), contexts(v, c_v), vocab_size) — the
-    add-alpha bigram model's sufficient statistics."""
+    add-alpha bigram model's sufficient statistics.
+
+    ONE tokenize pass: each token emits (v, w=next-or-NULL), persisted,
+    and all three statistics (bigram counts, context counts, vocab size)
+    aggregate that materialization — tokenization is the dominant cost
+    at corpus scale, so three separate scans would triple the train."""
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
+    # nexts = toks shifted left with a NULL sentinel appended; zip_with
+    # pairs each token with its successor (the last token pairs with
+    # NULL — kept for the vocab count, excluded from bigram/context
+    # counts). No F.sequence: sequence(1, 0) on an empty doc would emit
+    # a DESCENDING [1, 0] (the spell.py lesson).
+    nexts = F.concat(
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
+    )
     pairs = docs.select(
         F.explode(
             F.zip_with(
-                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                toks, nexts,
                 lambda a, b: F.struct(a.alias("v"), b.alias("w")),
             )
         ).alias("p")
-    ).select("p.v", "p.w")
-    bigrams = pairs.groupBy("v", "w").agg(F.count("*").cast("long").alias("c_vw"))
-    contexts = pairs.groupBy("v").agg(F.count("*").cast("long").alias("c_v"))
-    vocab = docs.select(
-        F.explode(tokens_col(F.col(text_col))).alias("t")
-    ).agg(F.countDistinct("t")).collect()[0][0]
+    ).select("p.v", "p.w").persist()
+    try:
+        adj = pairs.where(F.col("w").isNotNull())
+        bigrams = adj.groupBy("v", "w").agg(
+            F.count("*").cast("long").alias("c_vw")
+        )
+        contexts = adj.groupBy("v").agg(F.count("*").cast("long").alias("c_v"))
+        vocab = pairs.agg(F.countDistinct("v")).collect()[0][0]
+        # model tables are small relative to the corpus; materialize them
+        # so unpersisting the pair frame doesn't re-trigger tokenization
+        bigrams = bigrams.cache()
+        contexts = contexts.cache()
+        bigrams.count(), contexts.count()
+    finally:
+        pairs.unpersist()
     return bigrams, contexts, int(vocab)
 
 

@@ -98,19 +98,19 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Train (m, ksub_eff, dsub) codebooks. Deterministic: stepped-id
-    seeds (ids ≡ 0 mod ⌈N/ksub⌉), then ``refine`` Lloyd passes; a
-    codebook entry that loses all members keeps its previous value."""
+    seeds (ids ≡ 0 mod ⌈N/ksub⌉, first k in id order — an ordered
+    ``limit`` rather than an upper-bound predicate, so non-0-based or
+    gapped id spaces still yield k seeds and the ksub ≥ N identity
+    configuration provably seeds EVERY vector), then ``refine`` Lloyd
+    passes; a codebook entry that loses all members keeps its previous
+    value."""
     dim = len(embs.select(vec_col).first()[0])
     dsub = _check_dims(dim, m)
     n = embs.count()
     k = min(ksub, n)
     step = max(1, n // k)
-    seeds = (
-        embs.where((F.col(id_col) % step == 0) & (F.col(id_col) < step * k))
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
+    seed_src = embs.where(F.col(id_col) % step == 0) if step > 1 else embs
+    seeds = seed_src.orderBy(id_col).limit(k).select(vec_col).collect()
     S = np.asarray([list(map(float, r[0])) for r in seeds], dtype=np.float64)
     books = np.ascontiguousarray(
         S.reshape(len(S), m, dsub).transpose(1, 0, 2)
@@ -229,6 +229,30 @@ def _residual(vec_col, cent: list[float]):
     return F.zip_with(vec_col, carr, lambda v, c: v.cast("double") - c)
 
 
+def _nearest_centroid_l2(vec_col, cents: list[list[float]]):
+    """argmin ||v − c||² — the SAME metric ivfpq_query probes with.
+    (similarity.ivf_assign routes by max dot product, the cosine-tier
+    convention; mixing the two metrics would send partial probes to
+    lists the build never routed matching vectors to.)"""
+    best = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")
+    )
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(
+                vec_col, carr,
+                lambda v, cc: (v.cast("double") - cc) * (v.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        best = F.when(
+            d < best["d"], F.struct(d.alias("d"), F.lit(i).alias("i"))
+        ).otherwise(best)
+    return best["i"]
+
+
 def ivfpq_build(
     embs: DataFrame,
     nlist: int = 16,
@@ -252,8 +276,12 @@ def ivfpq_build(
     cents = similarity.ivf_centroids(
         embs, nlist=nlist, id_col=id_col, vec_col=vec_col
     )
-    assigned = similarity.ivf_assign(
-        embs, cents, id_col=id_col, vec_col=vec_col
+    # L2 routing (NOT similarity.ivf_assign's max-dot): must match the
+    # L2 probe metric in ivfpq_query or partial probes miss the lists
+    # that matching vectors were routed to.
+    assigned = embs.select(
+        F.col(id_col),
+        _nearest_centroid_l2(F.col(vec_col), cents).alias("list_id"),
     )
     joined = embs.select(id_col, vec_col).join(assigned, id_col)
     res = None

@@ -150,12 +150,10 @@ def ivf_centroids(
     assigned vectors). Driver holds only nlist×dim floats."""
     n = embs.count()
     step = max(1, n // nlist)
-    seeds = (
-        embs.where((F.col(id_col) % step == 0) & (F.col(id_col) < step * nlist))
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
+    # ordered limit, not an id upper bound: non-0-based or gapped id
+    # spaces still yield nlist seeds (same convention as pq.pq_train)
+    seed_src = embs.where(F.col(id_col) % step == 0) if step > 1 else embs
+    seeds = seed_src.orderBy(id_col).limit(nlist).select(vec_col).collect()
     cents = [list(map(float, r[0])) for r in seeds]
     dim = len(cents[0])
     for _ in range(refine):
@@ -321,10 +319,19 @@ def knn_join(
         .select(
             q_id_col,
             F.col("_vid").alias(id_col),
-            (
+            # zero-norm guard mirrors the candidate stage (which patches
+            # zero norms to 1 → score 0): without it a zero vector's
+            # cosine is NULL and could surface as a ranked row with no
+            # score when a query has fewer than k nonzero candidates
+            F.when(
+                (_norm(F.col("_vec")) == 0) | (_norm(F.col("_qvec")) == 0),
+                F.lit(0.0),
+            )
+            .otherwise(
                 _dot(F.col("_vec"), F.col("_qvec"))
                 / (_norm(F.col("_vec")) * _norm(F.col("_qvec")))
-            ).alias("cosine"),
+            )
+            .alias("cosine"),
         )
     )
     from pyspark.sql import Window

@@ -179,3 +179,26 @@ def test_ivfpq_compressed_recall_and_probe_subset(spark, data):
     probed_ids = {r["vec_id"] for r in part.collect()}
     assigned = {r["vec_id"]: r["list_id"] for r in codes.collect()}
     assert len({assigned[i] for i in probed_ids}) == 1
+
+
+def test_ivfpq_partial_probe_finds_exact_match(spark, data):
+    """Routing and probing must use the SAME metric: with identity codes
+    and nprobe=1, querying any stored vector must return it at distance
+    ~0 — its assigned list is by construction the probed list. (A
+    dot-product router with an L2 prober fails this when centroid norms
+    differ.)"""
+    import numpy as np
+
+    from search_engine_framework_spark.pipeline import pq as pqm
+
+    vecs = data
+    df = _emb_df(spark, vecs)
+    codes, cents, books = pqm.ivfpq_build(
+        df, nlist=4, m=4, ksub=len(vecs), refine=0
+    )
+    codes = codes.cache()
+    for qi in (0, 57, 211, 399):
+        got = pqm.ivfpq_query(
+            codes, cents, books, vecs[qi].tolist(), k=1, nprobe=1
+        ).collect()
+        assert got[0]["vec_id"] == qi and got[0]["adc_dist"] < 1e-9

@@ -155,3 +155,25 @@ def test_doc_filter_unknown_column_raises(engine):
 
     with pytest.raises(AnalysisException):
         engine.search_df("search", BM25(), doc_filter="nosuchcol = 1").collect()
+
+
+def test_doc_filter_correct_even_with_forced_pruning(engine):
+    """Block-max pruning keeps only the corpus-wide top-k; with a
+    doc_filter it must be disabled or filtered results lose docs ranked
+    below the global cut. prune_min_blocks=0 forces pruning wherever it
+    is legal — the filtered result must still equal the post-hoc filter
+    of the full scored list."""
+    full = {
+        r["ext_id"]: r["score"]
+        for r in engine.search_df("search engine", BM25()).collect()
+    }
+    want = sorted(
+        ((s, e) for e, s in full.items() if e.split(":")[0] <= "conv-00000020"),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = engine.search(
+        "search engine", BM25(), k=5,
+        prune_min_blocks=0,
+        doc_filter="conv_id <= 'conv-00000020'",
+    ).collect()
+    assert [(r["score"], r["ext_id"]) for r in got] == want
