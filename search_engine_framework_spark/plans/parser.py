@@ -76,15 +76,17 @@ class _Builder:
         raise ValueError(f"unknown op kind {self.kind}")
 
 
-_PHRASE = re.compile(r'"([^"]*)"(?:\.(\w+))?')
+_PHRASE = re.compile(r'"([^"]*)"(?:~(\d+))?(?:\.(\w+))?')
 
 
 def _rewrite_phrases(qstring: str) -> str:
     """Quoted exact phrases — the Lucene PhraseQuery analog (the
     reference grammar has none): ``"a b c"`` rewrites to ``#NEAR/1(a b
     c)`` (adjacent, in order — exactly PhraseQuery slop 0 over our NEAR
-    semantics) and ``"a b".field`` qualifies every phrase term with the
-    field. Pure string pre-pass, so phrases nest anywhere the grammar
+    semantics), ``"a b"~n`` loosens the gap to ``#NEAR/n`` (Lucene slop
+    syntax, n ≥ 1; slop before field: ``"a b"~2.role``), and
+    ``"a b".field`` qualifies every phrase term with the field.
+    Pure string pre-pass, so phrases nest anywhere the grammar
     allows an operator; stopwords inside a phrase are dropped by the
     analyzer downstream (the standard approximation of Lucene's
     position-gap behavior). An unbalanced quote is a syntax error."""
@@ -93,7 +95,8 @@ def _rewrite_phrases(qstring: str) -> str:
 
     def repl(m: re.Match) -> str:
         words = m.group(1).split()
-        field = m.group(2)
+        slop = max(1, int(m.group(2))) if m.group(2) else 1
+        field = m.group(3)
         if field:
             if field not in TERM_FIELDS:
                 raise ValueError(f"unknown phrase field: .{field}")
@@ -102,7 +105,7 @@ def _rewrite_phrases(qstring: str) -> str:
             return ""
         if len(words) == 1:
             return words[0]
-        return "#NEAR/1(" + " ".join(words) + ")"
+        return f"#NEAR/{slop}(" + " ".join(words) + ")"
 
     out = _PHRASE.sub(repl, qstring)
     if '"' in out:

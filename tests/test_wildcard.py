@@ -177,3 +177,14 @@ def test_doc_filter_correct_even_with_forced_pruning(engine):
         doc_filter="conv_id <= 'conv-00000020'",
     ).collect()
     assert [(r["score"], r["ext_id"]) for r in got] == want
+
+
+def test_phrase_slop():
+    got = parse_query('"search engine"~3', RankedBoolean())
+    want = parse_query("#NEAR/3(search engine)", RankedBoolean())
+    assert got == want
+    got2 = parse_query('"search engine"~2.role', RankedBoolean())
+    want2 = parse_query("#NEAR/2(search.role engine.role)", RankedBoolean())
+    assert got2 == want2
+    # slop 0 clamps to 1 (NEAR/0 can never match distinct positions)
+    assert parse_query('"a b"~0', BM25()) == parse_query('"a b"', BM25())
