@@ -379,6 +379,50 @@ class SearchEngine:
             out, "qid string, doc_id long, ext_id string, rank int, score double"
         )
 
+    def explain_query(self, query: str, model, k: int = 100) -> dict:
+        """Query diagnostics — the evidence a plan reviewer wants in one
+        call: the parsed/expanded AST, per-(term, field) dictionary
+        stats, the bucket partition set the scan will prune to, whether
+        the driver-side fast path would take the query, and the
+        physical plan of the scored frame (where PartitionFilters /
+        PushedFilters / codegen spans are visible). Builds the plan
+        WITHOUT running it (no action)."""
+        node = self._parse(query, model)
+        if node is None:
+            return {
+                "ast": None, "pairs": {}, "buckets": [],
+                "fastpath_eligible": False, "physical_plan": "",
+            }
+        pairs = sorted(ast.query_terms(node))
+        stats = self.reader.term_stats(set(pairs))
+        buckets: list[int] = []
+        if self.reader._n_buckets:
+            from .functions.spark_hash import term_bucket
+
+            buckets = sorted(
+                {term_bucket(t, f, self.reader._n_buckets) for t, f in pairs}
+            )
+        from .plans.models import BM25 as _BM25
+
+        fastpath = (
+            isinstance(model, _BM25)
+            and QueryCompiler._flat_sum_pairs(node) is not None
+        )
+        compiler = QueryCompiler(self.reader, model)
+        compiler.prepare(node, topk=k)
+        try:
+            scored = compiler.compile_query(node)
+            plan = scored._jdf.queryExecution().executedPlan().toString()
+        finally:
+            compiler.release()
+        return {
+            "ast": repr(node),
+            "pairs": {f"{t}.{f}": dict(stats.get((t, f), {})) for t, f in pairs},
+            "buckets": buckets,
+            "fastpath_eligible": fastpath,
+            "physical_plan": plan,
+        }
+
     def decode_metrics(self) -> dict:
         """Cumulative block-decode counters (block-max pruning evidence):
         {"blocks_decoded": n, "blocks_skipped": n}."""

@@ -188,3 +188,25 @@ def test_phrase_slop():
     assert got2 == want2
     # slop 0 clamps to 1 (NEAR/0 can never match distinct positions)
     assert parse_query('"a b"~0', BM25()) == parse_query('"a b"', BM25())
+
+
+def test_explain_query_locks_plan_shape(engine):
+    """explain_query is the plan-shape contract: the bucket partition
+    set matches the driver-side hash twin, the segment scan prunes on
+    it (PartitionFilters), and flat BM25 #SUM queries are fast-path
+    eligible while positional queries are not."""
+    from search_engine_framework_spark.functions.spark_hash import term_bucket
+
+    info = engine.explain_query("search engine", BM25(), k=10)
+    assert info["fastpath_eligible"] is True
+    nb = engine.reader._n_buckets
+    want = sorted({term_bucket(t, "body", nb) for t in ("search", "engine")})
+    assert info["buckets"] == want
+    assert "PartitionFilters" in info["physical_plan"]
+    assert "bucket" in info["physical_plan"]
+    assert info["pairs"]["search.body"]["df"] > 0
+
+    pos = engine.explain_query("#NEAR/3(search engine)", RankedBoolean(), k=10)
+    assert pos["fastpath_eligible"] is False
+    empty = engine.explain_query("zz qq", BM25())  # all-unknown still parses
+    assert empty["pairs"] == {"qq.body": {}, "zz.body": {}}
