@@ -288,6 +288,16 @@ def q_wildcard(spark, sf_dir):
     return _search_full(spark, sf_dir, "s*", RankedBoolean())
 
 
+def q_fuzzy(spark, sf_dir):
+    """Fuzzy term ``sparkk~1`` (Lucene FuzzyQuery analog): SymSpell
+    dictionary expansion into #SYN of every term within levenshtein
+    distance 1, merged-postings tf under RankedBoolean. The SQL twin
+    replays the expansion with DuckDB's levenshtein()."""
+    from .plans.models import RankedBoolean
+
+    return _search_full(spark, sf_dir, "sparkk~1", RankedBoolean())
+
+
 def q_bm25_single(spark, sf_dir):
     from .plans.models import BM25
 
@@ -1496,6 +1506,13 @@ FROM tf WHERE term IN ('spark', 'data') GROUP BY 1
 SELECT doc_id, sum(tf)::DOUBLE AS score
 FROM tf WHERE term LIKE 's%' GROUP BY 1
 """,
+    "fuzzy": _SQL_BASE
+    + """
+SELECT doc_id, sum(tf)::DOUBLE AS score
+FROM tf WHERE term IN (SELECT term FROM dfreq
+                       WHERE levenshtein(term, 'sparkk') <= 1)
+GROUP BY 1
+""",
     "bm25_single": _SQL_BASE
     + f""", t_spark AS ({_bm25_term_sql('spark')})
 SELECT doc_id, round(s, 4) + 0.0 AS score FROM t_spark
@@ -2422,6 +2439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_op": q_window_op,
     "syn_ranked": q_syn_ranked,
     "wildcard": q_wildcard,
+    "fuzzy": q_fuzzy,
     "bm25_single": q_bm25_single,
     "filtered_search": q_filtered_search,
     "bm25_topk": q_bm25_topk,

@@ -215,6 +215,39 @@ class IndexReader:
             )
         return terms
 
+    def expand_fuzzy(
+        self, term: str, field: str, max_edit: int = 2, limit: int = 128
+    ) -> list[str]:
+        """Distinct dictionary terms in ``field`` within levenshtein
+        distance ``max_edit`` of ``term``, sorted ascending — the
+        fuzzy-expansion seek (#SYN rewrite, plans/wildcard.py; the
+        Lucene FuzzyQuery→MultiTermQuery-rewrite analog).
+
+        Candidates come from the SymSpell deletion-neighborhood
+        equi-join (spell.suggest): the dictionary side explodes to
+        short deletion variants and joins the query's variants — one
+        bounded shuffle linear in vocabulary size, never a levenshtein
+        scan of every term. Raises if more than ``limit`` terms match
+        (fail loudly rather than silently truncate a SYN)."""
+        from ..spell import suggest
+
+        dic = (
+            self.term_stats_df()
+            .where(F.col("field") == field)
+            .select("term", "df")
+        )
+        rows = suggest(
+            self.spark, dic, [term], max_edit=max_edit, topn=limit + 1
+        ).collect()
+        terms = sorted(r["term"] for r in rows)
+        if len(terms) > limit:
+            raise ValueError(
+                f"fuzzy {term!r}~{max_edit} matches more than {limit} "
+                f"terms in field {field!r}; raise max_expansions or "
+                "tighten the distance"
+            )
+        return terms
+
     def term_stats(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], dict]:
         """df/ctf/max_tf for each requested (term, field).
 

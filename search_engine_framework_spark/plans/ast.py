@@ -47,6 +47,22 @@ class Wildcard(Node):
 
 
 @dataclass(frozen=True)
+class Fuzzy(Node):
+    """Fuzzy multi-term query (``sprak~1``) — our Lucene-FuzzyQuery
+    analog (the reference has none). Never evaluated directly: the
+    engine rewrites it against the term dictionary into #SYN of every
+    term within levenshtein distance ``max_edit`` (plans/wildcard
+    .expand_wildcards → IndexReader.expand_fuzzy), the same
+    MultiTermQuery→rewrite design as Wildcard. The pattern is
+    lowercased but NOT analyzed (stemming a misspelling would corrupt
+    it), mirroring Lucene's unanalyzed fuzzy terms."""
+
+    term: str
+    field: str = DEFAULT_FIELD
+    max_edit: int = 2
+
+
+@dataclass(frozen=True)
 class Near(Node):
     n: int
     children: tuple[Node, ...]
@@ -90,7 +106,7 @@ class Wsum(Node):
     weights: tuple[float, ...] = dc_field(default=())
 
 
-IL_NODES = (Term, Syn, Near, WindowOp, Wildcard)
+IL_NODES = (Term, Syn, Near, WindowOp, Wildcard, Fuzzy)
 SL_NODES = (And, Or, Not, Sum, Wand, Wsum)
 
 
@@ -103,6 +119,11 @@ def query_terms(node: Node) -> set[tuple[str, str]]:
     if isinstance(node, Wildcard):
         raise ValueError(
             f"unexpanded wildcard {node.prefix!r}* — run "
+            "plans.wildcard.expand_wildcards(tree, reader) first"
+        )
+    if isinstance(node, Fuzzy):
+        raise ValueError(
+            f"unexpanded fuzzy term {node.term!r}~{node.max_edit} — run "
             "plans.wildcard.expand_wildcards(tree, reader) first"
         )
     if isinstance(node, Term):
@@ -118,7 +139,7 @@ def query_fields(node: Node) -> set[str]:
     """All fields referenced by leaves — unlike query_terms this is safe
     on a tree that still contains unexpanded Wildcard leaves (field
     validation runs before dictionary expansion)."""
-    if isinstance(node, (Term, Wildcard)):
+    if isinstance(node, (Term, Wildcard, Fuzzy)):
         return {node.field}
     out: set[str] = set()
     kids = (node.child,) if isinstance(node, Not) else node.children
@@ -132,7 +153,7 @@ def needs_positions(node: Node) -> bool:
     — only then does the posting scan need to decode position blobs."""
     if isinstance(node, (Near, WindowOp, Syn)):
         return True
-    if isinstance(node, Wildcard):  # expands to #SYN
+    if isinstance(node, (Wildcard, Fuzzy)):  # expands to #SYN
         return True
     if isinstance(node, Term):
         return False

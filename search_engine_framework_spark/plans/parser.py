@@ -214,6 +214,34 @@ def parse_query(
                 raise ValueError(
                     f"only trailing-prefix wildcards are supported: {token!r}"
                 )
+            fz = re.fullmatch(r"([^~]+)~(\d*)", term_text)
+            if fz:
+                # Fuzzy term (Lucene FuzzyQuery analog): ``sprak~1`` /
+                # ``sprak~2``; bare ``sprak~`` defaults to 2 (Lucene's
+                # default maxEdits). Like wildcards the pattern is NOT
+                # analyzed — lowercased only (stemming a misspelling
+                # would corrupt it); the engine expands it against the
+                # term dictionary into #SYN of all terms within the
+                # edit distance.
+                max_edit = int(fz.group(2)) if fz.group(2) else 2
+                if max_edit not in (1, 2):
+                    raise ValueError(
+                        f"fuzzy edit distance must be 1 or 2: {token!r}"
+                    )
+                fterm = fz.group(1).lower()
+                if not re.fullmatch(r"[a-z0-9]+", fterm):
+                    raise ValueError(
+                        f"fuzzy term must be alphanumeric: {token!r}"
+                    )
+                current.children.append(
+                    ast.Fuzzy(fterm, field or ast.DEFAULT_FIELD, max_edit)
+                )
+                if has_weight and got_weight:
+                    current.weights.append(weight)
+                    got_weight = False
+                continue
+            if "~" in term_text:
+                raise ValueError(f"bad fuzzy syntax: {token!r}")
             if term_text.endswith("*"):
                 # Prefix wildcard (Lucene PrefixQuery analog). Like
                 # Lucene, the pattern is NOT analyzed — lowercased only

@@ -1,4 +1,4 @@
-"""Wildcard (prefix multi-term) query expansion.
+"""Multi-term query expansion: prefix wildcards and fuzzy terms.
 
 The reference engine has no wildcard operator; Lucene — the system the
 reference reads its index from — implements prefix queries as
@@ -16,6 +16,12 @@ down to the term-sorted segment files. Zero matches rewrite to a
 guaranteed-empty term (``prefix*`` itself — analyzed terms never contain
 ``*``), preserving the reference's unknown-term-matches-nothing
 behavior; more than ``max_expansions`` matches fail loudly.
+
+Fuzzy terms (``sprak~1`` — Lucene FuzzyQuery analog) follow the same
+rewrite design: ``IndexReader.expand_fuzzy`` finds every dictionary
+term within the edit distance via the SymSpell deletion-neighborhood
+equi-join (spell.py — provably complete, no vocabulary cross join)
+and the leaf becomes #SYN of the matches.
 """
 
 from __future__ import annotations
@@ -24,7 +30,9 @@ from . import ast
 
 
 def has_wildcards(node: ast.Node) -> bool:
-    if isinstance(node, ast.Wildcard):
+    """True iff the tree contains any multi-term leaf (Wildcard or
+    Fuzzy) that must be dictionary-expanded before compiling."""
+    if isinstance(node, (ast.Wildcard, ast.Fuzzy)):
         return True
     if isinstance(node, ast.Term):
         return False
@@ -38,23 +46,36 @@ def expand_wildcards(
     """Rebuild the tree with every Wildcard leaf rewritten to #SYN of its
     dictionary matches (Term for a single match, an impossible term for
     zero). One dictionary seek per distinct (prefix, field)."""
-    cache: dict[tuple[str, str], ast.Node] = {}
+    cache: dict[tuple, ast.Node] = {}
+
+    def syn_of(terms: list[str], field: str, impossible: str) -> ast.Node:
+        if not terms:
+            return ast.Term(impossible, field)
+        if len(terms) == 1:
+            return ast.Term(terms[0], field)
+        return ast.Syn(tuple(ast.Term(t, field) for t in terms))
 
     def rewrite(n: ast.Node) -> ast.Node:
         if isinstance(n, ast.Wildcard):
-            key = (n.prefix, n.field)
+            key = ("*", n.prefix, n.field)
             if key not in cache:
                 terms = reader.expand_prefix(
                     n.prefix, n.field, limit=max_expansions
                 )
-                if not terms:
-                    cache[key] = ast.Term(n.prefix + "*", n.field)
-                elif len(terms) == 1:
-                    cache[key] = ast.Term(terms[0], n.field)
-                else:
-                    cache[key] = ast.Syn(
-                        tuple(ast.Term(t, n.field) for t in terms)
-                    )
+                cache[key] = syn_of(terms, n.field, n.prefix + "*")
+            return cache[key]
+        if isinstance(n, ast.Fuzzy):
+            # Fuzzy (Lucene FuzzyQuery analog): #SYN of every dictionary
+            # term within levenshtein distance max_edit. Zero matches
+            # rewrite to an impossible term (analyzed terms never
+            # contain '~'), preserving unknown-term-matches-nothing.
+            key = ("~", n.term, n.field, n.max_edit)
+            if key not in cache:
+                terms = reader.expand_fuzzy(
+                    n.term, n.field, max_edit=n.max_edit,
+                    limit=max_expansions,
+                )
+                cache[key] = syn_of(terms, n.field, n.term + "~")
             return cache[key]
         if isinstance(n, ast.Term):
             return n

@@ -210,3 +210,96 @@ def test_explain_query_locks_plan_shape(engine):
     assert pos["fastpath_eligible"] is False
     empty = engine.explain_query("zz qq", BM25())  # all-unknown still parses
     assert empty["pairs"] == {"qq.body": {}, "zz.body": {}}
+
+
+# ---------------------------------------------------------------------------
+# fuzzy terms (term~d → #SYN of dictionary terms within edit distance)
+# ---------------------------------------------------------------------------
+
+def _fuzzy_leaves(n):
+    if isinstance(n, (ast.Term, ast.Fuzzy)):
+        return [n]
+    kids = (n.child,) if isinstance(n, ast.Not) else n.children
+    return [x for c in kids for x in _fuzzy_leaves(c)]
+
+
+def test_parser_emits_fuzzy_nodes():
+    node = parse_query("#SUM(sprak~1 engine)", BM25())
+    assert has_wildcards(node)
+    assert ast.Fuzzy("sprak", "body", 1) in _fuzzy_leaves(node)
+    # bare ~ defaults to edit distance 2 (Lucene default maxEdits);
+    # field-qualified, lowercased, not analyzed
+    node2 = parse_query("SPRAK~.role", BM25())
+    assert ast.Fuzzy("sprak", "role", 2) in _fuzzy_leaves(node2)
+
+
+@pytest.mark.parametrize("bad", ["x~3", "x~0", "a~b~1", "s?k~1", "~1"])
+def test_parser_rejects_bad_fuzzy(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad, BM25())
+
+
+def test_query_terms_refuses_unexpanded_fuzzy():
+    node = parse_query("sprak~1", BM25())
+    with pytest.raises(ValueError, match="unexpanded fuzzy"):
+        ast.query_terms(node)
+
+
+def test_expand_fuzzy_matches_brute_force(engine):
+    """SymSpell candidate generation + exact filter ≡ a brute-force
+    levenshtein scan of the whole dictionary, at both distances."""
+    import pyspark.sql.functions as F
+
+    vocab = [
+        r["term"]
+        for r in engine.reader.term_stats_df()
+        .where(F.col("field") == "body")
+        .select("term")
+        .distinct()
+        .collect()
+    ]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for tok, d in [("serch", 1), ("serch", 2), ("engin", 1), ("xrk", 2)]:
+        want = sorted(t for t in vocab if lev(t, tok) <= d)
+        got = engine.reader.expand_fuzzy(tok, "body", max_edit=d, limit=500)
+        assert got == want, (tok, d)
+
+
+@pytest.mark.parametrize("model", [BM25(), RankedBoolean(), Indri()])
+def test_fuzzy_equals_explicit_syn(engine, model):
+    terms = engine.reader.expand_fuzzy("serch", "body", max_edit=2)
+    assert len(terms) >= 1
+    syn = "#SYN(" + " ".join(terms) + ")" if len(terms) > 1 else terms[0]
+    got = _rows(engine.search("serch~2", model, k=10))
+    want = _rows(engine.search(syn, model, k=10))
+    assert got == want and got
+
+
+def test_fuzzy_inside_positional_op(engine):
+    terms = engine.reader.expand_fuzzy("serch", "body", max_edit=2)
+    syn = "#SYN(" + " ".join(terms) + ")"
+    got = _rows(engine.search("#NEAR/3(serch~2 engine)", RankedBoolean(), k=10))
+    want = _rows(engine.search(f"#NEAR/3({syn} engine)", RankedBoolean(), k=10))
+    assert got == want
+
+
+def test_fuzzy_zero_matches_is_empty_not_error(engine):
+    assert engine.search("zzzzqqqzz~1", BM25(), k=10).count() == 0
+
+
+def test_expand_fuzzy_cap_raises(engine):
+    with pytest.raises(ValueError, match="more than"):
+        engine.reader.expand_fuzzy("serch", "body", max_edit=2, limit=1)
