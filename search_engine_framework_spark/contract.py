@@ -1146,6 +1146,25 @@ def q_conv_rollup(spark, sf_dir):
     return out.select("conv_id", _r4(F.col("score")).alias("score"), "n_turns")
 
 
+def q_collapsed_topk(spark, sf_dir):
+    """Field-collapsed top-k on the conversation index (Lucene/Solr
+    field-collapse analog): the flagship BM25 ranking with only each
+    conversation's best-scoring turn kept, cut to BM25_K. Ids map back
+    to the original documents.doc_id space (conv*10 + turn)."""
+    from .plans.models import BM25
+
+    eng = get_conv_engine(spark, sf_dir)
+    out = eng.search_collapsed(BM25_QUERY, BM25(), k=BM25_K)
+    conv_num = F.regexp_extract(F.col("conv_id"), r"conv-(\d+)", 1).cast("long")
+    turn = F.regexp_extract(F.col("ext_id"), r":(\d+)$", 1).cast("long")
+    return out.select(
+        conv_num.alias("conv"),
+        (conv_num * 10 + turn).alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
 BM25F_WEIGHTS = {"body": 1.0, "tool": 2.0}
 BM25F_B = {"body": 0.75, "tool": 0.4}
 
@@ -2278,6 +2297,43 @@ t2 AS ({_bm25_term_sql('merge')}),
 t3 AS ({_bm25_term_sql('window')})"""
     + _CONV_ROLLUP_SQL_TAIL
 )
+# Collapsed top-k: per-turn BM25 scores on the conversation index equal
+# the flat index's (same tokens ⇒ identical N / avg doclen / df — see
+# get_conv_engine), so the oracle is the bm25_topk scored CTE with a
+# per-conversation row_number collapse before the global cut. Within a
+# conversation the engine tie-breaks on ext_id asc ≡ doc_id asc here
+# (single-digit turn suffixes), and globally likewise (zero-padded
+# conv ids).
+ORACLE_SQL["collapsed_topk"] = (
+    _SQL_BASE
+    + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+scored AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+),
+collapsed AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id // 10
+                            ORDER BY s DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT (doc_id // 10)::BIGINT AS conv,
+       doc_id,
+       row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+       round(s, 4) + 0.0 AS score
+FROM collapsed WHERE rn = 1
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+)
 ORACLE_SQL["bm25f"] = _bm25f_sql()
 ORACLE_SQL["collocations"] = _SQL_BASE + _COLLOCATIONS_SQL_TAIL
 ORACLE_SQL["context_window"] = (
@@ -2484,6 +2540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_exact": q_ivfpq_exact,
     "ir_metrics": q_ir_metrics,
     "conv_rollup": q_conv_rollup,
+    "collapsed_topk": q_collapsed_topk,
     "bm25f": q_bm25f,
     "collocations": q_collocations,
     "context_window": q_context_window,

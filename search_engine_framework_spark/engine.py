@@ -651,6 +651,70 @@ class SearchEngine:
             (F.col("turn_idx") - F.col("h_turn")).cast("long").alias("offset"),
         )
 
+    def search_collapsed(
+        self, query: str, model: RetrievalModel, k: int = 100
+    ) -> DataFrame:
+        """Field-collapsed top-k (the Lucene/Solr field-collapse analog,
+        collapse key = conv_id): rank turns as usual but keep only each
+        conversation's best-scoring turn in the result list — the
+        "one hit per conversation" SERP rule. Unlike
+        ``search_conversations`` (which AGGREGATES turn scores into a
+        conversation score) the collapsed list keeps the turn identity
+        and its exact turn score.
+
+        → DataFrame(conv_id, doc_id, ext_id, rank, score). Within a
+        conversation the representative turn is (score desc, ext_id
+        asc) — the reference's tie-break rule applied per group; the
+        collapsed list is then ordered by the same rule globally.
+
+        Scale shape: one extra shuffle on conv_id over the MATCHING
+        turns only (row_number window); the global cut is a
+        TakeOrderedAndProject over ≤ one row per matching conversation.
+        """
+        node = self._parse(query, model)
+        if node is None:
+            return self.spark.createDataFrame(
+                [],
+                "conv_id string, doc_id long, ext_id string, "
+                "rank int, score double",
+            )
+        from pyspark.sql import Window
+
+        compiler = QueryCompiler(self.reader, model)
+        # topk=None: block-max pruning keeps only the CORPUS-WIDE top-k
+        # turns, but a conversation's best turn can rank below that
+        # globally and still make the collapsed list — collapsing needs
+        # the full scored set (same reasoning as doc_filter in search()).
+        compiler.prepare(node, topk=None)
+        try:
+            scored = compiler.compile_query(node)
+            dm = self.reader.docmap().select("doc_id", "conv_id", "ext_id")
+            w = Window.partitionBy("conv_id").orderBy(
+                F.desc("score"), F.asc("ext_id")
+            )
+            best = (
+                scored.join(dm, "doc_id")
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+            )
+            rows = (
+                best.select("conv_id", "doc_id", "ext_id", "score")
+                .orderBy(F.desc("score"), F.asc("ext_id"))
+                .limit(k)
+                .collect()
+            )
+        finally:
+            compiler.release()
+        out = [
+            (r["conv_id"], r["doc_id"], r["ext_id"], i + 1, float(r["score"]))
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(
+            out,
+            "conv_id string, doc_id long, ext_id string, "
+            "rank int, score double",
+        )
+
     def search_conversations(
         self, query: str, model: RetrievalModel, k: int = 100, agg: str = "sum"
     ) -> DataFrame:

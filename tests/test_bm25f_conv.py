@@ -284,3 +284,46 @@ def test_fetch_context_window_width(engine):
         assert all(len(c) == 1 for c in convs.values())
         sets[m] = {(r["hit_doc_id"], r["doc_id"]) for r in rows}
     assert sets[0] <= sets[1] <= sets[2]
+
+
+# ---------------------------------------------------------------------------
+# field collapsing (search_collapsed: best turn per conversation)
+# ---------------------------------------------------------------------------
+
+def _py_collapse(turns, k):
+    """Driver-side collapse oracle over a full turn ranking: best turn
+    per conversation by (score desc, ext_id asc), then global order by
+    the same rule, cut to k."""
+    best = {}
+    for r in sorted(turns, key=lambda r: (-r["score"], r["ext_id"])):
+        conv = r["ext_id"].rsplit(":", 1)[0]
+        if conv not in best:
+            best[conv] = r
+    ordered = sorted(best.values(), key=lambda r: (-r["score"], r["ext_id"]))
+    return [(r["ext_id"], round(r["score"], 9)) for r in ordered[:k]]
+
+
+@pytest.mark.parametrize("model", [BM25(), RankedBoolean()])
+def test_collapsed_matches_driver_collapse(engine, model):
+    turns = engine.search_df("search engine", model).collect()
+    want = _py_collapse(turns, 15)
+    got = [
+        (r["ext_id"], round(r["score"], 9))
+        for r in engine.search_collapsed("search engine", model, k=15).collect()
+    ]
+    assert got == want and got
+    # one row per conversation, ranks dense from 1
+    convs = [e.rsplit(":", 1)[0] for e, _ in got]
+    assert len(convs) == len(set(convs))
+    ranks = [r["rank"] for r in
+             engine.search_collapsed("search engine", model, k=15).collect()]
+    assert ranks == list(range(1, len(got) + 1))
+
+
+def test_collapsed_conv_id_matches_ext_id(engine):
+    for r in engine.search_collapsed("search engine", BM25(), k=10).collect():
+        assert r["ext_id"].rsplit(":", 1)[0] == r["conv_id"]
+
+
+def test_collapsed_empty_query(engine):
+    assert engine.search_collapsed("", BM25(), k=10).count() == 0
