@@ -1146,6 +1146,28 @@ def q_conv_rollup(spark, sf_dir):
     return out.select("conv_id", _r4(F.col("score")).alias("score"), "n_turns")
 
 
+MLT_SRC = 7
+MLT_MAX_TERMS = 8
+
+
+def q_more_like_this(spark, sf_dir):
+    """More-Like-This (Lucene MoreLikeThis analog): top-50 docs most
+    similar to documents.doc_id=7 — its terms ranked by tf·ln(N/df)
+    (min_tf=1, min_df=2, 8 terms), run as a BM25 #SUM excluding the
+    source. The SQL twin replays the selection with a row_number
+    window and reproduces the engine's child-order float fold with
+    list_reduce over selection-ranked term scores."""
+    eng = get_engine(spark, sf_dir)
+    out = eng.more_like_this(
+        MLT_SRC, k=50, max_terms=MLT_MAX_TERMS, min_tf=1, min_df=2
+    )
+    return out.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
 def q_collapsed_topk(spark, sf_dir):
     """Field-collapsed top-k on the conversation index (Lucene/Solr
     field-collapse analog): the flagship BM25 ranking with only each
@@ -2297,6 +2319,53 @@ t2 AS ({_bm25_term_sql('merge')}),
 t3 AS ({_bm25_term_sql('window')})"""
     + _CONV_ROLLUP_SQL_TAIL
 )
+# More-Like-This: selection = row_number over tf·ln(N/df) desc, term asc
+# (bit-identical to the engine's driver-side sort: same libm ln, same
+# IEEE divides); scoring = the engine's #SUM fold — 0.0 left-fold in
+# child (selection) order, absent terms contributing an exact +0.0 —
+# reproduced with list_reduce over list(s ORDER BY cix).
+ORACLE_SQL["more_like_this"] = (
+    _SQL_BASE
+    + f""", mlt AS (
+  SELECT term, cix FROM (
+    SELECT tf.term AS term,
+           row_number() OVER (
+             ORDER BY tf.tf::DOUBLE
+                      * ln((SELECT n_docs FROM cstats)::DOUBLE
+                           / dfreq.df::DOUBLE) DESC,
+                      tf.term ASC) AS cix
+    FROM tf JOIN dfreq ON dfreq.term = tf.term
+    WHERE tf.doc_id = {MLT_SRC} AND tf.tf >= 1 AND dfreq.df >= 2
+  ) WHERE cix <= {MLT_MAX_TERMS}
+),
+persum AS (
+  SELECT tf.doc_id, mlt.cix,
+         ln((cstats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf::DOUBLE /
+              (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+               + 0.75 * (dl.doclen::DOUBLE
+                         / (cstats.sum_doclen::DOUBLE / cstats.doc_count)))))
+           AS s
+  FROM tf
+  JOIN mlt ON mlt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cstats
+  JOIN dfreq ON dfreq.term = tf.term
+  WHERE tf.doc_id <> {MLT_SRC}
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(s ORDER BY cix)),
+                     (a, b) -> a + b) AS s
+  FROM persum GROUP BY doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+       round(s, 4) + 0.0 AS score
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT 50
+"""
+)
+
 # Collapsed top-k: per-turn BM25 scores on the conversation index equal
 # the flat index's (same tokens ⇒ identical N / avg doclen / df — see
 # get_conv_engine), so the oracle is the bm25_topk scored CTE with a
@@ -2541,6 +2610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ir_metrics": q_ir_metrics,
     "conv_rollup": q_conv_rollup,
     "collapsed_topk": q_collapsed_topk,
+    "more_like_this": q_more_like_this,
     "bm25f": q_bm25f,
     "collocations": q_collocations,
     "context_window": q_context_window,

@@ -715,6 +715,103 @@ class SearchEngine:
             "rank int, score double",
         )
 
+    def mlt_terms(
+        self,
+        doc_id: int,
+        field: str = "body",
+        max_terms: int = 10,
+        min_tf: int = 2,
+        min_df: int = 5,
+    ) -> list[str]:
+        """More-Like-This term selection (the Lucene MoreLikeThis
+        analog): the source doc's indexed terms ranked by
+        ``tf * ln(N / df)`` (tf·idf interestingness), gated by Lucene's
+        minTermFreq/minDocFreq defaults, cut to ``max_terms``
+        (maxQueryTerms), ties broken term-ascending. Returned in
+        selection order — the child order of the query built from them.
+
+        Cost: one pushdown-filtered scan of the forward index for the
+        source doc's rows (bounded by its doclen) + one driver-side
+        term-stats seek for their dfs — no corpus-wide work."""
+        rows = (
+            self.reader.doc_terms()
+            .where(
+                (F.col("doc_id") == int(doc_id))
+                & (F.col("field") == field)
+            )
+            .select("term", "tf")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(
+                f"doc {doc_id} has no indexed terms in field {field!r} "
+                "(unknown, deleted, or empty doc)"
+            )
+        stats = self.reader.term_stats({(r["term"], field) for r in rows})
+        n = self.reader.num_docs
+        import math
+
+        cand: list[tuple[float, str]] = []
+        for r in rows:
+            tf = int(r["tf"])
+            df = int(stats.get((r["term"], field), {}).get("df", 0))
+            if tf < min_tf or df < min_df or df <= 0:
+                continue
+            cand.append((tf * math.log(n / df), r["term"]))
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        return [t for _, t in cand[:max_terms]]
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        field: str = "body",
+        k: int = 100,
+        max_terms: int = 10,
+        min_tf: int = 2,
+        min_df: int = 5,
+        model: RetrievalModel | None = None,
+    ) -> DataFrame:
+        """More-Like-This retrieval: find the docs most similar to
+        ``doc_id`` by running a BM25 #SUM over its most interesting
+        terms (``mlt_terms``), excluding the source doc itself.
+
+        → DataFrame(doc_id, ext_id, rank, score), reference ordering.
+        The query AST is built directly from the selected (already
+        analyzed) index terms — never re-parsed, so stemming cannot
+        corrupt them. Block-max pruning runs at topk = k+1: the top-k
+        excluding one doc is always contained in the corpus-wide
+        top-(k+1), so the pruning stays provably exact."""
+        from .plans.models import BM25 as _BM25
+
+        model = model if model is not None else _BM25()
+        terms = self.mlt_terms(
+            doc_id, field, max_terms=max_terms, min_tf=min_tf, min_df=min_df
+        )
+        empty_schema = "doc_id long, ext_id string, rank int, score double"
+        if not terms:
+            return self.spark.createDataFrame([], empty_schema)
+        node = ast.Sum(tuple(ast.Term(t, field) for t in terms))
+        compiler = QueryCompiler(self.reader, model)
+        compiler.prepare(node, topk=k + 1)
+        try:
+            scored = compiler.compile_query(node).where(
+                F.col("doc_id") != int(doc_id)
+            )
+            docmap = self.reader.docmap().select("doc_id", "ext_id")
+            rows = (
+                scored.join(docmap, "doc_id")
+                .orderBy(F.desc("score"), F.asc("ext_id"))
+                .limit(k)
+                .collect()
+            )
+        finally:
+            compiler.release()
+        out = [
+            (r["doc_id"], r["ext_id"], i + 1, float(r["score"]))
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(out, empty_schema)
+
     def search_conversations(
         self, query: str, model: RetrievalModel, k: int = 100, agg: str = "sum"
     ) -> DataFrame:

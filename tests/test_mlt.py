@@ -1,0 +1,78 @@
+"""More-Like-This (Lucene MoreLikeThis analog): term selection against a
+pure-Python tf·idf oracle over the PyIndex, retrieval against the DAAT
+oracle's #SUM evaluation with the source doc removed, and the gates /
+error paths."""
+
+import math
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.oracle.pyoracle import Oracle, PyIndex
+from search_engine_framework_spark.plans import ast
+from search_engine_framework_spark.plans.models import BM25
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    paths, _, _ = tiny_index
+    return SearchEngine(spark, paths)
+
+
+@pytest.fixture(scope="module")
+def pyidx(tiny_index):
+    _, rows, _ = tiny_index
+    return PyIndex.build(rows, fields=("body", "role"))
+
+
+def _py_mlt_terms(idx, src, field, max_terms, min_tf, min_df):
+    cand = []
+    for (t, f), plist in idx.postings.items():
+        if f != field:
+            continue
+        df = len(plist)
+        for d, tf, _ in plist:
+            if d == src and tf >= min_tf and df >= min_df:
+                cand.append((tf * math.log(idx.n_docs / df), t))
+    cand.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in cand[:max_terms]]
+
+
+@pytest.mark.parametrize("src", [0, 5, 17])
+def test_mlt_terms_match_python_selection(engine, pyidx, src):
+    for max_terms, min_tf, min_df in [(6, 1, 2), (10, 2, 2), (4, 1, 5)]:
+        got = engine.mlt_terms(
+            src, max_terms=max_terms, min_tf=min_tf, min_df=min_df
+        )
+        want = _py_mlt_terms(pyidx, src, "body", max_terms, min_tf, min_df)
+        assert got == want
+
+
+@pytest.mark.parametrize("src", [0, 5])
+def test_more_like_this_matches_oracle(engine, pyidx, src):
+    terms = _py_mlt_terms(pyidx, src, "body", 6, 1, 2)
+    assert terms
+    node = ast.Sum(tuple(ast.Term(t, "body") for t in terms))
+    full = Oracle(pyidx, BM25()).run(node, k=10**6)
+    exp = [
+        (e, i + 1, round(s, 9))
+        for i, (d, e, _, s) in enumerate(r for r in full if r[0] != src)
+    ][:20]
+    got = [
+        (r["ext_id"], r["rank"], round(r["score"], 9))
+        for r in engine.more_like_this(
+            src, k=20, max_terms=6, min_tf=1, min_df=2
+        ).collect()
+    ]
+    assert got == exp and got
+    assert all(e != pyidx.ext_ids[src] for e, _, _ in got)
+
+
+def test_more_like_this_unknown_doc_raises(engine):
+    with pytest.raises(ValueError, match="no indexed terms"):
+        engine.more_like_this(10_000_000)
+
+
+def test_more_like_this_gates_can_empty(engine, pyidx):
+    out = engine.more_like_this(0, k=10, min_df=pyidx.n_docs + 1)
+    assert out.count() == 0
