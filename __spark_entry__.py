@@ -9,14 +9,16 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 67 of 69 entries are
+                  summation orders differ). 68 of 70 entries are
                   oracle-checked — including the round-2 extensions
                   fuzzy term queries (fuzzy: SymSpell dictionary
                   expansion into #SYN, DuckDB levenshtein twin),
                   field-collapsed top-k (collapsed_topk: best turn per
                   conversation, row_number twin), More-Like-This
                   (more_like_this: tf·idf term selection + child-order
-                  score fold replayed with list_reduce),
+                  score fold replayed with list_reduce), function-score
+                  boosting (boosted_search: metadata expression times
+                  the relevance score),
                   batched exact kNN join (knn_join: every query vector's
                   top-k in one job), Gopher-style repetition quality
                   gates (repetition), prefix wildcard queries

@@ -1168,6 +1168,24 @@ def q_more_like_this(spark, sf_dir):
     )
 
 
+def q_boosted_search(spark, sf_dir):
+    """Function-score boosting (Lucene FunctionScoreQuery analog) on the
+    conversation index: the flagship BM25 turn scores multiplied by the
+    metadata expression 1/(1+turn_idx) — early-turn preference. 1e0
+    literals keep both engines in double arithmetic (1.0 parses as
+    DECIMAL in both Spark and DuckDB)."""
+    from .plans.models import BM25
+
+    eng = get_conv_engine(spark, sf_dir)
+    out = eng.search_df(BM25_QUERY, BM25(), boost="1e0 / (1e0 + turn_idx)")
+    conv_num = F.regexp_extract(F.col("ext_id"), r"conv-(\d+)", 1).cast("long")
+    turn = F.regexp_extract(F.col("ext_id"), r":(\d+)$", 1).cast("long")
+    return out.select(
+        (conv_num * 10 + turn).alias("doc_id"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
 def q_collapsed_topk(spark, sf_dir):
     """Field-collapsed top-k on the conversation index (Lucene/Solr
     field-collapse analog): the flagship BM25 ranking with only each
@@ -2366,6 +2384,31 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT 50
 """
 )
 
+# Boosted search: the bm25_topk scored CTE times the turn-position
+# boost — one double multiply, same operand order as the engine's
+# score * boost.
+ORACLE_SQL["boosted_search"] = (
+    _SQL_BASE
+    + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+scored AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+)
+SELECT doc_id,
+       round(s * (1e0 / (1e0 + (doc_id % 10))), 4) + 0.0 AS score
+FROM scored
+"""
+)
+
 # Collapsed top-k: per-turn BM25 scores on the conversation index equal
 # the flat index's (same tokens ⇒ identical N / avg doclen / df — see
 # get_conv_engine), so the oracle is the bm25_topk scored CTE with a
@@ -2611,6 +2654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_rollup": q_conv_rollup,
     "collapsed_topk": q_collapsed_topk,
     "more_like_this": q_more_like_this,
+    "boosted_search": q_boosted_search,
     "bm25f": q_bm25f,
     "collocations": q_collocations,
     "context_window": q_context_window,

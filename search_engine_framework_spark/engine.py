@@ -85,8 +85,16 @@ class SearchEngine:
         k: int = 100,
         prune_min_blocks: int | None = None,
         doc_filter: str | None = None,
+        boost: str | None = None,
     ) -> DataFrame:
         """→ DataFrame(doc_id, ext_id, rank, score), reference ordering.
+
+        ``boost`` — optional SQL double expression over docmap metadata
+        columns multiplied into the relevance score (the Lucene
+        FunctionScoreQuery analog; see :meth:`search_df`). Boosted
+        queries skip the driver fast path and block-max pruning: both
+        are exact only for the raw-score order, and a boost can lift a
+        doc from anywhere in the raw ranking into the top-k.
 
         ``prune_min_blocks`` overrides the block-max pruning engagement
         threshold (plans/compiler._PRUNE_MIN_BLOCKS; 0 forces pruning on
@@ -116,7 +124,12 @@ class SearchEngine:
         # on a 10^12-turn corpus always run the distributed plan.
         from .plans.models import BM25 as _BM25
 
-        if doc_filter is None and prune_min_blocks is None and isinstance(model, _BM25):
+        if (
+            doc_filter is None
+            and boost is None
+            and prune_min_blocks is None
+            and isinstance(model, _BM25)
+        ):
             flat = QueryCompiler._flat_sum_pairs(node)
             if flat is not None:
                 from .fastpath import bm25_topk_driver
@@ -138,7 +151,7 @@ class SearchEngine:
         # that globally — the filter needs the full scored list.
         compiler.prepare(
             node,
-            topk=None if doc_filter is not None else k,
+            topk=None if (doc_filter is not None or boost is not None) else k,
             prune_min_blocks=prune_min_blocks,
         )
         try:
@@ -150,8 +163,21 @@ class SearchEngine:
             docmap = self.reader.docmap()
             if doc_filter is not None:
                 docmap = docmap.where(F.expr(doc_filter))
-            docmap = docmap.select("doc_id", "ext_id")
-            withext = scored.join(docmap, "doc_id")
+            if boost is not None:
+                withext = (
+                    scored.withColumnRenamed("score", "_raw")
+                    .join(docmap, "doc_id")
+                    .select(
+                        "doc_id",
+                        "ext_id",
+                        (F.col("_raw") * F.expr(boost).cast("double")).alias(
+                            "score"
+                        ),
+                    )
+                )
+            else:
+                docmap = docmap.select("doc_id", "ext_id")
+                withext = scored.join(docmap, "doc_id")
             if isinstance(model, UnrankedBoolean):
                 ordered = withext.orderBy(F.asc("ext_id"))
             else:
@@ -483,11 +509,23 @@ class SearchEngine:
         query: str,
         model: RetrievalModel,
         doc_filter: str | None = None,
+        boost: str | None = None,
     ) -> DataFrame:
         """Lazy variant: full scored list (doc_id, ext_id, score), unranked
         — for composition into larger pipelines without a driver collect.
         ``doc_filter`` as in :meth:`search` (metadata predicate on the
-        docmap, applied via the join — scores unchanged)."""
+        docmap, applied via the join — scores unchanged).
+
+        ``boost`` — optional SQL double expression over the docmap's
+        metadata columns (role/tool/conv_id/turn_idx/ts + keep_extra),
+        multiplied into the relevance score: the Lucene
+        FunctionScoreQuery / Solr boost-function analog, e.g.
+        ``"1.0 / (1.0 + turn_idx)"`` for early-turn preference or a
+        ts-based recency decay. One multiply per matched doc on the
+        already-joined docmap — no extra scan or shuffle. Boosted
+        queries can reorder docs arbitrarily, so they skip the driver
+        fast path and block-max pruning (both are sound only for the
+        raw-score order)."""
         node = self._parse(query, model)
         if node is None:
             return self.spark.createDataFrame([], "doc_id long, ext_id string, score double")
@@ -497,8 +535,18 @@ class SearchEngine:
         docmap = self.reader.docmap()
         if doc_filter is not None:
             docmap = docmap.where(F.expr(doc_filter))
-        return scored.join(docmap.select("doc_id", "ext_id"), "doc_id").select(
-            "doc_id", "ext_id", "score"
+        if boost is None:
+            return scored.join(
+                docmap.select("doc_id", "ext_id"), "doc_id"
+            ).select("doc_id", "ext_id", "score")
+        return (
+            scored.withColumnRenamed("score", "_raw")
+            .join(docmap, "doc_id")
+            .select(
+                "doc_id",
+                "ext_id",
+                (F.col("_raw") * F.expr(boost).cast("double")).alias("score"),
+            )
         )
 
     # -- BM25F (field-weighted BM25; bm25f.py) ---------------------------------

@@ -327,3 +327,59 @@ def test_collapsed_conv_id_matches_ext_id(engine):
 
 def test_collapsed_empty_query(engine):
     assert engine.search_collapsed("", BM25(), k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# function-score boosting (boost= metadata expression on search/search_df)
+# ---------------------------------------------------------------------------
+
+def test_boost_multiplies_raw_scores(engine):
+    raw = {
+        r["ext_id"]: r["score"]
+        for r in engine.search_df("search engine", BM25()).collect()
+    }
+    boosted = {
+        r["ext_id"]: r["score"]
+        for r in engine.search_df(
+            "search engine", BM25(), boost="1e0 / (1e0 + turn_idx)"
+        ).collect()
+    }
+    assert set(boosted) == set(raw)
+    for ext, s in boosted.items():
+        turn = int(ext.rsplit(":", 1)[1])
+        assert s == pytest.approx(raw[ext] * (1.0 / (1.0 + turn)), rel=1e-12)
+
+
+def test_boost_eager_reorders_and_ranks(engine):
+    rows = engine.search(
+        "search engine", BM25(), k=20, boost="1e0 / (1e0 + turn_idx)"
+    ).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r["score"], r["ext_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # turn-0 docs are unchanged; later turns shrink — some reordering
+    # vs the raw ranking must be visible on this corpus
+    raw_order = [
+        r["ext_id"] for r in engine.search("search engine", BM25(), k=20).collect()
+    ]
+    assert [r["ext_id"] for r in rows] != raw_order
+
+
+def test_boost_composes_with_doc_filter(engine):
+    rows = engine.search(
+        "search engine",
+        BM25(),
+        k=50,
+        doc_filter="turn_idx = 0",
+        boost="1e0 / (1e0 + turn_idx)",
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["ext_id"].endswith(":0")
+
+
+def test_boost_bad_expression_raises(engine):
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        engine.search("search", BM25(), boost="no_such_column + 1").collect()
