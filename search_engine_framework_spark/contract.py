@@ -620,6 +620,27 @@ def q_stratified_sample(spark, sf_dir):
     ).select("lang", "source", "doc_id")
 
 
+MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0}
+MIX_N = 120
+MIX_SEED = 11
+
+
+def q_mixture_mix(spark, sf_dir):
+    """Deterministic data mixing with fractional epochs: resample so
+    src0:src1 = 3:1 at 120 rows (seed 11). At sf0.01 (25 docs per
+    source) that upsamples src0 to 3 full copies + a 15-row remainder
+    draw and src1 to 1 copy + 5 — both the epoch-explosion and the
+    exact md5-order remainder paths are exercised and replayed by the
+    twin."""
+    from .pipeline import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        docs, MIX_WEIGHTS, MIX_N, group_col="source", seed=MIX_SEED
+    )
+    return out.select("doc_id", F.col("epoch").cast("long").alias("epoch"))
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style perplexity filter: add-alpha bigram LM trained on the
     corpus, each doc scored by cross-entropy under it (two count aggs +
@@ -2139,6 +2160,49 @@ SELECT doc_id, {case} AS split FROM b
 
 ORACLE_SQL["hash_split"] = _hash_split_sql()
 
+
+def _mixture_sql() -> str:
+    total = sum(MIX_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{g}', {w / total!r})" for g, w in MIX_WEIGHTS.items()
+    )
+    groups = ", ".join(f"'{g}'" for g in MIX_WEIGHTS)
+    return f"""
+WITH w AS (SELECT * FROM (VALUES {vals}) t(source, wn)),
+counts AS (
+  SELECT source, count(*)::BIGINT AS c FROM documents
+  WHERE source IN ({groups}) GROUP BY 1
+),
+plan2 AS (
+  SELECT w.source, c.c,
+         floor(w.wn * {MIX_N})::BIGINT // c.c AS fullep,
+         floor(w.wn * {MIX_N})::BIGINT % c.c AS rem
+  FROM w JOIN counts c USING (source)
+),
+base AS (
+  SELECT d.doc_id, u.epoch::BIGINT AS epoch
+  FROM documents d
+  JOIN plan2 p ON p.source = d.source
+  CROSS JOIN unnest(generate_series(0, p.fullep - 1)) AS u(epoch)
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(d.doc_id::VARCHAR || '|{MIX_SEED}'), d.doc_id
+         ) AS rk
+  FROM documents d WHERE d.source IN ({groups})
+)
+SELECT doc_id, epoch FROM base
+UNION ALL
+SELECT r.doc_id, p.fullep::BIGINT AS epoch
+FROM ranked r JOIN plan2 p ON p.source = r.source
+WHERE r.rk <= p.rem
+"""
+
+
+ORACLE_SQL["mixture_mix"] = _mixture_sql()
+
 ORACLE_SQL["shard_assign"] = f"""
 WITH b AS (
   SELECT doc_id,
@@ -2630,6 +2694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_profile": q_corpus_profile,
     "curation": q_curation,
     "hash_split": q_hash_split,
+    "mixture_mix": q_mixture_mix,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "shard_assign": q_shard_assign,

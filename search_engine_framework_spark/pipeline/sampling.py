@@ -13,6 +13,10 @@ engine (the DuckDB oracle included) can replay it bit-for-bit.
 * :func:`hash_sample` — deterministic Bernoulli(frac) subsample (the
   "0.5 % quality-eval slice" op). Map-only filter; granularity 1/65536
   (documented below).
+* :func:`mixture_sample` — deterministic data mixing: resample to
+  target per-group proportions with fractional epochs (full copies +
+  an exact remainder draw) — the domain-reweighting step of a
+  pretraining pipeline.
 * :func:`stratified_sample` — EXACT n-per-stratum sample (e.g. 10k docs
   per (lang, source) cell for eval sets), taking the n smallest md5
   values per stratum — a deterministic uniform draw. Scale path: a
@@ -161,6 +165,130 @@ def export_shards(
         .mode("overwrite")
         .save(path)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    n_total: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Deterministic data mixing: resample ``df`` so the output's
+    ``group_col`` proportions match ``weights`` at ``n_total`` rows —
+    the domain-reweighting step of a pretraining pipeline (the
+    static-mixture half of DoReMi-style domain weighting), with
+    **fractional epochs**: a group whose target exceeds its size is
+    UPSAMPLED by full copies plus an exact remainder draw.
+
+    Per group g (weights normalized; groups not listed are dropped):
+    ``target_g = floor(w_g * n_total)``; the output holds
+    ``target_g // count_g`` full copies of every row (``epoch`` =
+    0, 1, …) plus an exact deterministic draw of ``target_g % count_g``
+    remainder rows (``epoch`` = the next index) — the ``rem_g``
+    smallest ``(md5(key|seed), key)`` per group, the same uniform
+    draw as :func:`stratified_sample`, including its bucket-threshold
+    prefilter so no group ranks its full membership in one window task
+    (undershoot falls back exactly). Everything is a pure function of
+    (key, seed): re-running over any partitioning or engine replays
+    the identical mixture, and a row's (group, epoch) membership never
+    changes as other groups grow.
+
+    → ``df``'s columns + ``epoch`` (int). Raises if a weighted group
+    is absent from ``df`` (fail loudly on a mis-specified mix).
+    """
+    if n_total <= 0:
+        raise ValueError("n_total must be positive")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and sum to > 0")
+    g = F.col(group_col)
+    scoped = df.where(g.isin(list(weights)))
+    counts = {
+        r[group_col]: r["cnt"]
+        for r in scoped.groupBy(group_col)
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    missing = sorted(str(k) for k in weights if k not in counts)
+    if missing:
+        raise ValueError(f"weighted group(s) absent from input: {missing}")
+    plan: dict = {}
+    for grp, w in weights.items():
+        target = int(w / total_w * n_total)
+        plan[grp] = (target // counts[grp], target % counts[grp])
+
+    def _chain(vals: dict) -> Column:
+        expr = None
+        for grp, v in vals.items():
+            cond = g.eqNullSafe(F.lit(grp))
+            expr = (
+                F.when(cond, F.lit(v))
+                if expr is None
+                else expr.when(cond, F.lit(v))
+            )
+        return expr
+
+    out = None
+    full_groups = [grp for grp, (fe, _) in plan.items() if fe >= 1]
+    if full_groups:
+        fulls = _chain({grp: plan[grp][0] for grp in full_groups})
+        out = (
+            scoped.where(g.isin(full_groups))
+            .withColumn("epoch", F.explode(F.sequence(F.lit(0), fulls - F.lit(1))))
+            .withColumn("epoch", F.col("epoch").cast("int"))
+        )
+
+    rem_groups = {grp: rem for grp, (_, rem) in plan.items() if rem > 0}
+    if rem_groups:
+        h = _hash_str(F.col(key_col), seed)
+        thr = _chain(
+            {
+                grp: min(
+                    N_BUCKETS,
+                    int(oversample * rem / counts[grp] * N_BUCKETS) + 1,
+                )
+                for grp, rem in rem_groups.items()
+            }
+        )
+        rem_n = _chain(rem_groups)
+        w_rk = Window.partitionBy(group_col).orderBy(
+            h.asc(), F.col(key_col).asc()
+        )
+        cand = scoped.where(
+            g.isin(list(rem_groups))
+            & (bucket16(F.col(key_col), seed) < thr)
+        )
+        picked = (
+            cand.withColumn("_rk", F.row_number().over(w_rk))
+            .where(F.col("_rk") <= rem_n)
+            .drop("_rk")
+        )
+        got = {
+            r[group_col]: r["cnt"]
+            for r in picked.groupBy(group_col)
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        short = [grp for grp, rem in rem_groups.items() if got.get(grp, 0) < rem]
+        if short:
+            redo = (
+                scoped.where(g.isin(short))
+                .withColumn("_rk", F.row_number().over(w_rk))
+                .where(F.col("_rk") <= rem_n)
+                .drop("_rk")
+            )
+            picked = picked.where(~g.isin(short)).unionByName(redo)
+        remainder = picked.withColumn(
+            "epoch", _chain({grp: plan[grp][0] for grp in rem_groups}).cast("int")
+        )
+        out = remainder if out is None else out.unionByName(remainder)
+
+    if out is None:
+        out = scoped.limit(0).withColumn("epoch", F.lit(0).cast("int"))
+    return out
 
 
 def stratified_sample(

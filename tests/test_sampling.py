@@ -168,3 +168,73 @@ def test_export_shards_one_ordered_file_per_shard(spark, docs, tmp_path):
         assert all(_py_bucket16(d, 5) % 4 == k for d in ids)
         seen.update(ids)
     assert len(seen) == 3000  # partition of the corpus, nothing lost
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample (deterministic data mixing with fractional epochs)
+# ---------------------------------------------------------------------------
+
+def _py_mixture(rows, weights, n_total, seed):
+    """Pure-Python mixture oracle over (doc_id, source) rows →
+    sorted multiset of (doc_id, epoch)."""
+    total = sum(weights.values())
+    by_group = {}
+    for doc_id, src in rows:
+        by_group.setdefault(src, []).append(doc_id)
+    out = []
+    for g, w in weights.items():
+        members = by_group[g]
+        target = int(w / total * n_total)
+        full, rem = divmod(target, len(members))
+        for e in range(full):
+            out += [(d, e) for d in members]
+        order = sorted(
+            members,
+            key=lambda d: (hashlib.md5(f"{d}|{seed}".encode()).hexdigest(), d),
+        )
+        out += [(d, full) for d in order[:rem]]
+    return sorted(out)
+
+
+def test_mixture_matches_python_oracle(docs):
+    rows = [(r["doc_id"], r["source"]) for r in
+            docs.select("doc_id", "source").collect()]
+    for weights, n_total, seed in [
+        ({"src0": 3.0, "src1": 1.0}, 4000, 5),   # upsample src0 (750 each)
+        ({"src0": 1.0, "src2": 1.0}, 300, 6),    # pure downsample
+        ({"src1": 5.0, "src3": 0.0}, 900, 7),    # zero-weight group drops
+    ]:
+        got = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in sampling.mixture_sample(
+                docs, weights, n_total, group_col="source", seed=seed
+            ).collect()
+        )
+        assert got == _py_mixture(rows, weights, n_total, seed)
+
+
+def test_mixture_proportions_and_epoch_structure(docs):
+    out = sampling.mixture_sample(
+        docs, {"src0": 3.0, "src1": 1.0}, 4000, group_col="source", seed=5
+    ).cache()
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"src0": 3000, "src1": 1000}  # exact floor targets
+    # src0: 750 members → 4 full epochs exactly; src1: 1 full + 250 rem
+    e0 = {r["epoch"] for r in out.where("source = 'src0'")
+          .select("epoch").distinct().collect()}
+    assert e0 == {0, 1, 2, 3}
+    rem1 = out.where("source = 'src1' AND epoch = 1").count()
+    assert rem1 == 250
+    out.unpersist()
+
+
+def test_mixture_absent_group_raises(docs):
+    with pytest.raises(ValueError, match="absent"):
+        sampling.mixture_sample(
+            docs, {"nosuchsrc": 1.0}, 10, group_col="source"
+        )
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(docs, {"src0": -1.0}, 10, group_col="source")
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(docs, {"src0": 1.0}, 0, group_col="source")
