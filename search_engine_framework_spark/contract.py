@@ -331,6 +331,39 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_search_after(spark, sf_dir):
+    """Keyset pagination (searchAfter analog): page 2 of the flagship
+    BM25 ranking via the (score, ext_id) cursor of page 1's last hit —
+    must equal OFFSET pagination because the order is total."""
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    page1 = eng.search(BM25_QUERY, BM25(), k=BM25_K).collect()
+    last = page1[-1]
+    out = eng.search_after(
+        BM25_QUERY, BM25(), (last["score"], last["ext_id"]), k=BM25_K
+    )
+    return out.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
+def q_synonyms(spark, sf_dir):
+    """Query-time synonym expansion (SynonymGraphFilter analog):
+    'spark' with {spark: [merge]} rewrites to #SYN(spark merge) —
+    merged-postings tf under RankedBoolean, same twin shape as
+    syn_ranked but through the rewrite path."""
+    from .plans.models import RankedBoolean
+
+    eng = get_engine(spark, sf_dir)
+    out = eng.search_df(
+        "spark", RankedBoolean(), synonyms={"spark": ["merge"]}
+    )
+    return out.select(_orig_id(F.col("ext_id")), "score")
+
+
 def q_snippets(spark, sf_dir):
     """Best-window snippets (snippets.py) for the flagship BM25 top-k:
     the 8-token span with the most query-term matches per hit, rendered
@@ -1623,6 +1656,33 @@ SELECT doc_id,
        round(s, 4) + 0.0 AS score
 FROM scored ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """,
+    "synonyms": _SQL_BASE
+    + """
+SELECT doc_id, sum(tf)::DOUBLE AS score
+FROM tf WHERE term IN ('spark', 'merge') GROUP BY 1
+""",
+    "search_after": _SQL_BASE
+    + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+scored AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY s DESC, doc_id ASC) - {BM25_K})::BIGINT
+         AS rank,
+       round(s, 4) + 0.0 AS score
+FROM scored ORDER BY s DESC, doc_id ASC
+LIMIT {BM25_K} OFFSET {BM25_K}
+""",
     "indri_and": _SQL_BASE
     + f""", i1 AS ({_indri_term_sql('spark')}),
 i2 AS ({_indri_term_sql('merge')}),
@@ -2676,6 +2736,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filtered_search": q_filtered_search,
     "bm25_topk": q_bm25_topk,
     "snippets": q_snippets,
+    "search_after": q_search_after,
+    "synonyms": q_synonyms,
     "bm25_batch": q_bm25_batch,
     "bm25_bulk": q_bm25_bulk,
     "indri_and": q_indri_and,

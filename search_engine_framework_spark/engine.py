@@ -86,8 +86,18 @@ class SearchEngine:
         prune_min_blocks: int | None = None,
         doc_filter: str | None = None,
         boost: str | None = None,
+        synonyms: dict | None = None,
     ) -> DataFrame:
         """→ DataFrame(doc_id, ext_id, rank, score), reference ordering.
+
+        ``synonyms`` — optional query-time synonym map ({raw term: [raw
+        synonyms]}, analyzed through the engine's analyzer): matching
+        Term leaves rewrite to #SYN of themselves plus the synonyms —
+        the Lucene query-side SynonymGraphFilter analog
+        (plans/wildcard.expand_synonyms). Positional, so it composes
+        with #NEAR/#WINDOW. Synonym-rewritten queries skip the driver
+        fast path only if the rewrite actually fired (a flat #SUM of
+        plain terms stays flat when no key matches).
 
         ``boost`` — optional SQL double expression over docmap metadata
         columns multiplied into the relevance score (the Lucene
@@ -109,7 +119,7 @@ class SearchEngine:
         filter costs one predicate on the already-joined docmap — no
         extra scan or shuffle. Filtered queries skip the driver fast
         path (it never touches the docmap's metadata columns)."""
-        node = self._parse(query, model)
+        node = self._parse(query, model, synonyms)
         if node is None:
             return self.spark.createDataFrame(
                 [], "doc_id long, ext_id string, rank int, score double"
@@ -455,17 +465,26 @@ class SearchEngine:
         dec, skip = self.reader.decode_counters
         return {"blocks_decoded": dec.value, "blocks_skipped": skip.value}
 
-    def _parse(self, query: str, model) -> "ast.Node | None":
-        """parse → field validation → wildcard expansion (the shared
-        front half of every free-text entry point). Expansion happens
-        against the index's term dictionary, so it needs the reader —
-        which is why it lives here and not in the parser."""
+    def _parse(
+        self, query: str, model, synonyms: dict | None = None
+    ) -> "ast.Node | None":
+        """parse → synonym rewrite → field validation → wildcard/fuzzy
+        expansion (the shared front half of every free-text entry
+        point). Dictionary expansion happens against the index's term
+        dictionary, so it needs the reader — which is why it lives here
+        and not in the parser."""
         node = parse_query(query, model, self.analyzer)
         if node is None:
             return None
-        self._check_fields(node)
-        from .plans.wildcard import expand_wildcards, has_wildcards
+        from .plans.wildcard import (
+            expand_synonyms,
+            expand_wildcards,
+            has_wildcards,
+        )
 
+        if synonyms:
+            node = expand_synonyms(node, synonyms, self.analyzer)
+        self._check_fields(node)
         if has_wildcards(node):
             node = expand_wildcards(node, self.reader)
         return node
@@ -510,6 +529,7 @@ class SearchEngine:
         model: RetrievalModel,
         doc_filter: str | None = None,
         boost: str | None = None,
+        synonyms: dict | None = None,
     ) -> DataFrame:
         """Lazy variant: full scored list (doc_id, ext_id, score), unranked
         — for composition into larger pipelines without a driver collect.
@@ -526,7 +546,7 @@ class SearchEngine:
         queries can reorder docs arbitrarily, so they skip the driver
         fast path and block-max pruning (both are sound only for the
         raw-score order)."""
-        node = self._parse(query, model)
+        node = self._parse(query, model, synonyms)
         if node is None:
             return self.spark.createDataFrame([], "doc_id long, ext_id string, score double")
         compiler = QueryCompiler(self.reader, model)
@@ -762,6 +782,63 @@ class SearchEngine:
             "conv_id string, doc_id long, ext_id string, "
             "rank int, score double",
         )
+
+    def search_after(
+        self,
+        query: str,
+        model: RetrievalModel,
+        after: tuple[float, str],
+        k: int = 100,
+        doc_filter: str | None = None,
+    ) -> DataFrame:
+        """Keyset pagination (the Lucene/Elasticsearch searchAfter
+        analog): the next ``k`` hits strictly after cursor ``after =
+        (score, ext_id)`` — the last row of the previous page — in the
+        reference's total order (desc score, asc ext_id; ext_id alone
+        under UnrankedBoolean). Equivalent to OFFSET pagination because
+        the order is total (ext_id is unique), but the cursor predicate
+        prunes instead of recomputing and re-skipping prior pages, and
+        deep pages cost the same shuffle as page one — the
+        deep-pagination rule every search service enforces at scale.
+
+        The cursor score must be the engine's own float (bit-identical
+        equality is what breaks the tie chain correctly). → same schema
+        as :meth:`search`; ``rank`` restarts at 1 per page. Block-max
+        pruning stays off: page-2 docs are below the corpus-wide top-k
+        by construction."""
+        a_score, a_ext = float(after[0]), str(after[1])
+        node = self._parse(query, model)
+        empty_schema = "doc_id long, ext_id string, rank int, score double"
+        if node is None:
+            return self.spark.createDataFrame([], empty_schema)
+        compiler = QueryCompiler(self.reader, model)
+        compiler.prepare(node, topk=None)
+        try:
+            scored = compiler.compile_query(node)
+            docmap = self.reader.docmap()
+            if doc_filter is not None:
+                docmap = docmap.where(F.expr(doc_filter))
+            withext = scored.join(docmap.select("doc_id", "ext_id"), "doc_id")
+            if isinstance(model, UnrankedBoolean):
+                page = withext.where(F.col("ext_id") > a_ext).orderBy(
+                    F.asc("ext_id")
+                )
+            else:
+                page = withext.where(
+                    (F.col("score") < F.lit(a_score))
+                    | (
+                        (F.col("score") == F.lit(a_score))
+                        & (F.col("ext_id") > a_ext)
+                    )
+                ).orderBy(F.desc("score"), F.asc("ext_id"))
+            rows = page.limit(k).collect()
+        finally:
+            compiler.release()
+        out = [
+            (r["doc_id"], r["ext_id"], i + 1, float(r["score"]))
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(out, empty_schema)
 
     def mlt_terms(
         self,

@@ -29,6 +29,59 @@ from __future__ import annotations
 from . import ast
 
 
+def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
+    """Query-time synonym expansion (the Lucene query-side
+    SynonymGraphFilter analog): every Term leaf whose term matches a
+    ``synmap`` key becomes #SYN of itself plus the mapped synonyms — a
+    *positional* union, so the rewrite is legal anywhere a term is,
+    including inside #NEAR/#WINDOW (exactly Lucene's
+    synonyms-at-the-same-position semantics).
+
+    ``synmap`` maps raw (unanalyzed) terms to lists of raw synonyms;
+    both sides pass through the engine's analyzer here so the map is
+    written in user vocabulary but matches the index's stems. A synonym
+    that analyzes to nothing (stopword) is dropped; a key that analyzes
+    to nothing never matches. Wildcard/Fuzzy leaves are left for
+    dictionary expansion (which may itself produce terms the map would
+    hit — deliberate: Lucene applies synonyms before, not after,
+    MultiTermQuery rewriting too)."""
+    from ..functions.analyzer import analyze_terms
+
+    amap: dict[str, tuple[str, ...]] = {}
+    for key, syns in synmap.items():
+        kt = analyze_terms(str(key), cfg)
+        if not kt:
+            continue
+        out: list[str] = []
+        for s in syns:
+            st = analyze_terms(str(s), cfg)
+            if st and st[0] != kt[0] and st[0] not in out:
+                out.append(st[0])
+        if out:
+            amap[kt[0]] = tuple(out)
+
+    def rewrite(n: ast.Node) -> ast.Node:
+        if isinstance(n, ast.Term):
+            syns = amap.get(n.term)
+            if not syns:
+                return n
+            return ast.Syn(
+                (n,) + tuple(ast.Term(s, n.field) for s in syns)
+            )
+        if isinstance(n, (ast.Wildcard, ast.Fuzzy)):
+            return n
+        if isinstance(n, ast.Not):
+            return ast.Not(rewrite(n.child))
+        kids = tuple(rewrite(c) for c in n.children)
+        if isinstance(n, (ast.Near, ast.WindowOp)):
+            return type(n)(n.n, kids)
+        if isinstance(n, (ast.Wand, ast.Wsum)):
+            return type(n)(kids, n.weights)
+        return type(n)(kids)
+
+    return rewrite(node) if amap else node
+
+
 def has_wildcards(node: ast.Node) -> bool:
     """True iff the tree contains any multi-term leaf (Wildcard or
     Fuzzy) that must be dictionary-expanded before compiling."""

@@ -303,3 +303,68 @@ def test_fuzzy_zero_matches_is_empty_not_error(engine):
 def test_expand_fuzzy_cap_raises(engine):
     with pytest.raises(ValueError, match="more than"):
         engine.reader.expand_fuzzy("serch", "body", max_edit=2, limit=1)
+
+
+# ---------------------------------------------------------------------------
+# keyset pagination (search_after) and query-time synonyms
+# ---------------------------------------------------------------------------
+
+def test_search_after_pages_equal_full_ranking(engine):
+    full = engine.search("search engine index", BM25(), k=30).collect()
+    assert len(full) >= 20
+    pages = full[:10]
+    cursor = (pages[-1]["score"], pages[-1]["ext_id"])
+    for _ in range(2):
+        nxt = engine.search_after(
+            "search engine index", BM25(), cursor, k=10
+        ).collect()
+        if not nxt:
+            break
+        pages += nxt
+        cursor = (nxt[-1]["score"], nxt[-1]["ext_id"])
+    want = [(r["ext_id"], round(r["score"], 9)) for r in full[: len(pages)]]
+    got = [(r["ext_id"], round(r["score"], 9)) for r in pages]
+    assert got == want
+    # page-relative ranks restart at 1
+    assert [r["rank"] for r in pages[10:20]] == list(range(1, 11))
+
+
+def test_search_after_unranked_cursor_is_ext_id(engine):
+    from search_engine_framework_spark.plans.models import UnrankedBoolean
+
+    full = engine.search("#OR(search engine)", UnrankedBoolean(), k=1000).collect()
+    assert len(full) > 5
+    cur = (full[2]["score"], full[2]["ext_id"])
+    nxt = engine.search_after("#OR(search engine)", UnrankedBoolean(), cur, k=3)
+    assert [r["ext_id"] for r in nxt.collect()] == [
+        r["ext_id"] for r in full[3:6]
+    ]
+
+
+def test_synonyms_equal_explicit_syn(engine):
+    got = _rows(engine.search(
+        "search", RankedBoolean(), k=20, synonyms={"search": ["engine"]}
+    ))
+    want = _rows(engine.search("#SYN(search engine)", RankedBoolean(), k=20))
+    assert got == want and got
+
+
+def test_synonyms_compose_with_positional(engine):
+    got = _rows(engine.search(
+        "#NEAR/3(search index)", RankedBoolean(), k=20,
+        synonyms={"search": ["engine"]},
+    ))
+    want = _rows(engine.search(
+        "#NEAR/3(#SYN(search engine) index)", RankedBoolean(), k=20
+    ))
+    assert got == want
+
+
+def test_synonyms_analyzed_and_stopwords_dropped(engine):
+    # map written in user vocabulary: key/synonym are analyzed (stemmed);
+    # a stopword synonym vanishes; an unmatched key is a no-op.
+    base = _rows(engine.search("search", BM25(), k=10))
+    noop = _rows(engine.search(
+        "search", BM25(), k=10, synonyms={"qqq": ["zzz"], "search": ["the"]}
+    ))
+    assert noop == base
