@@ -674,6 +674,19 @@ def q_mixture_mix(spark, sf_dir):
     return out.select("doc_id", F.col("epoch").cast("long").alias("epoch"))
 
 
+DUPSPAN_N = 8
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022-style substring
+    dedup): maximal token spans covered by 8-token windows appearing
+    verbatim in ≥2 distinct documents, merged per doc."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, n=DUPSPAN_N, min_docs=2).select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    )
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style perplexity filter: add-alpha bigram LM trained on the
     corpus, each doc scored by cross-entropy under it (two count aggs +
@@ -2263,6 +2276,46 @@ WHERE r.rk <= p.rem
 
 ORACLE_SQL["mixture_mix"] = _mixture_sql()
 
+ORACLE_SQL["dup_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, t.i AS start,
+         md5(array_to_string(toks[t.i : t.i + {DUPSPAN_N} - 1], ' ')) AS wkey
+  FROM toks
+  CROSS JOIN unnest(generate_series(1, len(toks) - {DUPSPAN_N} + 1)) AS t(i)
+  WHERE len(toks) >= {DUPSPAN_N}
+),
+dupk AS (
+  SELECT wkey FROM (SELECT DISTINCT wkey, doc_id FROM wins)
+  GROUP BY wkey HAVING count(*) >= 2
+),
+marked AS (SELECT w.doc_id, w.start FROM wins w JOIN dupk USING (wkey)),
+flagged AS (
+  SELECT doc_id, start,
+         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                   IS NULL
+               OR start - lag(start) OVER (PARTITION BY doc_id
+                                           ORDER BY start) > {DUPSPAN_N}
+              THEN 1 ELSE 0 END AS newgrp
+  FROM marked
+),
+grouped AS (
+  SELECT doc_id, start,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+  FROM flagged
+)
+SELECT doc_id,
+       (min(start) - 1)::BIGINT AS span_start,
+       (max(start) + {DUPSPAN_N} - 1)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM grouped GROUP BY doc_id, grp
+"""
+
 ORACLE_SQL["shard_assign"] = f"""
 WITH b AS (
   SELECT doc_id,
@@ -2757,6 +2810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation": q_curation,
     "hash_split": q_hash_split,
     "mixture_mix": q_mixture_mix,
+    "dup_spans": q_dup_spans,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "shard_assign": q_shard_assign,

@@ -448,3 +448,144 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     return j.select("a", "b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# --------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022-style substring dedup)
+# --------------------------------------------------------------------------
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring detection: maximal token spans covered
+    by ``n``-token windows that occur verbatim in at least ``min_docs``
+    DISTINCT documents — the substring-level dedup of "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al., ACL 2022),
+    which removes repeated passages (licenses, boilerplate, quoted
+    chunks) that document-level dedup cannot see. Their suffix array is
+    a single-machine structure; the distributed equivalent for a fixed
+    match length is window fingerprinting: every length-``n`` token
+    window is keyed by md5 of its joined tokens, a window key seen in
+    ``min_docs``+ docs marks its span, and overlapping marked windows
+    merge per document.
+
+    → (doc_id, span_start, span_end, n_windows): token-offset spans
+    [span_start, span_end) per doc, maximal (non-adjacent to another
+    duplicated window), with the count of duplicated windows merged in.
+    Callers drop/clip the spans or gate on per-doc duplicated fraction.
+
+    Scale shape (100 TB): window emission is a map-only posexplode
+    (~one row per corpus token — the same order as the postings build);
+    duplicated keys are one map-combinable groupBy (count distinct docs
+    approximated exactly by (key, doc) pre-dedup — two linear
+    shuffles); the interval merge is a per-doc window function over
+    only the MARKED windows (boilerplate-bounded, not corpus-bounded).
+    No pair join ever materializes — unlike pairwise near-dup, cost is
+    independent of how many docs share a span.
+    """
+    if n <= 0:
+        raise ValueError("window length n must be positive")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (a span needs a twin)")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    wins = (
+        toks.where(F.col("n_toks") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_toks") - n + 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("toks"), i, n), " ")
+                    ),
+                )
+            ).alias("start", "wkey"),
+        )
+    )
+    # distinct (wkey, doc) first — map-combinable — then count docs per key
+    dup_keys = (
+        wins.select("wkey", "doc_id")
+        .distinct()
+        .groupBy("wkey")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("wkey")
+    )
+    marked = wins.join(dup_keys, "wkey").select("doc_id", "start")
+    # merge overlapping/adjacent windows per doc: all intervals are
+    # [start, start+n), starts sorted — a new span begins when the gap
+    # to the previous start exceeds n (strictly: start - prev > n-1,
+    # i.e. start >= prev + n would leave a hole; touching spans merge)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("start")
+    grouped = (
+        marked.withColumn("_prev", F.lag("start").over(w))
+        .withColumn(
+            "_newgrp",
+            (F.col("_prev").isNull() | (F.col("start") - F.col("_prev") > n))
+            .cast("int"),
+        )
+        .withColumn("_grp", F.sum("_newgrp").over(w))
+    )
+    return (
+        grouped.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + n).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            # posexplode positions are already 0-based token offsets
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc duplicated-substring gate: (doc_id, n_tokens, dup_tokens,
+    dup_frac) with dup_tokens = tokens covered by any duplicate span
+    (spans are disjoint by construction, so a plain sum is exact).
+    Docs with no duplicated span report 0.0 — the join is left, over the
+    full corpus, so the output is a complete gate column like the other
+    quality signals."""
+    spans = duplicate_spans(
+        docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+            "dup_tokens"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

@@ -1,0 +1,114 @@
+"""Exact duplicated-substring spans (Lee et al. 2022-style): planted
+shared passages, interval-merge semantics, a randomized brute-force
+cross-check, and the per-doc gate stats."""
+
+import hashlib
+import random
+import re
+
+import pytest
+
+from search_engine_framework_spark.pipeline import dedup
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_spans(rows, n, min_docs=2):
+    """Brute-force oracle: rows = [(doc_id, text)] → sorted
+    [(doc_id, start, end, n_windows)] with 0-based token offsets."""
+    wins = {}  # key -> set(doc_id)
+    per_doc = {}
+    for doc_id, text in rows:
+        toks = _toks(text)
+        for i in range(len(toks) - n + 1):
+            key = hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()
+            wins.setdefault(key, set()).add(doc_id)
+            per_doc.setdefault(doc_id, []).append((i, key))
+    dup = {k for k, docs in wins.items() if len(docs) >= min_docs}
+    out = []
+    for doc_id, lst in per_doc.items():
+        starts = sorted(i for i, k in lst if k in dup)
+        if not starts:
+            continue
+        cur = [starts[0], starts[0] + n, 1]
+        for s in starts[1:]:
+            if s - (cur[1] - n) > n:
+                out.append((doc_id, cur[0], cur[1], cur[2]))
+                cur = [s, s + n, 1]
+            else:
+                cur[1] = s + n
+                cur[2] += 1
+        out.append((doc_id, cur[0], cur[1], cur[2]))
+    return sorted(out)
+
+
+def _spark_spans(spark, rows, n, min_docs=2):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup.duplicate_spans(df, n=n, min_docs=min_docs).collect()
+    )
+
+
+def test_planted_shared_passage(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (0, f"aa bb {shared} cc dd"),
+        (1, f"xx {shared} yy zz ww"),
+        (2, "totally different words only here"),
+    ]
+    got = _spark_spans(spark, rows, n=6)
+    # exactly the shared 6-token window: doc0 tokens [2, 8), doc1 [1, 7)
+    assert got == [(0, 2, 8, 1), (1, 1, 7, 1)]
+
+
+def test_overlapping_windows_merge_into_one_span(spark):
+    shared = " ".join(f"w{i}" for i in range(10))  # 10 shared tokens
+    rows = [(0, f"a b {shared}"), (1, f"{shared} p q r")]
+    got = _spark_spans(spark, rows, n=6)
+    # 5 windows (10-6+1) merge into one [.., ..+10) span per doc
+    assert got == [(0, 2, 12, 5), (1, 0, 10, 5)]
+    assert got == _py_spans(rows, n=6)
+
+
+def test_randomized_vs_brute_force(spark):
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(30)]
+    passages = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 14)))
+        for _ in range(5)
+    ]
+    rows = []
+    for d in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(10, 40))]
+        if rng.random() < 0.6:  # plant 1-2 shared passages
+            for _ in range(rng.randint(1, 2)):
+                p = rng.choice(passages).split()
+                at = rng.randint(0, len(words))
+                words[at:at] = p
+        rows.append((d, " ".join(words)))
+    for n in (4, 6):
+        assert _spark_spans(spark, rows, n=n) == _py_spans(rows, n=n), n
+
+
+def test_dup_span_stats_gate(spark):
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [(0, f"{shared} one two"), (1, f"x {shared}"), (2, "a b c d e f g h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], round(r["dup_frac"], 9))
+        for r in dedup.dup_span_stats(df, n=8).collect()
+    }
+    assert got[0] == (10, 8, 0.8)
+    assert got[1] == (9, 8, round(8 / 9, 9))
+    assert got[2] == (8, 0, 0.0)
+
+
+def test_dup_spans_arg_validation(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(df, n=0)
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(df, min_docs=1)
