@@ -298,6 +298,16 @@ def q_fuzzy(spark, sf_dir):
     return _search_full(spark, sf_dir, "sparkk~1", RankedBoolean())
 
 
+def q_wildcard_suffix(spark, sf_dir):
+    """Leading wildcard ``*er`` (allowLeadingWildcard analog):
+    dictionary endswith expansion into #SYN of the matching terms,
+    merged-postings tf under RankedBoolean. The SQL twin replays the
+    expansion with LIKE '%er'."""
+    from .plans.models import RankedBoolean
+
+    return _search_full(spark, sf_dir, "*er", RankedBoolean())
+
+
 def q_bm25_single(spark, sf_dir):
     from .plans.models import BM25
 
@@ -1433,6 +1443,22 @@ def q_facet_counts(spark, sf_dir):
     return facet_counts(hits, docs, ["lang", "source"])
 
 
+def q_facet_histogram(spark, sf_dir):
+    """Numeric histogram facet (Elasticsearch histogram-agg analog) over
+    the flagship BM25 top-k: hit documents bucketed by text length in
+    200-char floor-based bins."""
+    from .facets import facet_histogram
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")))
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return facet_histogram(hits, docs, "n_chars", 200.0)
+
+
 def _bm25f_term_sql(term: str) -> str:
     """Per-term BM25F tf~ (field-combined, length-normalized) — operand
     order mirrors bm25f.bm25f_tilde_tf exactly; b/weight literals match
@@ -1631,6 +1657,11 @@ FROM tf WHERE term IN ('spark', 'data') GROUP BY 1
     + """
 SELECT doc_id, sum(tf)::DOUBLE AS score
 FROM tf WHERE term LIKE 's%' GROUP BY 1
+""",
+    "wildcard_suffix": _SQL_BASE
+    + """
+SELECT doc_id, sum(tf)::DOUBLE AS score
+FROM tf WHERE term LIKE '%er' GROUP BY 1
 """,
     "fuzzy": _SQL_BASE
     + """
@@ -2771,6 +2802,20 @@ FROM unp GROUP BY 1, 2 ORDER BY facet ASC, n DESC, value ASC
 )
 
 
+ORACLE_SQL["facet_histogram"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """
+SELECT floor((length(d.text)::DOUBLE - 0e0) / 200e0) * 200e0 + 0e0
+         AS bin_lo,
+       count(*)::BIGINT AS n
+FROM documents d JOIN lex ON lex.doc_id = d.doc_id
+WHERE d.text IS NOT NULL
+GROUP BY 1 ORDER BY bin_lo ASC
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats_top": q_term_stats_top,
     "doclen": q_doclen,
@@ -2785,6 +2830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syn_ranked": q_syn_ranked,
     "wildcard": q_wildcard,
     "fuzzy": q_fuzzy,
+    "wildcard_suffix": q_wildcard_suffix,
     "bm25_single": q_bm25_single,
     "filtered_search": q_filtered_search,
     "bm25_topk": q_bm25_topk,
@@ -2844,6 +2890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spell_suggest2": q_spell_suggest2,
     "term_prefix": q_term_prefix,
     "facet_counts": q_facet_counts,
+    "facet_histogram": q_facet_histogram,
     # rows-only checks (not SQL-expressible):
     # bm25_ref_analyzer — Krovetz stemming can't be written in ANSI SQL;
     #   locked instead by a pytest golden fixture (tests/test_ranking_extras).

@@ -459,6 +459,87 @@ class SearchEngine:
             "physical_plan": plan,
         }
 
+    def explain_doc(self, query: str, model, doc_id: int) -> dict:
+        """Per-document score explanation (the Lucene ``explain()``
+        analog): for a flat BM25 #SUM query, the exact per-term
+        components — tf, df, idf, tf_weight, contribution — whose
+        child-order fold reproduces the engine's score bit-for-bit
+        (same float operand order as plans/compiler._score /
+        _bm25_sum, locked by tests against ``search`` output).
+
+        Driver-side: one term-stats seek + two pushdown-filtered
+        single-doc lookups (doclen + forward-index tfs) — no
+        corpus-wide work. Raises for non-flat queries (positional /
+        boolean / Indri trees have no per-term additive decomposition
+        to report honestly)."""
+        from .functions.scoring import bm25_idf
+        from .plans.models import BM25 as _BM25
+
+        if not isinstance(model, _BM25):
+            raise ValueError("explain_doc supports the BM25 model only")
+        node = self._parse(query, model)
+        flat = QueryCompiler._flat_sum_pairs(node) if node else None
+        if flat is None:
+            raise ValueError(
+                "explain_doc supports flat BM25 #SUM(term ...) queries"
+            )
+        stats = self.reader.term_stats(set(flat))
+        fields = sorted({f for _, f in flat})
+        dl_rows = (
+            self.reader.doclen()
+            .where(
+                (F.col("doc_id") == int(doc_id))
+                & F.col("field").isin(fields)
+            )
+            .collect()
+        )
+        if not dl_rows:
+            raise ValueError(f"doc {doc_id} not in the index (or deleted)")
+        dls = {r["field"]: int(r["doclen"]) for r in dl_rows}
+        tf_rows = (
+            self.reader.doc_terms()
+            .where(
+                (F.col("doc_id") == int(doc_id))
+                & F.col("term").isin(sorted({t for t, _ in flat}))
+            )
+            .select("term", "field", "tf")
+            .collect()
+        )
+        tfs = {(r["term"], r["field"]): int(r["tf"]) for r in tf_rows}
+        n = self.reader.num_docs
+        m = model
+        user_w = (m.k_3 + 1.0) * 1.0 / (m.k_3 + 1.0)
+        terms = []
+        total = 0.0
+        for t, f in flat:
+            df = int(stats.get((t, f), {}).get("df", 0))
+            tf = tfs.get((t, f), 0)
+            dl = dls.get(f, 0)
+            avg = self.reader.avg_doclen(f)
+            idf = bm25_idf(n, df)
+            if tf > 0:
+                tfw = tf / (tf + m.k_1 * ((1.0 - m.b) + m.b * (dl / avg)))
+                s = idf * tfw
+            else:
+                tfw = 0.0
+                s = 0.0
+            terms.append(
+                {
+                    "term": t, "field": f, "tf": tf, "df": df,
+                    "doclen": dl, "avg_doclen": avg, "idf": idf,
+                    "tf_weight": tfw, "user_weight": user_w, "score": s,
+                }
+            )
+            # child-order fold, +0.0 for absent terms — exactly _bm25_sum
+            total = total + (s * user_w if tf > 0 else 0.0)
+        return {
+            "doc_id": int(doc_id),
+            "model": {"k_1": m.k_1, "b": m.b, "k_3": m.k_3},
+            "n_docs": n,
+            "terms": terms,
+            "score": total,
+        }
+
     def decode_metrics(self) -> dict:
         """Cumulative block-decode counters (block-max pruning evidence):
         {"blocks_decoded": n, "blocks_skipped": n}."""

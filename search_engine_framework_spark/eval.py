@@ -263,3 +263,121 @@ def compare_runs(
         "n_q": n,
         "exact": exact,
     }
+
+
+def interleave_team_draft(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM 2008 —
+    the standard online A/B alternative to offline metrics when click
+    logs, not qrels, are the ground truth; public knowledge).
+
+    Per query: rankings A and B take turns drafting their highest-ranked
+    not-yet-picked doc into one interleaved list of up to ``k``; when the
+    teams are even, a deterministic coin — ``md5(seed|qid|position)``
+    parity, replayable across runs and engines — decides who picks. Each
+    position records which team contributed it; clicks on A's picks are
+    credit for A (:func:`interleaved_credit`).
+
+    Cost shape: both inputs are top-k ranked lists (k·|Q| rows, never
+    corpus-sized), so the draft itself runs driver-side per query —
+    the same bounded-collect pattern as MMR — and the output ships back
+    as a DataFrame for the distributed click join.
+
+    → DataFrame(qid, ext_id, pos, team) with pos 1-based and team in
+    {'a', 'b'}.
+    """
+    import hashlib
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def top_lists(run: DataFrame) -> dict:
+        out: dict[str, list[str]] = {}
+        rows = (
+            run.where(F.col("rank") <= 2 * k)
+            .select("qid", "ext_id", "rank")
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: (str(r["qid"]), r["rank"])):
+            out.setdefault(str(r["qid"]), []).append(r["ext_id"])
+        return out
+
+    la, lb = top_lists(run_a), top_lists(run_b)
+    spark = run_a.sparkSession
+    rows = []
+    for qid in sorted(set(la) | set(lb)):
+        a, b = la.get(qid, []), lb.get(qid, [])
+        picked: set[str] = set()
+        na = nb = 0
+        ia = ib = 0
+        out: list[tuple[str, str]] = []
+        while len(out) < k:
+            while ia < len(a) and a[ia] in picked:
+                ia += 1
+            while ib < len(b) and b[ib] in picked:
+                ib += 1
+            a_can, b_can = ia < len(a), ib < len(b)
+            if not a_can and not b_can:
+                break
+            if na < nb:
+                turn = "a"
+            elif nb < na:
+                turn = "b"
+            else:
+                coin = hashlib.md5(
+                    f"{seed}|{qid}|{len(out)}".encode()
+                ).hexdigest()
+                turn = "a" if int(coin[0], 16) % 2 == 0 else "b"
+            if turn == "a" and not a_can:
+                turn = "b"
+            if turn == "b" and not b_can:
+                turn = "a"
+            if turn == "a":
+                doc = a[ia]
+                na += 1
+            else:
+                doc = b[ib]
+                nb += 1
+            picked.add(doc)
+            out.append((doc, turn))
+        rows += [
+            (qid, doc, i + 1, team) for i, (doc, team) in enumerate(out)
+        ]
+    return spark.createDataFrame(
+        rows, "qid string, ext_id string, pos int, team string"
+    )
+
+
+def interleaved_credit(
+    interleaved: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """Credit assignment over click logs: per qid, how many clicked
+    docs each team drafted, and the winner ('a', 'b', or 'tie') — the
+    aggregation half of team-draft interleaving. ``clicks`` is
+    (qid, ext_id) rows (duplicates collapse: a doc is clicked or not).
+    Distributed: one join on (qid, ext_id) + one combinable groupBy —
+    click logs can be arbitrarily large.
+    → DataFrame(qid, clicks_a, clicks_b, winner), one row per
+    interleaved qid (zero-click queries report 0/0/'tie')."""
+    c = clicks.select("qid", "ext_id").distinct()
+    joined = interleaved.join(c, ["qid", "ext_id"], "left_semi")
+    tallies = joined.groupBy("qid").agg(
+        F.sum(F.when(F.col("team") == "a", 1).otherwise(0)).alias("clicks_a"),
+        F.sum(F.when(F.col("team") == "b", 1).otherwise(0)).alias("clicks_b"),
+    )
+    allq = interleaved.select("qid").distinct()
+    out = allq.join(tallies, "qid", "left").select(
+        "qid",
+        F.coalesce("clicks_a", F.lit(0)).cast("long").alias("clicks_a"),
+        F.coalesce("clicks_b", F.lit(0)).cast("long").alias("clicks_b"),
+    )
+    return out.withColumn(
+        "winner",
+        F.when(F.col("clicks_a") > F.col("clicks_b"), "a")
+        .when(F.col("clicks_b") > F.col("clicks_a"), "b")
+        .otherwise("tie"),
+    )

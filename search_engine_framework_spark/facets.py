@@ -54,3 +54,46 @@ def facet_counts(
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.asc("facet"), F.desc("n"), F.asc("value"))
     )
+
+
+def facet_histogram(
+    hits: DataFrame,
+    metadata: DataFrame,
+    col: str,
+    bin_width: float,
+    *,
+    id_col: str = "doc_id",
+    origin: float = 0.0,
+) -> DataFrame:
+    """Numeric histogram facet over a hit set (the Elasticsearch
+    ``histogram`` aggregation analog; ``date_histogram`` is the same
+    bucketing over a timestamp cast to seconds): rows bucket into
+    fixed-width bins ``[origin + i*bin_width, origin + (i+1)*bin_width)``
+    keyed by the bin's inclusive lower bound — floor-based, so negative
+    values land in the bin BELOW zero exactly as Elasticsearch does.
+
+    hits/metadata as in :func:`facet_counts` (broadcast top-k join —
+    never a corpus shuffle). NULL values are excluded (they have no
+    bin); callers wanting a missing-count run facet_counts on an
+    is-null flag. Returns DataFrame(bin_lo:double, n:long) ordered by
+    bin ascending, empty bins absent (sparse, like Elasticsearch with
+    min_doc_count=1).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    joined = metadata.select(id_col, col).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    v = F.col(col).cast("double")
+    bin_lo = (
+        F.floor((v - F.lit(float(origin))) / F.lit(float(bin_width)))
+        * F.lit(float(bin_width))
+        + F.lit(float(origin))
+    )
+    return (
+        joined.where(v.isNotNull())
+        .select(bin_lo.alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.asc("bin_lo"))
+    )

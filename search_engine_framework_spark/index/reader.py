@@ -215,6 +215,36 @@ class IndexReader:
             )
         return terms
 
+    def expand_suffix(
+        self, suffix: str, field: str, limit: int = 128
+    ) -> list[str]:
+        """Distinct dictionary terms in ``field`` ENDING with ``suffix``,
+        sorted ascending — the leading-wildcard expansion seek
+        (ast.SuffixWildcard → #SYN). An endswith cannot row-group-prune
+        a term-SORTED dictionary (Lucene pays the same and answers with
+        a ReverseStringFilter side index), so this is a column-pruned
+        scan of the term dictionary — vocabulary-sized, never
+        corpus-sized: only the tiny term/field columns are read and the
+        predicate runs in the scan. Raises past ``limit`` matches."""
+        rows = (
+            self.segments()
+            .where(
+                F.col("term").endswith(suffix) & (F.col("field") == field)
+            )
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(limit + 1)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if len(terms) > limit:
+            raise ValueError(
+                f"wildcard *{suffix!r} matches more than {limit} terms in "
+                f"field {field!r}; raise max_expansions or narrow the suffix"
+            )
+        return terms
+
     def expand_fuzzy(
         self, term: str, field: str, max_edit: int = 2, limit: int = 128
     ) -> list[str]:

@@ -47,6 +47,21 @@ class Wildcard(Node):
 
 
 @dataclass(frozen=True)
+class SuffixWildcard(Node):
+    """Leading wildcard (``*fix``) — the Lucene
+    allowLeadingWildcard=true analog. Rewritten like Wildcard into
+    #SYN of the dictionary terms ENDING with the pattern
+    (IndexReader.expand_suffix). Unlike prefixes the term-sorted
+    dictionary cannot row-group-prune an endswith, so the seek is a
+    column-pruned scan of the (vocabulary-sized, never corpus-sized)
+    term dictionary — the documented Lucene tradeoff (Lucene needs a
+    ReverseStringFilter side index for the same feature)."""
+
+    suffix: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class Fuzzy(Node):
     """Fuzzy multi-term query (``sprak~1``) — our Lucene-FuzzyQuery
     analog (the reference has none). Never evaluated directly: the
@@ -106,7 +121,7 @@ class Wsum(Node):
     weights: tuple[float, ...] = dc_field(default=())
 
 
-IL_NODES = (Term, Syn, Near, WindowOp, Wildcard, Fuzzy)
+IL_NODES = (Term, Syn, Near, WindowOp, Wildcard, Fuzzy, SuffixWildcard)
 SL_NODES = (And, Or, Not, Sum, Wand, Wsum)
 
 
@@ -126,6 +141,11 @@ def query_terms(node: Node) -> set[tuple[str, str]]:
             f"unexpanded fuzzy term {node.term!r}~{node.max_edit} — run "
             "plans.wildcard.expand_wildcards(tree, reader) first"
         )
+    if isinstance(node, SuffixWildcard):
+        raise ValueError(
+            f"unexpanded wildcard *{node.suffix!r} — run "
+            "plans.wildcard.expand_wildcards(tree, reader) first"
+        )
     if isinstance(node, Term):
         return {(node.term, node.field)}
     out: set[tuple[str, str]] = set()
@@ -139,7 +159,7 @@ def query_fields(node: Node) -> set[str]:
     """All fields referenced by leaves — unlike query_terms this is safe
     on a tree that still contains unexpanded Wildcard leaves (field
     validation runs before dictionary expansion)."""
-    if isinstance(node, (Term, Wildcard, Fuzzy)):
+    if isinstance(node, (Term, Wildcard, Fuzzy, SuffixWildcard)):
         return {node.field}
     out: set[str] = set()
     kids = (node.child,) if isinstance(node, Not) else node.children
@@ -153,7 +173,7 @@ def needs_positions(node: Node) -> bool:
     — only then does the posting scan need to decode position blobs."""
     if isinstance(node, (Near, WindowOp, Syn)):
         return True
-    if isinstance(node, (Wildcard, Fuzzy)):  # expands to #SYN
+    if isinstance(node, (Wildcard, Fuzzy, SuffixWildcard)):  # → #SYN
         return True
     if isinstance(node, Term):
         return False

@@ -208,11 +208,29 @@ def parse_query(
                     field = f
                     term_text = token[: -(len(f) + 1)]
                     break
+            if term_text.startswith("*") and "*" not in term_text[1:]:
+                # Leading wildcard (Lucene allowLeadingWildcard analog):
+                # lowercased only, never analyzed; expands against the
+                # term dictionary into #SYN (dictionary scan — see
+                # ast.SuffixWildcard for the cost note).
+                suffix = term_text[1:].lower()
+                if not re.fullmatch(r"[a-z0-9]+", suffix):
+                    raise ValueError(
+                        f"wildcard suffix must be alphanumeric: {token!r}"
+                    )
+                current.children.append(
+                    ast.SuffixWildcard(suffix, field or ast.DEFAULT_FIELD)
+                )
+                if has_weight and got_weight:
+                    current.weights.append(weight)
+                    got_weight = False
+                continue
             if "*" in term_text and not (
                 term_text.endswith("*") and "*" not in term_text[:-1]
             ):
                 raise ValueError(
-                    f"only trailing-prefix wildcards are supported: {token!r}"
+                    f"only prefix (s*) or suffix (*s) wildcards are "
+                    f"supported: {token!r}"
                 )
             fz = re.fullmatch(r"([^~]+)~(\d*)", term_text)
             if fz:

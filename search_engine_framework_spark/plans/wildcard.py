@@ -68,7 +68,7 @@ def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
             return ast.Syn(
                 (n,) + tuple(ast.Term(s, n.field) for s in syns)
             )
-        if isinstance(n, (ast.Wildcard, ast.Fuzzy)):
+        if isinstance(n, (ast.Wildcard, ast.Fuzzy, ast.SuffixWildcard)):
             return n
         if isinstance(n, ast.Not):
             return ast.Not(rewrite(n.child))
@@ -85,7 +85,7 @@ def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
 def has_wildcards(node: ast.Node) -> bool:
     """True iff the tree contains any multi-term leaf (Wildcard or
     Fuzzy) that must be dictionary-expanded before compiling."""
-    if isinstance(node, (ast.Wildcard, ast.Fuzzy)):
+    if isinstance(node, (ast.Wildcard, ast.Fuzzy, ast.SuffixWildcard)):
         return True
     if isinstance(node, ast.Term):
         return False
@@ -116,6 +116,14 @@ def expand_wildcards(
                     n.prefix, n.field, limit=max_expansions
                 )
                 cache[key] = syn_of(terms, n.field, n.prefix + "*")
+            return cache[key]
+        if isinstance(n, ast.SuffixWildcard):
+            key = ("*s", n.suffix, n.field)
+            if key not in cache:
+                terms = reader.expand_suffix(
+                    n.suffix, n.field, limit=max_expansions
+                )
+                cache[key] = syn_of(terms, n.field, "*" + n.suffix)
             return cache[key]
         if isinstance(n, ast.Fuzzy):
             # Fuzzy (Lucene FuzzyQuery analog): #SYN of every dictionary

@@ -155,3 +155,88 @@ def test_compare_runs_sampled_branch_deterministic(spark):
     o2 = ev.compare_runs(run_a, run_b, qrels, n_perm=2000, seed=7)
     assert o1 == o2 and not o1["exact"]
     assert o1["delta"] > 0 and 0 < o1["p_value"] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# team-draft interleaving (online ranker comparison)
+# ---------------------------------------------------------------------------
+
+def _runs(spark):
+    a = spark.createDataFrame(
+        [("q1", d, i + 1) for i, d in enumerate(["d1", "d2", "d3", "d4"])]
+        + [("q2", d, i + 1) for i, d in enumerate(["x1", "x2"])],
+        "qid string, ext_id string, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", d, i + 1) for i, d in enumerate(["d3", "d5", "d1", "d6"])]
+        + [("q2", d, i + 1) for i, d in enumerate(["x2", "x9"])],
+        "qid string, ext_id string, rank int",
+    )
+    return a, b
+
+
+def test_interleave_team_draft_invariants(spark):
+    from search_engine_framework_spark.eval import interleave_team_draft
+
+    a, b = _runs(spark)
+    for seed in (1, 2, 3):
+        rows = interleave_team_draft(a, b, k=4, seed=seed).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        for qid, lst in by_q.items():
+            lst.sort(key=lambda r: r["pos"])
+            docs = [r["ext_id"] for r in lst]
+            assert len(docs) == len(set(docs))  # no duplicates
+            assert [r["pos"] for r in lst] == list(range(1, len(lst) + 1))
+            na = sum(1 for r in lst if r["team"] == "a")
+            nb = len(lst) - na
+            # balanced draft while both pools last (q1: both pools deep)
+            if qid == "q1":
+                assert len(lst) == 4 and abs(na - nb) <= 1
+            # within-team order preserved vs the source ranking
+            src = {"a": ["d1", "d2", "d3", "d4"], "b": ["d3", "d5", "d1", "d6"]}
+            if qid == "q1":
+                for team in ("a", "b"):
+                    picks = [r["ext_id"] for r in lst if r["team"] == team]
+                    order = [d for d in src[team] if d in picks]
+                    assert picks == order
+        # q2: union of pools is {x1, x2, x9} → 3 rows
+        assert len(by_q["q2"]) == 3
+
+
+def test_interleave_deterministic_and_seed_sensitive(spark):
+    from search_engine_framework_spark.eval import interleave_team_draft
+
+    a, b = _runs(spark)
+    r1 = sorted(map(tuple, interleave_team_draft(a, b, k=4, seed=7).collect()))
+    r2 = sorted(map(tuple, interleave_team_draft(a, b, k=4, seed=7).collect()))
+    assert r1 == r2
+    diff = [
+        sorted(map(tuple, interleave_team_draft(a, b, k=4, seed=s).collect()))
+        for s in range(12)
+    ]
+    assert any(d != r1 for d in diff)  # coin actually varies with seed
+
+
+def test_interleaved_credit_hand_case(spark):
+    from search_engine_framework_spark.eval import interleaved_credit
+
+    inter = spark.createDataFrame(
+        [
+            ("q1", "d1", 1, "a"), ("q1", "d3", 2, "b"),
+            ("q1", "d2", 3, "a"), ("q1", "d5", 4, "b"),
+            ("q2", "x1", 1, "a"), ("q2", "x2", 2, "b"),
+        ],
+        "qid string, ext_id string, pos int, team string",
+    )
+    clicks = spark.createDataFrame(
+        [("q1", "d3"), ("q1", "d5"), ("q1", "d1"), ("q1", "d3")],  # dup click
+        "qid string, ext_id string",
+    )
+    got = {
+        r["qid"]: (r["clicks_a"], r["clicks_b"], r["winner"])
+        for r in interleaved_credit(inter, clicks).collect()
+    }
+    assert got["q1"] == (1, 2, "b")
+    assert got["q2"] == (0, 0, "tie")  # zero-click query still reported

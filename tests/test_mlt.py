@@ -76,3 +76,41 @@ def test_more_like_this_unknown_doc_raises(engine):
 def test_more_like_this_gates_can_empty(engine, pyidx):
     out = engine.more_like_this(0, k=10, min_df=pyidx.n_docs + 1)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# explain_doc (Lucene explain() analog) — bit-exact score decomposition
+# ---------------------------------------------------------------------------
+
+def test_explain_doc_reproduces_search_scores_exactly(engine):
+    hits = engine.search("search engine index", BM25(), k=10).collect()
+    assert hits
+    for r in hits:
+        exp = engine.explain_doc("search engine index", BM25(), r["doc_id"])
+        assert exp["score"] == r["score"]  # bit-for-bit, no tolerance
+        assert len(exp["terms"]) == 3
+        # components are self-consistent
+        for t in exp["terms"]:
+            if t["tf"] > 0:
+                assert t["score"] == t["idf"] * t["tf_weight"]
+            else:
+                assert t["score"] == 0.0
+
+
+def test_explain_doc_absent_term_contributes_zero(engine):
+    hits = engine.search("search zzznope", BM25(), k=3).collect()
+    exp = engine.explain_doc("search zzznope", BM25(), hits[0]["doc_id"])
+    missing = [t for t in exp["terms"] if t["term"] == "zzznope"]
+    assert missing and missing[0]["tf"] == 0 and missing[0]["df"] == 0
+    assert exp["score"] == hits[0]["score"]
+
+
+def test_explain_doc_error_paths(engine):
+    from search_engine_framework_spark.plans.models import Indri
+
+    with pytest.raises(ValueError, match="BM25 model only"):
+        engine.explain_doc("search", Indri(), 0)
+    with pytest.raises(ValueError, match="flat BM25"):
+        engine.explain_doc("#NEAR/2(search engine)", BM25(), 0)
+    with pytest.raises(ValueError, match="not in the index"):
+        engine.explain_doc("search", BM25(), 10_000_000)

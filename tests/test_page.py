@@ -119,3 +119,30 @@ def test_rrf_duplicate_names_raise(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
     with pytest.raises(ValueError):
         rrf_fuse([("bm25", df), ("bm25", df)])
+
+
+# ---------------------------------------------------------------------------
+# facet_histogram (numeric histogram facet over a hit set)
+# ---------------------------------------------------------------------------
+
+def test_facet_histogram_hand_computed(spark):
+    from search_engine_framework_spark.facets import facet_histogram
+
+    hits = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(0, 5.0), (1, 19.9), (2, 20.0), (3, -0.1), (4, None), (5, 45.0),
+         (99, 7.0)],  # 99 is not a hit — must not count
+        "doc_id long, v double",
+    )
+    got = [(r["bin_lo"], r["n"]) for r in
+           facet_histogram(hits, meta, "v", 20.0).collect()]
+    # floor bins: -0.1 → -20; 5.0,19.9 → 0; 20.0 → 20; 45 → 40; NULL drops
+    assert got == [(-20.0, 1), (0.0, 2), (20.0, 1), (40.0, 1)]
+    # origin shifts the grid
+    got2 = [(r["bin_lo"], r["n"]) for r in
+            facet_histogram(hits, meta, "v", 20.0, origin=5.0).collect()]
+    assert got2 == [(-15.0, 1), (5.0, 3), (45.0, 1)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        facet_histogram(hits, meta, "v", 0.0)

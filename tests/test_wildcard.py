@@ -1,5 +1,7 @@
-"""Prefix-wildcard queries (``spar*``): parser, expansion, rank identity
-with the equivalent hand-written #SYN, and the error paths."""
+"""Multi-term query features: prefix/leading wildcards, fuzzy terms,
+quoted phrases, metadata filters, keyset pagination, synonyms, and the
+explain_query plan contract — each verified against the equivalent
+hand-written #SYN / driver-side recomputation, plus the error paths."""
 
 import pytest
 
@@ -34,7 +36,7 @@ def test_parser_emits_wildcard_nodes():
     assert ast.Wildcard("assist", "role") in leaves(node2)
 
 
-@pytest.mark.parametrize("bad", ["se*rch", "*", "**", "*s", "a*b*"])
+@pytest.mark.parametrize("bad", ["se*rch", "*", "**", "a*b*", "*a*"])
 def test_parser_rejects_non_prefix_patterns(bad):
     with pytest.raises(ValueError):
         parse_query(bad, BM25())
@@ -368,3 +370,55 @@ def test_synonyms_analyzed_and_stopwords_dropped(engine):
         "search", BM25(), k=10, synonyms={"qqq": ["zzz"], "search": ["the"]}
     ))
     assert noop == base
+
+
+# ---------------------------------------------------------------------------
+# leading wildcards (*suffix → #SYN of dictionary terms ending with it)
+# ---------------------------------------------------------------------------
+
+def test_parser_emits_suffix_wildcard_nodes():
+    node = parse_query("#SUM(*ine engine)", BM25())
+    assert has_wildcards(node)
+
+    def leaves(n):
+        if isinstance(n, (ast.Term, ast.SuffixWildcard)):
+            return [n]
+        kids = (n.child,) if isinstance(n, ast.Not) else n.children
+        return [x for c in kids for x in leaves(c)]
+
+    assert ast.SuffixWildcard("ine", "body") in leaves(node)
+    node2 = parse_query("*INE.role", BM25())
+    assert ast.SuffixWildcard("ine", "role") in leaves(node2)
+    with pytest.raises(ValueError, match="unexpanded wildcard"):
+        ast.query_terms(node)
+
+
+def test_expand_suffix_matches_brute_force(engine):
+    import pyspark.sql.functions as F
+
+    vocab = [
+        r["term"]
+        for r in engine.reader.term_stats_df()
+        .where(F.col("field") == "body")
+        .select("term").distinct().collect()
+    ]
+    for suf in ("ine", "e", "rch"):
+        want = sorted(t for t in vocab if t.endswith(suf))
+        got = engine.reader.expand_suffix(suf, "body", limit=5000)
+        assert got == want, suf
+
+
+@pytest.mark.parametrize("model", [BM25(), RankedBoolean()])
+def test_suffix_wildcard_equals_explicit_syn(engine, model):
+    terms = engine.reader.expand_suffix("ine", "body", limit=500)
+    assert len(terms) >= 1
+    syn = "#SYN(" + " ".join(terms) + ")" if len(terms) > 1 else terms[0]
+    got = _rows(engine.search("*ine", model, k=10))
+    want = _rows(engine.search(syn, model, k=10))
+    assert got == want and got
+
+
+def test_suffix_wildcard_zero_matches_and_cap(engine):
+    assert engine.search("*zzqx", BM25(), k=10).count() == 0
+    with pytest.raises(ValueError, match="more than"):
+        engine.reader.expand_suffix("e", "body", limit=1)
