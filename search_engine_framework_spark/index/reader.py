@@ -17,6 +17,7 @@ Opens an index built by ``index.build`` and exposes:
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -214,6 +215,79 @@ class IndexReader:
                 f"field {field!r}; raise max_expansions or narrow the prefix"
             )
         return terms
+
+    def index_stats(self) -> dict:
+        """One-call index health/usage report (the Lucene
+        SegmentInfos / CheckIndex tooling analog): corpus statistics,
+        build lineage, the per-bucket manifest rollup (postings, terms,
+        compressed bytes, completeness), on-disk bytes per table, and
+        pending-delete counts. Pure driver-side file reads — no Spark
+        job — so it is safe to call from monitoring at any frequency.
+
+        ``n_terms`` is exact: buckets partition the term space by hash,
+        so per-bucket term counts are disjoint and sum. Incremental
+        generations append rows to the same bucket manifests' tables;
+        the rollup reflects whatever manifests exist on disk."""
+        import glob
+        import json as _json
+
+        manifests = sorted(
+            glob.glob(os.path.join(self.paths.manifests, "bucket-*.json"))
+        )
+        n_postings = n_terms = bytes_compressed = 0
+        incomplete = []
+        for mp in manifests:
+            with open(mp) as fh:
+                m = _json.load(fh)
+            n_postings += int(m.get("n_postings", 0))
+            n_terms += int(m.get("n_terms", 0))
+            bytes_compressed += int(m.get("bytes_compressed", 0))
+            if not m.get("complete", False):
+                incomplete.append(int(m.get("bucket", -1)))
+
+        def _dir_bytes(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        tables = {
+            name: _dir_bytes(getattr(self.paths, name))
+            for name in ("segments", "docmap", "doclen", "doc_terms")
+            if os.path.isdir(getattr(self.paths, name))
+        }
+        n_deleted = 0
+        if os.path.isdir(self.paths.tombstones):
+            try:
+                import pyarrow.parquet as pq
+
+                n_deleted = sum(
+                    pq.ParquetFile(f).metadata.num_rows
+                    for f in glob.glob(
+                        os.path.join(self.paths.tombstones, "*.parquet")
+                    )
+                )
+            except Exception:
+                t = self.tombstones()
+                n_deleted = int(t.count()) if t is not None else 0
+        return {
+            "n_docs": self.num_docs,
+            "fields": dict(self.stats.get("fields", {})),
+            "lineage": dict(self._lineage),
+            "buckets": {
+                "n_buckets": len(manifests),
+                "incomplete": incomplete,
+                "n_postings": n_postings,
+                "n_terms": n_terms,
+                "bytes_compressed": bytes_compressed,
+            },
+            "disk_bytes": {**tables, "total": sum(tables.values())},
+            "pending_deletes": n_deleted,
+        }
 
     def expand_suffix(
         self, suffix: str, field: str, limit: int = 128

@@ -719,3 +719,39 @@ def test_term_stats_arrow_matches_spark_scan(spark, tiny_index):
     assert via_arrow == via_spark
     assert ("zzznotaterm", "body") not in via_arrow
     assert via_arrow[("search", "body")]["df"] > 0
+
+
+# ---------------------------------------------------------------------------
+# index_stats (driver-side index health/usage report)
+# ---------------------------------------------------------------------------
+
+def test_index_stats_report(spark, tiny_index):
+    import glob
+    import json
+    import os
+
+    from search_engine_framework_spark.engine import SearchEngine
+
+    paths, rows, _ = tiny_index
+    eng = SearchEngine(spark, paths)
+    s = eng.reader.index_stats()
+    assert s["n_docs"] == len(rows) == eng.reader.num_docs
+    assert set(s["fields"]) == {"body", "role"}
+    # manifest rollup equals a direct read of the manifest files
+    mans = [
+        json.load(open(p))
+        for p in glob.glob(os.path.join(paths.manifests, "bucket-*.json"))
+    ]
+    assert s["buckets"]["n_buckets"] == len(mans) > 0
+    assert s["buckets"]["n_postings"] == sum(m["n_postings"] for m in mans)
+    assert s["buckets"]["n_terms"] == sum(m["n_terms"] for m in mans)
+    assert s["buckets"]["incomplete"] == []
+    # n_terms is exact: buckets partition the term hash space
+    n_distinct = (
+        eng.reader.term_stats_df().select("term", "field").distinct().count()
+    )
+    assert s["buckets"]["n_terms"] == n_distinct
+    assert s["disk_bytes"]["segments"] > 0
+    assert s["disk_bytes"]["total"] >= s["disk_bytes"]["segments"]
+    assert s["pending_deletes"] == 0
+    assert s["lineage"]["n_buckets"] == 8
