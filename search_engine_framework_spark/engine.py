@@ -604,6 +604,63 @@ class SearchEngine:
             out, "doc_id long, ext_id string, rank int, score double"
         )
 
+    def vsm_search_rocchio(
+        self,
+        query: str,
+        k: int = 100,
+        fb_k: int = 10,
+        fb_terms: int = 10,
+        alpha: float = 1.0,
+        beta: float = 0.75,
+        field: str = "body",
+    ) -> DataFrame:
+        """Rocchio pseudo-relevance feedback over the VSM scorer (the
+        classic 1971 companion to prf.py's Indri-style expansion): run
+        the lnc.ltc query, treat the top ``fb_k`` docs as relevant,
+        move the query vector toward their normalized-lnc centroid
+        (q' = α·q + β·centroid, vsm.rocchio_expand), keep the
+        ``fb_terms`` heaviest terms, and rescore with the weighted
+        cosine (vsm.vsm_scores_weighted).
+
+        → DataFrame(doc_id, ext_id, rank, score), reference ordering.
+        An all-unknown query returns empty instead of raising."""
+        from .functions.analyzer import analyze_terms
+        from .vsm import rocchio_expand, vsm_scores, vsm_scores_weighted
+
+        terms = analyze_terms(query, self.analyzer)
+        empty_schema = "doc_id long, ext_id string, rank int, score double"
+        docmap = self.reader.docmap().select("doc_id", "ext_id")
+        fb_rows = (
+            vsm_scores(self.reader, terms, field=field)
+            .join(docmap, "doc_id")
+            .orderBy(F.desc("score"), F.asc("ext_id"))
+            .limit(int(fb_k))
+            .collect()
+        )
+        if not fb_rows:
+            return self.spark.createDataFrame([], empty_schema)
+        expanded = rocchio_expand(
+            self.reader,
+            terms,
+            [r["doc_id"] for r in fb_rows],
+            fb_terms=fb_terms,
+            alpha=alpha,
+            beta=beta,
+            field=field,
+        )
+        rows = (
+            vsm_scores_weighted(self.reader, dict(expanded), field=field)
+            .join(docmap, "doc_id")
+            .orderBy(F.desc("score"), F.asc("ext_id"))
+            .limit(int(k))
+            .collect()
+        )
+        out = [
+            (r["doc_id"], r["ext_id"], i + 1, float(r["score"]))
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(out, empty_schema)
+
     def search_df(
         self,
         query: str,

@@ -1,0 +1,125 @@
+"""Rocchio pseudo-relevance feedback over the VSM scorer: expansion
+weights and the full feedback ranking verified against an independent
+pure-Python pipeline over the PyIndex."""
+
+import math
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.functions.analyzer import analyze_terms
+from search_engine_framework_spark.oracle.pyoracle import PyIndex
+from search_engine_framework_spark.vsm import rocchio_expand, vsm_scores_weighted
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    paths, _, _ = tiny_index
+    return SearchEngine(spark, paths)
+
+
+@pytest.fixture(scope="module")
+def pyidx(tiny_index):
+    _, rows, _ = tiny_index
+    return PyIndex.build(rows, fields=("body", "role"))
+
+
+def _doc_tfs(idx, field="body"):
+    out = {}
+    for (t, f), plist in idx.postings.items():
+        if f != field:
+            continue
+        for d, tf, _ in plist:
+            out.setdefault(d, {})[t] = tf
+    return out
+
+
+def _py_vsm_weighted(idx, qwt, field="body"):
+    docs = _doc_tfs(idx, field)
+    qlen = sum(w * w for w in qwt.values())
+    scored = []
+    for d, tfs in docs.items():
+        dot = sum(
+            (1.0 + math.log(tf)) * qwt[t] for t, tf in tfs.items() if t in qwt
+        )
+        if dot == 0.0 and not any(t in qwt for t in tfs):
+            continue
+        dlen2 = sum((1.0 + math.log(tf)) ** 2 for tf in tfs.values())
+        scored.append((d, dot / math.sqrt(dlen2 * qlen)))
+    return [s for s in scored if any(t in qwt for t in docs[s[0]])]
+
+
+def _py_rocchio(idx, qterms, fb_ids, fb_terms, alpha, beta, field="body"):
+    docs = _doc_tfs(idx, field)
+    qvec = {}
+    for t in qterms:
+        df = len(idx.postings.get((t, field), []))
+        if df > 0:
+            qvec[t] = qvec.get(t, 0.0) + math.log(idx.n_docs / df)
+    merged = {t: alpha * w for t, w in qvec.items()}
+    n_fb = len(set(fb_ids))
+    for d in set(fb_ids):
+        tfs = docs[d]
+        norm = math.sqrt(sum((1.0 + math.log(tf)) ** 2 for tf in tfs.values()))
+        for t, tf in tfs.items():
+            merged[t] = merged.get(t, 0.0) + beta * (
+                ((1.0 + math.log(tf)) / norm) / n_fb
+            )
+    return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+
+
+def test_rocchio_expand_matches_python(engine, pyidx):
+    qterms = analyze_terms("search engine", engine.analyzer)
+    fb_ids = [0, 3, 7]
+    got = rocchio_expand(
+        engine.reader, qterms, fb_ids, fb_terms=8, alpha=1.0, beta=0.5
+    )
+    want = _py_rocchio(pyidx, qterms, fb_ids, 8, 1.0, 0.5)
+    assert [t for t, _ in got] == [t for t, _ in want]
+    for (t1, w1), (t2, w2) in zip(got, want):
+        assert w1 == pytest.approx(w2, rel=1e-12), t1
+
+
+def test_weighted_vsm_matches_python(engine, pyidx):
+    qwt = {"search": 2.0, "engine": 0.5, "index": 1.25}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in vsm_scores_weighted(engine.reader, qwt).collect()
+    }
+    want = dict(_py_vsm_weighted(pyidx, qwt))
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, rel=1e-12), d
+
+
+def test_vsm_search_rocchio_end_to_end(engine, pyidx):
+    qterms = analyze_terms("search engine", engine.analyzer)
+    out = engine.vsm_search_rocchio(
+        "search engine", k=15, fb_k=5, fb_terms=8, alpha=1.0, beta=0.75
+    ).collect()
+    assert out and [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+    # python replica of the whole pipeline
+    qwt0 = {}
+    for t in qterms:
+        df = len(pyidx.postings.get((t, "body"), []))
+        if df > 0:
+            qwt0[t] = qwt0.get(t, 0.0) + math.log(pyidx.n_docs / df)
+    init = sorted(
+        _py_vsm_weighted(pyidx, qwt0),
+        key=lambda s: (-s[1], pyidx.ext_ids[s[0]]),
+    )[:5]
+    exp = _py_rocchio(pyidx, qterms, [d for d, _ in init], 8, 1.0, 0.75)
+    final = sorted(
+        _py_vsm_weighted(pyidx, dict(exp)),
+        key=lambda s: (-s[1], pyidx.ext_ids[s[0]]),
+    )[:15]
+    assert [(r["ext_id"], round(r["score"], 9)) for r in out] == [
+        (pyidx.ext_ids[d], round(s, 9)) for d, s in final
+    ]
+
+
+def test_rocchio_unknown_query_is_empty(engine):
+    assert engine.vsm_search_rocchio("zzzz qqqq", k=5).count() == 0
+    with pytest.raises(ValueError, match="feedback doc"):
+        rocchio_expand(engine.reader, ["search"], [])
