@@ -451,11 +451,23 @@ class SearchEngine:
             plan = scored._jdf.queryExecution().executedPlan().toString()
         finally:
             compiler.release()
+        est_postings = sum(
+            int(stats.get((t, f), {}).get("df", 0)) for t, f in pairs
+        )
+        block = int(self.reader.lineage.get("block_size") or 128)
         return {
             "ast": repr(node),
             "pairs": {f"{t}.{f}": dict(stats.get((t, f), {})) for t, f in pairs},
             "buckets": buckets,
             "fastpath_eligible": fastpath,
+            # pre-execution cost estimate from dictionary stats alone:
+            # postings the scan would decode with NO block-max pruning
+            # (the pruned path's blocks_decoded counter reports actuals)
+            "est_postings": est_postings,
+            "est_blocks": sum(
+                -(-int(stats.get((t, f), {}).get("df", 0)) // block)
+                for t, f in pairs
+            ),
             "physical_plan": plan,
         }
 

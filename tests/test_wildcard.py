@@ -210,8 +210,13 @@ def test_explain_query_locks_plan_shape(engine):
 
     pos = engine.explain_query("#NEAR/3(search engine)", RankedBoolean(), k=10)
     assert pos["fastpath_eligible"] is False
+    # cost estimate = Σ df / ceil-blocks from the dictionary stats
+    want_p = sum(info["pairs"][k]["df"] for k in info["pairs"])
+    assert info["est_postings"] == want_p > 0
+    assert 0 < info["est_blocks"] <= want_p
     empty = engine.explain_query("zz qq", BM25())  # all-unknown still parses
     assert empty["pairs"] == {"qq.body": {}, "zz.body": {}}
+    assert empty["est_postings"] == 0 and empty["est_blocks"] == 0
 
 
 # ---------------------------------------------------------------------------
