@@ -174,15 +174,18 @@ class SearchEngine:
             if doc_filter is not None:
                 docmap = docmap.where(F.expr(doc_filter))
             if boost is not None:
+                # NULL boost values (e.g. a NULL metadata column) leave
+                # the row unboosted (factor 1) — the Elasticsearch
+                # `missing` default — rather than producing NULL scores
+                # that crash the rank fold.
+                bexpr = F.coalesce(F.expr(boost).cast("double"), F.lit(1.0))
                 withext = (
                     scored.withColumnRenamed("score", "_raw")
                     .join(docmap, "doc_id")
                     .select(
                         "doc_id",
                         "ext_id",
-                        (F.col("_raw") * F.expr(boost).cast("double")).alias(
-                            "score"
-                        ),
+                        (F.col("_raw") * bexpr).alias("score"),
                     )
                 )
             else:
@@ -430,7 +433,6 @@ class SearchEngine:
                 "fastpath_eligible": False, "physical_plan": "",
             }
         pairs = sorted(ast.query_terms(node))
-        stats = self.reader.term_stats(set(pairs))
         buckets: list[int] = []
         if self.reader._n_buckets:
             from .functions.spark_hash import term_bucket
@@ -445,8 +447,14 @@ class SearchEngine:
             and QueryCompiler._flat_sum_pairs(node) is not None
         )
         compiler = QueryCompiler(self.reader, model)
-        compiler.prepare(node, topk=k)
+        # topk=None: with a topk the BM25 block-max seed pass would run a
+        # real Spark job (fetch + collect of seed partials) — explain must
+        # stay action-free. The pruned path's actual decode counters are
+        # decode_metrics()'s job. prepare()'s dictionary seek is the ONE
+        # stats lookup; its _stats cache feeds the pairs report below.
+        compiler.prepare(node, topk=None)
         try:
+            stats = compiler._stats
             scored = compiler.compile_query(node)
             plan = scored._jdf.queryExecution().executedPlan().toString()
         finally:
@@ -709,13 +717,15 @@ class SearchEngine:
             return scored.join(
                 docmap.select("doc_id", "ext_id"), "doc_id"
             ).select("doc_id", "ext_id", "score")
+        # NULL boost values boost by 1 (see search()): never NULL scores.
+        bexpr = F.coalesce(F.expr(boost).cast("double"), F.lit(1.0))
         return (
             scored.withColumnRenamed("score", "_raw")
             .join(docmap, "doc_id")
             .select(
                 "doc_id",
                 "ext_id",
-                (F.col("_raw") * F.expr(boost).cast("double")).alias("score"),
+                (F.col("_raw") * bexpr).alias("score"),
             )
         )
 
@@ -940,6 +950,8 @@ class SearchEngine:
         after: tuple[float, str],
         k: int = 100,
         doc_filter: str | None = None,
+        boost: str | None = None,
+        synonyms: dict | None = None,
     ) -> DataFrame:
         """Keyset pagination (the Lucene/Elasticsearch searchAfter
         analog): the next ``k`` hits strictly after cursor ``after =
@@ -955,9 +967,14 @@ class SearchEngine:
         equality is what breaks the tie chain correctly). → same schema
         as :meth:`search`; ``rank`` restarts at 1 per page. Block-max
         pruning stays off: page-2 docs are below the corpus-wide top-k
-        by construction."""
+        by construction.
+
+        ``boost``/``synonyms``/``doc_filter`` MUST match page 1's: the
+        cursor is a position in ONE total order, so every page must be
+        computed over the same (expanded, boosted, filtered) ranking —
+        pass the identical arguments you gave :meth:`search`."""
         a_score, a_ext = float(after[0]), str(after[1])
-        node = self._parse(query, model)
+        node = self._parse(query, model, synonyms)
         empty_schema = "doc_id long, ext_id string, rank int, score double"
         if node is None:
             return self.spark.createDataFrame([], empty_schema)
@@ -968,7 +985,23 @@ class SearchEngine:
             docmap = self.reader.docmap()
             if doc_filter is not None:
                 docmap = docmap.where(F.expr(doc_filter))
-            withext = scored.join(docmap.select("doc_id", "ext_id"), "doc_id")
+            if boost is not None:
+                bexpr = F.coalesce(
+                    F.expr(boost).cast("double"), F.lit(1.0)
+                )
+                withext = (
+                    scored.withColumnRenamed("score", "_raw")
+                    .join(docmap, "doc_id")
+                    .select(
+                        "doc_id",
+                        "ext_id",
+                        (F.col("_raw") * bexpr).alias("score"),
+                    )
+                )
+            else:
+                withext = scored.join(
+                    docmap.select("doc_id", "ext_id"), "doc_id"
+                )
             if isinstance(model, UnrankedBoolean):
                 page = withext.where(F.col("ext_id") > a_ext).orderBy(
                     F.asc("ext_id")

@@ -262,18 +262,29 @@ class IndexReader:
         }
         n_deleted = 0
         if os.path.isdir(self.paths.tombstones):
+            # DISTINCT ids: re-deleting a doc appends a duplicate
+            # tombstone row by design (index/deletes.py) — raw row
+            # counts would overcount. Tombstone files are small between
+            # purges, so reading the one id column driver-side is cheap.
             try:
                 import pyarrow.parquet as pq
 
-                n_deleted = sum(
-                    pq.ParquetFile(f).metadata.num_rows
-                    for f in glob.glob(
-                        os.path.join(self.paths.tombstones, "*.parquet")
+                ids: set = set()
+                for f in glob.glob(
+                    os.path.join(self.paths.tombstones, "*.parquet")
+                ):
+                    ids.update(
+                        pq.read_table(f, columns=["doc_id"])
+                        .column("doc_id")
+                        .to_pylist()
                     )
-                )
+                n_deleted = len(ids)
             except Exception:
                 t = self.tombstones()
-                n_deleted = int(t.count()) if t is not None else 0
+                if t is not None:
+                    n_deleted = int(
+                        t.select("doc_id").distinct().count()
+                    )
         return {
             "n_docs": self.num_docs,
             "fields": dict(self.stats.get("fields", {})),

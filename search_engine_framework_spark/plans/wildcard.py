@@ -41,24 +41,40 @@ def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
     both sides pass through the engine's analyzer here so the map is
     written in user vocabulary but matches the index's stems. A synonym
     that analyzes to nothing (stopword) is dropped; a key that analyzes
-    to nothing never matches. Wildcard/Fuzzy leaves are left for
+    to nothing never matches; a key that analyzes to MULTIPLE tokens
+    raises (a single Term leaf can never match a phrase key — silently
+    matching its first word would be wrong). A MULTI-WORD synonym
+    becomes a ``#NEAR/1`` phrase child inside the #SYN — the positional
+    union of the phrase's matches, exactly the multi-word branch of
+    Lucene's synonym graph. Wildcard/Fuzzy leaves are left for
     dictionary expansion (which may itself produce terms the map would
     hit — deliberate: Lucene applies synonyms before, not after,
     MultiTermQuery rewriting too)."""
     from ..functions.analyzer import analyze_terms
 
-    amap: dict[str, tuple[str, ...]] = {}
+    amap: dict[str, tuple[tuple[str, ...], ...]] = {}
     for key, syns in synmap.items():
         kt = analyze_terms(str(key), cfg)
         if not kt:
             continue
-        out: list[str] = []
+        if len(kt) > 1:
+            raise ValueError(
+                f"synonym key {key!r} analyzes to multiple tokens {kt}; "
+                "phrase keys are not supported (a term leaf cannot "
+                "match a phrase)"
+            )
+        out: list[tuple[str, ...]] = []
         for s in syns:
-            st = analyze_terms(str(s), cfg)
-            if st and st[0] != kt[0] and st[0] not in out:
-                out.append(st[0])
+            st = tuple(analyze_terms(str(s), cfg))
+            if st and st != (kt[0],) and st not in out:
+                out.append(st)
         if out:
             amap[kt[0]] = tuple(out)
+
+    def syn_child(tokens: tuple[str, ...], field: str) -> ast.Node:
+        if len(tokens) == 1:
+            return ast.Term(tokens[0], field)
+        return ast.Near(1, tuple(ast.Term(t, field) for t in tokens))
 
     def rewrite(n: ast.Node) -> ast.Node:
         if isinstance(n, ast.Term):
@@ -66,7 +82,7 @@ def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
             if not syns:
                 return n
             return ast.Syn(
-                (n,) + tuple(ast.Term(s, n.field) for s in syns)
+                (n,) + tuple(syn_child(s, n.field) for s in syns)
             )
         if isinstance(n, (ast.Wildcard, ast.Fuzzy, ast.SuffixWildcard)):
             return n

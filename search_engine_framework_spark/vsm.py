@@ -150,6 +150,9 @@ def rocchio_expand(
     spark = reader.spark
     if not fb_doc_ids:
         raise ValueError("rocchio_expand needs at least one feedback doc")
+    # dedup: a repeated id must not double the doc's centroid mass (the
+    # id join would duplicate its forward rows AND inflate its norm)
+    fb_doc_ids = sorted({int(d) for d in fb_doc_ids})
     n = reader.num_docs
     stats = reader.term_stats({(t, field) for t in set(qterms)})
     qvec: dict[str, float] = {}
@@ -174,7 +177,7 @@ def rocchio_expand(
         .agg(F.sum("w").alias("w"))
         .collect()
     )
-    n_fb = len(set(int(d) for d in fb_doc_ids))
+    n_fb = len(fb_doc_ids)
     merged: dict[str, float] = {
         t: alpha * w for t, w in qvec.items()
     }

@@ -427,3 +427,59 @@ def test_suffix_wildcard_zero_matches_and_cap(engine):
     assert engine.search("*zzqx", BM25(), k=10).count() == 0
     with pytest.raises(ValueError, match="more than"):
         engine.reader.expand_suffix("e", "body", limit=1)
+
+
+# ---------------------------------------------------------------------------
+# review regressions: boosted/synonym pagination, NULL boosts, phrase synonyms
+# ---------------------------------------------------------------------------
+
+def test_search_after_respects_boost_and_synonyms(engine):
+    kw = dict(boost="1e0 / (1e0 + turn_idx)", synonyms={"search": ["index"]})
+    full = engine.search("search engine", BM25(), k=30, **kw).collect()
+    assert len(full) >= 12
+    cur = (full[5]["score"], full[5]["ext_id"])
+    nxt = engine.search_after("search engine", BM25(), cur, k=6, **kw).collect()
+    assert [(r["ext_id"], round(r["score"], 9)) for r in nxt] == [
+        (r["ext_id"], round(r["score"], 9)) for r in full[6:12]
+    ]
+
+
+def test_null_boost_value_means_unboosted(engine, spark):
+    # ts is NULL for every synthetic turn? tiny_index transcripts carry ts;
+    # build a guaranteed-NULL expression instead: nullif leaves turn_idx=0
+    # rows NULL — they must keep their raw score, not crash or go NULL.
+    raw = {r["ext_id"]: r["score"]
+           for r in engine.search_df("search engine", BM25()).collect()}
+    rows = engine.search(
+        "search engine", BM25(), k=1000,
+        boost="nullif(1e0 / (1e0 + turn_idx), 1e0)",
+    ).collect()
+    assert rows
+    for r in rows:
+        turn = int(r["ext_id"].rsplit(":", 1)[1])
+        factor = 1.0 if turn == 0 else 1.0 / (1.0 + turn)
+        assert r["score"] == pytest.approx(raw[r["ext_id"]] * factor, rel=1e-12)
+
+
+def test_multiword_synonym_becomes_phrase(engine):
+    got = _rows(engine.search(
+        "search", RankedBoolean(), k=20,
+        synonyms={"search": ["engine index"]},
+    ))
+    want = _rows(engine.search(
+        "#SYN(search #NEAR/1(engine index))", RankedBoolean(), k=20
+    ))
+    assert got == want and got
+
+
+def test_multiword_synonym_key_raises(engine):
+    with pytest.raises(ValueError, match="multiple tokens"):
+        engine.search("search", BM25(), synonyms={"search engine": ["x"]})
+
+
+def test_rocchio_duplicate_fb_ids_dedup(engine):
+    from search_engine_framework_spark.vsm import rocchio_expand
+
+    a = rocchio_expand(engine.reader, ["search"], [0, 3], fb_terms=6)
+    b = rocchio_expand(engine.reader, ["search"], [0, 3, 3, 0], fb_terms=6)
+    assert a == b
