@@ -1263,6 +1263,21 @@ def q_boosted_search(spark, sf_dir):
     )
 
 
+def q_term_vector(spark, sf_dir):
+    """Forward-index term vector of documents.doc_id=7 (the reference's
+    TermVector S3 scan as a public API): per-term tf and position span
+    decoded from the varint blobs; the twin recomputes from raw text."""
+    eng = get_engine(spark, sf_dir)
+    out = eng.term_vector(MLT_SRC)
+    return out.select(
+        "term",
+        "tf",
+        F.element_at("positions", 1).cast("long").alias("first_pos"),
+        F.element_at("positions", -1).cast("long").alias("last_pos"),
+        F.size("positions").cast("long").alias("n_pos"),
+    )
+
+
 def q_collapsed_topk(spark, sf_dir):
     """Field-collapsed top-k on the conversation index (Lucene/Solr
     field-collapse analog): the flagship BM25 ranking with only each
@@ -2617,6 +2632,16 @@ FROM scored
 """
 )
 
+ORACLE_SQL["term_vector"] = (
+    _SQL_BASE
+    + f"""
+SELECT term, count(*)::BIGINT AS tf,
+       min(pos)::BIGINT AS first_pos, max(pos)::BIGINT AS last_pos,
+       count(*)::BIGINT AS n_pos
+FROM tokpos WHERE doc_id = {MLT_SRC} GROUP BY term
+"""
+)
+
 # Collapsed top-k: per-turn BM25 scores on the conversation index equal
 # the flat index's (same tokens ⇒ identical N / avg doclen / df — see
 # get_conv_engine), so the oracle is the bm25_topk scored CTE with a
@@ -2881,6 +2906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_rollup": q_conv_rollup,
     "collapsed_topk": q_collapsed_topk,
     "more_like_this": q_more_like_this,
+    "term_vector": q_term_vector,
     "boosted_search": q_boosted_search,
     "bm25f": q_bm25f,
     "collocations": q_collocations,

@@ -1023,6 +1023,50 @@ class SearchEngine:
         ]
         return self.spark.createDataFrame(out, empty_schema)
 
+    def term_vector(self, doc_id: int, field: str = "body") -> DataFrame:
+        """Forward-index term vector of one document — the reference's
+        ``TermVector`` (TermVector.java:35-94) / Elasticsearch
+        termvectors-endpoint analog, as a public API instead of an
+        internal PRF/LeToR input. → lazy DataFrame(term, tf, positions)
+        with 0-based token positions decoded from the forward index's
+        varint blobs (one Arrow-vectorized UDF over the doc's rows
+        only — a pushdown-filtered single-doc scan, never corpus work).
+        Raises if the doc has no indexed terms in the field."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from .functions.codec import varint_decode_np
+
+        # no annotations: `from __future__ import annotations` stringifies
+        # them, which pandas_udf's signature inspection rejects
+        @pandas_udf("array<int>")
+        def _decode(blobs):
+            out = []
+            for b in blobs:
+                vals = varint_decode_np(bytes(b))
+                # blob = varint(count) varint(delta0) ... → cumsum deltas
+                out.append(
+                    np.cumsum(vals[1:]).astype("int64").tolist()
+                    if len(vals) > 1
+                    else []
+                )
+            return pd.Series(out)
+
+        dt = self.reader.doc_terms().where(
+            (F.col("doc_id") == int(doc_id)) & (F.col("field") == field)
+        )
+        if not dt.limit(1).count():
+            raise ValueError(
+                f"doc {doc_id} has no indexed terms in field {field!r} "
+                "(unknown, deleted, or empty doc)"
+            )
+        return dt.select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            _decode(F.col("pos_blob")).alias("positions"),
+        )
+
     def mlt_terms(
         self,
         doc_id: int,

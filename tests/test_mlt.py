@@ -114,3 +114,30 @@ def test_explain_doc_error_paths(engine):
         engine.explain_doc("#NEAR/2(search engine)", BM25(), 0)
     with pytest.raises(ValueError, match="not in the index"):
         engine.explain_doc("search", BM25(), 10_000_000)
+
+
+# ---------------------------------------------------------------------------
+# term_vector (public forward-index scan — the reference's TermVector)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("src", [0, 5, 17])
+def test_term_vector_matches_pyindex(engine, pyidx, src):
+    got = {
+        r["term"]: (r["tf"], r["positions"])
+        for r in engine.term_vector(src).collect()
+    }
+    want = {}
+    for (t, f), plist in pyidx.postings.items():
+        if f != "body":
+            continue
+        for d, tf, pos in plist:
+            if d == src:
+                want[t] = (tf, list(pos))
+    assert got == want and got
+    for tf, pos in got.values():  # positions are sorted, tf-consistent
+        assert len(pos) == tf and pos == sorted(pos)
+
+
+def test_term_vector_unknown_doc_raises(engine):
+    with pytest.raises(ValueError, match="no indexed terms"):
+        engine.term_vector(10_000_000)
