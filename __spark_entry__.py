@@ -9,7 +9,7 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 75 of 77 entries are
+                  summation orders differ). 76 of 78 entries are
                   oracle-checked — including the round-2 extensions
                   fuzzy term queries (fuzzy: SymSpell dictionary
                   expansion into #SYN, DuckDB levenshtein twin),

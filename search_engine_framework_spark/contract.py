@@ -1474,6 +1474,21 @@ def q_facet_histogram(spark, sf_dir):
     return facet_histogram(hits, docs, "n_chars", 200.0)
 
 
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (Elasticsearch analog) over the
+    flagship BM25 top-k: terms ranked by document-frequency lift vs the
+    corpus background, ≥2-hit-doc gate, top 20."""
+    from .facets import significant_terms
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    out = significant_terms(top, eng.reader, top_n=20, min_hit_df=2)
+    return out.select(
+        "term", "hit_df", "hit_tf", "df", _r4(F.col("lift")).alias("lift")
+    )
+
+
 def _bm25f_term_sql(term: str) -> str:
     """Per-term BM25F tf~ (field-combined, length-normalized) — operand
     order mirrors bm25f.bm25f_tilde_tf exactly; b/weight literals match
@@ -2827,6 +2842,28 @@ FROM unp GROUP BY 1, 2 ORDER BY facet ASC, n DESC, value ASC
 )
 
 
+ORACLE_SQL["significant_terms"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + f""",
+hitagg AS (
+  SELECT tf.term, count(*)::BIGINT AS hit_df, sum(tf.tf)::BIGINT AS hit_tf
+  FROM tf JOIN lex ON lex.doc_id = tf.doc_id
+  GROUP BY tf.term
+),
+lifted AS (
+  SELECT h.term, h.hit_df, h.hit_tf, d.df,
+         (h.hit_df::DOUBLE / {float(BM25_K)!r})
+           / (d.df::DOUBLE
+              / (SELECT n_docs FROM cstats)::DOUBLE) AS lift
+  FROM hitagg h JOIN dfreq d ON d.term = h.term
+  WHERE h.hit_df >= 2
+)
+SELECT term, hit_df, hit_tf, df, round(lifted.lift, 4) + 0.0 AS lift
+FROM lifted ORDER BY lifted.lift DESC, term ASC LIMIT 20
+"""
+)
+
 ORACLE_SQL["facet_histogram"] = (
     _SQL_BASE
     + _LEX_RANK_SQL
@@ -2917,6 +2954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_prefix": q_term_prefix,
     "facet_counts": q_facet_counts,
     "facet_histogram": q_facet_histogram,
+    "significant_terms": q_significant_terms,
     # rows-only checks (not SQL-expressible):
     # bm25_ref_analyzer — Krovetz stemming can't be written in ANSI SQL;
     #   locked instead by a pytest golden fixture (tests/test_ranking_extras).

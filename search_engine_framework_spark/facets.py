@@ -97,3 +97,63 @@ def facet_histogram(
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.asc("bin_lo"))
     )
+
+
+def significant_terms(
+    hits: DataFrame,
+    reader,
+    field: str = "body",
+    top_n: int = 20,
+    min_hit_df: int = 2,
+) -> DataFrame:
+    """Significant-terms aggregation over a hit set (the Elasticsearch
+    ``significant_terms`` analog): terms over-represented in the hits
+    relative to the corpus, scored by document-frequency lift
+    ``(hit_df / k) / (df / N)`` — >1 means more common among hits than
+    background. The "what is this result set ABOUT" facet; the
+    query-expansion variant of the same idea is prf.py's job.
+
+    hits — any frame with a ``doc_id`` column (top-k result; k-bounded).
+    Returns DataFrame(term, hit_df, hit_tf, df, lift) — top_n by lift
+    desc, term asc; terms in fewer than ``min_hit_df`` hit docs are
+    dropped (singletons are noise at any k, the Elasticsearch default
+    gate).
+
+    Scale shape: the hit ids collect driver-side (k rows) and push into
+    the forward-index scan as an isin predicate — doc_terms is written
+    in docid order, so parquet row-group stats prune the scan to the
+    hit docs' neighborhoods rather than the corpus; the per-term
+    aggregate is bounded by the hit docs' token count. One dictionary
+    stats frame joins for background df.
+    """
+    if top_n <= 0:
+        raise ValueError("top_n must be positive")
+    ids = [int(r["doc_id"]) for r in hits.select("doc_id").collect()]
+    if not ids:
+        return hits.sparkSession.createDataFrame(
+            [], "term string, hit_df long, hit_tf long, df long, lift double"
+        )
+    k = float(len(set(ids)))
+    n = float(reader.num_docs)
+    dt = reader.doc_terms().where(
+        F.col("doc_id").isin(sorted(set(ids))) & (F.col("field") == field)
+    )
+    agg = dt.groupBy("term").agg(
+        F.count("*").cast("long").alias("hit_df"),
+        F.sum("tf").cast("long").alias("hit_tf"),
+    )
+    bg = (
+        reader.term_stats_df()
+        .where(F.col("field") == field)
+        .select("term", F.col("df").cast("long").alias("df"))
+    )
+    lift = (F.col("hit_df").cast("double") / F.lit(k)) / (
+        F.col("df").cast("double") / F.lit(n)
+    )
+    return (
+        agg.join(bg, "term")
+        .where(F.col("hit_df") >= int(min_hit_df))
+        .select("term", "hit_df", "hit_tf", "df", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("term"))
+        .limit(int(top_n))
+    )

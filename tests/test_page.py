@@ -146,3 +146,57 @@ def test_facet_histogram_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         facet_histogram(hits, meta, "v", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# significant_terms (document-frequency lift of hit terms vs corpus)
+# ---------------------------------------------------------------------------
+
+def test_significant_terms_matches_python(spark, tiny_index):
+    import math
+
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.facets import significant_terms
+    from search_engine_framework_spark.oracle.pyoracle import PyIndex
+    from search_engine_framework_spark.plans.models import BM25
+
+    paths, rows, _ = tiny_index
+    eng = SearchEngine(spark, paths)
+    pyidx = PyIndex.build(rows, fields=("body", "role"))
+    hits = eng.search("search engine", BM25(), k=10)
+    ids = {r["doc_id"] for r in hits.collect()}
+
+    # python oracle over PyIndex
+    agg = {}
+    for (t, f), plist in pyidx.postings.items():
+        if f != "body":
+            continue
+        hdf = sum(1 for d, _, _ in plist if d in ids)
+        htf = sum(tf for d, tf, _ in plist if d in ids)
+        if hdf >= 2:
+            lift = (hdf / len(ids)) / (len(plist) / pyidx.n_docs)
+            agg[t] = (hdf, htf, len(plist), lift)
+    want = sorted(agg.items(), key=lambda kv: (-kv[1][3], kv[0]))[:15]
+
+    got = [
+        (r["term"], (r["hit_df"], r["hit_tf"], r["df"], r["lift"]))
+        for r in significant_terms(hits, eng.reader, top_n=15).collect()
+    ]
+    assert [t for t, _ in got] == [t for t, _ in want]
+    for (t1, v1), (t2, v2) in zip(got, want):
+        assert v1[:3] == v2[:3]
+        assert v1[3] == pytest.approx(v2[3], rel=1e-12)
+    # lifts are over-representation ratios: descending, and every kept
+    # term is genuinely over-represented among the hits (>1)
+    lifts = [v[3] for _, v in got]
+    assert lifts == sorted(lifts, reverse=True) and min(lifts) > 1.0
+
+
+def test_significant_terms_empty_hits(spark, tiny_index):
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.facets import significant_terms
+
+    paths, _, _ = tiny_index
+    eng = SearchEngine(spark, paths)
+    empty = spark.createDataFrame([], "doc_id long")
+    assert significant_terms(empty, eng.reader).count() == 0
