@@ -485,6 +485,17 @@ def q_indri_wsum(spark, sf_dir):
     return out.select("doc_id", _r4(F.col("score")).alias("score"))
 
 
+def q_indri_wand(spark, sf_dir):
+    """#WAND (weighted AND, QryopSlWand.java): weighted geometric mean
+    of Indri term scores, exponents w_i / sum(w).  Weights 0.75/0.25 sum
+    to an exactly-representable 1.0, so the SQL twin's pow() exponents
+    are bit-identical to the compiler's ``w / wsum``."""
+    from .plans.models import Indri
+
+    out = _search_full(spark, sf_dir, "#WAND(0.75 spark 0.25 merge)", Indri())
+    return out.select("doc_id", _r4(F.col("score")).alias("score"))
+
+
 def q_fingerprints(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return textstats.fingerprints(docs)
@@ -694,6 +705,24 @@ def q_dup_spans(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return dedup.duplicate_spans(docs, n=DUPSPAN_N, min_docs=2).select(
         "doc_id", "span_start", "span_end", "n_windows"
+    )
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / Llama 13-gram rule,
+    here at the corpus-appropriate n=8): every doc_id % 23 == 0 document
+    plays the held-out eval set; the rest of the corpus is checked for
+    verbatim 8-token-window overlap against it."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corpus = docs.where(F.col("doc_id") % 23 != 0)
+    out = dedup.decontaminate(corpus, bench, n=DUPSPAN_N)
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_contaminated",
+        _r4(F.col("contam_frac")).alias("contam_frac"),
+        "is_contaminated",
     )
 
 
@@ -1474,6 +1503,48 @@ def q_facet_histogram(spark, sf_dir):
     return facet_histogram(hits, docs, "n_chars", 200.0)
 
 
+def q_facet_stats(spark, sf_dir):
+    """Numeric stats aggregation (Elasticsearch stats/extended_stats
+    analog) over the flagship BM25 top-k: count/min/max/sum/avg/std of
+    the hit documents' n_chars."""
+    from .facets import facet_stats
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")))
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = facet_stats(hits, docs, ["n_chars"])
+    return out.select(
+        "col",
+        "n",
+        "min",
+        "max",
+        "sum",
+        _r4(F.col("avg")).alias("avg"),
+        _r4(F.col("std")).alias("std"),
+    )
+
+
+def q_facet_top_hits(spark, sf_dir):
+    """Grouped top-k (Elasticsearch top_hits sub-aggregation analog):
+    the best 2 hits per lang bucket of the flagship BM25 top-k, each
+    group a stable slice of the global ranking."""
+    from .facets import top_hits_per_facet
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")), F.col("score"))
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("")).alias("lang")
+    )
+    out = top_hits_per_facet(hits, docs, "lang", n=2)
+    return out.select(
+        "lang", "group_rank", "doc_id", _r4(F.col("score")).alias("score")
+    )
+
+
 def q_significant_terms(spark, sf_dir):
     """Significant-terms aggregation (Elasticsearch analog) over the
     flagship BM25 top-k: terms ranked by document-frequency lift vs the
@@ -1774,6 +1845,16 @@ present AS (SELECT doc_id FROM tf WHERE term IN ('spark', 'merge') GROUP BY 1)
 SELECT p.doc_id,
        round(0.0 + (0.7 / (0.7 + 0.3)) * i1.s
                  + (0.3 / (0.7 + 0.3)) * i2.s, 4) + 0.0 AS score
+FROM present p
+JOIN i1 ON i1.doc_id = p.doc_id
+JOIN i2 ON i2.doc_id = p.doc_id
+""",
+    "indri_wand": _SQL_BASE
+    + f""", i1 AS ({_indri_term_sql('spark')}),
+i2 AS ({_indri_term_sql('merge')}),
+present AS (SELECT doc_id FROM tf WHERE term IN ('spark', 'merge') GROUP BY 1)
+SELECT p.doc_id,
+       round(1.0 * pow(i1.s, 0.75) * pow(i2.s, 0.25), 4) + 0.0 AS score
 FROM present p
 JOIN i1 ON i1.doc_id = p.doc_id
 JOIN i2 ON i2.doc_id = p.doc_id
@@ -2377,6 +2458,44 @@ SELECT doc_id,
 FROM grouped GROUP BY doc_id, grp
 """
 
+ORACLE_SQL["decontam"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(toks[t.i : t.i + {DUPSPAN_N} - 1],
+                                     ' ')) AS wkey
+  FROM toks
+  CROSS JOIN unnest(generate_series(1, len(toks) - {DUPSPAN_N} + 1)) AS t(i)
+  WHERE len(toks) >= {DUPSPAN_N}
+),
+bkeys AS (SELECT DISTINCT wkey FROM wins WHERE doc_id % 23 = 0),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_contaminated
+  FROM wins JOIN bkeys USING (wkey)
+  WHERE doc_id % 23 <> 0 GROUP BY 1
+),
+base AS (
+  SELECT doc_id,
+         greatest(0, len(toks) - {DUPSPAN_N} + 1)::BIGINT AS n_windows
+  FROM toks WHERE doc_id % 23 <> 0
+)
+SELECT b.doc_id, b.n_windows,
+       COALESCE(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(CASE WHEN b.n_windows > 0
+                  THEN COALESCE(h.n_contaminated, 0)::DOUBLE
+                       / b.n_windows::DOUBLE
+                  ELSE 0.0 END, 4) + 0.0 AS contam_frac,
+       (CASE WHEN b.n_windows > 0
+             THEN COALESCE(h.n_contaminated, 0)::DOUBLE
+                  / b.n_windows::DOUBLE
+             ELSE 0.0 END) > 0.0 AS is_contaminated
+FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
 ORACLE_SQL["shard_assign"] = f"""
 WITH b AS (
   SELECT doc_id,
@@ -2842,6 +2961,47 @@ FROM unp GROUP BY 1, 2 ORDER BY facet ASC, n DESC, value ASC
 )
 
 
+ORACLE_SQL["facet_stats"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+vals AS (
+  SELECT d.n_chars::DOUBLE AS value
+  FROM documents d JOIN lex ON lex.doc_id = d.doc_id
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT 'n_chars' AS col, count(*)::BIGINT AS n,
+       min(value) AS min, max(value) AS max, sum(value) AS sum,
+       round(avg(value), 4) + 0.0 AS avg,
+       round(sqrt(greatest(0.0,
+                           avg(value * value) - avg(value) * avg(value))),
+             4) + 0.0 AS std
+FROM vals
+"""
+)
+
+ORACLE_SQL["facet_top_hits"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+hs AS (
+  SELECT l.doc_id, s.s AS score, COALESCE(d.lang, '') AS lang
+  FROM lex l
+  JOIN lexscored s ON s.doc_id = l.doc_id
+  JOIN documents d ON d.doc_id = l.doc_id
+),
+rk AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id ASC)::BIGINT
+           AS group_rank
+  FROM hs
+)
+SELECT lang, group_rank, doc_id, round(score, 4) + 0.0 AS score
+FROM rk WHERE group_rank <= 2 ORDER BY lang ASC, group_rank ASC
+"""
+)
+
 ORACLE_SQL["significant_terms"] = (
     _SQL_BASE
     + _LEX_RANK_SQL
@@ -2903,6 +3063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_bulk": q_bm25_bulk,
     "indri_and": q_indri_and,
     "indri_wsum": q_indri_wsum,
+    "indri_wand": q_indri_wand,
     "fingerprints": q_fingerprints,
     "minhash_sigs": q_minhash_sigs,
     "conv_fp": q_conv_fp,
@@ -2919,6 +3080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "mixture_mix": q_mixture_mix,
     "dup_spans": q_dup_spans,
+    "decontam": q_decontam,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "shard_assign": q_shard_assign,
@@ -2954,6 +3116,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_prefix": q_term_prefix,
     "facet_counts": q_facet_counts,
     "facet_histogram": q_facet_histogram,
+    "facet_stats": q_facet_stats,
+    "facet_top_hits": q_facet_top_hits,
     "significant_terms": q_significant_terms,
     # rows-only checks (not SQL-expressible):
     # bm25_ref_analyzer — Krovetz stemming can't be written in ANSI SQL;

@@ -157,3 +157,98 @@ def significant_terms(
         .orderBy(F.desc("lift"), F.asc("term"))
         .limit(int(top_n))
     )
+
+
+def facet_stats(
+    hits: DataFrame,
+    metadata: DataFrame,
+    cols: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Numeric summary statistics per metadata column over a hit set —
+    the Elasticsearch ``stats``/``extended_stats`` aggregation analog
+    (count / min / max / sum / avg / population std-dev).
+
+    Same plan shape as :func:`facet_counts`: the hit set (top-k) is
+    broadcast into the metadata join, the columns are stacked into one
+    unpivoted pass, and a single groupBy over <= k·|cols| rows computes
+    every statistic — no per-column job fan-out, no corpus shuffle.
+    NULLs are excluded per column (count reflects non-null rows, as in
+    Elasticsearch). Returns DataFrame(col:string, n:long, min:double,
+    max:double, sum:double, avg:double, std:double) ordered by col.
+    """
+    if not cols:
+        raise ValueError("facet_stats needs at least one column")
+    joined = metadata.select(id_col, *cols).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    stack_expr = ", ".join(f"'{c}', cast({c} as double)" for c in cols)
+    unpivoted = joined.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (col, value)"
+    ).where(F.col("value").isNotNull())
+    return (
+        unpivoted.groupBy("col")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.sum("value").alias("sum"),
+            F.avg("value").alias("avg"),
+            # population std via the E[x²]−E[x]² moment form: both
+            # moments are plain sums, so the aggregation stays
+            # map-side combinable (F.stddev_pop would too, but the
+            # moment form is exactly replayable in any SQL oracle)
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.avg(F.col("value") * F.col("value"))
+                    - F.avg("value") * F.avg("value"),
+                )
+            ).alias("std"),
+        )
+        .orderBy("col")
+    )
+
+
+def top_hits_per_facet(
+    hits: DataFrame,
+    metadata: DataFrame,
+    facet_col: str,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Top-``n`` hits within each facet bucket — the Elasticsearch
+    ``top_hits`` sub-aggregation analog ("show the best 3 matches per
+    role"). Group membership comes from the metadata column; order
+    within a group is (score desc, id asc) — the engine's total result
+    order restricted to the group, so the per-group lists are stable
+    slices of the global ranking.
+
+    The window runs over the ALREADY-CUT hit set (k rows, broadcast
+    into the metadata join) — never over the corpus; with k ≤ a few
+    thousand this is driver-trivial but expressed as a plan so it
+    composes with any upstream. Returns DataFrame(facet value column,
+    group_rank:long, id, score) ordered by (value, group_rank).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from pyspark.sql import Window
+
+    joined = metadata.select(id_col, facet_col).join(
+        F.broadcast(hits.select(id_col, score_col)), id_col
+    )
+    w = (
+        Window.partitionBy(facet_col)
+        .orderBy(F.desc(score_col), F.asc(id_col))
+    )
+    return (
+        joined.withColumn(
+            "group_rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("group_rank") <= n)
+        .select(facet_col, "group_rank", id_col, score_col)
+        .orderBy(F.asc(facet_col), F.asc("group_rank"))
+    )

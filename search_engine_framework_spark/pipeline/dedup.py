@@ -589,3 +589,99 @@ def dup_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    verbatim ``n``-token window with a held-out evaluation set — the
+    n-gram overlap check of GPT-3 appendix C / Llama / Gopher training
+    pipelines (13-grams by convention).  Every length-``n`` token window
+    of both sides is keyed by md5 of its joined tokens (the exact
+    fingerprint used by :func:`duplicate_spans`); a corpus window whose
+    key appears anywhere in the benchmark is contaminated.
+
+    → (doc_id, n_windows, n_contaminated, contam_frac, is_contaminated):
+    one row per corpus doc.  ``contam_frac`` = contaminated / total
+    windows (0.0 for docs shorter than ``n`` tokens, which have no
+    window and cannot be flagged at this n — lower ``n`` to catch short
+    eval items).  ``is_contaminated`` = contam_frac > ``threshold``
+    (default 0.0: any single overlapping n-gram flags the doc, the
+    Llama rule).
+
+    Scale shape (100 TB corpus, MB-scale benchmark): the benchmark key
+    set is eval-set-sized and explicitly broadcast, so the probe is a
+    map-side hash semi-join over the corpus windows (one row per corpus
+    token, same order as the postings build — no shuffle); matched rows
+    alone reach the per-doc count (one combinable groupBy bounded by
+    the contamination rate, not the corpus); the final left join keys
+    on doc_id with AQE free to broadcast the hit side.
+    """
+    if n <= 0:
+        raise ValueError("window length n must be positive")
+    if not 0.0 <= threshold < 1.0:
+        raise ValueError("threshold must be in [0, 1)")
+
+    def _wins(df: DataFrame, idc: Column, txt: Column) -> DataFrame:
+        toks = df.select(idc.alias("doc_id"), tokens_col(txt).alias("toks"))
+        return (
+            toks.where(F.size("toks") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - n + 1),
+                        lambda i: F.md5(
+                            F.array_join(F.slice(F.col("toks"), i, n), " ")
+                        ),
+                    )
+                ).alias("wkey"),
+            )
+        )
+
+    bench_keys = (
+        _wins(benchmark, F.lit("b"), F.col(bench_text_col))
+        .select("wkey")
+        .distinct()
+    )
+    corpus_wins = _wins(docs, F.col(id_col), F.col(text_col))
+    hits = (
+        corpus_wins.join(F.broadcast(bench_keys), "wkey")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.lit(0), F.size(tokens_col(F.col(text_col))) - n + 1
+        ).cast("long").alias("n_windows"),
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.when(
+            F.col("n_windows") > 0,
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            / F.col("n_windows").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contam_frac"),
+        (
+            F.when(
+                F.col("n_windows") > 0,
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.col("n_windows").cast("double"),
+            ).otherwise(F.lit(0.0))
+            > F.lit(threshold)
+        ).alias("is_contaminated"),
+    )

@@ -1,0 +1,181 @@
+"""Round-2 continuation operators: benchmark decontamination
+(dedup.decontaminate), stats aggregation (facets.facet_stats), and
+grouped top-hits (facets.top_hits_per_facet)."""
+
+import math
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from search_engine_framework_spark import facets
+from search_engine_framework_spark.pipeline import dedup
+
+
+# ---------------------------------------------------------------- decontam
+
+def _report(spark, corpus_rows, bench_rows, n, threshold=0.0):
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    out = dedup.decontaminate(corpus, bench, n=n, threshold=threshold)
+    return {
+        r["doc_id"]: (
+            r["n_windows"],
+            r["n_contaminated"],
+            r["contam_frac"],
+            r["is_contaminated"],
+        )
+        for r in out.collect()
+    }
+
+
+def test_decontam_planted_overlap(spark):
+    # 5-token eval passage planted verbatim inside doc 0
+    passage = "alpha beta gamma delta epsilon"
+    rep = _report(
+        spark,
+        [
+            (0, f"aa bb {passage} cc"),  # 8 toks → 4 windows, 1 matching
+            (1, "totally unrelated words only here now"),  # 6 toks → 2 wins
+            (2, "hi"),  # 1 tok → no window
+        ],
+        [(100, passage)],
+        n=5,
+    )
+    assert rep[0] == (4, 1, pytest.approx(0.25), True)
+    assert rep[1] == (2, 0, 0.0, False)
+    assert rep[2] == (0, 0, 0.0, False)
+
+
+def test_decontam_threshold_gate(spark):
+    passage = "alpha beta gamma delta epsilon"
+    rep = _report(
+        spark,
+        [(0, f"aa bb {passage} cc")],
+        [(100, passage)],
+        n=5,
+        threshold=0.5,
+    )
+    # frac 0.25 <= 0.5 → not flagged, but the counts still report
+    assert rep[0] == (4, 1, pytest.approx(0.25), False)
+
+
+def test_decontam_full_duplicate(spark):
+    text = "one two three four five six seven"
+    rep = _report(spark, [(0, text)], [(9, text)], n=7)
+    assert rep[0] == (1, 1, pytest.approx(1.0), True)
+
+
+def test_decontam_repeated_window_counts_each(spark):
+    # the contaminated 3-gram occurs twice in the corpus doc
+    rep = _report(
+        spark,
+        [(0, "p q r xx p q r")],
+        [(1, "zz p q r zz")],
+        n=3,
+    )
+    n_windows, n_cont, frac, flag = rep[0]
+    assert n_windows == 5 and n_cont == 2 and flag
+    assert frac == pytest.approx(2 / 5)
+
+
+def test_decontam_short_bench_item_invisible(spark):
+    # bench item shorter than n has no window → cannot flag anything
+    rep = _report(spark, [(0, "a b c d e f")], [(1, "a b")], n=4)
+    assert rep[0][1] == 0 and not rep[0][3]
+
+
+def test_decontam_validation(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.decontaminate(df, df, n=0)
+    with pytest.raises(ValueError):
+        dedup.decontaminate(df, df, n=3, threshold=1.0)
+
+
+# -------------------------------------------------------------- facet_stats
+
+def test_facet_stats_hand_computed(spark):
+    hits = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(1, 10.0, 1.0), (2, 20.0, None), (3, 30.0, 5.0), (4, 999.0, 9.9)],
+        "doc_id long, a double, b double",
+    )
+    rows = {
+        r["col"]: r
+        for r in facets.facet_stats(hits, meta, ["a", "b"]).collect()
+    }
+    a = rows["a"]
+    assert (a["n"], a["min"], a["max"], a["sum"]) == (3, 10.0, 30.0, 60.0)
+    assert a["avg"] == pytest.approx(20.0)
+    # population std of {10,20,30} = sqrt(200/3)
+    assert a["std"] == pytest.approx(math.sqrt(200.0 / 3.0))
+    b = rows["b"]  # NULL excluded per column
+    assert (b["n"], b["min"], b["max"]) == (2, 1.0, 5.0)
+    assert b["avg"] == pytest.approx(3.0)
+    assert b["std"] == pytest.approx(2.0)
+    # doc 4 is not a hit — must not contribute
+    assert a["max"] == 30.0
+
+
+def test_facet_stats_requires_columns(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        facets.facet_stats(df, df, [])
+
+
+# ---------------------------------------------------------- top_hits_per_facet
+
+def test_top_hits_per_facet_hand_computed(spark):
+    hits = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, 7.0), (5, 6.0)],
+        "doc_id long, score double",
+    )
+    meta = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "en"), (4, "en"), (5, "de"), (6, "fr")],
+        "doc_id long, lang string",
+    )
+    out = [
+        (r["lang"], r["group_rank"], r["doc_id"], r["score"])
+        for r in facets.top_hits_per_facet(hits, meta, "lang", n=2).collect()
+    ]
+    # per group: score desc, doc_id asc tie-break; doc 6 has no hit
+    assert out == [
+        ("de", 1, 2, 8.0),
+        ("de", 2, 5, 6.0),
+        ("en", 1, 1, 9.0),
+        ("en", 2, 3, 7.0),
+    ]
+
+
+def test_top_hits_per_facet_is_global_ranking_slice(spark):
+    """Each group's list must equal the global order filtered to the
+    group (the defining property vs an independent per-group sort)."""
+    import random
+
+    rng = random.Random(7)
+    hits_rows = [(i, round(rng.random() * 10, 3)) for i in range(40)]
+    meta_rows = [(i, "g%d" % (i % 3)) for i in range(40)]
+    hits = spark.createDataFrame(hits_rows, "doc_id long, score double")
+    meta = spark.createDataFrame(meta_rows, "doc_id long, lang string")
+    out = facets.top_hits_per_facet(hits, meta, "lang", n=4).collect()
+    glob = sorted(hits_rows, key=lambda t: (-t[1], t[0]))
+    by_group = {}
+    for d, s in glob:
+        g = "g%d" % (d % 3)
+        by_group.setdefault(g, []).append((d, s))
+    for g, lst in by_group.items():
+        got = [
+            (r["doc_id"], r["score"])
+            for r in sorted(
+                (x for x in out if x["lang"] == g),
+                key=lambda r: r["group_rank"],
+            )
+        ]
+        assert got == lst[:4]
+
+
+def test_top_hits_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError):
+        facets.top_hits_per_facet(df, df, "lang", n=0)
