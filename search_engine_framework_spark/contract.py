@@ -308,6 +308,16 @@ def q_wildcard_suffix(spark, sf_dir):
     return _search_full(spark, sf_dir, "*er", RankedBoolean())
 
 
+def q_regex_term(spark, sf_dir):
+    """Regex term query ``/[sv][a-z]+/`` (Lucene RegexpQuery analog):
+    whole-term-anchored dictionary expansion into #SYN of the 8 matching
+    terms, merged-postings tf under RankedBoolean. The SQL twin replays
+    the expansion with regexp_full_match."""
+    from .plans.models import RankedBoolean
+
+    return _search_full(spark, sf_dir, "/[sv][a-z]+/", RankedBoolean())
+
+
 def q_bm25_single(spark, sf_dir):
     from .plans.models import BM25
 
@@ -1764,6 +1774,11 @@ FROM tf WHERE term LIKE 's%' GROUP BY 1
 SELECT doc_id, sum(tf)::DOUBLE AS score
 FROM tf WHERE term LIKE '%er' GROUP BY 1
 """,
+    "regex_term": _SQL_BASE
+    + """
+SELECT doc_id, sum(tf)::DOUBLE AS score
+FROM tf WHERE regexp_full_match(term, '[sv][a-z]+') GROUP BY 1
+""",
     "fuzzy": _SQL_BASE
     + """
 SELECT doc_id, sum(tf)::DOUBLE AS score
@@ -3052,6 +3067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syn_ranked": q_syn_ranked,
     "wildcard": q_wildcard,
     "fuzzy": q_fuzzy,
+    "regex_term": q_regex_term,
     "wildcard_suffix": q_wildcard_suffix,
     "bm25_single": q_bm25_single,
     "filtered_search": q_filtered_search,

@@ -330,6 +330,38 @@ class IndexReader:
             )
         return terms
 
+    def expand_regex(
+        self, pattern: str, field: str, limit: int = 128
+    ) -> list[str]:
+        """Distinct dictionary terms in ``field`` FULLY matched by
+        ``pattern``, sorted ascending — the regex-expansion seek
+        (ast.Regex → #SYN; the Lucene RegexpQuery analog). Anchoring is
+        Lucene's: the pattern must match the entire term, enforced here
+        with ^(?:...)$. Like the suffix seek this cannot row-group-prune
+        a term-sorted dictionary, so it is a column-pruned scan of the
+        vocabulary-sized term dictionary — never corpus-sized. Raises
+        past ``limit`` matches."""
+        rows = (
+            self.segments()
+            .where(
+                F.col("term").rlike(f"^(?:{pattern})$")
+                & (F.col("field") == field)
+            )
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(limit + 1)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if len(terms) > limit:
+            raise ValueError(
+                f"regex /{pattern}/ matches more than {limit} terms in "
+                f"field {field!r}; raise max_expansions or tighten the "
+                "pattern"
+            )
+        return terms
+
     def expand_fuzzy(
         self, term: str, field: str, max_edit: int = 2, limit: int = 128
     ) -> list[str]:

@@ -78,6 +78,22 @@ class Fuzzy(Node):
 
 
 @dataclass(frozen=True)
+class Regex(Node):
+    """Regex multi-term query (``/sp[a-z]+k/``) — our Lucene-RegexpQuery
+    analog (the reference has none). The pattern must match the ENTIRE
+    dictionary term (Lucene's implicit anchoring). Never evaluated
+    directly: the engine rewrites it against the term dictionary into
+    #SYN of the matching terms (IndexReader.expand_regex), the same
+    MultiTermQuery→rewrite design as Wildcard. Patterns are lowercased
+    only, never analyzed. Query-STRING syntax cannot carry whitespace,
+    parens, or commas inside the pattern (they are parser delimiters) —
+    build the AST directly for those."""
+
+    pattern: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class Near(Node):
     n: int
     children: tuple[Node, ...]
@@ -121,7 +137,7 @@ class Wsum(Node):
     weights: tuple[float, ...] = dc_field(default=())
 
 
-IL_NODES = (Term, Syn, Near, WindowOp, Wildcard, Fuzzy, SuffixWildcard)
+IL_NODES = (Term, Syn, Near, WindowOp, Wildcard, Fuzzy, SuffixWildcard, Regex)
 SL_NODES = (And, Or, Not, Sum, Wand, Wsum)
 
 
@@ -146,6 +162,11 @@ def query_terms(node: Node) -> set[tuple[str, str]]:
             f"unexpanded wildcard *{node.suffix!r} — run "
             "plans.wildcard.expand_wildcards(tree, reader) first"
         )
+    if isinstance(node, Regex):
+        raise ValueError(
+            f"unexpanded regex /{node.pattern}/ — run "
+            "plans.wildcard.expand_wildcards(tree, reader) first"
+        )
     if isinstance(node, Term):
         return {(node.term, node.field)}
     out: set[tuple[str, str]] = set()
@@ -159,7 +180,7 @@ def query_fields(node: Node) -> set[str]:
     """All fields referenced by leaves — unlike query_terms this is safe
     on a tree that still contains unexpanded Wildcard leaves (field
     validation runs before dictionary expansion)."""
-    if isinstance(node, (Term, Wildcard, Fuzzy, SuffixWildcard)):
+    if isinstance(node, (Term, Wildcard, Fuzzy, SuffixWildcard, Regex)):
         return {node.field}
     out: set[str] = set()
     kids = (node.child,) if isinstance(node, Not) else node.children
@@ -173,7 +194,7 @@ def needs_positions(node: Node) -> bool:
     — only then does the posting scan need to decode position blobs."""
     if isinstance(node, (Near, WindowOp, Syn)):
         return True
-    if isinstance(node, (Wildcard, Fuzzy, SuffixWildcard)):  # → #SYN
+    if isinstance(node, (Wildcard, Fuzzy, SuffixWildcard, Regex)):  # → #SYN
         return True
     if isinstance(node, Term):
         return False

@@ -201,6 +201,32 @@ def parse_query(
                 weight = float(token)
                 got_weight = True
                 continue
+            if token.startswith("/"):
+                # Regex term (Lucene RegexpQuery analog): /pat/ or
+                # /pat/.field. Handled before field-stripping so a
+                # pattern may contain dots. Lowercased only, never
+                # analyzed; anchored to the whole term at expansion.
+                # Delimiter chars (space, parens, comma) cannot appear
+                # in query-string patterns — build the AST for those.
+                rx = re.fullmatch(r"/(.+)/(?:\.(\w+))?", token)
+                if not rx:
+                    raise ValueError(f"bad regex syntax: {token!r}")
+                rfield = rx.group(2) or ast.DEFAULT_FIELD
+                if rx.group(2) and rx.group(2) not in TERM_FIELDS:
+                    raise ValueError(f"unknown regex field: {token!r}")
+                try:
+                    re.compile(rx.group(1))
+                except re.error as e:
+                    raise ValueError(
+                        f"invalid regex pattern {token!r}: {e}"
+                    ) from e
+                current.children.append(
+                    ast.Regex(rx.group(1).lower(), rfield)
+                )
+                if has_weight and got_weight:
+                    current.weights.append(weight)
+                    got_weight = False
+                continue
             field = None
             term_text = token
             for f in TERM_FIELDS:

@@ -84,7 +84,8 @@ def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
             return ast.Syn(
                 (n,) + tuple(syn_child(s, n.field) for s in syns)
             )
-        if isinstance(n, (ast.Wildcard, ast.Fuzzy, ast.SuffixWildcard)):
+        if isinstance(n, (ast.Wildcard, ast.Fuzzy, ast.SuffixWildcard,
+                          ast.Regex)):
             return n
         if isinstance(n, ast.Not):
             return ast.Not(rewrite(n.child))
@@ -101,7 +102,8 @@ def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
 def has_wildcards(node: ast.Node) -> bool:
     """True iff the tree contains any multi-term leaf (Wildcard or
     Fuzzy) that must be dictionary-expanded before compiling."""
-    if isinstance(node, (ast.Wildcard, ast.Fuzzy, ast.SuffixWildcard)):
+    if isinstance(node, (ast.Wildcard, ast.Fuzzy, ast.SuffixWildcard,
+                         ast.Regex)):
         return True
     if isinstance(node, ast.Term):
         return False
@@ -140,6 +142,18 @@ def expand_wildcards(
                     n.suffix, n.field, limit=max_expansions
                 )
                 cache[key] = syn_of(terms, n.field, "*" + n.suffix)
+            return cache[key]
+        if isinstance(n, ast.Regex):
+            # Regex (Lucene RegexpQuery analog): #SYN of every
+            # dictionary term fully matched by the pattern. Zero
+            # matches rewrite to an impossible term (analyzed terms
+            # never contain '/').
+            key = ("/", n.pattern, n.field)
+            if key not in cache:
+                terms = reader.expand_regex(
+                    n.pattern, n.field, limit=max_expansions
+                )
+                cache[key] = syn_of(terms, n.field, "/" + n.pattern + "/")
             return cache[key]
         if isinstance(n, ast.Fuzzy):
             # Fuzzy (Lucene FuzzyQuery analog): #SYN of every dictionary

@@ -483,3 +483,84 @@ def test_rocchio_duplicate_fb_ids_dedup(engine):
     a = rocchio_expand(engine.reader, ["search"], [0, 3], fb_terms=6)
     b = rocchio_expand(engine.reader, ["search"], [0, 3, 3, 0], fb_terms=6)
     assert a == b
+
+
+# --------------------------------------------------------------- regex terms
+
+def test_parser_emits_regex_nodes():
+    node = parse_query("#SUM(/se[a-z]+/ engine)", BM25())
+    assert has_wildcards(node)
+
+    def leaves(n):
+        if isinstance(n, (ast.Term, ast.Regex)):
+            return [n]
+        kids = (n.child,) if isinstance(n, ast.Not) else n.children
+        return [x for c in kids for x in leaves(c)]
+
+    assert ast.Regex("se[a-z]+", "body") in leaves(node)
+    # field-qualified + lowercased, never analyzed
+    node2 = parse_query("/ASSIST.*/.role", BM25())
+    assert ast.Regex("assist.*", "role") in leaves(node2)
+
+
+@pytest.mark.parametrize("bad", ["/[bad/", "/x/.nosuchfield", "//"])
+def test_parser_rejects_bad_regex(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad, BM25())
+
+
+def test_query_terms_refuses_unexpanded_regex():
+    node = parse_query("/se[a-z]+/", BM25())
+    with pytest.raises(ValueError, match="unexpanded regex"):
+        ast.query_terms(node)
+
+
+def test_expand_regex_equals_bruteforce(engine):
+    import re as _re
+
+    vocab = sorted(
+        r["term"]
+        for r in engine.reader.term_stats_df()
+        .where("field = 'body'")
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    for pat in ("se[a-z]+", "[a-z]*e", "x{5}"):
+        want = [t for t in vocab if _re.fullmatch(pat, t)]
+        got = engine.reader.expand_regex(pat, "body", limit=len(vocab))
+        assert got == want, pat
+
+
+@pytest.mark.parametrize("model", [BM25(), RankedBoolean(), Indri()])
+def test_regex_equals_explicit_syn(engine, model):
+    terms = engine.reader.expand_regex("se[a-z]+", "body")
+    assert len(terms) >= 1
+    syn = "#SYN(" + " ".join(terms) + ")" if len(terms) > 1 else terms[0]
+    got = _rows(engine.search("/se[a-z]+/", model, k=10))
+    want = _rows(engine.search(syn, model, k=10))
+    assert got == want and got
+
+
+def test_regex_inside_positional_op(engine):
+    terms = engine.reader.expand_regex("se[a-z]+", "body")
+    syn = "#SYN(" + " ".join(terms) + ")" if len(terms) > 1 else terms[0]
+    got = _rows(engine.search("#NEAR/3(/se[a-z]+/ engine)", RankedBoolean(), k=10))
+    want = _rows(engine.search(f"#NEAR/3({syn} engine)", RankedBoolean(), k=10))
+    assert got == want
+
+
+def test_regex_zero_matches_is_empty_not_error(engine):
+    assert engine.search("/zz[0-9]+q/", BM25(), k=5).count() == 0
+
+
+def test_regex_anchoring_is_whole_term(engine):
+    # 'se' alone must NOT match 'search'-like terms: whole-term anchoring
+    full = set(engine.reader.expand_regex("se[a-z]+", "body"))
+    bare = set(engine.reader.expand_regex("se", "body"))
+    assert bare.isdisjoint(full)
+
+
+def test_regex_expansion_cap(engine):
+    with pytest.raises(ValueError, match="more than"):
+        engine.reader.expand_regex("[a-z0-9]+", "body", limit=1)
