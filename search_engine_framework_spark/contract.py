@@ -607,6 +607,32 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_tfidf(spark, sf_dir):
+    """Sparse tf-idf document vectors (TfidfVectorizer smooth-idf
+    semantics) — the COO document-term-matrix export for ML training."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textstats.tfidf_vectors(docs)
+    return out.select(
+        "doc_id", "term", "tf", _r4(F.col("tfidf")).alias("tfidf")
+    )
+
+
+def q_source_report(spark, sf_dir):
+    """Per-source corpus rollup (the domain-reweighting dashboard):
+    volume, length, quality band, within-source exact-dup fraction."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textstats.source_report(docs)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _r4(F.col("avg_tokens")).alias("avg_tokens"),
+        _r4(F.col("avg_ttr")).alias("avg_ttr"),
+        _r4(F.col("avg_stopword_ratio")).alias("avg_stopword_ratio"),
+        _r4(F.col("exact_dup_frac")).alias("exact_dup_frac"),
+    )
+
+
 def q_cooccur(spark, sf_dir):
     """Windowed skip-gram co-occurrence counts (textstats.cooccurrence,
     window=3, min_count=5); DuckDB twin is a tokpos position self-join."""
@@ -924,6 +950,15 @@ def q_emb_neardup(spark, sf_dir):
     its recall against this)."""
     embs = _read(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dup_pairs(embs, threshold=0.4, exact=True)
+    return pairs.select("a", "b", _r4(F.col("cosine")).alias("cosine"))
+
+
+def q_semdedup_exact1(spark, sf_dir):
+    """SemDeDup pairs (Abbas et al. 2023) in the oracle configuration:
+    nlist=1 puts everything in one cluster, so the cluster-bounded
+    comparison must equal the exact all-pairs cosine oracle."""
+    embs = _read(spark, sf_dir, "embeddings")
+    pairs = similarity.semdedup_pairs(embs, nlist=1, threshold=0.4)
     return pairs.select("a", "b", _r4(F.col("cosine")).alias("cosine"))
 
 
@@ -2511,6 +2546,51 @@ SELECT b.doc_id, b.n_windows,
 FROM base b LEFT JOIN hits h USING (doc_id)
 """
 
+ORACLE_SQL["tfidf"] = _SQL_BASE + """
+SELECT tf.doc_id, tf.term, tf.tf,
+       round(tf.tf::DOUBLE * (ln((1.0 + (SELECT n_docs FROM cstats)::DOUBLE)
+                                 / (1.0 + dfreq.df::DOUBLE)) + 1.0), 4) + 0.0
+         AS tfidf
+FROM tf JOIN dfreq USING (term)
+"""
+
+ORACLE_SQL["source_report"] = _SQL_BASE + """
+, q AS (
+  SELECT t.doc_id, COALESCE(d.source, '') AS src,
+         len(t.toks)::BIGINT AS n_tok,
+         CASE WHEN len(t.toks) > 0
+              THEN len(list_distinct(t.toks))::DOUBLE / len(t.toks)
+              ELSE 0.0 END AS ttr,
+         CASE WHEN len(t.toks) > 0
+              THEN len(list_filter(t.toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'],
+                   x)))::DOUBLE / len(t.toks)
+              ELSE 0.0 END AS swr,
+         md5(array_to_string(t.toks, ' ')) AS fp
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+),
+dup AS (
+  SELECT src,
+         sum(CASE WHEN fp_n > 1 THEN fp_n ELSE 0 END)::BIGINT AS dup_docs
+  FROM (SELECT src, fp, count(*)::BIGINT AS fp_n FROM q GROUP BY 1, 2)
+  GROUP BY 1
+),
+agg AS (
+  SELECT src, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+         avg(n_tok::DOUBLE) AS avg_tokens, avg(ttr) AS avg_ttr,
+         avg(swr) AS avg_swr
+  FROM q GROUP BY 1
+)
+SELECT a.src AS source, a.n_docs, a.n_tokens,
+       round(a.avg_tokens, 4) + 0.0 AS avg_tokens,
+       round(a.avg_ttr, 4) + 0.0 AS avg_ttr,
+       round(a.avg_swr, 4) + 0.0 AS avg_stopword_ratio,
+       round(COALESCE(dup.dup_docs, 0)::DOUBLE / a.n_docs::DOUBLE, 4) + 0.0
+         AS exact_dup_frac
+FROM agg a LEFT JOIN dup ON dup.src = a.src
+ORDER BY source
+"""
+
 ORACLE_SQL["shard_assign"] = f"""
 WITH b AS (
   SELECT doc_id,
@@ -2619,6 +2699,8 @@ ORACLE_SQL["ann_ivf_exactprobe"] = ORACLE_SQL["knn_cosine"]
 ORACLE_SQL["ivf_store"] = ORACLE_SQL["knn_cosine"]
 # The LSH scale path at total-recall parameters must equal the exact pairs.
 ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
+
+ORACLE_SQL["semdedup_exact1"] = ORACLE_SQL["emb_neardup"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
 ORACLE_SQL["cooccur"] = _SQL_BASE + r"""
 , co AS (
@@ -3091,6 +3173,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "cooccur": q_cooccur,
+    "tfidf": q_tfidf,
+    "source_report": q_source_report,
     "corpus_profile": q_corpus_profile,
     "curation": q_curation,
     "hash_split": q_hash_split,
@@ -3112,6 +3196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prf_terms": q_prf_terms,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_lsh": q_emb_neardup_lsh,
+    "semdedup_exact1": q_semdedup_exact1,
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
     "ivf_store": q_ivf_store,

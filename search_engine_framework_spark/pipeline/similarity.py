@@ -400,3 +400,85 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("a", "b", "cosine")
     )
+
+
+def semdedup_pairs(
+    embs: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 1,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    k-means-cluster the embeddings, then compare pairs only WITHIN each
+    cluster — semantic duplicates land in the same cluster, so the
+    quadratic pair cost is bounded per cluster instead of corpus-wide.
+    → (a, b, cosine) with cosine ≥ threshold and a < b, exactly the
+    :func:`embedding_near_dup_pairs` pair shape, so the same
+    connected-components + canonical-election action
+    (pipeline/cc.dedup_clusters) applies downstream.
+
+    ``nlist=1`` degenerates to the exact all-pairs comparison (one
+    cluster holds everything) — the oracle configuration. At scale,
+    choose ``nlist ≈ N / target_cluster_size`` (the paper runs 50k
+    clusters over 100M+ embeddings, ~thousands per cluster): the plan
+    is one centroid assignment pass (nlist×dim broadcast literals), one
+    shuffle on list_id, and a per-cluster self-join whose cost is
+    Σ|cluster|² — bounded by the largest cluster, never N².
+
+    Recall note: unlike RP-LSH (table-union candidates), a duplicate
+    pair split across a cluster boundary is missed — the documented
+    SemDeDup approximation. More clusters trade pair cost for recall.
+    """
+    if nlist < 1:
+        raise ValueError("nlist must be >= 1")
+    cents = ivf_centroids(
+        embs, nlist=nlist, id_col=id_col, vec_col=vec_col, refine=refine
+    )
+    assigned = ivf_assign(embs, cents, id_col=id_col, vec_col=vec_col)
+    tagged = assigned.join(embs.select(id_col, vec_col), id_col)
+    left = tagged.select(
+        F.col("list_id"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    )
+    right = tagged.select(
+        F.col("list_id"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    )
+    cos = (
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb")))
+    ).alias("cosine")
+    return (
+        left.join(right, "list_id")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", cos)
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def semdedup(
+    embs: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 1,
+) -> DataFrame:
+    """The full SemDeDup action: cluster-bounded near-dup pairs →
+    connected components → deterministic canonical election.
+    → (vec_id, cluster_id, is_canonical): keep ``is_canonical`` rows to
+    dedup the corpus; singletons are their own canonical (same output
+    contract as pipeline/cc.dedup_clusters, which this composes)."""
+    from .cc import dedup_clusters
+
+    pairs = semdedup_pairs(
+        embs, nlist=nlist, threshold=threshold,
+        id_col=id_col, vec_col=vec_col, refine=refine,
+    )
+    out = dedup_clusters(embs.select(F.col(id_col)), pairs, id_col=id_col)
+    return out

@@ -439,3 +439,93 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
         "p50_doclen", "p90_doclen", "max_doclen", "distinct_texts",
         "dup_ratio",
     )
+
+
+def tfidf_vectors(docs: DataFrame, smooth: bool = True) -> DataFrame:
+    """Sparse tf-idf document vectors — the document-term-matrix export
+    feeding classic ML training (scikit-learn TfidfVectorizer semantics:
+    tf · (ln((1+N)/(1+df)) + 1) with ``smooth=True``, tf · ln(N/df)
+    otherwise; no L2 normalization — downstream trainers normalize, and
+    an unnormalized weight is exactly replayable in SQL).
+
+    → (doc_id, term, tf:long, tfidf:double), one row per distinct
+    (doc, term) — the COO sparse-matrix layout every training framework
+    ingests directly.
+
+    Scale shape: one tokenize pass → per-doc tf (map-side combinable
+    groupBy), document frequency as a second combinable aggregation
+    over the distinct (term, doc) pairs already in hand, then a join on
+    term — vocabulary-sized right side, broadcast-eligible under AQE.
+    No window functions, no per-row Python.
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    n_docs = docs.count()
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    if smooth:
+        idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + F.lit(1.0)
+    else:
+        idf = F.log(float(n_docs) / F.col("df"))
+    return tf.join(df.select("term", idf.alias("idf")), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),
+    )
+
+
+def source_report(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source corpus rollup — the domain-level quality dashboard a
+    mixing/reweighting decision reads (how much of each source, how
+    long, how duplicated, what quality band). One row per source:
+
+    n_docs, n_tokens, avg_tokens, avg_ttr, avg_stopword_ratio,
+    exact_dup_frac (docs whose normalized-text md5 appears more than
+    once WITHIN the source).
+
+    Scale shape: quality signals are the zero-UDF per-doc column math
+    of :func:`quality_features`; the dup fraction needs one combinable
+    (source, fingerprint) groupBy; everything then rolls up in a single
+    per-source aggregation. No windows, no collects.
+    """
+    q = quality_features(docs).join(
+        docs.select(
+            "doc_id",
+            F.coalesce(F.col(source_col), F.lit("")).alias("src"),
+            F.md5(
+                F.array_join(tokens_col(F.col("text")), " ")
+            ).alias("fp"),
+        ),
+        "doc_id",
+    )
+    fp_sizes = q.groupBy("src", "fp").agg(F.count("*").alias("fp_n"))
+    dup = fp_sizes.groupBy("src").agg(
+        F.sum(F.when(F.col("fp_n") > 1, F.col("fp_n")).otherwise(0)).alias(
+            "dup_docs"
+        )
+    )
+    per_src = q.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.avg(F.col("n_tokens").cast("double")).alias("avg_tokens"),
+        F.avg("ttr").alias("avg_ttr"),
+        F.avg("stopword_ratio").alias("avg_stopword_ratio"),
+    )
+    return (
+        per_src.join(dup, "src", "left")
+        .select(
+            F.col("src").alias("source"),
+            "n_docs",
+            "n_tokens",
+            "avg_tokens",
+            "avg_ttr",
+            "avg_stopword_ratio",
+            (
+                F.coalesce(F.col("dup_docs"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_frac"),
+        )
+        .orderBy("source")
+    )

@@ -179,3 +179,177 @@ def test_top_hits_validation(spark):
     df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
     with pytest.raises(ValueError):
         facets.top_hits_per_facet(df, df, "lang", n=0)
+
+
+# ------------------------------------------------------------ tfidf_vectors
+
+def test_tfidf_vectors_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "cat dog cat"), (1, "dog bird"), (2, "fish")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"])
+        for r in __import__(
+            "search_engine_framework_spark.pipeline.textstats",
+            fromlist=["textstats"],
+        ).tfidf_vectors(docs).collect()
+    }
+    n = 3
+
+    def smooth(tf, df):
+        return tf * (math.log((1 + n) / (1 + df)) + 1.0)
+
+    assert out[(0, "cat")][0] == 2
+    assert out[(0, "cat")][1] == pytest.approx(smooth(2, 1))
+    assert out[(0, "dog")][1] == pytest.approx(smooth(1, 2))
+    assert out[(1, "bird")][1] == pytest.approx(smooth(1, 1))
+    assert out[(2, "fish")][1] == pytest.approx(smooth(1, 1))
+    assert len(out) == 5  # distinct (doc, term) pairs only
+
+
+def test_tfidf_vectors_nonsmooth(spark):
+    from search_engine_framework_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog"), (1, "dog")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in textstats.tfidf_vectors(docs, smooth=False).collect()
+    }
+    assert out[(0, "cat")] == pytest.approx(math.log(2.0))
+    assert out[(0, "dog")] == pytest.approx(0.0)  # df == N → idf 0
+
+
+# ------------------------------------------------------------- source_report
+
+def test_source_report_hand_computed(spark):
+    from search_engine_framework_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "cat dog cat", "web"),
+            (1, "cat dog cat", "web"),  # exact dup of 0 within web
+            (2, "bird fish", "web"),
+            (3, "cat dog cat", "books"),  # same text, other source: no dup
+            (4, "", "books"),  # zero tokens → ttr 0, no dup partner
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in textstats.source_report(docs).collect()}
+    web = rows["web"]
+    assert (web["n_docs"], web["n_tokens"]) == (3, 8)
+    assert web["avg_tokens"] == pytest.approx(8 / 3)
+    assert web["exact_dup_frac"] == pytest.approx(2 / 3)  # docs 0 and 1
+    books = rows["books"]
+    assert books["n_docs"] == 2
+    assert books["exact_dup_frac"] == 0.0
+    # ttr of "cat dog cat" = 2/3; None-text doc contributes ttr 0
+    assert books["avg_ttr"] == pytest.approx((2 / 3 + 0.0) / 2)
+
+
+def test_source_report_null_source_bucket(spark):
+    from search_engine_framework_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "x y", None)], "doc_id long, text string, source string"
+    )
+    rows = textstats.source_report(docs).collect()
+    assert len(rows) == 1 and rows[0]["source"] == ""
+
+
+# ------------------------------------------------------------------ semdedup
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_nlist1_equals_exact(spark):
+    import random
+
+    from search_engine_framework_spark.pipeline import similarity
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(30)
+    ]
+    embs = _emb_df(spark, rows)
+    got = sorted(
+        (r["a"], r["b"], round(r["cosine"], 6))
+        for r in similarity.semdedup_pairs(embs, nlist=1, threshold=0.4).collect()
+    )
+    want = sorted(
+        (r["a"], r["b"], round(r["cosine"], 6))
+        for r in similarity.embedding_near_dup_pairs(
+            embs, threshold=0.4, exact=True
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_semdedup_pairs_are_subset_of_exact(spark):
+    """Clustered pairs ⊆ exact pairs (only cross-cluster pairs may be
+    missed — the documented SemDeDup approximation), and same-cluster
+    duplicates are found."""
+    import random
+
+    from search_engine_framework_spark.pipeline import similarity
+
+    rng = random.Random(5)
+    base = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(4)]
+    rows = []
+    for i in range(40):
+        v = base[i % 4]
+        rows.append(
+            (i, [x + rng.uniform(-0.01, 0.01) for x in v])
+        )
+    embs = _emb_df(spark, rows)
+    exact = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dup_pairs(
+            embs, threshold=0.99, exact=True
+        ).collect()
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in similarity.semdedup_pairs(
+            embs, nlist=4, threshold=0.99, refine=2
+        ).collect()
+    }
+    assert got <= exact
+    # near-copies of the same base vector are semantically identical —
+    # a decent clustering must recover most of them
+    assert len(got) >= 0.5 * len(exact) > 0
+
+
+def test_semdedup_canonical_election(spark):
+    from search_engine_framework_spark.pipeline import similarity
+
+    # two exact-duplicate groups + one singleton
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.0]),
+        (7, [0.0, 1.0, 0.0]),
+        (9, [0.0, 0.0, 1.0]),
+    ]
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in similarity.semdedup(
+            _emb_df(spark, rows), nlist=1, threshold=0.999
+        ).collect()
+    }
+    assert out[0] == (0, True) and out[1] == (0, False)
+    assert out[5] == (5, True) and out[7] == (5, False)
+    assert out[9] == (9, True)
+    kept = [k for k, (_, canon) in out.items() if canon]
+    assert sorted(kept) == [0, 5, 9]
+
+
+def test_semdedup_validation(spark):
+    from search_engine_framework_spark.pipeline import similarity
+
+    embs = _emb_df(spark, [(0, [1.0, 0.0])])
+    with pytest.raises(ValueError):
+        similarity.semdedup_pairs(embs, nlist=0)
