@@ -84,10 +84,12 @@ def run(sf_dir: str, only: list[str]) -> int:
             # order-insensitive value compare on name-sorted columns
             order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
             sset = sorted(
-                tuple(normalize(r[i]) for i in order) for r in srows
+                (tuple(normalize(r[i]) for i in order) for r in srows),
+                key=repr,
             )
             oset = sorted(
-                tuple(normalize(r[i]) for i in order) for r in orows
+                (tuple(normalize(r[i]) for i in order) for r in orows),
+                key=repr,
             )
             if sset != oset:
                 diffs = [

@@ -351,6 +351,88 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+_MULTI_ENGINES: dict[str, SearchEngine] = {}
+
+
+def get_multi_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Federated twin of :func:`get_engine`: the SAME documents corpus
+    split by doc_id parity into two physically independent indexes,
+    searched through index.multi.MultiReader (the Lucene MultiReader
+    analog). Global statistics merge makes its scores bit-comparable to
+    the single combined index — which is exactly what the contract
+    entry asserts (shared DuckDB oracle with bm25_topk)."""
+    from .index.multi import MultiReader
+
+    key = os.path.abspath(sf_dir)
+    if key in _MULTI_ENGINES:
+        return _MULTI_ENGINES[key]
+    digest = hashlib.sha1((key + "#multi").encode()).hexdigest()[:12]
+    cfg = AnalyzerConfig.sql_safe()
+    halves = []
+    for part in (0, 1):
+        out = os.path.join("/tmp", "sefs_entry_idx", f"{digest}-{part}")
+        if not os.path.exists(os.path.join(out, "stats.json")):
+            docs = _read(spark, sf_dir, "documents").where(
+                F.col("doc_id") % 2 == part
+            )
+            build_index(
+                spark,
+                _docs_as_transcripts(docs),
+                out,
+                fields=("body",),
+                cfg=cfg,
+                n_buckets=8,
+                n_salts=4,
+            )
+        halves.append(out)
+    eng = SearchEngine(spark, MultiReader(spark, halves), analyzer=cfg)
+    _MULTI_ENGINES[key] = eng
+    return eng
+
+
+def q_multi_search(spark, sf_dir):
+    """Federated search over two physical half-indexes (doc_id parity
+    split) via MultiReader: merged global statistics make the flagship
+    BM25 top-k identical to the single combined index, so this entry
+    shares bm25_topk's DuckDB oracle verbatim."""
+    from .plans.models import BM25
+
+    eng = get_multi_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    return top.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
+def q_msm_bm25(spark, sf_dir):
+    """Minimum-should-match under BM25 (#MSM/2 of three terms — the
+    Lucene minimumNumberShouldMatch / Elasticsearch minimum_should_match
+    analog): docs matching >= 2 of the terms, scored by the child-order
+    BM25 sum of the matching terms."""
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search("#MSM/2(spark merge window)", BM25(), k=BM25_K)
+    return top.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
+def q_msm_boolean(spark, sf_dir):
+    """Minimum-should-match under RankedBoolean (#MSM/2): docs matching
+    >= 2 of the terms, scored by the max tf among ALL matching children
+    (the #OR scoring rule restricted to the >= n match set)."""
+    from .plans.models import RankedBoolean
+
+    return _search_full(
+        spark, sf_dir, "#MSM/2(spark merge window)", RankedBoolean()
+    )
+
+
 def q_search_after(spark, sf_dir):
     """Keyset pagination (searchAfter analog): page 2 of the flagship
     BM25 ranking via the (score, ext_id) cursor of page 1's last hit —
@@ -1590,6 +1672,58 @@ def q_facet_top_hits(spark, sf_dir):
     )
 
 
+def q_facet_ranges(spark, sf_dir):
+    """Explicit-boundary bucket counts (Elasticsearch range-agg analog)
+    over the flagship BM25 top-k: hit documents bucketed by n_chars
+    into [*,500), [500,2000), [2000,*) — empty buckets reported."""
+    from .facets import facet_ranges
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")))
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = facet_ranges(
+        hits, docs, "n_chars", [(None, 500.0), (500.0, 2000.0), (2000.0, None)]
+    )
+    # open-ended bounds are NULL — keep the label+count core for the
+    # hash compare (labels encode the bounds)
+    return out.select("range_label", "n")
+
+
+def q_facet_percentiles(spark, sf_dir):
+    """Exact percentiles (Elasticsearch percentiles-agg analog) over the
+    flagship BM25 top-k: quartiles + p95 of the hit documents' n_chars
+    (sort-based linear interpolation — DuckDB quantile_cont replays it)."""
+    from .facets import facet_percentiles
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")))
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = facet_percentiles(hits, docs, ["n_chars"])
+    return out.select("col", "pct", _r4(F.col("value")).alias("value"))
+
+
+def q_facet_cardinality(spark, sf_dir):
+    """Distinct-value counts (Elasticsearch cardinality-agg analog) over
+    the flagship BM25 top-k: exact distinct lang and source values among
+    the hit documents."""
+    from .facets import facet_cardinality
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")))
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+    )
+    return facet_cardinality(hits, docs, ["lang", "source"])
+
+
 def q_significant_terms(spark, sf_dir):
     """Significant-terms aggregation (Elasticsearch analog) over the
     flagship BM25 top-k: terms ranked by document-frequency lift vs the
@@ -1855,6 +1989,34 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
     + """
 SELECT doc_id, sum(tf)::DOUBLE AS score
 FROM tf WHERE term IN ('spark', 'merge') GROUP BY 1
+""",
+    "msm_bm25": _SQL_BASE
+    + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+scored AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s,
+         (t1.doc_id IS NOT NULL)::INT + (t2.doc_id IS NOT NULL)::INT
+             + (t3.doc_id IS NOT NULL)::INT AS npresent
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+       round(s, 4) + 0.0 AS score
+FROM scored WHERE npresent >= 2 ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+""",
+    "msm_boolean": _SQL_BASE
+    + """
+SELECT doc_id, max(tf)::DOUBLE AS score
+FROM tf WHERE term IN ('spark', 'merge', 'window')
+GROUP BY doc_id HAVING count(*) >= 2
 """,
     "search_after": _SQL_BASE
     + f""", t1 AS ({_bm25_term_sql('spark')}),
@@ -2701,6 +2863,9 @@ ORACLE_SQL["ivf_store"] = ORACLE_SQL["knn_cosine"]
 ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
 
 ORACLE_SQL["semdedup_exact1"] = ORACLE_SQL["emb_neardup"]
+# Federated half-indexes with merged global stats must reproduce the
+# single-index flagship ranking exactly.
+ORACLE_SQL["multi_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
 ORACLE_SQL["cooccur"] = _SQL_BASE + r"""
 , co AS (
@@ -3077,6 +3242,67 @@ FROM vals
 """
 )
 
+ORACLE_SQL["facet_ranges"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+vals AS (
+  SELECT d.n_chars::DOUBLE AS value
+  FROM documents d JOIN lex ON lex.doc_id = d.doc_id
+)
+SELECT '*-500' AS range_label,
+       count(*) FILTER (WHERE value IS NOT NULL AND value < 500.0)::BIGINT AS n
+FROM vals
+UNION ALL
+SELECT '500-2000',
+       count(*) FILTER (WHERE value >= 500.0 AND value < 2000.0)::BIGINT
+FROM vals
+UNION ALL
+SELECT '2000-*',
+       count(*) FILTER (WHERE value >= 2000.0)::BIGINT
+FROM vals
+"""
+)
+
+ORACLE_SQL["facet_percentiles"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+vals AS (
+  SELECT d.n_chars::DOUBLE AS value
+  FROM documents d JOIN lex ON lex.doc_id = d.doc_id
+  WHERE d.n_chars IS NOT NULL
+),
+q AS (
+  SELECT quantile_cont(value, 0.25) AS q25, quantile_cont(value, 0.5) AS q50,
+         quantile_cont(value, 0.75) AS q75, quantile_cont(value, 0.95) AS q95
+  FROM vals
+)
+SELECT 'n_chars' AS col, 0.25::DOUBLE AS pct, round(q25, 4) + 0.0 AS value
+FROM q
+UNION ALL SELECT 'n_chars', 0.5::DOUBLE, round(q50, 4) + 0.0 FROM q
+UNION ALL SELECT 'n_chars', 0.75::DOUBLE, round(q75, 4) + 0.0 FROM q
+UNION ALL SELECT 'n_chars', 0.95::DOUBLE, round(q95, 4) + 0.0 FROM q
+ORDER BY col, pct
+"""
+)
+
+ORACLE_SQL["facet_cardinality"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+meta AS (
+  SELECT d.doc_id, COALESCE(d.lang, '') AS lang,
+         COALESCE(d.source, '') AS source
+  FROM documents d JOIN lex ON lex.doc_id = d.doc_id
+)
+SELECT 'lang' AS col, count(DISTINCT lang)::BIGINT AS n_distinct FROM meta
+UNION ALL
+SELECT 'source', count(DISTINCT source)::BIGINT FROM meta
+ORDER BY col
+"""
+)
+
 ORACLE_SQL["facet_top_hits"] = (
     _SQL_BASE
     + _LEX_RANK_SQL
@@ -3154,6 +3380,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_single": q_bm25_single,
     "filtered_search": q_filtered_search,
     "bm25_topk": q_bm25_topk,
+    "msm_bm25": q_msm_bm25,
+    "msm_boolean": q_msm_boolean,
+    "multi_search": q_multi_search,
     "snippets": q_snippets,
     "search_after": q_search_after,
     "synonyms": q_synonyms,
@@ -3218,6 +3447,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_counts": q_facet_counts,
     "facet_histogram": q_facet_histogram,
     "facet_stats": q_facet_stats,
+    "facet_ranges": q_facet_ranges,
+    "facet_percentiles": q_facet_percentiles,
+    "facet_cardinality": q_facet_cardinality,
     "facet_top_hits": q_facet_top_hits,
     "significant_terms": q_significant_terms,
     # rows-only checks (not SQL-expressible):

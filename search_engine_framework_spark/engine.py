@@ -35,7 +35,12 @@ class SearchEngine:
         analyzer: AnalyzerConfig | None = None,
     ):
         self.spark = spark
-        self.reader = IndexReader(spark, index_path)
+        # Accept an already-open reader (e.g. index.multi.MultiReader for
+        # federated cross-index search) — anything with fetch_postings.
+        if hasattr(index_path, "fetch_postings"):
+            self.reader = index_path
+        else:
+            self.reader = IndexReader(spark, index_path)
         self.analyzer = self._resolve_analyzer(analyzer)
 
     def _resolve_analyzer(self, analyzer: AnalyzerConfig | None) -> AnalyzerConfig:
@@ -139,6 +144,9 @@ class SearchEngine:
             and boost is None
             and prune_min_blocks is None
             and isinstance(model, _BM25)
+            # MultiReader federates several physical indexes — the
+            # driver fast path reads ONE index's files, so it opts out
+            and getattr(self.reader, "fastpath_supported", True)
         ):
             flat = QueryCompiler._flat_sum_pairs(node)
             if flat is not None:

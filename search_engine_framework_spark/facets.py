@@ -252,3 +252,167 @@ def top_hits_per_facet(
         .select(facet_col, "group_rank", id_col, score_col)
         .orderBy(F.asc(facet_col), F.asc("group_rank"))
     )
+
+
+def facet_ranges(
+    hits: DataFrame,
+    metadata: DataFrame,
+    col: str,
+    ranges: Sequence[tuple[float | None, float | None]],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explicit-boundary bucket counts over a hit set — the
+    Elasticsearch ``range`` aggregation analog ("how many hits have
+    n_chars in [0,500), [500,2000), [2000,∞)?"). Each range is a
+    ``(lo, hi)`` pair meaning ``lo <= value < hi``; ``None`` opens the
+    end. Ranges MAY overlap — a row counts into every range containing
+    it, exactly as Elasticsearch (buckets are independent filters, not
+    a partition).
+
+    Same scale posture as :func:`facet_counts`: the hit set is a
+    broadcast top-k cut, so the join never shuffles the corpus; all
+    range counts come out of ONE aggregation pass (one conditional sum
+    per range stacked to rows afterwards — no per-range job fan-out).
+    NULL values count into no range. Returns DataFrame(range_label:
+    string, lo:double, hi:double, n:long) in the caller's range order
+    (empty buckets INCLUDED with n=0, matching Elasticsearch range —
+    unlike histogram, explicit buckets always report).
+    """
+    if not ranges:
+        raise ValueError("facet_ranges needs at least one range")
+    for lo, hi in ranges:
+        if lo is not None and hi is not None and not lo < hi:
+            raise ValueError(f"empty range ({lo}, {hi})")
+    joined = metadata.select(id_col, col).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    v = F.col(col).cast("double")
+    aggs = []
+    labels = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = v.isNotNull()
+        if lo is not None:
+            cond = cond & (v >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (v < F.lit(float(hi)))
+        aggs.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"_n{i}")
+        )
+        lo_s = "*" if lo is None else f"{float(lo):g}"
+        hi_s = "*" if hi is None else f"{float(hi):g}"
+        labels.append(f"{lo_s}-{hi_s}")
+    one = joined.agg(*aggs)
+    stack_parts = []
+    for i, ((lo, hi), label) in enumerate(zip(ranges, labels)):
+        lo_sql = (
+            "cast(null as double)"
+            if lo is None
+            else f"cast({float(lo)!r} as double)"
+        )
+        hi_sql = (
+            "cast(null as double)"
+            if hi is None
+            else f"cast({float(hi)!r} as double)"
+        )
+        stack_parts.append(
+            f"'{label}', cast({i} as long), {lo_sql}, {hi_sql}, _n{i}"
+        )
+    return one.selectExpr(
+        f"stack({len(ranges)}, {', '.join(stack_parts)}) "
+        "as (range_label, range_ix, lo, hi, n)"
+    ).orderBy("range_ix").drop("range_ix")
+
+
+def facet_percentiles(
+    hits: DataFrame,
+    metadata: DataFrame,
+    cols: Sequence[str],
+    pcts: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact percentiles per numeric metadata column over a hit set —
+    the Elasticsearch ``percentiles`` aggregation analog. Exact (sort-
+    based linear interpolation at rank ``p*(n-1)``, the standard
+    "continuous" definition DuckDB's quantile_cont replays bit-for-bit)
+    rather than t-digest: the input is the ALREADY-CUT hit set (<= k
+    rows broadcast into the metadata join), where exactness is free —
+    the corpus-scale approximate path is `F.approx_percentile` over the
+    full match frame, same plan shape, documented error bound.
+
+    Returns DataFrame(col:string, pct:double, value:double) ordered by
+    (col, pct); NULLs excluded per column; a column with zero non-null
+    rows yields no rows (like Elasticsearch's null percentiles).
+    """
+    if not cols:
+        raise ValueError("facet_percentiles needs at least one column")
+    pl = [float(p) for p in pcts]
+    if not pl or any(not 0.0 <= p <= 1.0 for p in pl):
+        raise ValueError("pcts must be fractions in [0, 1]")
+    joined = metadata.select(id_col, *cols).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    stack_expr = ", ".join(f"'{c}', cast({c} as double)" for c in cols)
+    unpivoted = joined.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (col, value)"
+    ).where(F.col("value").isNotNull())
+    pct_arr = F.array(*[F.lit(p) for p in pl])
+    agg = unpivoted.groupBy("col").agg(
+        F.percentile("value", pct_arr).alias("vals")
+    )
+    return (
+        agg.select(
+            "col",
+            F.posexplode("vals").alias("_i", "value"),
+        )
+        .select(
+            "col",
+            F.element_at(pct_arr, F.col("_i") + 1).alias("pct"),
+            "value",
+        )
+        .orderBy("col", "pct")
+    )
+
+
+def facet_cardinality(
+    hits: DataFrame,
+    metadata: DataFrame,
+    cols: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct-value count per metadata column over a hit set — the
+    Elasticsearch ``cardinality`` aggregation analog. ``approx=False``
+    (default) is exact — right for the broadcast top-k hit set, where
+    the distinct runs over <= k rows. ``approx=True`` switches to
+    HyperLogLog++ (`approx_count_distinct`, relative error ``rsd``) —
+    the corpus-scale path when the caller passes the full match frame
+    instead of a cut: sketch merge is map-side combinable, so
+    cardinality never shuffles raw values. NULLs do not count as a
+    value (Elasticsearch semantics). Returns DataFrame(col:string,
+    n_distinct:long) ordered by col.
+    """
+    if not cols:
+        raise ValueError("facet_cardinality needs at least one column")
+    joined = metadata.select(id_col, *cols).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    stack_expr = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    unpivoted = joined.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (col, value)"
+    ).where(F.col("value").isNotNull())
+    counter = (
+        F.approx_count_distinct("value", rsd=rsd)
+        if approx
+        else F.countDistinct("value")
+    )
+    return (
+        unpivoted.groupBy("col")
+        .agg(counter.cast("long").alias("n_distinct"))
+        .orderBy("col")
+    )

@@ -217,6 +217,12 @@ class Oracle:
             if not isinstance(m, BM25):
                 raise ValueError("#SUM only under BM25")
             return self._bm25_sum(node.children)
+        if isinstance(node, ast.Msm):
+            if isinstance(m, (UnrankedBoolean, RankedBoolean)):
+                return self._bool_msm(node.n, node.children)
+            if isinstance(m, BM25):
+                return self._bm25_sum(node.children, min_match=node.n)
+            raise ValueError("#MSM is not defined under Indri")
         if isinstance(node, (ast.Wand, ast.Wsum)):
             if not isinstance(m, Indri):
                 raise ValueError("#WAND/#WSUM only under Indri")
@@ -258,7 +264,7 @@ class Oracle:
         )
         return sl, {"kind": "or"}
 
-    def _bm25_sum(self, children) -> tuple[ScoreListPy, dict]:
+    def _bm25_sum(self, children, min_match: int = 1) -> tuple[ScoreListPy, dict]:
         m = self.model
         user_w = (m.k_3 + 1.0) * 1.0 / (m.k_3 + 1.0)
         kids = [self.eval_sl(c)[0] for c in children]
@@ -266,12 +272,31 @@ class Oracle:
         docs = sorted(set().union(*[set(mp) for mp in maps]) if maps else set())
         sl = ScoreListPy()
         for d in docs:
+            if sum(1 for mp in maps if d in mp) < min_match:
+                continue
             score = 0.0
             for mp in maps:  # child order — float-order parity
                 if d in mp:
                     score += user_w * mp[d]
             sl.append((d, score))
         return sl, {"kind": "sum"}
+
+    def _bool_msm(self, min_match: int, children) -> tuple[ScoreListPy, dict]:
+        kids = [self.eval_sl(c)[0] for c in children]
+        ranked = isinstance(self.model, RankedBoolean)
+        best: dict[int, float] = {}
+        npresent: dict[int, int] = {}
+        for k in kids:
+            for d, s in k:
+                npresent[d] = npresent.get(d, 0) + 1
+                if d not in best or s > best[d]:
+                    best[d] = s
+        sl = ScoreListPy(
+            (d, best[d] if ranked else 1.0)
+            for d in sorted(best)
+            if npresent[d] >= min_match
+        )
+        return sl, {"kind": "msm"}
 
     def _indri_fold(
         self, children, q: list[float], combine: str, kind: str

@@ -137,8 +137,24 @@ class Wsum(Node):
     weights: tuple[float, ...] = dc_field(default=())
 
 
+@dataclass(frozen=True)
+class Msm(Node):
+    """Minimum-should-match — our Lucene
+    BooleanQuery.setMinimumNumberShouldMatch / Elasticsearch
+    ``minimum_should_match`` analog (the reference has none): a doc
+    matches iff at least ``n`` children match it. Scoring follows the
+    operator each model's dispatch generalizes: under boolean models
+    the max of the matching children (``#MSM/1 ≡ #OR``), under BM25
+    the child-order sum of the matching children (``#MSM/1 ≡ #SUM``).
+    ``n > len(children)`` matches nothing (Lucene semantics). Not
+    defined under Indri (no reference operator to generalize)."""
+
+    n: int
+    children: tuple[Node, ...]
+
+
 IL_NODES = (Term, Syn, Near, WindowOp, Wildcard, Fuzzy, SuffixWildcard, Regex)
-SL_NODES = (And, Or, Not, Sum, Wand, Wsum)
+SL_NODES = (And, Or, Not, Sum, Wand, Wsum, Msm)
 
 
 def is_il(node: Node) -> bool:

@@ -378,6 +378,17 @@ class QueryCompiler:
                 return self._bm25_sum(node.children)
             raise ValueError("#SUM is only defined under BM25")
 
+        if isinstance(node, ast.Msm):
+            # Lucene minimumNumberShouldMatch analog: match docs with
+            # >= n matching children; score like the operator each
+            # model generalizes (#OR max under boolean, #SUM child-order
+            # sum under BM25). n > len(children) matches nothing.
+            if isinstance(m, (UnrankedBoolean, RankedBoolean)):
+                return self._boolean_msm(node.n, node.children)
+            if isinstance(m, BM25):
+                return self._bm25_sum(node.children, min_match=node.n)
+            raise ValueError("#MSM is not defined under Indri")
+
         if isinstance(node, (ast.Wand, ast.Wsum)):
             if not isinstance(m, Indri):
                 raise ValueError("#WAND/#WSUM are only defined under Indri")
@@ -481,6 +492,25 @@ class QueryCompiler:
         score = F.col("maxscore") if ranked else F.lit(1.0)
         return SLResult(agg.select("doc_id", score.alias("score")))
 
+    def _boolean_msm(
+        self, min_match: int, children: tuple[ast.Node, ...]
+    ) -> SLResult:
+        kids = [self.compile_sl(c) for c in children]
+        if not kids or min_match > len(kids):
+            return self._empty_sl()
+        u = self._tagged_union(kids)
+        ranked = isinstance(self.model, RankedBoolean)
+        agg = (
+            u.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("npresent"),
+                F.max("score").alias("maxscore"),
+            )
+            .where(F.col("npresent") >= min_match)
+        )
+        score = F.col("maxscore") if ranked else F.lit(1.0)
+        return SLResult(agg.select("doc_id", score.alias("score")))
+
     def _boolean_not(self, child: ast.Node) -> SLResult:
         matched = self.compile_sl(child).df.select("doc_id")
         corpus = self.reader.docmap().select("doc_id")
@@ -490,9 +520,11 @@ class QueryCompiler:
         return SLResult(out)
 
     # -- BM25 #SUM ---------------------------------------------------------------
-    def _bm25_sum(self, children: tuple[ast.Node, ...]) -> SLResult:
+    def _bm25_sum(
+        self, children: tuple[ast.Node, ...], min_match: int = 1
+    ) -> SLResult:
         kids = [self.compile_sl(c) for c in children]
-        if not kids:
+        if not kids or min_match > len(kids):
             return self._empty_sl()
         m = self.model
         qtf = 1.0  # QryopSlSum.java:58 — duplicates are separate children
@@ -501,6 +533,8 @@ class QueryCompiler:
         grouped = u.groupBy("doc_id").agg(
             F.map_from_entries(F.collect_list(F.struct("cix", "score"))).alias("m")
         )
+        if min_match > 1:  # MSM gate: plan unchanged for plain #SUM
+            grouped = grouped.where(F.size("m") >= min_match)
         # accumulate IN CHILD ORDER (float-order parity with the DAAT loop)
         expr = F.lit(0.0)
         for j in range(len(kids)):

@@ -73,6 +73,8 @@ class _Builder:
         if self.kind == "not":
             child = ch[0] if len(ch) == 1 else ast.Or(ch)
             return ast.Not(child)
+        if self.kind == "msm":
+            return ast.Msm(self.n, ch)
         raise ValueError(f"unknown op kind {self.kind}")
 
 
@@ -167,6 +169,12 @@ def parse_query(
         elif low.startswith("#window/"):
             has_weight = False
             push(_Builder("window", n=int(token.split("/")[1])))
+        elif low.startswith("#msm/"):
+            has_weight = False
+            msm_n = int(token.split("/")[1])
+            if msm_n < 1:
+                raise ValueError(f"#MSM/n needs n >= 1: {token!r}")
+            push(_Builder("msm", n=msm_n))
         elif token.startswith(")"):
             if current is not None and current.weighted:
                 has_weight = False

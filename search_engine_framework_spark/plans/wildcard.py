@@ -90,7 +90,7 @@ def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
         if isinstance(n, ast.Not):
             return ast.Not(rewrite(n.child))
         kids = tuple(rewrite(c) for c in n.children)
-        if isinstance(n, (ast.Near, ast.WindowOp)):
+        if isinstance(n, (ast.Near, ast.WindowOp, ast.Msm)):
             return type(n)(n.n, kids)
         if isinstance(n, (ast.Wand, ast.Wsum)):
             return type(n)(kids, n.weights)
@@ -173,7 +173,7 @@ def expand_wildcards(
         if isinstance(n, ast.Not):
             return ast.Not(rewrite(n.child))
         kids = tuple(rewrite(c) for c in n.children)
-        if isinstance(n, (ast.Near, ast.WindowOp)):
+        if isinstance(n, (ast.Near, ast.WindowOp, ast.Msm)):
             return type(n)(n.n, kids)
         if isinstance(n, (ast.Wand, ast.Wsum)):
             return type(n)(kids, n.weights)

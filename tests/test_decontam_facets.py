@@ -353,3 +353,109 @@ def test_semdedup_validation(spark):
     embs = _emb_df(spark, [(0, [1.0, 0.0])])
     with pytest.raises(ValueError):
         similarity.semdedup_pairs(embs, nlist=0)
+
+
+# -------------------------------------------------------------- facet_ranges
+
+def _hitmeta(spark):
+    hits = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(1, 100.0), (2, 700.0), (3, 2500.0), (4, None), (9, 50.0)],
+        "doc_id long, n double",
+    )
+    return hits, meta
+
+
+def test_facet_ranges_hand_computed(spark):
+    hits, meta = _hitmeta(spark)
+    rows = facets.facet_ranges(
+        hits, meta, "n", [(None, 500.0), (500.0, 2000.0), (2000.0, None)]
+    ).collect()
+    got = [(r["range_label"], r["lo"], r["hi"], r["n"]) for r in rows]
+    # doc 4 is NULL (no bucket), doc 9 is not a hit
+    assert got == [
+        ("*-500", None, 500.0, 1),
+        ("500-2000", 500.0, 2000.0, 1),
+        ("2000-*", 2000.0, None, 1),
+    ]
+
+
+def test_facet_ranges_overlap_and_empty_bucket(spark):
+    hits, meta = _hitmeta(spark)
+    rows = facets.facet_ranges(
+        hits, meta, "n", [(0.0, 1000.0), (500.0, 3000.0), (9000.0, None)]
+    ).collect()
+    ns = [r["n"] for r in rows]
+    # 100,700 in the first; 700,2500 in the second (overlap counts both);
+    # explicit empty bucket still reported with 0
+    assert ns == [2, 2, 0]
+
+
+def test_facet_ranges_validation(spark):
+    hits, meta = _hitmeta(spark)
+    with pytest.raises(ValueError):
+        facets.facet_ranges(hits, meta, "n", [])
+    with pytest.raises(ValueError):
+        facets.facet_ranges(hits, meta, "n", [(5.0, 5.0)])
+
+
+# --------------------------------------------------------- facet_percentiles
+
+def test_facet_percentiles_hand_computed(spark):
+    hits = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(0, 10.0), (1, 20.0), (2, 30.0), (3, 40.0), (4, None)],
+        "doc_id long, v double",
+    )
+    rows = facets.facet_percentiles(
+        hits, meta, ["v"], pcts=(0.0, 0.5, 1.0)
+    ).collect()
+    got = {r["pct"]: r["value"] for r in rows}
+    # 4 non-null values: p50 interpolates between 20 and 30
+    assert got[0.0] == 10.0 and got[1.0] == 40.0
+    assert got[0.5] == pytest.approx(25.0)
+
+
+def test_facet_percentiles_interpolation(spark):
+    hits = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(0, 0.0), (1, 100.0)], "doc_id long, v double"
+    )
+    rows = facets.facet_percentiles(hits, meta, ["v"], pcts=(0.25,)).collect()
+    assert rows[0]["value"] == pytest.approx(25.0)  # 0 + 0.25*(100-0)
+
+
+def test_facet_percentiles_validation(spark):
+    hits = spark.createDataFrame([(0,)], "doc_id long")
+    with pytest.raises(ValueError):
+        facets.facet_percentiles(hits, hits, [])
+    with pytest.raises(ValueError):
+        facets.facet_percentiles(hits, hits, ["doc_id"], pcts=(1.5,))
+
+
+# --------------------------------------------------------- facet_cardinality
+
+def test_facet_cardinality_exact(spark):
+    hits = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(0, "en", "web"), (1, "en", "books"), (2, "de", "web"), (3, None, "web")],
+        "doc_id long, lang string, src string",
+    )
+    rows = {
+        r["col"]: r["n_distinct"]
+        for r in facets.facet_cardinality(hits, meta, ["lang", "src"]).collect()
+    }
+    assert rows == {"lang": 2, "src": 2}  # NULL lang is not a value
+
+
+def test_facet_cardinality_approx_bound(spark):
+    hits = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(i, f"v{i % 50}") for i in range(200)], "doc_id long, c string"
+    )
+    exact = facets.facet_cardinality(hits, meta, ["c"]).collect()[0]["n_distinct"]
+    approx = facets.facet_cardinality(
+        hits, meta, ["c"], approx=True, rsd=0.02
+    ).collect()[0]["n_distinct"]
+    assert exact == 50
+    assert abs(approx - exact) <= 0.1 * exact

@@ -64,6 +64,13 @@ BATTERY = [
     ("#SYN(#NEAR/1(search engine) index)", BM),
     ("#NEAR/4(#SYN(search find) engine)", RB),
     ("#WINDOW/6(#SYN(data model) query)", IND),
+    # minimum-should-match (Lucene minimumNumberShouldMatch analog)
+    ("#MSM/2(search engine index)", BM),
+    ("#MSM/2(search engine index)", RB),
+    ("#MSM/2(search engine index)", UB),
+    ("#MSM/1(search engine)", BM),
+    ("#MSM/2(#AND(search engine) index data)", RB),
+    ("#MSM/2(#NEAR/1(search engine) index query)", BM),
 ]
 
 

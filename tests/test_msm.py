@@ -1,0 +1,109 @@
+"""#MSM/n minimum-should-match — semantic properties.
+
+Our Lucene BooleanQuery.setMinimumNumberShouldMatch / Elasticsearch
+minimum_should_match analog (the reference has no such operator).
+Invariants locked here:
+
+* #MSM/1 ≡ #OR under boolean models and ≡ #SUM under BM25 (same docs,
+  same scores) — MSM generalizes each model's disjunction.
+* #MSM/len(children) has #AND's match SET (but OR/SUM scoring).
+* n > len(children) matches nothing (Lucene semantics).
+* #MSM under Indri raises (no reference operator to generalize).
+* parser: #MSM/0 rejected; nested ops legal as children.
+
+Rank identity vs the pure-Python oracle is in test_engine_vs_oracle's
+BATTERY; these tests pin the cross-operator equivalences.
+"""
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.plans import ast
+from search_engine_framework_spark.plans.models import (
+    BM25,
+    Indri,
+    RankedBoolean,
+    UnrankedBoolean,
+)
+from search_engine_framework_spark.plans.parser import parse_query
+
+CFG = AnalyzerConfig.reference()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    paths, _, _ = tiny_index
+    return SearchEngine(spark, paths, CFG)
+
+
+def _ranked(engine, query, model, k=100000):  # k > corpus: full match set
+    return [
+        (r["doc_id"], r["score"])
+        for r in engine.search(query, model, k=k).collect()
+    ]
+
+
+def test_parse_msm():
+    node = parse_query("#MSM/2(search engine index)", RankedBoolean(), CFG)
+    # model-default #or wrapper around the explicit operator
+    assert isinstance(node, ast.Or)
+    inner = node.children[0]
+    assert isinstance(inner, ast.Msm) and inner.n == 2
+    assert len(inner.children) == 3
+
+
+def test_parse_msm_zero_rejected():
+    with pytest.raises(ValueError):
+        parse_query("#MSM/0(search engine)", RankedBoolean(), CFG)
+
+
+def test_msm1_equals_or_boolean(engine):
+    for model in (RankedBoolean(), UnrankedBoolean()):
+        msm = _ranked(engine, "#MSM/1(search engine)", model)
+        orr = _ranked(engine, "#OR(search engine)", model)
+        assert msm == orr and msm
+
+
+def test_msm1_equals_sum_bm25(engine):
+    msm = _ranked(engine, "#MSM/1(search engine index)", BM25())
+    sm = _ranked(engine, "#SUM(search engine index)", BM25())
+    assert [d for d, _ in msm] == [d for d, _ in sm]
+    assert [s for _, s in msm] == pytest.approx([s for _, s in sm], rel=1e-12)
+
+
+def test_msm_full_matches_and_set(engine):
+    """#MSM/k over k children matches exactly #AND's doc set."""
+    msm = {d for d, _ in _ranked(engine, "#MSM/2(search engine)", RankedBoolean())}
+    conj = {d for d, _ in _ranked(engine, "#AND(search engine)", RankedBoolean())}
+    assert msm == conj and msm
+
+
+def test_msm_monotone_match_sets(engine):
+    """Raising n can only shrink the match set."""
+    sets = []
+    for n in (1, 2, 3):
+        q = f"#MSM/{n}(search engine index)"
+        sets.append({d for d, _ in _ranked(engine, q, BM25())})
+    assert sets[0] >= sets[1] >= sets[2]
+    assert sets[0] > sets[2]  # at least one doc lacks one of the terms
+
+
+def test_msm_overcount_matches_nothing(engine):
+    assert _ranked(engine, "#MSM/5(search engine index)", BM25()) == []
+
+
+def test_msm_indri_raises(engine):
+    with pytest.raises(ValueError, match="MSM"):
+        engine.search("#MSM/2(search engine)", Indri(), k=10).collect()
+
+
+def test_msm_scoring_is_sum_of_matching_only(engine):
+    """A doc matching exactly 2 of 3 terms scores the 2-term BM25 sum —
+    per-doc equality against the 3-term #SUM scores restricted to the
+    MSM/2 match set."""
+    sum_scores = dict(_ranked(engine, "#SUM(search engine index)", BM25()))
+    msm = _ranked(engine, "#MSM/2(search engine index)", BM25())
+    assert msm
+    for d, s in msm:
+        assert s == pytest.approx(sum_scores[d], rel=1e-12)
