@@ -1035,6 +1035,51 @@ def q_emb_neardup(spark, sf_dir):
     return pairs.select("a", "b", _r4(F.col("cosine")).alias("cosine"))
 
 
+# Fixed deterministic weights for the classifier inference entry: the
+# TRAINING loop is float-sum-order sensitive (locked by pytest instead);
+# inference with literal weights is exactly SQL-replayable.
+CLS_DIM = 64
+CLS_W = [round(((j * 37) % 21 - 10) / 10.0, 4) for j in range(CLS_DIM)]
+CLS_B = 0.25
+
+
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+FUNNEL_WITHIN = 7 * 86400.0
+RETENTION_PERIOD = 7 * 86400.0
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the events table (first-touch
+    semantics, 7-day journey window): signup → view → purchase."""
+    from .streaming.events import funnel_counts
+
+    evd = _read(spark, sf_dir, "events")
+    return funnel_counts(evd, FUNNEL_STEPS, within=FUNNEL_WITHIN)
+
+
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table: users
+    bucketed by first-event week; distinct active users per (cohort,
+    week offset)."""
+    from .streaming.events import retention_cohorts
+
+    evd = _read(spark, sf_dir, "events")
+    return retention_cohorts(evd, period_seconds=RETENTION_PERIOD)
+
+
+def q_classify_score(spark, sf_dir):
+    """Linear quality-classifier inference (the fastText-style learned
+    document filter): hashed bag-of-words features (md5-bucket, L1
+    normalized) dotted with a fixed weight vector + sigmoid, over every
+    document (empty docs score the bias alone)."""
+    from .pipeline import classify
+
+    docs = _read(spark, sf_dir, "documents")
+    feats = classify.featurize(docs, dim=CLS_DIM, seed=0)
+    out = classify.score(feats, CLS_W, CLS_B, all_ids=docs)
+    return out.select("doc_id", _r4(F.col("p")).alias("p"))
+
+
 def q_semdedup_exact1(spark, sf_dir):
     """SemDeDup pairs (Abbas et al. 2023) in the oracle configuration:
     nlist=1 puts everything in one cluster, so the cluster-bounded
@@ -2588,6 +2633,81 @@ SELECT doc_id, {case} AS split FROM b
 ORACLE_SQL["hash_split"] = _hash_split_sql()
 
 
+def _classify_sql() -> str:
+    wvals = ", ".join(f"({j}, {w!r})" for j, w in enumerate(CLS_W))
+    return (
+        _SQL_BASE
+        + f""",
+fx AS (
+  SELECT doc_id, ({_b16_sql('term', 0)} % {CLS_DIM}) AS bucket,
+         count(*)::DOUBLE AS n
+  FROM tokpos GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(n) AS tot FROM fx GROUP BY 1),
+wt AS (SELECT * FROM (VALUES {wvals}) t(bucket, w)),
+dots AS (
+  SELECT fx.doc_id, sum((fx.n / tot.tot) * wt.w) AS dot
+  FROM fx JOIN tot USING (doc_id) JOIN wt ON wt.bucket = fx.bucket
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(COALESCE(dots.dot, 0.0) + {CLS_B!r}))), 4)
+         + 0.0 AS p
+FROM documents d LEFT JOIN dots ON dots.doc_id = d.doc_id
+"""
+    )
+
+
+ORACLE_SQL["classify_score"] = _classify_sql()
+
+ORACLE_SQL["funnel"] = f"""
+WITH e AS (
+  SELECT user_id AS u, event_type AS et, epoch(ts)::DOUBLE AS t FROM events
+),
+s0 AS (
+  SELECT u, min(t) AS ti, min(t) AS t0 FROM e
+  WHERE et = '{FUNNEL_STEPS[0]}' GROUP BY u
+),
+s1 AS (
+  SELECT e.u, min(e.t) AS ti, any_value(s0.t0) AS t0
+  FROM e JOIN s0 ON s0.u = e.u
+  WHERE e.et = '{FUNNEL_STEPS[1]}' AND e.t >= s0.ti
+    AND e.t <= s0.t0 + {FUNNEL_WITHIN!r}
+  GROUP BY e.u
+),
+s2 AS (
+  SELECT e.u, min(e.t) AS ti, any_value(s1.t0) AS t0
+  FROM e JOIN s1 ON s1.u = e.u
+  WHERE e.et = '{FUNNEL_STEPS[2]}' AND e.t >= s1.ti
+    AND e.t <= s1.t0 + {FUNNEL_WITHIN!r}
+  GROUP BY e.u
+)
+SELECT 0::INT AS step_ix, '{FUNNEL_STEPS[0]}' AS step,
+       (SELECT count(*) FROM s0)::BIGINT AS n_users
+UNION ALL SELECT 1, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s1)::BIGINT
+UNION ALL SELECT 2, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s2)::BIGINT
+ORDER BY step_ix
+"""
+
+ORACLE_SQL["retention"] = f"""
+WITH p AS (
+  SELECT user_id AS u,
+         (floor(epoch(ts)::DOUBLE / {RETENTION_PERIOD!r})
+          * {RETENTION_PERIOD!r})::BIGINT AS per
+  FROM events
+),
+f AS (SELECT u, min(per) AS cohort FROM p GROUP BY u),
+act AS (SELECT DISTINCT u, per FROM p),
+offs AS (
+  SELECT act.u, f.cohort,
+         ((act.per - f.cohort) / {int(RETENTION_PERIOD)})::BIGINT AS off
+  FROM act JOIN f ON f.u = act.u
+)
+SELECT cohort, off AS period_offset, count(*)::BIGINT AS n_users
+FROM offs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _mixture_sql() -> str:
     total = sum(MIX_WEIGHTS.values())
     vals = ", ".join(
@@ -3426,6 +3546,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup": q_emb_neardup,
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "semdedup_exact1": q_semdedup_exact1,
+    "classify_score": q_classify_score,
+    "funnel": q_funnel,
+    "retention": q_retention,
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
     "ivf_store": q_ivf_store,

@@ -1,0 +1,245 @@
+"""Linear quality classifier — the learned document-filter step of
+modern pretraining pipelines (the GPT-3 appendix-A / CCNet / fastText
+"quality classifier" stage: label a small seed set good/bad, train a
+cheap linear model, score the whole corpus, keep the high scorers).
+
+The reference has no learned classifier (its only trained model is the
+svm_rank LeToR step, LearnToRank.java); this is a north-rule pipeline
+extension. Design:
+
+* **Featurization** (:func:`featurize`): hashed bag-of-words — each
+  token maps to one of ``dim`` buckets via the first 16 bits of
+  ``md5(token|seed)`` mod dim (the same engine-replayable hash family
+  as pipeline/sampling.py, so DuckDB/any SQL engine reproduces the
+  features bit-for-bit), with per-doc L1 term-frequency normalization
+  (fastText's mean-of-embeddings analog for a linear model). One
+  tokenize pass → one map-side-combinable (doc, bucket) groupBy. No
+  Python UDFs.
+
+* **Training** (:func:`train_logreg`): full-batch logistic regression
+  by gradient descent, each iteration ONE combinable aggregation:
+  grad_j = Σ_i x_ij · (σ(w·x_i) − y_i) computed as an explode-join-sum
+  over the sparse COO features with the current weights broadcast as a
+  literal lookup (dim ≤ a few thousand — the fastText regime). The
+  driver holds only the dim-sized weight vector; the corpus never
+  leaves the executors and no per-row Python runs. Deterministic up to
+  float summation order (seeded zero init, fixed iteration count).
+
+* **Scoring** (:func:`score`): sigmoid(w·x + b) per doc — a broadcast
+  vocabulary-free join of the COO features against a dim-sized weight
+  table, one combinable sum per doc. Exactly replayable in SQL given
+  the weights, which is what the ``classify_score`` contract entry
+  asserts (fixed weights → DuckDB twin).
+
+Scale: featurization is corpus-linear with one shuffle on (doc_id,
+bucket); each training iteration is one shuffle of dim-bounded partial
+sums (map-side combine collapses every partition to ≤ dim rows);
+scoring is one shuffle on doc_id. Nothing is ever collected except the
+dim-sized gradient per iteration.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .textstats import tokens_col
+
+
+def featurize(
+    docs: DataFrame,
+    dim: int = 512,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed bag-of-words in COO layout → (id_col, bucket:int,
+    x:double) with Σ_bucket x = 1 per doc (L1-normalized tf). Docs that
+    analyze to zero tokens produce no rows (they score the bias alone).
+
+    The bucket hash is ``int(md5(token|seed)[:4], 16) % dim`` — uniform
+    (first 16 md5 bits), engine-portable, and collision-tolerant by
+    design (hashing-trick semantics: collisions merge features, the
+    standard dimensionality/variance tradeoff; raise ``dim`` to trade
+    memory for fidelity)."""
+    if dim < 2 or dim > 65536:
+        raise ValueError("dim must be in [2, 65536]")
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("_t"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("_t"), F.lit(f"|{seed}"))), 1, 4), 16, 10)
+        .cast("int")
+        % dim
+    )
+    tf = tok.select(id_col, bucket.alias("bucket")).groupBy(
+        id_col, "bucket"
+    ).agg(F.count("*").cast("double").alias("_n"))
+    tot = tf.groupBy(id_col).agg(F.sum("_n").alias("_tot"))
+    return tf.join(tot, id_col).select(
+        id_col,
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("_n") / F.col("_tot")).alias("x"),
+    )
+
+
+def _weights_df(spark, w: list[float]) -> DataFrame:
+    return spark.createDataFrame(
+        [(j, float(wj)) for j, wj in enumerate(w)], "bucket int, w double"
+    )
+
+
+def score(
+    feats: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    all_ids: DataFrame | None = None,
+) -> DataFrame:
+    """σ(w·x + b) per doc → (id_col, margin:double, p:double).
+
+    ``all_ids`` (optional, a frame carrying ``id_col``): include docs
+    with zero features at the bias-only score — otherwise empty docs
+    are absent (they have no COO rows)."""
+    spark = feats.sparkSession
+    wdf = _weights_df(spark, weights)
+    dots = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("w")).alias("_dot"))
+    )
+    if all_ids is not None:
+        dots = all_ids.select(id_col).distinct().join(dots, id_col, "left")
+    margin = F.coalesce(F.col("_dot"), F.lit(0.0)) + F.lit(float(bias))
+    return dots.select(
+        id_col,
+        margin.alias("margin"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("p"),
+    )
+
+
+def train_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int,
+    iters: int = 50,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> tuple[list[float], float]:
+    """Full-batch logistic regression on COO features → (weights, bias).
+
+    ``labels``: (id_col, label_col in {0, 1}). Each iteration runs ONE
+    Spark aggregation producing the dim-sized gradient (plus the bias
+    gradient): the executor-side work is an equi-join of the COO rows
+    against the broadcast current weights and a map-side-combinable
+    sum — the driver never sees a row of data, only ≤ dim+1 partial
+    sums. Gradients are averaged over n (scale-free learning rate);
+    optional L2 on the weights (not the bias).
+
+    The labeled set is typically small (a seed set of curated
+    good/bad docs) but NOTHING here requires it: the same plan trains
+    on 10^9 labeled rows, because state = dim floats, not n.
+    """
+    joined = (
+        feats.join(labels.select(id_col, label_col), id_col)
+        .select(
+            id_col,
+            "bucket",
+            "x",
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .persist()
+    )
+    try:
+        n = joined.select(id_col).distinct().count()
+        if n == 0:
+            raise ValueError("no labeled docs after the feature join")
+        w = [0.0] * dim
+        b = 0.0
+        spark = feats.sparkSession
+        for _ in range(iters):
+            wdf = F.broadcast(_weights_df(spark, w))
+            per_doc = (
+                joined.join(wdf, "bucket")
+                .groupBy(id_col)
+                .agg(
+                    F.sum(F.col("x") * F.col("w")).alias("_dot"),
+                    F.first("y").alias("y"),
+                )
+                .select(
+                    id_col,
+                    (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-(F.col("_dot") + F.lit(b))))
+                        - F.col("y")
+                    ).alias("err"),
+                )
+            )
+            g = (
+                joined.join(per_doc, id_col)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
+            ).collect()
+            gb = per_doc.agg(F.sum("err").alias("gb")).collect()[0]["gb"]
+            grad = {r["bucket"]: r["g"] for r in g}
+            for j in range(dim):
+                gj = grad.get(j, 0.0) / n + l2 * w[j]
+                w[j] -= lr * gj
+            b -= lr * (gb / n)
+        return w, b
+    finally:
+        joined.unpersist()
+
+
+def log_loss(
+    feats: DataFrame,
+    labels: DataFrame,
+    weights: list[float],
+    bias: float,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> float:
+    """Mean logistic loss over the labeled set (training diagnostics)."""
+    s = score(feats, weights, bias, id_col=id_col)
+    j = s.join(labels.select(id_col, label_col), id_col)
+    eps = 1e-12
+    row = j.agg(
+        F.avg(
+            -(
+                F.col(label_col).cast("double")
+                * F.log(F.greatest(F.col("p"), F.lit(eps)))
+                + (1.0 - F.col(label_col).cast("double"))
+                * F.log(F.greatest(1.0 - F.col("p"), F.lit(eps)))
+            )
+        ).alias("loss")
+    ).collect()[0]
+    return float(row["loss"])
+
+
+def quality_filter(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    threshold: float = 0.5,
+    dim: int = 512,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The deployment shape: score every doc with a trained model and
+    gate at ``threshold`` → docs columns + (p:double, keep:boolean).
+    Empty docs score the bias alone (σ(b)). One featurize pass + one
+    dim-broadcast join; corpus-linear."""
+    feats = featurize(docs, dim=dim, seed=seed, id_col=id_col, text_col=text_col)
+    s = score(feats, weights, bias, id_col=id_col, all_ids=docs)
+    return docs.join(s.select(id_col, "p"), id_col, "left").select(
+        *[F.col(c) for c in docs.columns],
+        F.coalesce(
+            F.col("p"), F.lit(1.0 / (1.0 + math.exp(-bias)))
+        ).alias("p"),
+    ).withColumn("keep", F.col("p") >= F.lit(float(threshold)))

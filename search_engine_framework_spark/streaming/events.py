@@ -114,3 +114,130 @@ def run_stream_to_parquet(
     )
     q.awaitTermination()
     return q
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within: float | None = None,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel — the product-analytics classic ("of
+    the users who signed up, how many then viewed, then purchased, in
+    that order?"). A user reaches step i iff they performed step i at
+    or after their EARLIEST qualifying time for step i-1 (the standard
+    first-touch funnel); ``within`` additionally caps the whole journey
+    at ``within`` seconds from the step-1 time.
+
+    → (step_ix:int, step:string, n_users:long), one row per step,
+    n_users monotonically non-increasing.
+
+    Scale shape: one combinable (user, min-ts) aggregation per step —
+    k steps = k narrow shuffles over a frame that SHRINKS at every
+    stage (only users who reached step i-1 are joined against step i's
+    events); no per-user event list is ever materialized, so a
+    billion-event user costs the same as a ten-event one. The
+    equi-join on ``user_col`` broadcasts when the surviving cohort is
+    small (AQE), which is exactly the funnel's shape: step 1 is
+    corpus-sized, step k is conversions."""
+    if not steps:
+        raise ValueError("funnel_counts needs at least one step")
+    # parquet TIMESTAMP_NTZ cannot cast straight to double; routing via
+    # timestamp_ltz interprets the wall clock in the session timezone
+    # (UTC in this engine's sessions — session.py) = DuckDB's epoch()
+    ts = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    reached = None  # (user, t_i, t_first)
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), ts.alias("_t")
+        )
+        if i == 0:
+            reached = ev.groupBy("_u").agg(F.min("_t").alias("_ti"))
+            reached = reached.select("_u", "_ti", F.col("_ti").alias("_t0"))
+        else:
+            cond = F.col("_t") >= F.col("_ti")
+            if within is not None:
+                cond = cond & (F.col("_t") <= F.col("_t0") + F.lit(float(within)))
+            reached = (
+                ev.join(reached, ev["_u"] == reached["_u"])
+                .where(cond)
+                .groupBy(ev["_u"].alias("_u2"))
+                .agg(
+                    F.min("_t").alias("_ti"),
+                    F.first("_t0").alias("_t0"),
+                )
+                .withColumnRenamed("_u2", "_u")
+            )
+        counts.append(
+            reached.agg(F.count("*").cast("long").alias("n"))
+            .select(
+                F.lit(i).cast("int").alias("step_ix"),
+                F.lit(step).alias("step"),
+                "n",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.withColumnRenamed("n", "n_users").orderBy("step_ix")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_seconds: float = 86400.0 * 7,
+    max_offset: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix — users grouped by the period of their
+    FIRST event (their cohort); for each cohort and period offset n,
+    the number of distinct cohort users active n periods later (offset
+    0 is the cohort size by construction).
+
+    → (cohort:long, period_offset:long, n_users:long) sorted by
+    (cohort, offset); cohort is the epoch-second start of the cohort
+    period. ``max_offset`` truncates the matrix width.
+
+    Scale shape: three combinable aggregations — per-user first-event
+    min, distinct (user, period) activity, then the (cohort, offset)
+    count — all narrow shuffles on user/cohort keys; the first-event
+    frame joins activity on user (user-cardinality-sized, the natural
+    join key). No windows, no event lists."""
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be positive")
+    p = F.lit(float(period_seconds))
+    ts = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    period = (F.floor(ts / p) * p).cast("long")
+    first = (
+        events.select(F.col(user_col).alias("_u"), period.alias("_p"))
+        .groupBy("_u")
+        .agg(F.min("_p").alias("_cohort"))
+    )
+    active = events.select(
+        F.col(user_col).alias("_u"), period.alias("_p")
+    ).distinct()
+    offs = (
+        active.join(first, "_u")
+        .select(
+            "_u",
+            "_cohort",
+            ((F.col("_p") - F.col("_cohort")) / p.cast("long"))
+            .cast("long")
+            .alias("_off"),
+        )
+    )
+    if max_offset is not None:
+        offs = offs.where(F.col("_off") <= max_offset)
+    return (
+        offs.groupBy("_cohort", "_off")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.col("_cohort").alias("cohort"),
+            F.col("_off").alias("period_offset"),
+            "n_users",
+        )
+        .orderBy("cohort", "period_offset")
+    )

@@ -1,0 +1,177 @@
+"""Linear quality classifier (pipeline/classify.py) — the fastText-style
+learned document filter. Locked here:
+
+* featurize: hashlib-replayable bucket hash, L1 normalization, empty
+  docs produce no rows, partitioning-independent output;
+* score: exact agreement with an independent numpy/hashlib oracle;
+* train_logreg: loss strictly decreases and a separable vocabulary is
+  classified perfectly; gradient matches a hand-derived one-step value;
+* quality_filter: empty docs score the bias alone; gate semantics.
+"""
+
+import hashlib
+import math
+
+import pytest
+
+from search_engine_framework_spark.pipeline import classify
+
+
+def _bucket(tok: str, dim: int, seed: int = 0) -> int:
+    return int(hashlib.md5(f"{tok}|{seed}".encode()).hexdigest()[:4], 16) % dim
+
+
+def _py_feats(text: str, dim: int, seed: int = 0) -> dict[int, float]:
+    toks = [t for t in "".join(
+        c if c.isalnum() else " " for c in text.lower()
+    ).split() if t]
+    out: dict[int, float] = {}
+    for t in toks:
+        b = _bucket(t, dim, seed)
+        out[b] = out.get(b, 0.0) + 1.0
+    n = sum(out.values())
+    return {b: v / n for b, v in out.items()} if n else {}
+
+
+def test_featurize_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "cat dog cat"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = classify.featurize(docs, dim=32).collect()
+    got = {(r["doc_id"], r["bucket"]): r["x"] for r in rows}
+    want = _py_feats("cat dog cat", 32)
+    assert {b for (d, b) in got if d == 0} == set(want)
+    for b, x in want.items():
+        assert got[(0, b)] == pytest.approx(x)
+    # L1 normalized
+    assert sum(x for (d, _), x in got.items() if d == 0) == pytest.approx(1.0)
+    # empty/NULL docs → no rows
+    assert not [1 for (d, _) in got if d in (1, 2)]
+
+
+def test_featurize_partitioning_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r["doc_id"], r["bucket"], round(r["x"], 12))
+        for r in classify.featurize(docs, dim=64).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["bucket"], round(r["x"], 12))
+        for r in classify.featurize(docs.repartition(13), dim=64).collect()
+    )
+    assert a == b
+
+
+def test_score_matches_python_oracle(spark):
+    import random
+
+    rng = random.Random(3)
+    dim = 16
+    texts = [
+        (i, " ".join(rng.choice("a b c d e f g h".split())
+                     for _ in range(rng.randint(1, 12))))
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    w = [rng.uniform(-1, 1) for _ in range(dim)]
+    bias = 0.3
+    feats = classify.featurize(docs, dim=dim)
+    got = {
+        r["doc_id"]: (r["margin"], r["p"])
+        for r in classify.score(feats, w, bias).collect()
+    }
+    for i, text in texts:
+        fx = _py_feats(text, dim)
+        m = sum(x * w[b] for b, x in fx.items()) + bias
+        assert got[i][0] == pytest.approx(m, rel=1e-9)
+        assert got[i][1] == pytest.approx(1.0 / (1.0 + math.exp(-m)), rel=1e-9)
+
+
+def _seed_set(spark):
+    """Separable corpus: 'good' docs share a clean vocabulary, 'bad'
+    docs a spammy one."""
+    rows = []
+    for i in range(30):
+        rows.append((i, f"insightful analysis careful method result{i % 5}", 1))
+    for i in range(30, 60):
+        rows.append((i, f"click buy cheap winner prize{i % 5}", 0))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in rows], "doc_id long, label int"
+    )
+    return docs, labels
+
+
+def test_train_separates_and_loss_decreases(spark):
+    docs, labels = _seed_set(spark)
+    dim = 64
+    feats = classify.featurize(docs, dim=dim).persist()
+    w0, b0 = [0.0] * dim, 0.0
+    loss0 = classify.log_loss(feats, labels, w0, b0)
+    w, b = classify.train_logreg(feats, labels, dim=dim, iters=15, lr=5.0)
+    loss1 = classify.log_loss(feats, labels, w, b)
+    assert loss1 < loss0  # loss0 = ln 2 at the zero model
+    preds = {
+        r["doc_id"]: r["p"] for r in classify.score(feats, w, b).collect()
+    }
+    labs = {r["doc_id"]: r["label"] for r in labels.collect()}
+    acc = sum(
+        1 for d, p in preds.items() if (p >= 0.5) == (labs[d] == 1)
+    ) / len(preds)
+    assert acc == 1.0  # separable vocabularies
+    feats.unpersist()
+
+
+def test_train_one_step_gradient(spark):
+    """One GD step from zero on one doc: σ(0) = 0.5, err = 0.5 − y, so
+    w_j = −lr · x_j · err / n and b = −lr · err / n — hand-checkable."""
+    docs = spark.createDataFrame([(0, "cat dog")], "doc_id long, text string")
+    labels = spark.createDataFrame([(0, 1)], "doc_id long, label int")
+    dim = 8
+    feats = classify.featurize(docs, dim=dim)
+    w, b = classify.train_logreg(feats, labels, dim=dim, iters=1, lr=1.0)
+    fx = _py_feats("cat dog", dim)
+    err = 0.5 - 1.0
+    for j in range(dim):
+        assert w[j] == pytest.approx(-fx.get(j, 0.0) * err, abs=1e-12)
+    assert b == pytest.approx(-err)
+
+
+def test_quality_filter_gate_and_empty_docs(spark):
+    docs, labels = _seed_set(spark)
+    docs = docs.union(
+        docs.sparkSession.createDataFrame(
+            [(999, "")], "doc_id long, text string"
+        )
+    )
+    dim = 64
+    feats = classify.featurize(docs, dim=dim)
+    w, b = classify.train_logreg(feats, labels, dim=dim, iters=15, lr=5.0)
+    out = {
+        r["doc_id"]: (r["p"], r["keep"])
+        for r in classify.quality_filter(
+            docs, w, b, threshold=0.5, dim=dim
+        ).collect()
+    }
+    assert len(out) == 61
+    # empty doc scores the bias alone
+    assert out[999][0] == pytest.approx(1.0 / (1.0 + math.exp(-b)), rel=1e-9)
+    labs = {r["doc_id"]: r["label"] for r in labels.collect()}
+    for d, y in labs.items():
+        assert out[d][1] == (y == 1)
+
+
+def test_validation(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        classify.featurize(docs, dim=1)
+    feats = classify.featurize(docs, dim=8)
+    empty_labels = spark.createDataFrame([], "doc_id long, label int")
+    with pytest.raises(ValueError, match="no labeled"):
+        classify.train_logreg(feats, empty_labels, dim=8, iters=1)

@@ -1,0 +1,136 @@
+"""Ordered funnel + cohort retention (streaming/events.py batch
+analytics over the events table). Hand-computed fixtures pin the
+first-touch funnel semantics (step i counted only at/after the user's
+earliest qualifying step i-1 time; optional overall window from step 1)
+and the cohort matrix (cohort = period of first event; offset 0 =
+cohort size)."""
+
+import datetime as dt
+
+import pytest
+
+from search_engine_framework_spark.streaming import events as ev
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), t)
+            for u, s, t in rows
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_hand_computed(spark):
+    rows = [
+        # u1: full ordered journey
+        (1, 0, "signup"), (1, 10, "view"), (1, 20, "purchase"),
+        # u2: purchase BEFORE view → reaches view, not purchase
+        (2, 0, "signup"), (2, 30, "view"), (2, 25, "purchase"),
+        # u3: view before signup doesn't count; no view after
+        (3, 50, "signup"), (3, 40, "view"),
+        # u4: never signs up
+        (4, 0, "view"), (4, 5, "purchase"),
+    ]
+    out = {
+        (r["step_ix"], r["step"]): r["n_users"]
+        for r in ev.funnel_counts(
+            _df(spark, rows), ["signup", "view", "purchase"]
+        ).collect()
+    }
+    assert out == {
+        (0, "signup"): 3,   # u1 u2 u3
+        (1, "view"): 2,     # u1 u2
+        (2, "purchase"): 1, # u1
+    }
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # step at the SAME instant as the previous step qualifies (>=)
+    rows = [(1, 0, "a"), (1, 0, "b")]
+    out = {
+        r["step"]: r["n_users"]
+        for r in ev.funnel_counts(_df(spark, rows), ["a", "b"]).collect()
+    }
+    assert out == {"a": 1, "b": 1}
+
+
+def test_funnel_within_window(spark):
+    rows = [
+        (1, 0, "a"), (1, 5, "b"),     # inside the 10s window
+        (2, 0, "a"), (2, 60, "b"),    # b too late
+        # u3: first 'a' at 0; second 'a' at 50 does NOT reset the clock
+        (3, 0, "a"), (3, 50, "a"), (3, 55, "b"),
+    ]
+    out = {
+        r["step"]: r["n_users"]
+        for r in ev.funnel_counts(
+            _df(spark, rows), ["a", "b"], within=10.0
+        ).collect()
+    }
+    assert out == {"a": 3, "b": 1}
+
+
+def test_funnel_monotone_on_synth(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for u in range(30):
+        for _ in range(rng.randint(1, 12)):
+            rows.append(
+                (u, rng.randint(0, 1000),
+                 rng.choice(["signup", "view", "purchase", "error"]))
+            )
+    out = [
+        r["n_users"]
+        for r in ev.funnel_counts(
+            _df(spark, rows), ["signup", "view", "purchase"]
+        ).collect()
+    ]
+    assert out == sorted(out, reverse=True)
+
+
+def test_funnel_validation(spark):
+    with pytest.raises(ValueError):
+        ev.funnel_counts(_df(spark, [(1, 0, "a")]), [])
+
+
+def test_retention_hand_computed(spark):
+    day = 86400.0
+    rows = [
+        # u1: first day 0, active days 0, 1, 3
+        (1, 0, "x"), (1, int(day) + 5, "x"), (1, 3 * int(day) + 1, "x"),
+        # u2: first day 0, active day 0 only (two events same day)
+        (2, 10, "x"), (2, 20, "x"),
+        # u3: first day 1, active days 1 and 2
+        (3, int(day) + 1, "x"), (3, 2 * int(day) + 1, "x"),
+    ]
+    out = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in ev.retention_cohorts(
+            _df(spark, rows), period_seconds=day
+        ).collect()
+    }
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    c0 = int(base // day * day)
+    c1 = int((base + day) // day * day)
+    assert out[(c0, 0)] == 2  # u1 u2
+    assert out[(c0, 1)] == 1  # u1
+    assert out[(c0, 3)] == 1  # u1
+    assert (c0, 2) not in out  # sparse: nobody from cohort 0 on day 2
+    assert out[(c1, 0)] == 1 and out[(c1, 1)] == 1  # u3
+    # offset 0 equals cohort size by construction
+    assert out[(c0, 0)] >= max(v for (c, o), v in out.items() if c == c0)
+
+
+def test_retention_max_offset_and_validation(spark):
+    day = 86400.0
+    rows = [(1, 0, "x"), (1, int(day) * 5, "x")]
+    out = ev.retention_cohorts(
+        _df(spark, rows), period_seconds=day, max_offset=2
+    ).collect()
+    assert {r["period_offset"] for r in out} == {0}
+    with pytest.raises(ValueError):
+        ev.retention_cohorts(_df(spark, rows), period_seconds=0)
