@@ -1043,6 +1043,64 @@ CLS_W = [round(((j * 37) % 21 - 10) / 10.0, 4) for j in range(CLS_DIM)]
 CLS_B = 0.25
 
 
+def q_sorted_search(spark, sf_dir):
+    """Field-sorted retrieval (Elasticsearch sort-API analog): the
+    #OR(spark merge) match set ordered by the source metadata column
+    (asc) with the ext_id tie-break, relevance score still returned."""
+    from .plans.models import RankedBoolean
+
+    eng = get_engine(spark, sf_dir)
+    out = eng.search_sorted(
+        "#OR(spark merge)", RankedBoolean(), ["tool asc"], k=25
+    )
+    return out.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("score"),
+    )
+
+
+def q_rescore_phrase(spark, sf_dir):
+    """Two-pass rescoring (Elasticsearch rescore-API analog): BM25
+    first pass, then the top window re-ranked with a +0.5 boost for
+    docs containing the exact phrase "spark merge" (adjacent, in
+    order) — the classic phrase-boost rescorer."""
+    from .plans.models import BM25, UnrankedBoolean
+
+    eng = get_engine(spark, sf_dir)
+    out = eng.search_rescore(
+        BM25_QUERY, BM25(),
+        "#NEAR/1(spark merge)", UnrankedBoolean(),
+        window=BM25_K, k=BM25_K, rescore_weight=0.5,
+    )
+    return out.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
+PERCOLATE_QUERIES = {
+    "q_and": "#AND(spark merge)",
+    "q_or": "#OR(window data)",
+    "q_near": "#NEAR/2(spark merge)",
+    "q_msm": "#MSM/2(spark merge window)",
+}
+
+
+def q_percolate(spark, sf_dir):
+    """Percolator (Elasticsearch percolate analog — reverse search):
+    the whole documents table treated as an ingest batch, matched
+    against four stored structured queries; one analyze pass, set
+    algebra per query, one unioned plan."""
+    from .percolate import percolate
+
+    docs = _read(spark, sf_dir, "documents")
+    return percolate(
+        docs, PERCOLATE_QUERIES, cfg=AnalyzerConfig.sql_safe()
+    )
+
+
 FUNNEL_STEPS = ["signup", "view", "purchase"]
 FUNNEL_WITHIN = 7 * 86400.0
 RETENTION_PERIOD = 7 * 86400.0
@@ -2660,6 +2718,45 @@ FROM documents d LEFT JOIN dots ON dots.doc_id = d.doc_id
 
 ORACLE_SQL["classify_score"] = _classify_sql()
 
+ORACLE_SQL["sorted_search"] = (
+    _SQL_BASE
+    + """,
+m AS (
+  SELECT doc_id, max(tf)::DOUBLE AS score FROM tf
+  WHERE term IN ('spark', 'merge') GROUP BY 1
+),
+s AS (
+  SELECT m.doc_id, m.score, COALESCE(d.source, '') AS tool
+  FROM m JOIN documents d USING (doc_id)
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY tool ASC, doc_id ASC)::BIGINT AS rank,
+       score
+FROM s ORDER BY tool ASC, doc_id ASC LIMIT 25
+"""
+)
+
+ORACLE_SQL["percolate"] = (
+    _SQL_BASE
+    + """
+SELECT 'q_and' AS query_id, doc_id FROM tf WHERE term = 'spark'
+  AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+UNION ALL
+SELECT DISTINCT 'q_or', doc_id FROM tf WHERE term IN ('window', 'data')
+UNION ALL
+SELECT DISTINCT 'q_near', t1.doc_id
+FROM tokpos t1 JOIN tokpos t2
+  ON t1.doc_id = t2.doc_id AND t1.term = 'spark' AND t2.term = 'merge'
+ AND t2.pos - t1.pos BETWEEN 1 AND 2
+UNION ALL
+SELECT 'q_msm', doc_id FROM (
+  SELECT doc_id FROM tf WHERE term IN ('spark', 'merge', 'window')
+  GROUP BY doc_id HAVING count(*) >= 2
+)
+ORDER BY query_id, doc_id
+"""
+)
+
 ORACLE_SQL["funnel"] = f"""
 WITH e AS (
   SELECT user_id AS u, event_type AS et, epoch(ts)::DOUBLE AS t FROM events
@@ -3362,6 +3459,31 @@ FROM vals
 """
 )
 
+ORACLE_SQL["rescore_phrase"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+phrase AS (
+  SELECT DISTINCT t1.doc_id
+  FROM tokpos t1 JOIN tokpos t2
+    ON t1.doc_id = t2.doc_id AND t1.term = 'spark' AND t2.term = 'merge'
+   AND t2.pos - t1.pos = 1
+),
+comb AS (
+  SELECT l.doc_id,
+         ls.s + 0.5 * (CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+           AS s
+  FROM lex l
+  JOIN lexscored ls ON ls.doc_id = l.doc_id
+  LEFT JOIN phrase p ON p.doc_id = l.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+       round(s, 4) + 0.0 AS score
+FROM comb ORDER BY s DESC, doc_id ASC
+"""
+)
+
 ORACLE_SQL["facet_ranges"] = (
     _SQL_BASE
     + _LEX_RANK_SQL
@@ -3549,6 +3671,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classify_score": q_classify_score,
     "funnel": q_funnel,
     "retention": q_retention,
+    "sorted_search": q_sorted_search,
+    "rescore_phrase": q_rescore_phrase,
+    "percolate": q_percolate,
     "simhash_pairs": q_simhash_pairs,
     "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
     "ivf_store": q_ivf_store,

@@ -887,6 +887,129 @@ class SearchEngine:
             (F.col("turn_idx") - F.col("h_turn")).cast("long").alias("offset"),
         )
 
+    def search_sorted(
+        self,
+        query: str,
+        model: RetrievalModel,
+        sort_by: list[str],
+        k: int = 100,
+        doc_filter: str | None = None,
+    ) -> DataFrame:
+        """Field-sorted retrieval — the Elasticsearch ``sort`` API
+        analog: the query defines the MATCH SET, the ORDER comes from
+        docmap metadata columns instead of the relevance score (which
+        is still computed and returned, like ES returning _score under
+        a custom sort). ``sort_by`` entries are ``"col"`` or
+        ``"col asc|desc"``; ``ext_id asc`` is appended as the final
+        tie-break, so the order is total and pagination-stable.
+
+        → DataFrame(doc_id, ext_id, rank, score) in the requested
+        order. Cost: the same scored-match plan as :meth:`search_df`
+        plus ONE TakeOrderedAndProject on the sort keys — sorting by
+        metadata never re-scans the corpus (the docmap join is already
+        in the plan). NULL sort values order last on asc, first on desc
+        (Spark default), matching the ES ``missing: _last`` default.
+        """
+        if not sort_by:
+            raise ValueError("search_sorted needs at least one sort key")
+        node = self._parse(query, model)
+        if node is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, ext_id string, rank int, score double"
+            )
+        compiler = QueryCompiler(self.reader, model)
+        compiler.prepare(node)
+        try:
+            scored = compiler.compile_query(node)
+            docmap = self.reader.docmap()
+            if doc_filter is not None:
+                docmap = docmap.where(F.expr(doc_filter))
+            joined = scored.join(docmap, "doc_id")
+            order = []
+            for spec in sort_by:
+                parts = spec.split()
+                if len(parts) not in (1, 2) or (
+                    len(parts) == 2 and parts[1].lower() not in ("asc", "desc")
+                ):
+                    raise ValueError(f"bad sort spec {spec!r}")
+                c = F.col(parts[0])
+                order.append(
+                    c.desc()
+                    if len(parts) == 2 and parts[1].lower() == "desc"
+                    else c.asc()
+                )
+            order.append(F.asc("ext_id"))
+            rows = joined.orderBy(*order).limit(k).collect()
+        finally:
+            compiler.release()
+        out = [
+            (r["doc_id"], r["ext_id"], i + 1, float(r["score"]))
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(
+            out, "doc_id long, ext_id string, rank int, score double"
+        )
+
+    def search_rescore(
+        self,
+        query: str,
+        model: RetrievalModel,
+        rescore_query: str,
+        rescore_model: RetrievalModel,
+        window: int = 50,
+        k: int = 10,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> DataFrame:
+        """Two-pass rescoring — the Elasticsearch ``rescore`` API
+        analog: a cheap first pass ranks the corpus, then ONLY the top
+        ``window`` docs are re-ranked by ``query_weight · primary +
+        rescore_weight · secondary``, where the secondary score comes
+        from a more expensive query (the classic use: boost exact-
+        phrase matches over the bag-of-words ranking). Docs outside the
+        window keep their first-pass fate — the rescore can reorder
+        within the window but never pull a doc into it (exactly the ES
+        contract, and why window ≥ k matters).
+
+        → DataFrame(doc_id, ext_id, rank, score) — combined-score
+        order, (score desc, ext_id asc) ties, top ``k``.
+
+        Cost: first pass = :meth:`search` (fast path / block pruning
+        eligible as usual); second pass = one scored-match plan joined
+        against a ``window``-row broadcast — the secondary query's cost
+        is bounded by its own match set, never the window by the
+        corpus."""
+        if window < k:
+            raise ValueError("rescore window must be >= k")
+        top = self.search(query, model, k=window)
+        sec = self.search_df(rescore_query, rescore_model).select(
+            "doc_id", F.col("score").alias("_s2")
+        )
+        combined = (
+            top.join(sec, "doc_id", "left")
+            .select(
+                "doc_id",
+                "ext_id",
+                (
+                    F.lit(float(query_weight)) * F.col("score")
+                    + F.lit(float(rescore_weight))
+                    * F.coalesce(F.col("_s2"), F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+        rows = (
+            combined.orderBy(F.desc("score"), F.asc("ext_id"))
+            .limit(k)
+            .collect()
+        )
+        out = [
+            (r["doc_id"], r["ext_id"], i + 1, float(r["score"]))
+            for i, r in enumerate(rows)
+        ]
+        return self.spark.createDataFrame(
+            out, "doc_id long, ext_id string, rank int, score double"
+        )
+
     def search_collapsed(
         self, query: str, model: RetrievalModel, k: int = 100
     ) -> DataFrame:

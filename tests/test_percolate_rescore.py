@@ -1,0 +1,214 @@
+"""Percolator (reverse search), field-sorted retrieval, and two-pass
+rescoring — ES percolate / sort / rescore analogs."""
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.percolate import percolate
+from search_engine_framework_spark.plans.models import (
+    BM25,
+    RankedBoolean,
+    UnrankedBoolean,
+)
+
+CFG = AnalyzerConfig.reference()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    paths, _, _ = tiny_index
+    return SearchEngine(spark, paths, CFG)
+
+
+# ---------------------------------------------------------------- percolate
+
+def _batch(spark):
+    return spark.createDataFrame(
+        [
+            (0, "spark merges the shuffle files"),
+            (1, "merge spark quickly"),
+            (2, "spark spark spark"),
+            (3, "a merge of windows"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_percolate_boolean_ops(spark):
+    out = percolate(
+        _batch(spark),
+        {
+            "and": "#AND(spark merge)",
+            "or": "#OR(spark merge)",
+            "not": "#NOT(spark)",
+            "msm": "#MSM/2(spark merge window)",
+        },
+        cfg=CFG,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # kstem analyzer: merges→merge, windows→window
+    assert got["and"] == {0, 1}
+    assert got["or"] == {0, 1, 2, 3}
+    assert got["not"] == {3, 4}
+    assert got["msm"] == {0, 1, 3}  # 3 matches merge+window
+
+
+def test_percolate_positional(spark):
+    out = percolate(
+        _batch(spark),
+        {
+            "phrase": "#NEAR/1(spark merge)",   # adjacent, in order
+            "near3": "#NEAR/3(merge spark)",
+            "win": "#WINDOW/4(spark merge)",    # unordered span <= 4
+        },
+        cfg=CFG,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # doc0: spark@0 merge@1 → phrase; doc1: merge@0 spark@1 (wrong order)
+    assert got["phrase"] == {0}
+    assert got["near3"] == {1}
+    assert got.get("win", set()) == {0, 1}
+
+
+def test_percolate_analyzer_parity(spark):
+    docs = spark.createDataFrame(
+        [(0, "indexing engines")], "doc_id long, text string"
+    )
+    out = percolate(docs, {"q": "#AND(indexes engine)"}, cfg=CFG).collect()
+    # kstem maps indexing/indexes→index, engines/engine→engine
+    assert [(r["query_id"], r["doc_id"]) for r in out] == [("q", 0)]
+    # an all-stopword stored query matches nothing
+    assert percolate(docs, {"s": "the of and"}, cfg=CFG).count() == 0
+
+
+def test_percolate_near_exists_semantics(spark):
+    # chain must exist with EVERY consecutive gap in [1, n]
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha gamma beta")],
+        "doc_id long, text string",
+    )
+    out = percolate(docs, {"q": "#NEAR/1(alpha beta gamma)"}, cfg=CFG).collect()
+    assert [(r["doc_id"]) for r in out] == [0]
+
+
+def test_percolate_errors(spark):
+    docs = _batch(spark)
+    with pytest.raises(ValueError):
+        percolate(docs, {})
+    with pytest.raises(ValueError, match="one text field"):
+        percolate(docs, {"q": "spark.role"}, cfg=CFG).collect()
+    with pytest.raises(ValueError, match="plain terms"):
+        percolate(docs, {"q": "#NEAR/2(#SYN(a b) c)"}, cfg=CFG).collect()
+
+
+# ------------------------------------------------------------ search_sorted
+
+def test_search_sorted_order_and_match_set(engine):
+    hits = engine.search_sorted(
+        "#OR(search engine)", RankedBoolean(), ["role desc"], k=500
+    ).collect()
+    match = {
+        r["doc_id"]
+        for r in engine.search_df("#OR(search engine)", RankedBoolean()).collect()
+    }
+    assert {r["doc_id"] for r in hits} == match
+    # order: role desc (via docmap join), then ext_id asc
+    dm = {
+        r["doc_id"]: r["role"]
+        for r in engine.reader.docmap().select("doc_id", "role").collect()
+    }
+    keys = [(dm[r["doc_id"]], r["ext_id"]) for r in hits]
+    assert keys == sorted(keys, key=lambda t: (_neg(t[0]), t[1]))
+    assert [r["rank"] for r in hits] == list(range(1, len(hits) + 1))
+
+
+def _neg(s):  # descending string sort helper
+    return tuple(-ord(c) for c in s)
+
+
+def test_search_sorted_k_cut_and_validation(engine):
+    top3 = engine.search_sorted(
+        "#OR(search engine)", RankedBoolean(), ["role asc"], k=3
+    ).collect()
+    assert len(top3) == 3
+    with pytest.raises(ValueError):
+        engine.search_sorted("search", RankedBoolean(), [])
+    with pytest.raises(ValueError, match="bad sort spec"):
+        engine.search_sorted("search", RankedBoolean(), ["role sideways"])
+
+
+# ----------------------------------------------------------- search_rescore
+
+def test_rescore_window_and_math(engine):
+    window, k = 30, 10
+    first = {
+        r["doc_id"]: r["score"]
+        for r in engine.search("search engine index", BM25(), k=window).collect()
+    }
+    sec = {
+        r["doc_id"]: r["score"]
+        for r in engine.search_df(
+            "#NEAR/1(search engine)", UnrankedBoolean()
+        ).collect()
+    }
+    got = engine.search_rescore(
+        "search engine index", BM25(),
+        "#NEAR/1(search engine)", UnrankedBoolean(),
+        window=window, k=k, rescore_weight=0.5,
+    ).collect()
+    assert len(got) == k
+    # rescored docs all come from the first-pass window
+    assert {r["doc_id"] for r in got} <= set(first)
+    # combined math + ordering
+    expect = sorted(
+        (
+            (1.0 * s + 0.5 * sec.get(d, 0.0), d)
+            for d, s in first.items()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    assert [
+        (r["score"], r["doc_id"]) for r in got
+    ] == pytest.approx([(s, d) for s, d in expect])
+
+
+def test_rescore_can_reorder(engine):
+    """A secondary boost must be able to lift a matching doc above a
+    non-matching doc within the window (docs outside keep their fate)."""
+    base = [
+        r["doc_id"]
+        for r in engine.search("search engine index", BM25(), k=30).collect()
+    ]
+    sec = {
+        r["doc_id"]
+        for r in engine.search_df("data", UnrankedBoolean()).collect()
+    }
+    assert 0 < len(sec & set(base)) < len(base)  # a real split
+    boosted = [
+        r["doc_id"]
+        for r in engine.search_rescore(
+            "search engine index", BM25(),
+            "data", UnrankedBoolean(),
+            window=30, k=30, rescore_weight=100.0,
+        ).collect()
+    ]
+    assert set(base) == set(boosted)
+    assert base != boosted  # the huge boost reorders
+    # every boosted doc now precedes every unboosted one
+    ranks = {d: i for i, d in enumerate(boosted)}
+    assert max(ranks[d] for d in sec & set(base)) < min(
+        ranks[d] for d in set(base) - sec
+    )
+
+
+def test_rescore_validation(engine):
+    with pytest.raises(ValueError, match="window"):
+        engine.search_rescore(
+            "search", BM25(), "engine", BM25(), window=5, k=10
+        )
