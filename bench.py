@@ -18,6 +18,10 @@ Components
   simhash          — 64-bit SimHash + banded pair search over documents.
   knn_brute        — exact cosine top-10 over embeddings.
   dedup_exact      — hash-groupBy exact dedup over documents.
+  classify_score   — quality-classifier inference over documents
+                     (hashed features + broadcast-weight sigmoid).
+  percolate        — 4 stored queries vs documents as an ingest batch.
+  events_funnel_retention — ordered funnel + weekly retention cohorts.
 
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
 scripts/scaling_bench.py, not here — see BENCH.md.
@@ -204,6 +208,40 @@ def main() -> None:
     t0 = time.time()
     similarity.cosine_topk(embs, qvec, k=10).collect()
     timings["knn_brute"] = round(time.time() - t0, 3)
+
+    # ---- round-2 additions -----------------------------------------------
+    # quality-classifier inference over the whole documents table (hashed
+    # features + broadcast-weight sigmoid — the corpus-linear filter pass)
+    from search_engine_framework_spark.contract import CLS_B, CLS_DIM, CLS_W
+    from search_engine_framework_spark.pipeline import classify
+
+    t0 = time.time()
+    classify.score(
+        classify.featurize(docs, dim=CLS_DIM), CLS_W, CLS_B, all_ids=docs
+    ).count()
+    timings["classify_score"] = round(time.time() - t0, 3)
+
+    # percolator: 4 stored queries against the whole documents table as
+    # one ingest batch (one analyze pass, one unioned plan)
+    from search_engine_framework_spark.contract import PERCOLATE_QUERIES
+    from search_engine_framework_spark.percolate import percolate
+
+    t0 = time.time()
+    percolate(
+        docs, PERCOLATE_QUERIES, cfg=AnalyzerConfig.sql_safe()
+    ).count()
+    timings["percolate"] = round(time.time() - t0, 3)
+
+    # event analytics: ordered funnel + weekly retention cohorts
+    from search_engine_framework_spark.streaming.events import (
+        funnel_counts, retention_cohorts,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    t0 = time.time()
+    funnel_counts(ev, ["signup", "view", "purchase"], within=7 * 86400.0).count()
+    retention_cohorts(ev, period_seconds=7 * 86400.0).count()
+    timings["events_funnel_retention"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
