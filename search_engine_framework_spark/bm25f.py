@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 
 from .index.reader import IndexReader
 
-__all__ = ["bm25f_scores", "bm25f_tilde_tf"]
+__all__ = ["bm25f_scores", "bm25f_tilde_tf", "dismax_scores"]
 
 
 def _b_for(b: float | dict[str, float], field: str) -> float:
@@ -130,3 +130,90 @@ def _scores_from_tilde(
 def bm25f_idf(n_docs: int, df: int) -> float:
     """Driver-side twin of the idf expression (tests)."""
     return math.log((n_docs - df + 0.5) / (df + 0.5))
+
+
+def dismax_scores(
+    reader: IndexReader,
+    terms: list[str],
+    fields: list[str],
+    tie: float = 0.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """DisMax — the Lucene DisjunctionMaxQuery / Solr dismax ``qf``
+    analog, the OTHER classic multi-field combiner next to BM25F: each
+    field scores the term as an independent BM25 evidence stream (its
+    OWN df, idf, and length normalization), and the per-term score is
+
+        max_f s(t,f,d)  +  tie · (sum_f s(t,f,d) − max_f s(t,f,d))
+
+    — ``tie = 0`` is pure best-field (a title hit is not inflated by a
+    body echo; the "albino elephant" fix), ``tie = 1`` degenerates to
+    the reference's operator-level ``#SUM(t.f1 t.f2)`` cross-field sum.
+    Per-doc score sums the per-term combinations (BooleanQuery-of-
+    DisMax, the Solr qf shape). → (doc_id, score), matching docs only.
+
+    Contrast with :func:`bm25f_scores`: BM25F combines term FREQUENCIES
+    before one saturation (principled when fields are one text with
+    different emphasis); DisMax combines SCORES after per-field
+    saturation (right when fields are alternative representations and
+    the best one should speak). Both are public-knowledge standards.
+
+    Spark shape: ONE bucket-pruned scan decodes all (term, field)
+    pairs (no positions); per-pair idf/avg_dl constants join in as a
+    |terms|×|fields| broadcast; the max/sum per (doc, term) and the
+    final per-doc fold are two map-side-combinable groupBys over
+    matching docs only. df is computed from the decoded postings, so
+    tombstoned docs never count (bm25f.py conventions).
+    """
+    if not terms or not fields:
+        raise ValueError("dismax needs at least one term and one field")
+    if not 0.0 <= tie <= 1.0:
+        raise ValueError("tie must be in [0, 1]")
+    pairs = {(t, f) for t in terms for f in fields}
+    # Lazy like bm25f_scores: the decode subtree appears twice (df
+    # aggregate now, scoring fold at the caller's action) — two cheap
+    # pruned scans; an eager top-k wrapper would persist it once.
+    post = reader.fetch_postings(pairs, need_positions=False).select(
+        "term", "field", "doc_id", "tf", "doclen"
+    )
+    n_docs = reader.num_docs
+    dfs = {
+        (r["term"], r["field"]): r["df"]
+        for r in post.groupBy("term", "field")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    const_rows = []
+    for t, f in pairs:
+        df = dfs.get((t, f), 0)
+        if df == 0:
+            continue  # field never matches the term: contributes 0
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+        avg = reader.avg_doclen(f)
+        const_rows.append((t, f, float(idf), float(avg)))
+    if not const_rows:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
+    consts = reader.spark.createDataFrame(
+        const_rows, "term string, field string, idf double, avg double"
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("doclen").cast("double")
+    s = F.col("idf") * (
+        tf
+        / (
+            tf
+            + F.lit(k1)
+            * ((1.0 - b) + F.lit(b) * dl / F.col("avg"))
+        )
+    )
+    per_tf = post.join(F.broadcast(consts), ["term", "field"]).select(
+        "doc_id", "term", s.alias("s")
+    )
+    per_term = per_tf.groupBy("doc_id", "term").agg(
+        (
+            F.max("s")
+            + F.lit(float(tie)) * (F.sum("s") - F.max("s"))
+        ).alias("c")
+    )
+    return per_term.groupBy("doc_id").agg(F.sum("c").alias("score"))

@@ -1571,6 +1571,59 @@ def q_bm25f(spark, sf_dir):
     )
 
 
+PHRASE_Q = "sow merg"
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """Phrase suggester (Elasticsearch phrase-suggest analog): SymSpell
+    per-term candidates beam-reranked under the corpus add-alpha bigram
+    LM. Two tokens × per_term 3 ≤ 9 phrases < beam 32, so the beam is
+    exhaustive and the DuckDB twin replays the exact arithmetic."""
+    from .pipeline.lm import lm_train
+    from .spell import suggest_phrase
+
+    docs = _read(spark, sf_dir, "documents")
+    from .pipeline.textstats import tokens_col
+
+    dic = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    bigrams, contexts, vocab = lm_train(docs)
+    out = suggest_phrase(
+        spark, dic, bigrams, contexts, vocab, [PHRASE_Q],
+        max_edit=1, per_term=3, topn=3,
+    )
+    return out.select(
+        "query",
+        "suggestion",
+        "rank",
+        _r4(F.col("logp")).alias("logp"),
+        "edits",
+    )
+
+
+DISMAX_TIE = 0.3
+
+
+def q_dismax(spark, sf_dir):
+    """DisMax multi-field scoring (Lucene DisjunctionMaxQuery / Solr
+    dismax qf analog) over the (body, tool) multi-field index: per
+    field an independent BM25 stream, per term max + tie·rest, summed
+    over terms."""
+    eng = get_mf_engine(spark, sf_dir)
+    out = eng.dismax_scores_df(
+        "spark merge src3", ["body", "tool"], tie=DISMAX_TIE
+    )
+    return out.select(
+        _orig_id(F.col("ext_id")), _r4(F.col("score")).alias("score")
+    )
+
+
 def q_collocations(spark, sf_dir):
     """Bigram PMI collocation mining over the documents table."""
     return textstats.collocations(
@@ -1921,6 +1974,57 @@ ids AS ({ids})
 SELECT ids.doc_id, round(0.0 + {score}, 4) + 0.0 AS score
 FROM ids
 {joins}
+"""
+    )
+
+
+def _dismax_sql() -> str:
+    """DisMax twin: per (term, field) BM25 rows (per-field df/avg, global
+    N) unioned, then the Spark plan's exact two groupBys — per (doc,
+    term) max + tie·(sum−max), per doc sum."""
+    terms = ["spark", "merge", "src3"]
+
+    def body(t: str) -> str:
+        return f"""
+  SELECT tf.doc_id, '{t}' AS term,
+         ln((cstats.n_docs - dfb.df + 0.5) / (dfb.df + 0.5))
+           * (tf.tf::DOUBLE / (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+              + 0.75 * (dl.doclen::DOUBLE
+                        / (cstats.sum_doclen::DOUBLE / cstats.doc_count)))))
+           AS s
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN cstats
+  CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM tf WHERE term = '{t}') dfb
+  WHERE tf.term = '{t}'
+"""
+
+    def tool(t: str) -> str:
+        return f"""
+  SELECT ttf.doc_id, '{t}' AS term,
+         ln((cstats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (ttf.tf::DOUBLE / (ttf.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+              + 0.75 * (tdl.doclen::DOUBLE
+                        / (tstats.sum_doclen::DOUBLE / tstats.doc_count)))))
+           AS s
+  FROM ttf JOIN tdl USING (doc_id) CROSS JOIN cstats CROSS JOIN tstats
+  CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM ttf WHERE term = '{t}') dft
+  WHERE ttf.term = '{t}'
+"""
+
+    union = "\n  UNION ALL\n".join(
+        f"SELECT * FROM ({body(t)})\n  UNION ALL\n  SELECT * FROM ({tool(t)})"
+        for t in terms
+    )
+    return (
+        _SQL_BASE + _SQL_TOOL + f""",
+allrows AS (
+  {union}
+),
+pt AS (
+  SELECT doc_id, term,
+         max(s) + {DISMAX_TIE!r} * (sum(s) - max(s)) AS c
+  FROM allrows GROUP BY 1, 2
+)
+SELECT doc_id, round(sum(c), 4) + 0.0 AS score FROM pt GROUP BY 1
 """
     )
 
@@ -3293,6 +3397,51 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 )
 ORACLE_SQL["bm25f"] = _bm25f_sql()
+ORACLE_SQL["dismax"] = _dismax_sql()
+
+ORACLE_SQL["phrase_suggest"] = (
+    _SQL_BASE
+    + """,
+vocab AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM tokpos),
+sumdf AS (SELECT sum(df)::DOUBLE AS s FROM dfreq),
+big AS (
+  SELECT t1.term AS v, t2.term AS w, count(*)::BIGINT AS c_vw
+  FROM tokpos t1 JOIN tokpos t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY 1, 2
+),
+ctx AS (SELECT v, sum(c_vw)::BIGINT AS c_v FROM big GROUP BY 1),
+c1 AS (
+  SELECT term, df, levenshtein('sow', term) AS dist,
+         row_number() OVER (ORDER BY levenshtein('sow', term) ASC,
+                            df DESC, term ASC) AS rk
+  FROM dfreq WHERE levenshtein('sow', term) <= 1
+),
+c2 AS (
+  SELECT term, df, levenshtein('merg', term) AS dist,
+         row_number() OVER (ORDER BY levenshtein('merg', term) ASC,
+                            df DESC, term ASC) AS rk
+  FROM dfreq WHERE levenshtein('merg', term) <= 1
+),
+phr AS (
+  SELECT t1.term AS a, t2.term AS b,
+         (t1.dist + t2.dist)::INT AS edits,
+         ln((t1.df::DOUBLE + 0.1) / (sumdf.s + 0.1 * vocab.v))
+         + ln((COALESCE(big.c_vw, 0)::DOUBLE + 0.1)
+              / (COALESCE(ctx.c_v, 0)::DOUBLE + 0.1 * vocab.v))
+         - 3.0 * (t1.dist + t2.dist) AS logp
+  FROM (SELECT * FROM c1 WHERE rk <= 3) t1
+  CROSS JOIN (SELECT * FROM c2 WHERE rk <= 3) t2
+  CROSS JOIN sumdf CROSS JOIN vocab
+  LEFT JOIN big ON big.v = t1.term AND big.w = t2.term
+  LEFT JOIN ctx ON ctx.v = t1.term
+)
+SELECT 'sow merg' AS query, a || ' ' || b AS suggestion,
+       row_number() OVER (ORDER BY logp DESC, a || ' ' || b ASC)::INT AS rank,
+       round(logp, 4) + 0.0 AS logp, edits
+FROM phr ORDER BY rank LIMIT 3
+"""
+)
 ORACLE_SQL["collocations"] = _SQL_BASE + _COLLOCATIONS_SQL_TAIL
 ORACLE_SQL["context_window"] = (
     _SQL_BASE
@@ -3686,6 +3835,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_vector": q_term_vector,
     "boosted_search": q_boosted_search,
     "bm25f": q_bm25f,
+    "dismax": q_dismax,
+    "phrase_suggest": q_phrase_suggest,
     "collocations": q_collocations,
     "context_window": q_context_window,
     "hybrid_rrf": q_hybrid_rrf,

@@ -805,6 +805,41 @@ class SearchEngine:
         docmap = self.reader.docmap().select("doc_id", "ext_id")
         return scored.join(docmap, "doc_id").select("doc_id", "ext_id", "score")
 
+    def dismax_scores_df(
+        self,
+        query: str,
+        fields: list[str],
+        tie: float = 0.0,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Lazy DisMax ranking (doc_id, ext_id, score) — the Lucene
+        DisjunctionMaxQuery / Solr dismax ``qf`` analog: per field an
+        independent BM25 stream, per term max + tie·rest, summed over
+        terms (bm25f.dismax_scores). tie=1 ≡ the reference's
+        operator-level #SUM(t.f1 t.f2) cross-field sum."""
+        from .bm25f import dismax_scores
+        from .functions.analyzer import analyze_terms
+
+        built = set(self.reader.stats.get("fields", {}))
+        for f in fields:
+            if f not in built:
+                raise UnknownFieldError(
+                    f"field {f!r} was never indexed (built: {sorted(built)})"
+                )
+        terms = list(dict.fromkeys(analyze_terms(query, self.analyzer)))
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, ext_id string, score double"
+            )
+        scored = dismax_scores(
+            self.reader, terms, fields, tie=tie, k1=k1, b=b
+        )
+        docmap = self.reader.docmap().select("doc_id", "ext_id")
+        return scored.join(docmap, "doc_id").select(
+            "doc_id", "ext_id", "score"
+        )
+
     # -- conversation-level retrieval ------------------------------------------
     _CONV_AGGS = {"sum": F.sum, "max": F.max, "avg": F.avg}
 

@@ -28,6 +28,7 @@ the neighborhood size, not the vocabulary.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -157,3 +158,136 @@ def suggest_prefix(
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(int(n))
     )
+
+
+def suggest_phrase(
+    spark: SparkSession,
+    dictionary: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab_size: int,
+    queries: Sequence[str],
+    *,
+    max_edit: int = 1,
+    per_term: int = 3,
+    topn: int = 3,
+    alpha: float = 0.1,
+    edit_penalty: float = 3.0,
+    beam: int = 32,
+) -> DataFrame:
+    """Whole-query did-you-mean — the Elasticsearch *phrase suggester*
+    analog: per-term SymSpell candidates re-ranked as PHRASES under the
+    corpus bigram language model, so "serch engin" corrects to
+    "search engine" even when "serch"→"search" and "engin"→"engine"
+    are each just one of several term-level options. The LM is the
+    add-alpha bigram model of pipeline/lm.py (lm_train over the same
+    corpus the dictionary came from).
+
+    Scoring (driver-side beam over candidate phrases):
+        ln P(t1 | prior)  +  Σ_i ln P(t_i | t_{i-1})  −  penalty · edits
+    with P(t1) = (df(t1) + α) / (Σdf + α·V) (the unigram prior from the
+    dictionary) and P(w|v) the LM's add-alpha bigram. ``edit_penalty``
+    is the per-edit log-space cost (ES's confidence/maxErrors knob);
+    ``beam`` bounds the left-to-right search frontier, so cost is
+    O(len · per_term · beam) — never the per_term^len cross product.
+
+    Distribution contract: candidate GENERATION is the distributed
+    SymSpell equi-join (:func:`suggest`); the LM statistics fetched are
+    only the rows among candidate terms (a semi-join-filtered collect,
+    ≤ (per_term·len)² rows); the beam itself runs on the driver over
+    that tiny set — the same bounded-collect pattern as MMR and
+    interleaving. Returns DataFrame(query, suggestion, rank:int,
+    logp:double, edits:int) with rank 1..topn per query by (logp desc,
+    suggestion asc)."""
+    import math as _math
+
+    if per_term < 1 or topn < 1 or beam < 1:
+        raise ValueError("per_term, topn, beam must be >= 1")
+    if vocab_size <= 0 or alpha <= 0:
+        raise ValueError("vocab_size and alpha must be positive")
+    queries = list(dict.fromkeys(queries))
+    if not queries:
+        raise ValueError("suggest_phrase needs at least one query")
+    qtokens = {
+        q: [t for t in re.split(r"[^a-z0-9]+", q.lower()) if t]
+        for q in queries
+    }
+    all_terms = sorted({t for ts in qtokens.values() for t in ts})
+    if not all_terms:
+        raise ValueError("queries analyze to no tokens")
+    cand_rows = suggest(
+        spark, dictionary, all_terms, max_edit=max_edit, topn=per_term
+    ).collect()
+    cands: dict[str, list[tuple[str, int, int]]] = {}
+    for r in cand_rows:
+        cands.setdefault(r["query"], []).append(
+            (r["term"], int(r["dist"]), int(r["df"]))
+        )
+    cand_terms = sorted({t for cs in cands.values() for t, _, _ in cs})
+    # LM rows restricted to candidate terms (tiny broadcast-side list)
+    bg = {
+        (r["v"], r["w"]): int(r["c_vw"])
+        for r in bigrams.where(
+            F.col("v").isin(cand_terms) & F.col("w").isin(cand_terms)
+        ).collect()
+    }
+    cv = {
+        r["v"]: int(r["c_v"])
+        for r in contexts.where(F.col("v").isin(cand_terms)).collect()
+    }
+    sum_df = dictionary.agg(F.sum("df")).collect()[0][0] or 1
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in dictionary.where(F.col("term").isin(cand_terms)).collect()
+    }
+    aV = alpha * float(vocab_size)
+
+    def p_first(t: str) -> float:
+        return _math.log((dfs.get(t, 0) + alpha) / (float(sum_df) + aV))
+
+    def p_next(v: str, w: str) -> float:
+        return _math.log(
+            (bg.get((v, w), 0) + alpha) / (cv.get(v, 0) + aV)
+        )
+
+    out_rows = []
+    for q in queries:
+        toks = qtokens[q]
+        if not toks:
+            continue
+        # beam over (phrase tuple, logp, edits)
+        frontier = [((), 0.0, 0)]
+        dead_end = False
+        for t in toks:
+            opts = cands.get(t)
+            if not opts:
+                dead_end = True  # no dictionary term within max_edit
+                break
+            nxt = []
+            for phrase, lp, ed in frontier:
+                for term, dist, _df in opts:
+                    step = (
+                        p_first(term) if not phrase else p_next(phrase[-1], term)
+                    )
+                    nxt.append(
+                        (
+                            phrase + (term,),
+                            lp + step - edit_penalty * dist,
+                            ed + dist,
+                        )
+                    )
+            nxt.sort(key=lambda x: (-x[1], x[0]))
+            frontier = nxt[:beam]
+        if dead_end:
+            continue
+        frontier.sort(key=lambda x: (-x[1], " ".join(x[0])))
+        for i, (phrase, lp, ed) in enumerate(frontier[:topn]):
+            out_rows.append((q, " ".join(phrase), i + 1, float(lp), ed))
+    if not out_rows:
+        return spark.createDataFrame(
+            [], "query string, suggestion string, rank int, logp double, edits int"
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "query string, suggestion string, rank int, logp double, edits int",
+    ).orderBy("query", "rank")

@@ -1,0 +1,89 @@
+"""Streaming alerting — percolation over a document stream.
+
+The batch percolator (percolate.py) answers "which stored queries match
+this batch"; an alerting deployment runs that continuously: documents
+stream in, every micro-batch percolates against the registered query
+set, and matches append to an alert log. This module wires the batch
+operator into Structured Streaming the idiomatic way — ``foreachBatch``
+— so the matching logic is ONE implementation shared by batch and
+stream (the same pattern as streaming/incremental.py's indexer):
+
+* exactly-once-per-batch: foreachBatch re-runs a failed batch, and the
+  sink dedups on (batch-not-yet-committed) via the standard
+  idempotent-append protocol — alerts carry ``batch_id`` so replays
+  overwrite their own partition (dynamic partition overwrite), never
+  duplicate;
+* per-batch cost is the percolator's: one analyze pass over the
+  micro-batch, Q plan branches, one job — state-free (stored queries
+  are re-read per batch, so registering a new query needs no restart).
+
+The reference engine is strictly batch (SURVEY.md §2.9); this is the
+Spark-native streaming extension of its query evaluator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.analyzer import AnalyzerConfig
+from ..percolate import percolate
+
+__all__ = ["percolate_stream"]
+
+
+def percolate_stream(
+    stream: DataFrame,
+    queries_provider: dict[str, str] | Callable[[], dict[str, str]],
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: AnalyzerConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Run the percolator over a streaming DataFrame of documents.
+
+    ``queries_provider`` — the stored-query registry: a dict, or a
+    zero-arg callable returning one (re-invoked every micro-batch, so
+    queries can be registered/retired while the stream runs — the
+    Elasticsearch percolator-index behavior without a restart).
+
+    Alerts append to ``out_dir`` as parquet partitioned by
+    ``batch_id``; a replayed micro-batch rewrites its own partition
+    (dynamic partition overwrite scoped to this writer), so the alert
+    log is exactly-once per (query, doc, batch). Returns the started
+    ``StreamingQuery``; with ``trigger_available_now`` the run drains
+    the available input and stops (the test/backfill mode; pass False
+    for a continuous micro-batch trigger)."""
+
+    def _queries() -> dict[str, str]:
+        return (
+            queries_provider()
+            if callable(queries_provider)
+            else queries_provider
+        )
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qs = _queries()
+        if not qs or batch_df.isEmpty():
+            return
+        matches = percolate(
+            batch_df, qs, cfg=cfg, id_col=id_col, text_col=text_col
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        (
+            matches.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,97 @@
+"""Streaming percolation alerts (streaming/alerts.py): the batch
+percolator run under Structured Streaming foreachBatch — matches land
+in a batch_id-partitioned alert log, checkpoint resume doesn't re-alert
+drained input, and a changed query registry takes effect on the next
+run without restart."""
+
+import os
+
+import pytest
+
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.streaming.alerts import percolate_stream
+
+CFG = AnalyzerConfig.sql_safe()
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run(spark, src, out, ckpt, queries):
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = percolate_stream(
+        stream, queries, out, ckpt, cfg=CFG
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _alerts(spark, out):
+    if not os.path.isdir(out):
+        return set()
+    try:
+        return {
+            (r["query_id"], r["doc_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+    except Exception:
+        return set()
+
+
+def test_stream_percolation_and_resume(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    queries = {"spark_and_merge": "#AND(spark merge)", "any_error": "error"}
+
+    _write_docs(
+        spark, src,
+        [(0, "spark merge job"), (1, "an error occurred"), (2, "nothing")],
+    )
+    _run(spark, src, out, ckpt, queries)
+    assert _alerts(spark, out) == {
+        ("spark_and_merge", 0),
+        ("any_error", 1),
+    }
+
+    # resume from the checkpoint: ONLY new files percolate (no re-alerts
+    # for drained input), and the alert log accumulates
+    _write_docs(spark, src, [(3, "merge then spark"), (4, "error again")])
+    _run(spark, src, out, ckpt, queries)
+    assert _alerts(spark, out) == {
+        ("spark_and_merge", 0),
+        ("any_error", 1),
+        ("spark_and_merge", 3),
+        ("any_error", 4),
+    }
+
+
+def test_stream_query_registry_is_live(spark, tmp_path):
+    """A callable provider is re-read per run — new queries fire on new
+    input without touching the checkpoint."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    registry = {"q1": "spark"}
+
+    _write_docs(spark, src, [(0, "spark here")])
+    _run(spark, src, out, ckpt, lambda: dict(registry))
+    assert _alerts(spark, out) == {("q1", 0)}
+
+    registry["q2"] = "merge"
+    _write_docs(spark, src, [(1, "merge there")])
+    _run(spark, src, out, ckpt, lambda: dict(registry))
+    assert _alerts(spark, out) == {("q1", 0), ("q2", 1)}
+
+
+def test_stream_empty_batch_no_output_dir(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, [(0, "no match here")])
+    _run(spark, src, out, ckpt, {"q": "#AND(spark merge)"})
+    # a batch with zero matches writes an empty (or absent) alert set
+    assert _alerts(spark, out) == set()

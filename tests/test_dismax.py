@@ -1,0 +1,114 @@
+"""DisMax multi-field scoring (bm25f.dismax_scores) — the Lucene
+DisjunctionMaxQuery / Solr dismax qf analog. Verified against an
+independent pure-Python implementation over PyIndex, plus the tie=1
+degeneration to the cross-field per-field-BM25 sum."""
+
+import math
+
+import pytest
+
+from search_engine_framework_spark.bm25f import dismax_scores
+from search_engine_framework_spark.engine import SearchEngine, UnknownFieldError
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.oracle.pyoracle import PyIndex
+
+CFG = AnalyzerConfig.reference()
+FIELDS = ["body", "role"]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    paths, _, _ = tiny_index
+    return SearchEngine(spark, paths)
+
+
+@pytest.fixture(scope="module")
+def pyidx(tiny_index):
+    _, rows, _ = tiny_index
+    return PyIndex.build(rows, fields=("body", "role"))
+
+
+def _py_dismax(idx: PyIndex, terms, fields, tie, k1=1.2, b=0.75):
+    # per (term, field): independent BM25 with that field's df/avg
+    scores: dict[int, float] = {}
+    for t in terms:
+        per_doc: dict[int, list[float]] = {}
+        for f in fields:
+            plist = idx.postings.get((t, f), [])
+            df = len(plist)
+            if not df:
+                continue
+            idf = math.log((idx.n_docs - df + 0.5) / (df + 0.5))
+            avg = idx.sum_doclen[f] / idx.doc_count[f]
+            for doc_id, tf, _pos in plist:
+                dl = idx.doclen[(doc_id, f)]
+                s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avg)))
+                per_doc.setdefault(doc_id, []).append(s)
+        for d, ss in per_doc.items():
+            comb = max(ss) + tie * (sum(ss) - max(ss))
+            scores[d] = scores.get(d, 0.0) + comb
+    return scores
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dismax_matches_python_oracle(engine, pyidx, tie):
+    terms = ["search", "user", "assistant"]  # user/assistant live in role
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dismax_scores(
+            engine.reader, terms, FIELDS, tie=tie
+        ).collect()
+    }
+    want = _py_dismax(pyidx, terms, FIELDS, tie)
+    assert set(got) == set(want) and got
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_dismax_cross_field_term_exercised(pyidx):
+    """Fixture sanity: at least one term must score in BOTH fields of
+    one doc, otherwise tie would be untested."""
+    both = set(d for d, _, _ in pyidx.postings.get(("user", "body"), [])) & set(
+        d for d, _, _ in pyidx.postings.get(("user", "role"), [])
+    )
+    assert both
+
+
+def test_dismax_tie_zero_is_best_field(engine, pyidx):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dismax_scores(engine.reader, ["user"], FIELDS, tie=0.0).collect()
+    }
+    for d, s in got.items():
+        per = []
+        for f in FIELDS:
+            plist = pyidx.postings.get(("user", f), [])
+            df = len(plist)
+            for doc_id, tf, _ in plist:
+                if doc_id != d:
+                    continue
+                idf = math.log((pyidx.n_docs - df + 0.5) / (df + 0.5))
+                avg = pyidx.sum_doclen[f] / pyidx.doc_count[f]
+                dl = pyidx.doclen[(d, f)]
+                per.append(
+                    idf * (tf / (tf + 1.2 * (0.25 + 0.75 * dl / avg)))
+                )
+        assert s == pytest.approx(max(per), rel=1e-9)
+
+
+def test_dismax_wrapper_and_field_validation(engine):
+    out = engine.dismax_scores_df("search user", FIELDS, tie=0.2).collect()
+    assert out and all(r["ext_id"] for r in out)
+    with pytest.raises(UnknownFieldError):
+        engine.dismax_scores_df("search", ["title"])
+    # all-stopword query → empty frame, no crash
+    assert engine.dismax_scores_df("the of", FIELDS).count() == 0
+
+
+def test_dismax_validation(engine):
+    with pytest.raises(ValueError):
+        dismax_scores(engine.reader, [], FIELDS)
+    with pytest.raises(ValueError):
+        dismax_scores(engine.reader, ["x"], [])
+    with pytest.raises(ValueError):
+        dismax_scores(engine.reader, ["x"], FIELDS, tie=1.5)

@@ -1,0 +1,115 @@
+"""Phrase suggester (spell.suggest_phrase) — the Elasticsearch phrase
+suggester analog: SymSpell per-term candidates beam-reranked under the
+corpus bigram LM. The planted-phrase fixture proves the LM does the
+work term-level ranking can't: the misspelled query's best correction
+is the COMMON BIGRAM, not each term's highest-df correction."""
+
+import pytest
+
+from search_engine_framework_spark.pipeline.lm import lm_train
+from search_engine_framework_spark.spell import suggest_phrase
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # "search engine" is a very common phrase; "search engird" never
+    # occurs, though "engird" is a frequent UNIGRAM (higher df than
+    # "engine") — term-level df ranking alone would pick it.
+    for i in range(60):
+        rows.append((i, "search engine optimization guide"))
+    for i in range(60, 150):
+        rows.append((i, "engird fastener engird bolt engird"))
+    rows.append((150, "searcher of lost things"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    bigrams, contexts, vocab = lm_train(corpus)
+    return bigrams, contexts, vocab
+
+
+@pytest.fixture(scope="module")
+def dictionary(spark, corpus):
+    import pyspark.sql.functions as F
+
+    from search_engine_framework_spark.pipeline.textstats import tokens_col
+
+    return (
+        corpus.select(
+            "doc_id", F.explode_outer(tokens_col(F.col("text"))).alias("term")
+        )
+        .where(F.col("term").isNotNull())
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+
+
+def test_phrase_beats_term_level(spark, dictionary, model):
+    bigrams, contexts, vocab = model
+    out = suggest_phrase(
+        spark, dictionary, bigrams, contexts, vocab,
+        ["serch engin"], max_edit=1, per_term=3, topn=3,
+    ).collect()
+    assert out
+    assert out[0]["suggestion"] == "search engine"
+    assert out[0]["rank"] == 1 and out[0]["edits"] == 2
+    # "engird" IS the df-heavier term-level candidate for "engin"?  No —
+    # levenshtein(engin, engird)=2 > max_edit 1; use the bigram check
+    # instead: "search engird" must rank below "search engine" if present
+    ranked = [r["suggestion"] for r in out]
+    assert ranked.index("search engine") == 0
+
+
+def test_phrase_bigram_dominates_unigram_df(spark, dictionary, model):
+    """With max_edit=2 'engird' (df 90) becomes a candidate for 'engin'
+    alongside 'engine' (df 60). The bigram LM must still prefer
+    'search engine' — P(engird | search) ≈ 0."""
+    bigrams, contexts, vocab = model
+    out = suggest_phrase(
+        spark, dictionary, bigrams, contexts, vocab,
+        ["serch engin"], max_edit=2, per_term=5, topn=5,
+    ).collect()
+    sugg = [r["suggestion"] for r in out]
+    assert sugg[0] == "search engine"
+    assert any(s == "search engird" for s in sugg)  # candidate existed
+
+
+def test_correct_query_suggests_itself(spark, dictionary, model):
+    bigrams, contexts, vocab = model
+    out = suggest_phrase(
+        spark, dictionary, bigrams, contexts, vocab,
+        ["search engine"], topn=1,
+    ).collect()
+    assert out[0]["suggestion"] == "search engine"
+    assert out[0]["edits"] == 0
+
+
+def test_unfixable_term_yields_no_suggestion(spark, dictionary, model):
+    bigrams, contexts, vocab = model
+    out = suggest_phrase(
+        spark, dictionary, bigrams, contexts, vocab,
+        ["zzzzqqqq engine"], max_edit=1,
+    ).collect()
+    assert out == []
+
+
+def test_multiple_queries_and_validation(spark, dictionary, model):
+    bigrams, contexts, vocab = model
+    out = suggest_phrase(
+        spark, dictionary, bigrams, contexts, vocab,
+        ["serch engin", "search engine"], topn=2,
+    ).collect()
+    qs = {r["query"] for r in out}
+    assert qs == {"serch engin", "search engine"}
+    for q in qs:
+        ranks = [r["rank"] for r in out if r["query"] == q]
+        assert ranks == list(range(1, len(ranks) + 1))
+    with pytest.raises(ValueError):
+        suggest_phrase(spark, dictionary, bigrams, contexts, vocab, [])
+    with pytest.raises(ValueError):
+        suggest_phrase(
+            spark, dictionary, bigrams, contexts, vocab, ["x"], per_term=0
+        )
