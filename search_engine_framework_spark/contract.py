@@ -1138,6 +1138,22 @@ def q_classify_score(spark, sf_dir):
     return out.select("doc_id", _r4(F.col("p")).alias("p"))
 
 
+def q_sq_search(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (FAISS QT_8bit / Lucene int8 analog):
+    per-dim [min,max] trained on the corpus, uint8 codes, asymmetric
+    cosine top-10 of the float query against RECONSTRUCTED vectors —
+    the DuckDB twin replays train+encode+search end to end."""
+    from .pipeline import sq
+
+    embs = _read(spark, sf_dir, "embeddings")
+    mins, maxs = sq.sq_train(embs)
+    qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    codes = sq.sq_encode(embs.where(F.col("vec_id") != 0), mins, maxs)
+    out = sq.sq_search(codes, qvec, mins, maxs, k=10)
+    return out.select("vec_id", _r4(F.col("cosine")).alias("cosine"))
+
+
 def q_semdedup_exact1(spark, sf_dir):
     """SemDeDup pairs (Abbas et al. 2023) in the oracle configuration:
     nlist=1 puts everything in one cluster, so the cluster-bounded
@@ -3184,6 +3200,46 @@ ORACLE_SQL["ivf_store"] = ORACLE_SQL["knn_cosine"]
 ORACLE_SQL["emb_neardup_lsh"] = ORACLE_SQL["emb_neardup"]
 
 ORACLE_SQL["semdedup_exact1"] = ORACLE_SQL["emb_neardup"]
+
+ORACLE_SQL["sq_search"] = """
+WITH dims AS (
+  SELECT dim, min(x::DOUBLE) AS lo, max(x::DOUBLE) AS hi
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings)
+  GROUP BY 1
+),
+steps AS (
+  SELECT dim, lo, hi,
+         CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS step
+  FROM dims
+),
+vals AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings WHERE vec_id != 0
+),
+rec AS (
+  SELECT v.vec_id, v.dim,
+         s.lo + greatest(0, least(255,
+             floor((v.x::DOUBLE - s.lo) / s.step + 0.5)))::BIGINT * s.step
+           AS xr
+  FROM vals v JOIN steps s USING (dim)
+),
+q AS (
+  SELECT unnest(embedding) AS qx, generate_subscripts(embedding, 1) AS dim
+  FROM embeddings WHERE vec_id = 0
+),
+qn AS (SELECT sqrt(sum((qx::DOUBLE) * (qx::DOUBLE))) AS n FROM q),
+dots AS (
+  SELECT r.vec_id, sum(r.xr * q.qx::DOUBLE) AS dot,
+         sqrt(sum(r.xr * r.xr)) AS nr
+  FROM rec r JOIN q USING (dim) GROUP BY 1
+)
+SELECT vec_id, round(dot / (nr * qn.n), 4) + 0.0 AS cosine
+FROM dots, qn
+ORDER BY dot / (nr * qn.n) DESC, vec_id ASC LIMIT 10
+"""
 # Federated half-indexes with merged global stats must reproduce the
 # single-index flagship ranking exactly.
 ORACLE_SQL["multi_search"] = ORACLE_SQL["bm25_topk"]
@@ -3818,6 +3874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "semdedup_exact1": q_semdedup_exact1,
     "classify_score": q_classify_score,
+    "sq_search": q_sq_search,
     "funnel": q_funnel,
     "retention": q_retention,
     "sorted_search": q_sorted_search,

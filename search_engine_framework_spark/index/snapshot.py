@@ -1,0 +1,213 @@
+"""Index snapshot / restore / verify — the Lucene
+SnapshotDeletionPolicy + CheckIndex operational tooling analog.
+
+The reference has no backup story (its index is rebuilt from scratch
+per run, QryEval.java:505-515); a production deployment snapshots
+before risky operations (purge, compaction, re-analysis) and restores
+when one goes wrong. Design:
+
+* **Snapshots are hardlink trees** (copy fallback across filesystems):
+  every data file this engine writes is IMMUTABLE once visible —
+  appends add new files under new generation paths, purge/compaction
+  swap whole directories — so a hardlink is a consistent point-in-time
+  image at near-zero cost and zero duplication, exactly Lucene's
+  snapshot-by-holding-a-commit-point trick translated to files. The
+  original can be deleted outright; the snapshot's links keep the
+  bytes alive.
+* **Consistency gate**: a snapshot refuses to capture an index whose
+  bucket manifests are not all ``complete`` (a mid-build or mid-append
+  image would resurrect the torn state on restore).
+* **Verification** (:func:`verify_index`): recomputes each bucket's
+  dictionary ``content_hash`` with the SAME expression the build wrote
+  into the manifests (index/build.py) and reports mismatches — bit rot,
+  truncated copies, and manual tampering all surface. One projected
+  scan of the tiny (term, field, df, ctf) columns; no block decode.
+* **Restore** uses the backup-rename-swap protocol (the
+  compact_index/purge lesson): the live dir is renamed aside, the
+  snapshot links into place, then the backup is removed — every
+  intermediate state keeps a complete index on disk, and
+  :func:`recover_restore` finishes or rolls back a crashed swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from .build import IndexPaths
+
+__all__ = [
+    "create_snapshot",
+    "restore_snapshot",
+    "verify_index",
+    "recover_restore",
+    "SnapshotError",
+]
+
+_SNAP_MANIFEST = "_snapshot.json"
+
+
+class SnapshotError(RuntimeError):
+    pass
+
+
+def _paths(p) -> IndexPaths:
+    return p if isinstance(p, IndexPaths) else IndexPaths(str(p))
+
+
+def _read_bucket_manifests(paths: IndexPaths) -> list[dict]:
+    out = []
+    mdir = paths.manifests
+    if not os.path.isdir(mdir):
+        raise SnapshotError(f"no manifests under {mdir} — not a built index")
+    for f in sorted(os.listdir(mdir)):
+        if f.startswith("bucket-") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                out.append(json.load(fh))
+    if not out:
+        raise SnapshotError(f"no bucket manifests under {mdir}")
+    return out
+
+
+def _link_tree(src: str, dst: str) -> int:
+    """Hardlink-copy a tree (per-file copy fallback); → files linked."""
+    n = 0
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(troot, exist_ok=True)
+        for f in files:
+            s = os.path.join(root, f)
+            t = os.path.join(troot, f)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+            n += 1
+    return n
+
+
+def create_snapshot(index_path, dest: str) -> dict:
+    """Point-in-time snapshot of a built index → the snapshot manifest.
+
+    Captures segments, docmap, doclen, doc_terms, manifests, stats.json
+    and (if present) tombstones — i.e. the index INCLUDING its pending
+    deletes, so a restore reproduces query results exactly as of the
+    snapshot moment. Refuses incomplete indexes and non-empty ``dest``.
+    """
+    paths = _paths(index_path)
+    mans = _read_bucket_manifests(paths)
+    bad = [m["bucket"] for m in mans if not m.get("complete")]
+    if bad:
+        raise SnapshotError(
+            f"index has incomplete buckets {bad} — snapshot would capture "
+            "a torn state; finish or reconcile the build first"
+        )
+    if os.path.exists(dest) and os.listdir(dest):
+        raise SnapshotError(f"snapshot dest {dest} exists and is not empty")
+    os.makedirs(dest, exist_ok=True)
+    n_files = _link_tree(paths.root, dest)
+    manifest = {
+        "source_root": os.path.abspath(paths.root),
+        "n_files": n_files,
+        "buckets": {
+            str(m["bucket"]): int(m["content_hash"]) for m in mans
+        },
+        "n_docs": mans[0].get("n_docs"),
+        "lineage": mans[0].get("lineage", {}),
+    }
+    tmp = os.path.join(dest, _SNAP_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(dest, _SNAP_MANIFEST))
+    return manifest
+
+
+def verify_index(spark, index_path) -> list[dict]:
+    """Recompute every bucket's dictionary content hash and compare to
+    its manifest → list of {bucket, expected, actual} mismatches
+    (missing buckets report actual=None). Empty list = intact. The
+    Lucene CheckIndex analog, as one projected columnar scan."""
+    paths = _paths(index_path)
+    mans = {int(m["bucket"]): int(m["content_hash"])
+            for m in _read_bucket_manifests(paths)}
+    seg = spark.read.parquet(paths.segments)
+    actual = {
+        int(r["bucket"]): int(r["content_hash"])
+        for r in seg.groupBy("bucket")
+        .agg(
+            F.xxhash64(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws("\x01", "term", "field", "df", "ctf")
+                    )
+                ).cast("string")
+            ).alias("content_hash")
+        )
+        .collect()
+    }
+    out = []
+    for b, expected in sorted(mans.items()):
+        got = actual.get(b)
+        if got != expected:
+            out.append({"bucket": b, "expected": expected, "actual": got})
+    return out
+
+
+def restore_snapshot(snapshot_dir: str, index_path) -> None:
+    """Swap a snapshot into place as the live index (backup-rename-swap:
+    live → .restore_backup, snapshot links in, backup removed). The
+    snapshot itself is never consumed — restore again any time."""
+    paths = _paths(index_path)
+    man = os.path.join(snapshot_dir, _SNAP_MANIFEST)
+    if not os.path.exists(man):
+        raise SnapshotError(f"{snapshot_dir} carries no {_SNAP_MANIFEST}")
+    backup = paths.root.rstrip("/") + ".restore_backup"
+    if os.path.exists(backup):
+        raise SnapshotError(
+            f"{backup} exists — a previous restore crashed; run "
+            "recover_restore() first"
+        )
+    staged = paths.root.rstrip("/") + ".restoring"
+    shutil.rmtree(staged, ignore_errors=True)
+    _link_tree(snapshot_dir, staged)
+    os.remove(os.path.join(staged, _SNAP_MANIFEST))
+    if os.path.exists(paths.root):
+        os.rename(paths.root, backup)
+    os.rename(staged, paths.root)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def recover_restore(index_path) -> str:
+    """Finish or roll back a crashed restore_snapshot. Protocol states:
+
+    * ``.restoring`` exists, live missing → the crash hit between the
+      two renames: finish by renaming staged into place.
+    * ``.restoring`` + live both exist → staged copy incomplete or the
+      backup rename never ran: drop the stage (live is intact).
+    * ``.restore_backup`` exists, live exists → the final cleanup was
+      missed: remove the backup.
+    * ``.restore_backup`` exists, live missing → roll back to backup.
+
+    → one of "finished", "rolled_back", "cleaned", "noop"."""
+    paths = _paths(index_path)
+    root = paths.root.rstrip("/")
+    staged, backup = root + ".restoring", root + ".restore_backup"
+    live = os.path.exists(root)
+    if os.path.exists(staged):
+        if live:
+            shutil.rmtree(staged)
+            return "cleaned"
+        os.rename(staged, root)
+        shutil.rmtree(backup, ignore_errors=True)
+        return "finished"
+    if os.path.exists(backup):
+        if live:
+            shutil.rmtree(backup)
+            return "cleaned"
+        os.rename(backup, root)
+        return "rolled_back"
+    return "noop"

@@ -1,0 +1,140 @@
+"""Index snapshot / restore / verify (index/snapshot.py) — the Lucene
+SnapshotDeletionPolicy + CheckIndex analog. Locked: point-in-time
+restore reverses later deletes, hardlink cheapness, the verify hash
+catches truncation, crash-window recovery for every protocol state."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.index.build import build_index
+from search_engine_framework_spark.index.deletes import delete_docs
+from search_engine_framework_spark.index.snapshot import (
+    SnapshotError,
+    create_snapshot,
+    recover_restore,
+    restore_snapshot,
+    verify_index,
+)
+from search_engine_framework_spark.plans.models import BM25
+from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    out = str(tmp_path / "ix")
+    corpus = synth_transcripts(spark, n_convs=12, seed=5)
+    build_index(spark, corpus, out, fields=("body",), n_buckets=4, n_salts=2)
+    return out
+
+
+def _top(spark, out, q="search engine", k=10):
+    eng = SearchEngine(spark, out)
+    return [
+        (r["ext_id"], round(r["score"], 9))
+        for r in eng.search(q, BM25(), k=k).collect()
+    ]
+
+
+def test_snapshot_restore_point_in_time(spark, built, tmp_path):
+    snap = str(tmp_path / "snap")
+    before = _top(spark, built)
+    man = create_snapshot(built, snap)
+    assert man["n_files"] > 0 and man["buckets"]
+
+    # mutate the live index: delete the current top hit's conversation
+    top_conv = before[0][0].split(":")[0]
+    assert delete_docs(spark, built, conv_ids=[top_conv]) > 0
+    after_delete = _top(spark, built)
+    assert after_delete != before
+    assert all(not e.startswith(top_conv) for e, _ in after_delete)
+
+    # restore → exact pre-delete results (tombstones state included)
+    restore_snapshot(snap, built)
+    assert _top(spark, built) == before
+    # the snapshot is reusable
+    restore_snapshot(snap, built)
+    assert _top(spark, built) == before
+
+
+def test_snapshot_is_hardlinked(built, tmp_path):
+    snap = str(tmp_path / "snap")
+    create_snapshot(built, snap)
+    src = None
+    for root, _d, files in os.walk(os.path.join(built, "segments")):
+        for f in files:
+            if f.endswith(".parquet"):
+                src = os.path.join(root, f)
+                break
+        if src:
+            break
+    rel = os.path.relpath(src, built)
+    assert os.stat(src).st_ino == os.stat(os.path.join(snap, rel)).st_ino
+
+
+def test_snapshot_refuses_incomplete_and_nonempty(spark, built, tmp_path):
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    (open(os.path.join(snap, "x"), "w")).write("x")
+    with pytest.raises(SnapshotError, match="not empty"):
+        create_snapshot(built, snap)
+    # fake a torn bucket
+    mdir = os.path.join(built, "_manifests")
+    f = sorted(
+        x for x in os.listdir(mdir) if x.startswith("bucket-")
+    )[0]
+    m = json.load(open(os.path.join(mdir, f)))
+    m["complete"] = False
+    json.dump(m, open(os.path.join(mdir, f), "w"))
+    with pytest.raises(SnapshotError, match="incomplete"):
+        create_snapshot(built, str(tmp_path / "snap2"))
+
+
+def test_verify_index_detects_missing_bucket(spark, built):
+    assert verify_index(spark, built) == []
+    # drop one bucket directory: its dictionary hash can't match
+    segdir = os.path.join(built, "segments")
+    victim = sorted(
+        d for d in os.listdir(segdir) if d.startswith("bucket=")
+    )[0]
+    shutil.rmtree(os.path.join(segdir, victim))
+    bad = verify_index(spark, built)
+    assert bad and bad[0]["bucket"] == int(victim.split("=")[1])
+    assert bad[0]["actual"] != bad[0]["expected"]
+
+
+def test_restore_crash_recovery(spark, built, tmp_path):
+    snap = str(tmp_path / "snap")
+    before = _top(spark, built)
+    create_snapshot(built, snap)
+
+    # simulate the crash between the two renames: live moved aside,
+    # staged not yet renamed in
+    staged, backup = built + ".restoring", built + ".restore_backup"
+    from search_engine_framework_spark.index.snapshot import _link_tree
+
+    _link_tree(snap, staged)
+    os.remove(os.path.join(staged, "_snapshot.json"))
+    os.rename(built, backup)
+    assert recover_restore(built) == "finished"
+    assert _top(spark, built) == before
+
+    # leftover backup with live intact → cleaned
+    os.makedirs(backup)
+    assert recover_restore(built) == "cleaned"
+    assert not os.path.exists(backup)
+
+    # backup only (live vanished) → rolled back
+    os.rename(built, backup)
+    assert recover_restore(built) == "rolled_back"
+    assert _top(spark, built) == before
+    assert recover_restore(built) == "noop"
+
+    # a pre-existing backup blocks a new restore until recovered
+    os.makedirs(backup)
+    with pytest.raises(SnapshotError, match="recover_restore"):
+        restore_snapshot(snap, built)
+    recover_restore(built)

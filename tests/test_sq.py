@@ -1,0 +1,97 @@
+"""SQ8 scalar quantization (pipeline/sq.py). Locked: codes match a
+numpy re-implementation exactly, reconstruction error is bounded by
+step/2 per dimension, constant dimensions round-trip exactly, and
+quantized top-k recall against exact kNN clears a floor far above
+chance."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from search_engine_framework_spark.pipeline import similarity
+from search_engine_framework_spark.pipeline.sq import (
+    sq_encode,
+    sq_search,
+    sq_train,
+)
+
+
+def _embs(spark, n=120, dim=8, seed=3):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(n)
+    ]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _np_codes(vec, mins, maxs):
+    out = []
+    for x, lo, hi in zip(vec, mins, maxs):
+        step = (hi - lo) / 255.0 if hi > lo else 1.0
+        c = math.floor((float(np.float32(x)) - lo) / step + 0.5)
+        out.append(max(0, min(255, c)))
+    return out
+
+
+def test_codes_match_numpy(spark):
+    rows, embs = _embs(spark)
+    mins, maxs = sq_train(embs)
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in sq_encode(embs, mins, maxs).collect()
+    }
+    for i, vec in rows:
+        assert got[i] == _np_codes(vec, mins, maxs), i
+    assert all(0 <= c <= 255 for cs in got.values() for c in cs)
+
+
+def test_reconstruction_error_bounded(spark):
+    rows, embs = _embs(spark)
+    mins, maxs = sq_train(embs)
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in sq_encode(embs, mins, maxs).collect()
+    }
+    for i, vec in rows:
+        for j, x in enumerate(vec):
+            step = (maxs[j] - mins[j]) / 255.0 if maxs[j] > mins[j] else 1.0
+            rec = mins[j] + codes[i][j] * step
+            assert abs(rec - float(np.float32(x))) <= step / 2 + 1e-9
+
+
+def test_constant_dimension_roundtrips_exactly(spark):
+    embs = spark.createDataFrame(
+        [(0, [1.5, -3.0]), (1, [1.5, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = sq_train(embs)
+    assert mins[0] == maxs[0] == 1.5
+    codes = {r["vec_id"]: r["codes"] for r in sq_encode(embs, mins, maxs).collect()}
+    assert codes[0][0] == 0 and codes[1][0] == 0  # constant dim → code 0
+
+
+def test_quantized_topk_recall(spark):
+    rows, embs = _embs(spark, n=200, dim=8)
+    mins, maxs = sq_train(embs)
+    codes = sq_encode(embs, mins, maxs)
+    q = rows[0][1]
+    exact = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(
+            embs.where("vec_id != 0"), q, k=10
+        ).collect()
+    ]
+    quant = [
+        r["vec_id"]
+        for r in sq_search(
+            codes.where("vec_id != 0"), q, mins, maxs, k=10
+        ).collect()
+    ]
+    overlap = len(set(exact) & set(quant)) / 10.0
+    assert overlap >= 0.8  # 8-bit per-dim error is tiny at dim 8
+    with pytest.raises(ValueError):
+        sq_search(codes, q, mins, maxs, k=0)
