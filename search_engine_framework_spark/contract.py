@@ -1165,6 +1165,25 @@ def q_semdedup_exact1(spark, sf_dir):
 
 # ---- rows-only entries (no SQL-expressible oracle) ------------------------
 
+def q_bpe_tokens(spark, sf_dir):
+    """Corpus-trained BPE tokenization (Sennrich 2016): 40 merges
+    learned from the documents word-frequency table, applied per
+    distinct word and joined back. Iterative argmax training is not
+    SQL-expressible — the hard twin is the pure-Python reference BPE
+    in tests/test_bpe.py (exact merge-sequence identity on random
+    corpora + the Sennrich paper fixture)."""
+    from .pipeline.bpe import bpe_encode, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=40)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("bpe_tokens")).alias("bpe_text"),
+        "n_bpe_tokens",
+    )
+
+
 def q_bm25_ref_analyzer(spark, sf_dir):
     """BM25 over the *reference* analyzer (stopwords + Krovetz stem) —
     rank semantics match /root/reference; not expressible in ANSI SQL."""
@@ -3875,6 +3894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_exact1": q_semdedup_exact1,
     "classify_score": q_classify_score,
     "sq_search": q_sq_search,
+    "bpe_tokens": q_bpe_tokens,
     "funnel": q_funnel,
     "retention": q_retention,
     "sorted_search": q_sorted_search,

@@ -1,0 +1,208 @@
+"""BPE tokenizer training — the "train a tokenizer on your corpus" step
+of every LLM data pipeline (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"; the GPT-2 tokenizer is
+this algorithm over bytes). The reference engine has a fixed analyzer
+chain; a pretraining pipeline instead LEARNS its segmentation from the
+corpus. Word-level BPE with an end-of-word marker (the Sennrich
+formulation; byte-fallback is an encoding detail this corpus doesn't
+need and is documented out of scope).
+
+THE scale design point: BPE never needs the corpus after one pass.
+Training operates on the WORD FREQUENCY TABLE — each distinct word with
+count n contributes its symbol pairs × n — so:
+
+* pass 0 (the only corpus-sized job): sql-safe tokenize → one
+  map-side-combinable (word, count) groupBy. 100 TB of text collapses
+  to a vocabulary-sized table (~10⁵-10⁷ rows).
+* every merge iteration then runs on that small table: explode adjacent
+  symbol pairs weighted by count (combinable sum), take the argmax pair
+  (count desc, pair asc — a DETERMINISTIC tie-break, unlike dict-order
+  implementations), and rewrite each word's symbol array (a vectorized
+  pandas UDF over vocabulary-sized Arrow batches — the corpus is never
+  touched). ``localCheckpoint`` every few rounds cuts the iterative
+  plan/lineage growth (the pipeline/cc.py lesson).
+* encoding a corpus (:func:`bpe_encode`) uses the same trick in
+  reverse: segment each DISTINCT word once (greedy lowest-merge-rank
+  loop, the standard BPE apply), then broadcast-join the segmentation
+  back onto corpus tokens — per-token work is a map-side hash lookup.
+
+Training is deterministic for a fixed corpus: counts are exact
+integers, ties break lexicographically, and no floats are involved —
+the SAME merge list comes out of any partitioning (pytest-locked).
+Iterative training is not SQL-expressible, so correctness is pinned by
+the hand-computable Sennrich fixture plus a pure-Python reference
+implementation over random corpora.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.analyzer import sql_safe_tokens_col
+
+__all__ = ["bpe_train", "bpe_encode", "bpe_segment_word", "EOW"]
+
+EOW = "</w>"  # end-of-word marker (Sennrich); lets merges cross into
+# word-final position without gluing across words
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (word, n) — the one corpus-sized pass."""
+    return (
+        docs.select(
+            F.explode(sql_safe_tokens_col(F.col(text_col))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _initial_symbols() -> F.Column:
+    # chars + EOW: "low" → [l, o, w, </w>]
+    return F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit(EOW))
+    )
+
+
+def _merge_udf(left: str, right: str):
+    merged = left + right
+
+    @pandas_udf("array<string>")
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        def one(s):
+            out = []
+            i, m = 0, len(s)
+            while i < m:
+                if i + 1 < m and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        return syms.map(one)
+
+    return apply_merge
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merges → ordered [(left, right), ...].
+
+    Stops early when no pair reaches ``min_pair_count`` (merging a
+    pair seen once memorizes noise — the standard cutoff). The merge
+    list IS the tokenizer (apply with :func:`bpe_encode`).
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    wc = (
+        word_counts(docs, text_col)
+        .select("word", "n", _initial_symbols().alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for it in range(num_merges):
+        pair_counts = (
+            wc.select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("c"))
+        )
+        top = (
+            pair_counts.where(F.col("c") >= min_pair_count)
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        # _merge_udf is a factory: the plan is LAZY, so a closure over
+        # the loop variables would capture whatever they hold when a
+        # LATER action finally executes this stage — factory args
+        # freeze this iteration's pair
+        wc = wc.select(
+            "word", "n", _merge_udf(left, right)("syms").alias("syms")
+        )
+        if (it + 1) % checkpoint_every == 0:
+            wc = wc.localCheckpoint()
+    return merges
+
+
+def bpe_segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy standard BPE apply: repeatedly merge the LOWEST-rank
+    adjacent pair (training order, not frequency at apply time)."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        syms[best: best + 2] = [syms[best] + syms[best + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a trained merge list → (id_col,
+    bpe_tokens:array<string>, n_bpe_tokens:long).
+
+    Scale shape: each DISTINCT word segments once (pandas UDF over the
+    vocabulary-sized distinct-word frame), then the segmentation joins
+    back onto the corpus token stream — broadcast-eligible right side,
+    per-token cost a hash lookup; flatten preserves word order."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: bpe_segment_word(w, ranks))
+
+    toks = docs.select(
+        id_col, F.posexplode(sql_safe_tokens_col(F.col(text_col))).alias(
+            "pos", "word"
+        )
+    )
+    vocab = toks.select("word").distinct().select(
+        "word", seg("word").alias("pieces")
+    )
+    return (
+        toks.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "pieces"))
+                ).pieces
+            ).alias("bpe_tokens")
+        )
+        .select(
+            id_col,
+            "bpe_tokens",
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""BPE tokenizer training (pipeline/bpe.py). Locked: the Sennrich-paper
+fixture's merge sequence, exact agreement with a pure-Python reference
+BPE on random corpora, partitioning-independent determinism, the
+min-pair cutoff, and the encode round-trip (encoded symbols == the
+training table's final symbol state)."""
+
+import random
+
+import pytest
+
+from search_engine_framework_spark.pipeline.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_segment_word,
+    bpe_train,
+)
+
+
+# ---------------------------------------------------------------- reference
+
+def _py_word_counts(texts):
+    wc = {}
+    for t in texts:
+        for w in "".join(c if c.isalnum() else " " for c in t.lower()).split():
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def _py_bpe_train(texts, num_merges, min_pair_count=2):
+    wc = {
+        tuple(list(w) + [EOW]): n for w, n in _py_word_counts(texts).items()
+    }
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, n in wc.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        pairs = {p: c for p, c in pairs.items() if c >= min_pair_count}
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new = {}
+        for syms, n in wc.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + n
+        wc = new
+    return merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_sennrich_fixture(spark):
+    """The classic fixture: {low×5, lower×2, newest×6, widest×3}. The
+    first merges are (e,s), (es,t), (est,</w>) — 'est</w>' emerges as
+    one unit — then (l,o), (lo,w)."""
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    merges = bpe_train(_docs(spark, texts), num_merges=5)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", EOW)]
+    assert merges[3:5] == [("l", "o"), ("lo", "w")]
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_matches_python_reference(spark, seed):
+    rng = random.Random(seed)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(2, 6)))
+             for _ in range(30)]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 10)))
+        for _ in range(40)
+    ]
+    got = bpe_train(_docs(spark, texts), num_merges=12)
+    want = _py_bpe_train(texts, 12)
+    assert got == want
+
+
+def test_partitioning_independent(spark):
+    texts = ["low lower lowest"] * 9 + ["newest widest"] * 7
+    a = bpe_train(_docs(spark, texts), num_merges=8)
+    b = bpe_train(_docs(spark, texts).repartition(7), num_merges=8)
+    assert a == b
+
+
+def test_min_pair_cutoff_stops_early(spark):
+    # every word unique, every pair count 1 → zero merges at the default
+    merges = bpe_train(_docs(spark, ["ab", "cd", "ef"]), num_merges=10)
+    assert merges == []
+    # cutoff 1 allows memorization
+    assert bpe_train(
+        _docs(spark, ["ab", "cd", "ef"]), num_merges=2, min_pair_count=1
+    )
+
+
+def test_encode_roundtrip_and_counts(spark):
+    texts = ["low lower newest", "newest low widest"]
+    docs = _docs(spark, texts)
+    merges = bpe_train(docs, num_merges=6, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = {
+        r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = []
+        for w in t.split():
+            expect.extend(bpe_segment_word(w, ranks))
+        assert out[i][0] == expect
+        assert out[i][1] == len(expect)
+    # every piece sequence reassembles the original word stream
+    for i, t in enumerate(texts):
+        joined = "".join(out[i][0]).replace(EOW, " ").strip()
+        assert joined == t
+
+
+def test_segment_word_uses_rank_order():
+    """Apply-time greediness follows TRAINING rank, not local frequency:
+    with ranks {(a,b):0, (b,c):1}, 'abc' must merge (a,b) first."""
+    ranks = {("a", "b"): 0, ("b", "c"): 1}
+    assert bpe_segment_word("abc", ranks) == ["ab", "c", EOW]
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError):
+        bpe_train(_docs(spark, ["x"]), num_merges=0)
