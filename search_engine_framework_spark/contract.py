@@ -1915,6 +1915,33 @@ def q_facet_cardinality(spark, sf_dir):
     return facet_cardinality(hits, docs, ["lang", "source"])
 
 
+def q_facet_composite(spark, sf_dir):
+    """Composite aggregation (ES composite-agg analog): the first two
+    size-8 keyset pages of the (lang, source) bucket enumeration over
+    the whole documents corpus — keyset pagination under a total order
+    provably equals the first 16 buckets in key order, which is what
+    the DuckDB twin computes."""
+    from .facets import facet_composite
+
+    docs = _read(spark, sf_dir, "documents")
+    hits = docs.select("doc_id")
+    meta = docs.select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+    )
+    p1 = facet_composite(hits, meta, ["lang", "source"], size=8)
+    rows1 = p1.collect()
+    after = (rows1[-1]["lang"], rows1[-1]["source"]) if rows1 else None
+    p2 = facet_composite(
+        hits, meta, ["lang", "source"], size=8, after=after
+    )
+    out1 = spark.createDataFrame(rows1, p1.schema).withColumn(
+        "page", F.lit(1)
+    )
+    return out1.unionByName(p2.withColumn("page", F.lit(2)))
+
+
 def q_significant_terms(spark, sf_dir):
     """Significant-terms aggregation (Elasticsearch analog) over the
     flagship BM25 top-k: terms ranked by document-frequency lift vs the
@@ -3753,6 +3780,21 @@ ORDER BY col, pct
 """
 )
 
+ORACLE_SQL["facet_composite"] = """
+WITH b AS (
+  SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2
+),
+rk AS (
+  SELECT lang, source, n,
+         row_number() OVER (ORDER BY lang ASC, source ASC) AS rn
+  FROM b
+)
+SELECT lang, source, n, ((rn - 1) // 8 + 1)::INT AS page
+FROM rk WHERE rn <= 16 ORDER BY rn
+"""
+
 ORACLE_SQL["facet_cardinality"] = (
     _SQL_BASE
     + _LEX_RANK_SQL
@@ -3926,6 +3968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_ranges": q_facet_ranges,
     "facet_percentiles": q_facet_percentiles,
     "facet_cardinality": q_facet_cardinality,
+    "facet_composite": q_facet_composite,
     "facet_top_hits": q_facet_top_hits,
     "significant_terms": q_significant_terms,
     # rows-only checks (not SQL-expressible):

@@ -805,6 +805,55 @@ class SearchEngine:
         docmap = self.reader.docmap().select("doc_id", "ext_id")
         return scored.join(docmap, "doc_id").select("doc_id", "ext_id", "score")
 
+    _CACHE_MAX = 256
+
+    def search_cached(
+        self,
+        query: str,
+        model: RetrievalModel,
+        k: int = 100,
+        doc_filter: str | None = None,
+    ) -> DataFrame:
+        """Request-cached :meth:`search` — the Elasticsearch
+        shard-request-cache analog: identical (query, model, k, filter)
+        requests against an UNCHANGED index return the cached top-k rows
+        with zero Spark work. Validity is keyed on
+        ``IndexReader.state_fingerprint()`` (bucket manifests +
+        tombstone listing — builds, appends, compactions, deletes, and
+        purges all change it), so a cached entry can never serve stale
+        results: any index mutation makes every old key unreachable.
+        LRU-bounded at ``_CACHE_MAX`` entries of k rows each (driver
+        memory ≈ entries · k · ~100 B). Results are exact — this caches
+        the reference-ordered output rows, not an approximation."""
+        from collections import OrderedDict
+
+        if not hasattr(self, "_result_cache"):
+            self._result_cache: OrderedDict = OrderedDict()
+        key = (
+            self.reader.state_fingerprint(),
+            query,
+            repr(model),
+            int(k),
+            doc_filter,
+        )
+        cache = self._result_cache
+        if key in cache:
+            cache.move_to_end(key)
+            rows = cache[key]
+        else:
+            rows = [
+                (r["doc_id"], r["ext_id"], r["rank"], r["score"])
+                for r in self.search(
+                    query, model, k=k, doc_filter=doc_filter
+                ).collect()
+            ]
+            cache[key] = rows
+            while len(cache) > self._CACHE_MAX:
+                cache.popitem(last=False)
+        return self.spark.createDataFrame(
+            rows, "doc_id long, ext_id string, rank int, score double"
+        )
+
     def dismax_scores_df(
         self,
         query: str,

@@ -416,3 +416,69 @@ def facet_cardinality(
         .agg(counter.cast("long").alias("n_distinct"))
         .orderBy("col")
     )
+
+
+def facet_composite(
+    hits: DataFrame,
+    metadata: DataFrame,
+    sources: Sequence[str],
+    size: int = 10,
+    after: Sequence | None = None,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyset-paginated bucket enumeration — the Elasticsearch
+    ``composite`` aggregation analog: where ``facet_counts`` returns the
+    top buckets BY COUNT (and silently truncates the tail), composite
+    walks ALL buckets of a multi-column grouping in key order, one page
+    at a time, each page resumable from the previous page's last key
+    (``after``) — the only aggregation shape that can exhaustively
+    export a high-cardinality grouping without one giant result.
+
+    ``sources`` — the grouping columns, compared in order (asc).
+    ``after`` — the last key tuple of the previous page (None = first
+    page). Strictly-greater keyset predicate, so pages never overlap
+    and never miss a bucket (the same total-order argument as
+    engine.search_after). NULL key values are excluded (group keys must
+    be present — coalesce upstream for a missing-bucket, exactly the
+    ES ``missing_bucket: false`` default).
+
+    → DataFrame(*sources, n:long) ordered by the key, ``size`` rows;
+    the caller reads the last row as the next ``after``. Scale: one
+    combinable groupBy; the keyset predicate prunes BEFORE the
+    aggregation (a filter on the join output), so deep pages do not
+    re-aggregate earlier buckets' rows into the limit sort.
+    """
+    if not sources:
+        raise ValueError("facet_composite needs at least one source column")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    if after is not None and len(after) != len(sources):
+        raise ValueError("after key arity must match sources")
+    joined = metadata.select(id_col, *sources).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    cond = None
+    for c in sources:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else cond & nn
+    joined = joined.where(cond)
+    if after is not None:
+        # lexicographic strictly-greater: (c1 > a1) OR (c1 = a1 AND
+        # (c2 > a2 OR ...))
+        pred = None
+        for i in range(len(sources) - 1, -1, -1):
+            gt = F.col(sources[i]) > F.lit(after[i])
+            if pred is None:
+                pred = gt
+            else:
+                pred = gt | (
+                    (F.col(sources[i]) == F.lit(after[i])) & pred
+                )
+        joined = joined.where(pred)
+    return (
+        joined.groupBy(*sources)
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(*[F.asc(c) for c in sources])
+        .limit(size)
+    )

@@ -152,6 +152,14 @@ class MultiReader:
                     m["max_tf"] = max(m["max_tf"], s["max_tf"])
         return merged
 
+    def state_fingerprint(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1()
+        for r in self.readers:
+            h.update(r.state_fingerprint().encode())
+        return h.hexdigest()
+
     @property
     def decode_counters(self):
         dec, skip = zip(*(r.decode_counters for r in self.readers))

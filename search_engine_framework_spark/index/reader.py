@@ -97,6 +97,35 @@ class IndexReader:
         dc = self.doc_count(field)
         return self.sum_doclen(field) / dc if dc else 0.0
 
+    def state_fingerprint(self) -> str:
+        """Digest of everything that can change query RESULTS: the
+        bucket manifests' content hashes + completeness (builds,
+        appends, compactions rewrite these) and the tombstone file
+        listing (deletes append files; purges remove the dir). A
+        result cached under one fingerprint is valid exactly as long
+        as the fingerprint holds — the Elasticsearch request-cache
+        invalidation rule (cache per index generation), driver-side
+        file metadata only, no Spark job."""
+        import hashlib
+        import os
+
+        h = hashlib.sha1()
+        mdir = self.paths.manifests
+        if os.path.isdir(mdir):
+            for f in sorted(os.listdir(mdir)):
+                if f.startswith("bucket-") and f.endswith(".json"):
+                    with open(os.path.join(mdir, f), "rb") as fh:
+                        h.update(f.encode())
+                        h.update(fh.read())
+        tdir = self.paths.tombstones
+        if os.path.isdir(tdir):
+            for root, _d, files in sorted(os.walk(tdir)):
+                for f in sorted(files):
+                    p = os.path.join(root, f)
+                    h.update(os.path.relpath(p, tdir).encode())
+                    h.update(str(os.path.getsize(p)).encode())
+        return h.hexdigest()
+
     # -- deletes ---------------------------------------------------------------
     def tombstones(self) -> DataFrame | None:
         """Logically-deleted doc_ids (index/deletes.py), or None when no

@@ -459,3 +459,54 @@ def test_facet_cardinality_approx_bound(spark):
     ).collect()[0]["n_distinct"]
     assert exact == 50
     assert abs(approx - exact) <= 0.1 * exact
+
+
+# ------------------------------------------------------------ facet_composite
+
+def test_facet_composite_pages_partition_the_buckets(spark):
+    hits = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(i, f"g{i % 5}", f"h{i % 2}") for i in range(12)],
+        "doc_id long, a string, b string",
+    )
+    pages = []
+    after = None
+    while True:
+        rows = facets.facet_composite(
+            hits, meta, ["a", "b"], size=3, after=after
+        ).collect()
+        if not rows:
+            break
+        pages.append([(r["a"], r["b"], r["n"]) for r in rows])
+        after = (rows[-1]["a"], rows[-1]["b"])
+    flat = [x for p in pages for x in p]
+    # exhaustive, ordered, no overlap — equals the one-shot grouping
+    want = sorted(
+        [
+            (a, b, n)
+            for (a, b), n in __import__("collections").Counter(
+                (f"g{i % 5}", f"h{i % 2}") for i in range(12)
+            ).items()
+        ]
+    )
+    assert flat == want
+    assert all(len(p) <= 3 for p in pages) and len(pages) >= 3
+
+
+def test_facet_composite_null_keys_excluded(spark):
+    hits = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(0, "x"), (1, None)], "doc_id long, a string"
+    )
+    rows = facets.facet_composite(hits, meta, ["a"], size=10).collect()
+    assert [(r["a"], r["n"]) for r in rows] == [("x", 1)]
+
+
+def test_facet_composite_validation(spark):
+    hits = spark.createDataFrame([(0,)], "doc_id long")
+    with pytest.raises(ValueError):
+        facets.facet_composite(hits, hits, [])
+    with pytest.raises(ValueError):
+        facets.facet_composite(hits, hits, ["doc_id"], size=0)
+    with pytest.raises(ValueError):
+        facets.facet_composite(hits, hits, ["doc_id"], after=("a", "b"))

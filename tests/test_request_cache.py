@@ -1,0 +1,79 @@
+"""Request cache (engine.search_cached) — the Elasticsearch
+shard-request-cache analog keyed on the index state fingerprint.
+Locked: hits skip recomputation, any index mutation (delete) changes
+the fingerprint and transparently invalidates, distinct (k, model,
+filter) are distinct entries, LRU bound holds."""
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.index.build import build_index
+from search_engine_framework_spark.index.deletes import delete_docs
+from search_engine_framework_spark.plans.models import BM25, RankedBoolean
+from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    out = str(tmp_path / "ix")
+    build_index(
+        spark, synth_transcripts(spark, n_convs=10, seed=9), out,
+        fields=("body",), n_buckets=4, n_salts=2,
+    )
+    return SearchEngine(spark, out)
+
+
+def _count_searches(eng):
+    calls = {"n": 0}
+    orig = eng.search
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    eng.search = counting
+    return calls
+
+
+def test_cache_hit_skips_search(eng):
+    calls = _count_searches(eng)
+    a = eng.search_cached("search engine", BM25(), k=5).collect()
+    b = eng.search_cached("search engine", BM25(), k=5).collect()
+    assert calls["n"] == 1
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+
+
+def test_mutation_invalidates(spark, eng):
+    calls = _count_searches(eng)
+    before = eng.search_cached("search engine", BM25(), k=5).collect()
+    top_conv = before[0]["ext_id"].split(":")[0]
+    delete_docs(spark, eng.reader.paths.root, conv_ids=[top_conv])
+    after = eng.search_cached("search engine", BM25(), k=5).collect()
+    assert calls["n"] == 2  # fingerprint changed → recompute
+    assert [r["ext_id"] for r in after] != [r["ext_id"] for r in before]
+    assert all(not r["ext_id"].startswith(top_conv) for r in after)
+
+
+def test_distinct_params_are_distinct_entries(eng):
+    calls = _count_searches(eng)
+    eng.search_cached("search", BM25(), k=5)
+    eng.search_cached("search", BM25(), k=7)
+    eng.search_cached("search", BM25(k_1=2.0), k=5)
+    eng.search_cached("search", RankedBoolean(), k=5)
+    eng.search_cached("search", BM25(), k=5, doc_filter="role = 'user'")
+    assert calls["n"] == 5
+    eng.search_cached("search", BM25(), k=5)
+    assert calls["n"] == 5  # first entry still cached
+
+
+def test_lru_bound(eng):
+    eng._CACHE_MAX = 3
+    calls = _count_searches(eng)
+    for q in ["search", "engine", "index", "data"]:
+        eng.search_cached(q, BM25(), k=3)
+    assert len(eng._result_cache) == 3
+    # oldest ("search") evicted → recompute; newest still cached
+    eng.search_cached("data", BM25(), k=3)
+    assert calls["n"] == 4
+    eng.search_cached("search", BM25(), k=3)
+    assert calls["n"] == 5
