@@ -406,6 +406,41 @@ def q_multi_search(spark, sf_dir):
     )
 
 
+def q_rollover_search(spark, sf_dir):
+    """Index rollover (ES rollover/ILM analog): the documents corpus
+    written as two size-sealed generations (first half fills gen-0 to
+    max_docs exactly, second half rolls over), searched through the
+    rollover federation — must reproduce the single-index flagship
+    BM25 ranking exactly (shares bm25_topk's oracle)."""
+    from .index.rollover import RolloverIndex
+    from .plans.models import BM25
+
+    key = os.path.abspath(sf_dir)
+    digest = hashlib.sha1((key + "#roll").encode()).hexdigest()[:12]
+    root = os.path.join("/tmp", "sefs_entry_idx", digest + "-roll")
+    cfg = AnalyzerConfig.sql_safe()
+    docs = _read(spark, sf_dir, "documents")
+    n_half = docs.count() // 2
+    ri = RolloverIndex(
+        spark, root, max_docs=n_half, fields=("body",), cfg=cfg,
+        n_buckets=8, n_salts=4,
+    )
+    if not ri.generations():
+        ri.write_batch(
+            _docs_as_transcripts(docs.where(F.col("doc_id") < n_half))
+        )
+        ri.write_batch(
+            _docs_as_transcripts(docs.where(F.col("doc_id") >= n_half))
+        )
+    eng = SearchEngine(spark, ri.reader(), analyzer=cfg)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    return top.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
 def q_msm_bm25(spark, sf_dir):
     """Minimum-should-match under BM25 (#MSM/2 of three terms — the
     Lucene minimumNumberShouldMatch / Elasticsearch minimum_should_match
@@ -3289,6 +3324,8 @@ ORDER BY dot / (nr * qn.n) DESC, vec_id ASC LIMIT 10
 # Federated half-indexes with merged global stats must reproduce the
 # single-index flagship ranking exactly.
 ORACLE_SQL["multi_search"] = ORACLE_SQL["bm25_topk"]
+# Rollover generations federate through the same MultiReader invariant.
+ORACLE_SQL["rollover_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
 ORACLE_SQL["cooccur"] = _SQL_BASE + r"""
 , co AS (
@@ -3891,6 +3928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "msm_bm25": q_msm_bm25,
     "msm_boolean": q_msm_boolean,
     "multi_search": q_multi_search,
+    "rollover_search": q_rollover_search,
     "snippets": q_snippets,
     "search_after": q_search_after,
     "synonyms": q_synonyms,

@@ -1,0 +1,128 @@
+"""Index rollover (index/rollover.py) — size-bounded generations +
+MultiReader federation. Core proof: a corpus written through rollover
+(crossing generation boundaries) searches IDENTICALLY to the same
+corpus built as one index — the multi.py global-stats invariant
+surviving the orchestration layer. Plus: max_docs sealing, append
+reuse of the active generation, retention semantics."""
+
+import os
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.index.build import build_index
+from search_engine_framework_spark.index.rollover import RolloverIndex
+from search_engine_framework_spark.plans.models import BM25, RankedBoolean
+from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_transcripts(spark, n_convs=30, seed=21).cache()
+
+
+def _batches(corpus, n=3):
+    # conv-id ranges → disjoint deterministic batches
+    bounds = ["conv-00000010", "conv-00000020"]
+    b0 = corpus.where(f"conv_id < '{bounds[0]}'")
+    b1 = corpus.where(
+        f"conv_id >= '{bounds[0]}' AND conv_id < '{bounds[1]}'"
+    )
+    b2 = corpus.where(f"conv_id >= '{bounds[1]}'")
+    return [b0, b1, b2]
+
+
+def test_rollover_seals_and_rolls(spark, corpus, tmp_path):
+    b = _batches(corpus)
+    n0 = b[0].count()
+    ri = RolloverIndex(
+        spark, str(tmp_path / "roll"), max_docs=n0, fields=("body", "role")
+    )
+    g0 = ri.write_batch(b[0])   # fills gen-000000 to exactly max_docs
+    g1 = ri.write_batch(b[1])   # sealed → new generation
+    g2 = ri.write_batch(b[2])   # gen1 below max? depends; assert dirs
+    assert os.path.basename(g0) == "gen-000000"
+    assert os.path.basename(g1) == "gen-000001"
+    assert g2 in (g1, os.path.join(str(tmp_path / "roll"), "gen-000002"))
+    assert len(ri.generations()) >= 2
+
+
+def test_rollover_search_equals_single_index(spark, corpus, tmp_path):
+    b = _batches(corpus)
+    ri = RolloverIndex(
+        spark, str(tmp_path / "roll"), max_docs=b[0].count(),
+        fields=("body", "role"),
+    )
+    for batch in b:
+        ri.write_batch(batch)
+    single = build_index(
+        spark, corpus, str(tmp_path / "single"), fields=("body", "role"),
+        n_buckets=8, n_salts=4,
+    )
+    eng_r = SearchEngine(spark, ri.reader())
+    eng_s = SearchEngine(spark, single)
+    for q, m in [
+        ("search engine index", BM25()),
+        ("#AND(search engine)", RankedBoolean()),
+        ("#NEAR/3(search engine)", BM25()),
+    ]:
+        got = [
+            (r["ext_id"], r["rank"], r["score"])
+            for r in eng_r.search(q, m, k=50).collect()
+        ]
+        want = [
+            (r["ext_id"], r["rank"], r["score"])
+            for r in eng_s.search(q, m, k=50).collect()
+        ]
+        assert [g[:2] for g in got] == [w[:2] for w in want]
+        assert [g[2] for g in got] == pytest.approx(
+            [w[2] for w in want], rel=1e-12
+        )
+        assert got
+
+
+def test_append_reuses_active_below_threshold(spark, corpus, tmp_path):
+    b = _batches(corpus)
+    ri = RolloverIndex(
+        spark, str(tmp_path / "roll"), max_docs=10**9,
+        fields=("body", "role"),
+    )
+    g0 = ri.write_batch(b[0])
+    g1 = ri.write_batch(b[1])
+    assert g0 == g1  # far below max_docs → appended, not rolled
+    assert len(ri.generations()) == 1
+    # single generation opens a plain IndexReader (no federation cost)
+    from search_engine_framework_spark.index.reader import IndexReader
+
+    assert isinstance(ri.reader(), IndexReader)
+
+
+def test_retention_drop_generation(spark, corpus, tmp_path):
+    b = _batches(corpus)
+    ri = RolloverIndex(
+        spark, str(tmp_path / "roll"), max_docs=b[0].count(),
+        fields=("body", "role"),
+    )
+    for batch in b:
+        ri.write_batch(batch)
+    gens = ri.generations()
+    assert len(gens) >= 2
+    with pytest.raises(ValueError, match="ACTIVE"):
+        ri.drop_generation(gens[-1])
+    ri.drop_generation(gens[0])
+    assert gens[0] not in ri.generations()
+    # dropped docs are gone from search; later generations still serve
+    eng = SearchEngine(spark, ri.reader())
+    hits = eng.search("search engine", BM25(), k=100).collect()
+    assert hits
+    assert all(r["ext_id"] >= "conv-00000010" for r in hits)
+    with pytest.raises(ValueError, match="not a built generation"):
+        ri.drop_generation(gens[0])
+
+
+def test_empty_root_reader_raises(spark, tmp_path):
+    ri = RolloverIndex(spark, str(tmp_path / "roll"))
+    with pytest.raises(FileNotFoundError):
+        ri.reader()
+    with pytest.raises(ValueError):
+        RolloverIndex(spark, str(tmp_path / "x"), max_docs=0)
