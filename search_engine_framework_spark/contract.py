@@ -517,6 +517,25 @@ def q_snippets(spark, sf_dir):
     )
 
 
+def q_snippets_multi(spark, sf_dir):
+    """Multi-fragment highlighting (ES number_of_fragments analog): up
+    to 2 non-overlapping best 8-token windows per hit, greedy by
+    (matches desc, start asc). Hit set = the first 20 documents (NOT
+    the flagship top-k: the flagship terms have negative idf in this
+    corpus, so its top hits contain exactly ONE match and a second
+    fragment would never fire — these docs have spread-out matches and
+    genuinely exercise the disjointness constraint)."""
+    from .snippets import best_fragments
+
+    docs = _read(spark, sf_dir, "documents")
+    hits = docs.where(F.col("doc_id") < 20).select(
+        "doc_id", (F.col("doc_id") + 1).cast("long").alias("rank")
+    )
+    return best_fragments(
+        hits, docs, ["spark", "merge", "window"], window=8, n_fragments=2
+    )
+
+
 # Batched evaluation (engine.search_many): three BM25 query plans sharing
 # ONE stats job + ONE postings scan + ONE ranking window — per-qid results
 # must equal running each query alone (and the DuckDB twin per query).
@@ -2863,6 +2882,63 @@ WHERE b.rn = 1
 ORACLE_SQL["snippets"] = _snippets_sql()
 
 
+def _snippets_multi_sql() -> str:
+    """Twin of q_snippets_multi: fixed hit set (doc_id < 20), window
+    self-join, then two greedy picks with the disjointness filter."""
+    return (
+        _SQL_BASE
+        + """,
+matches AS (
+  SELECT p.doc_id, (p.doc_id + 1)::BIGINT AS rank, p.pos
+  FROM tokpos p
+  WHERE p.doc_id < 20 AND p.term IN ('spark', 'merge', 'window')
+),
+wins AS (
+  SELECT m1.doc_id, m1.rank, m1.pos AS start_tok, count(*)::BIGINT AS n_matches
+  FROM matches m1 JOIN matches m2
+    ON m2.doc_id = m1.doc_id AND m2.pos >= m1.pos AND m2.pos < m1.pos + 8
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, rank, start_tok, n_matches,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_matches DESC, start_tok ASC) AS rn
+  FROM wins
+),
+best1 AS (
+  SELECT doc_id, rank, start_tok, n_matches FROM best WHERE rn = 1
+),
+rem AS (
+  SELECT w.doc_id, w.rank, w.start_tok, w.n_matches,
+         row_number() OVER (PARTITION BY w.doc_id
+                            ORDER BY w.n_matches DESC, w.start_tok ASC) AS rn
+  FROM wins w JOIN best1 b1 ON b1.doc_id = w.doc_id
+  WHERE w.start_tok >= b1.start_tok + 8 OR w.start_tok + 8 <= b1.start_tok
+),
+frags AS (
+  SELECT doc_id, rank, 1 AS fragment_ix, start_tok, n_matches FROM best1
+  UNION ALL
+  SELECT doc_id, rank, 2, start_tok, n_matches FROM rem WHERE rn = 1
+  UNION ALL
+  -- match-less hits degrade to one leading-window fragment
+  SELECT d.doc_id, (d.doc_id + 1)::BIGINT, 1, 0, 0::BIGINT
+  FROM documents d
+  WHERE d.doc_id < 20
+    AND NOT EXISTS (SELECT 1 FROM best1 b WHERE b.doc_id = d.doc_id)
+)
+SELECT f.doc_id, f.rank, f.fragment_ix::INT AS fragment_ix,
+       f.start_tok::BIGINT AS start_tok, f.n_matches,
+       array_to_string(list_slice(t.toks, f.start_tok + 1, f.start_tok + 8),
+                       ' ') AS snippet
+FROM frags f JOIN toks t ON t.doc_id = f.doc_id
+ORDER BY f.doc_id, f.fragment_ix
+"""
+    )
+
+
+ORACLE_SQL["snippets_multi"] = _snippets_multi_sql()
+
+
 def _b16_sql(key_expr: str, seed: int) -> str:
     """DuckDB twin of sampling.bucket16: first 4 hex digits of
     md5(key || '|seed') as an int (digit-by-digit, no hex cast needed)."""
@@ -3929,6 +4005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "msm_boolean": q_msm_boolean,
     "multi_search": q_multi_search,
     "rollover_search": q_rollover_search,
+    "snippets_multi": q_snippets_multi,
     "snippets": q_snippets,
     "search_after": q_search_after,
     "synonyms": q_synonyms,

@@ -107,3 +107,115 @@ def best_window_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def best_fragments(
+    hits: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    window: int = 8,
+    n_fragments: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-fragment highlighting — the Elasticsearch
+    ``number_of_fragments`` analog: up to ``n_fragments``
+    NON-OVERLAPPING best windows per hit, greedily by (most matches,
+    earliest start) — fragment 1 is exactly
+    :func:`best_window_snippets`'s window; each later fragment is the
+    best window disjoint from all earlier ones. Fragments beyond the
+    first appear only when they contain at least one match (an empty
+    trailing fragment is noise); a match-less hit degrades to one
+    leading-window fragment, as in the single-snippet path.
+
+    → (doc_id, rank, fragment_ix 1.., start_tok, n_matches, snippet)
+    ordered by (doc_id, fragment_ix).
+
+    Plan shape: the candidate-window frame builds ONCE (same bounded
+    self-join as the single-snippet path — windows start at matches,
+    O(matches²) per doc); the greedy selection unrolls into
+    ``n_fragments`` joined row_number picks over that frame — fixed,
+    small, and corpus-independent (everything is k hit docs only)."""
+    if n_fragments < 1:
+        raise ValueError("n_fragments must be >= 1")
+    if window <= 0:
+        raise ValueError("window must be positive")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    h = hits.select("doc_id", "rank")
+    toked = (
+        F.broadcast(h)
+        .join(docs.select("doc_id", text_col), "doc_id")
+        .select("doc_id", "rank", tokens_col(F.col(text_col)).alias("toks"))
+    )
+    tokpos = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    )
+    matches = tokpos.where(F.col("term").isin(list(query_terms))).select(
+        "doc_id", "pos"
+    )
+    m2 = matches.select(F.col("doc_id").alias("d2"), F.col("pos").alias("p2"))
+    wins = (
+        matches.join(
+            m2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("p2") >= F.col("pos"))
+            & (F.col("p2") < F.col("pos") + window),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )
+    chosen: list[DataFrame] = []
+    remaining = wins
+    for i in range(n_fragments):
+        pick = Window.partitionBy("doc_id").orderBy(
+            F.desc("n_matches"), F.asc("pos")
+        )
+        best = (
+            remaining.withColumn("_rn", F.row_number().over(pick))
+            .where(F.col("_rn") == 1)
+            .select(
+                "doc_id",
+                F.col("pos").alias(f"_c{i}"),
+                F.col("n_matches").alias(f"_n{i}"),
+            )
+        )
+        chosen.append(best)
+        if i + 1 < n_fragments:
+            remaining = remaining.join(best, "doc_id").where(
+                (F.col("pos") >= F.col(f"_c{i}") + window)
+                | (F.col("pos") + window <= F.col(f"_c{i}"))
+            ).select("doc_id", "pos", "n_matches")
+    frags = None
+    for i, best in enumerate(chosen):
+        part = best.select(
+            "doc_id",
+            F.lit(i + 1).alias("fragment_ix"),
+            F.col(f"_c{i}").alias("pos"),
+            F.col(f"_n{i}").alias("n_matches"),
+        )
+        frags = part if frags is None else frags.unionByName(part)
+    out = toked.join(frags, "doc_id", "left")
+    # degradation: a hit with NO windows at all gets fragment 1 at the
+    # leading window; extra fragments require matches
+    start = F.coalesce(F.col("pos"), F.lit(0)).cast("long")
+    return (
+        out.where(
+            F.col("fragment_ix").isNull() | (F.col("fragment_ix") == 1)
+            | (F.col("n_matches") > 0)
+        )
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.coalesce(F.col("fragment_ix"), F.lit(1)).cast("int").alias(
+                "fragment_ix"
+            ),
+            start.alias("start_tok"),
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), (start + 1).cast("int"), window)
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id", "fragment_ix")
+    )

@@ -66,3 +66,82 @@ def test_input_validation(spark):
         best_window_snippets(hits, docs, [], window=4)
     with pytest.raises(ValueError):
         best_window_snippets(hits, docs, ["a"], window=0)
+
+
+# ------------------------------------------------------------ best_fragments
+
+def _frag_rows(spark, text, terms, window=4, n=2):
+    from search_engine_framework_spark.snippets import best_fragments
+
+    hits = spark.createDataFrame([(0, 1)], "doc_id long, rank long")
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return [
+        (r["fragment_ix"], r["start_tok"], r["n_matches"], r["snippet"])
+        for r in best_fragments(hits, docs, terms, window=window, n_fragments=n).collect()
+    ]
+
+
+def test_fragments_two_disjoint_clusters(spark):
+    # matches at 0,1 (cluster A) and 8,9 (cluster B); window 4
+    text = "cat dog x x x x x x cat dog"
+    got = _frag_rows(spark, text, ["cat", "dog"], window=4, n=2)
+    assert got == [
+        (1, 0, 2, "cat dog x x"),
+        (2, 8, 2, "cat dog"),
+    ]
+
+
+def test_fragments_overlap_excluded(spark):
+    # best window at 0 covers positions 0..3; second-best INSIDE it must
+    # be skipped in favor of the first disjoint one
+    text = "cat cat cat x cat x x x"
+    got = _frag_rows(spark, text, ["cat"], window=4, n=2)
+    assert got[0] == (1, 0, 3, "cat cat cat x")
+    assert got[1][1] >= 4  # disjoint start
+    assert got[1][2] == 1
+
+
+def test_fragments_first_equals_single_snippet(spark):
+    from search_engine_framework_spark.snippets import (
+        best_fragments,
+        best_window_snippets,
+    )
+
+    hits = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], "doc_id long, rank long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha x x beta"),
+            (1, "x x x beta"),
+            (2, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    single = {
+        r["doc_id"]: (r["start_tok"], r["n_matches"], r["snippet"])
+        for r in best_window_snippets(
+            hits, docs, ["alpha", "beta"], window=3
+        ).collect()
+    }
+    multi1 = {
+        r["doc_id"]: (r["start_tok"], r["n_matches"], r["snippet"])
+        for r in best_fragments(
+            hits, docs, ["alpha", "beta"], window=3, n_fragments=2
+        ).collect()
+        if r["fragment_ix"] == 1
+    }
+    assert multi1 == single
+
+
+def test_fragments_matchless_hit_degrades_to_one_leading(spark):
+    got = _frag_rows(spark, "nothing to see here", ["zzz"], window=3, n=3)
+    assert got == [(1, 0, 0, "nothing to see")]
+
+
+def test_fragments_validation(spark):
+    from search_engine_framework_spark.snippets import best_fragments
+
+    hits = spark.createDataFrame([(0, 1)], "doc_id long, rank long")
+    with pytest.raises(ValueError):
+        best_fragments(hits, hits, ["x"], n_fragments=0)
