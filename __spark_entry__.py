@@ -9,7 +9,7 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 76 of 78 entries are
+                  summation orders differ). 102 of 105 entries are
                   oracle-checked — including the round-2 extensions
                   fuzzy term queries (fuzzy: SymSpell dictionary
                   expansion into #SYN, DuckDB levenshtein twin),
@@ -40,15 +40,32 @@ oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   SymSpell fuzzy suggestion (spell_suggest), prefix
                   autocomplete (term_prefix), and facet counts over
                   the flagship hit set (facet_counts).
-                  Two rows-only entries remain, each with a hard twin
+                  Later round-2 batches add federated multi-index and
+                  rollover search (multi_search / rollover_search —
+                  both sharing the single-index bm25_topk oracle
+                  verbatim, the global-stats-merge invariant), #MSM/n
+                  minimum-should-match (msm_bm25 / msm_boolean), range/
+                  percentile/cardinality/composite facets, DisMax
+                  (dismax), the phrase suggester (phrase_suggest),
+                  percolation (percolate), field-sorted retrieval
+                  (sorted_search), two-pass rescoring (rescore_phrase),
+                  the quality-classifier inference (classify_score),
+                  event funnel + retention (funnel / retention), SQ8
+                  quantized ANN (sq_search, full train+encode+search
+                  twin), SemDeDup (semdedup_exact1), tf-idf export and
+                  per-source rollup, and multi-fragment highlighting
+                  (snippets_multi).
+                  Three rows-only entries remain, each with a hard twin
                   elsewhere: bm25_ref_analyzer (Krovetz stemming is not
                   ANSI-SQL-expressible; locked by a pytest golden
-                  fixture) and ann_ivf (partial-probe subset depends on
+                  fixture), ann_ivf (partial-probe subset depends on
                   learned centroids; its nprobe=nlist twin
-                  ann_ivf_exactprobe IS oracle-checked). MMR rerank
-                  (pipeline/diversity.py) is pytest-only by nature: its
-                  greedy recurrence is not expressible as a fixed SQL
-                  plan.
+                  ann_ivf_exactprobe IS oracle-checked), and bpe_tokens
+                  (iterative BPE argmax is not SQL-expressible; locked
+                  by a pure-Python reference + the Sennrich fixture).
+                  MMR rerank (pipeline/diversity.py) is pytest-only by
+                  nature: its greedy recurrence is not expressible as a
+                  fixed SQL plan.
 
 Implementation lives in search_engine_framework_spark/contract.py.
 """
