@@ -1,0 +1,136 @@
+"""Trained-artifact persistence — the deploy half of the pipeline's
+train/apply pairs. Training jobs (classifier weights, BPE merges, SQ8
+bounds, bigram LM tables, IVF/PQ centroids via ivf_store) run rarely
+and expensively; the artifacts they produce are applied constantly and
+elsewhere — a different cluster, a later session, a serving job. This
+module gives every small trained artifact one storage convention:
+
+* **driver-sized artifacts** (weights, merges, bounds — KBs) persist as
+  a single JSON document with a ``kind`` tag and a payload, written
+  atomically (tmp + rename) so readers never see a torn file. JSON, not
+  pickle: engine-portable, diffable, and immune to code-version skew.
+* **table artifacts** (LM bigram/context counts — corpus-vocabulary
+  sized) stay parquet via plain ``DataFrame.write``; this module only
+  persists their small metadata (vocab size) next to them.
+
+Each saver/loader validates the kind tag and payload shape, so loading
+the wrong artifact into the wrong apply step fails loudly instead of
+silently mis-scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "save_classifier",
+    "load_classifier",
+    "save_bpe",
+    "load_bpe",
+    "save_sq",
+    "load_sq",
+    "save_lm",
+    "load_lm",
+]
+
+
+def _write_json(path: str, kind: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"kind": kind, **payload}, fh)
+    os.replace(tmp, path)
+
+
+def _read_json(path: str, kind: str) -> dict:
+    with open(path) as fh:
+        doc = json.load(fh)
+    if doc.get("kind") != kind:
+        raise ValueError(
+            f"{path} holds a {doc.get('kind')!r} artifact, expected {kind!r}"
+        )
+    return doc
+
+
+# -- quality classifier (pipeline/classify.py) ------------------------------
+
+def save_classifier(
+    path: str, weights: list[float], bias: float, dim: int, seed: int = 0
+) -> None:
+    if len(weights) != dim:
+        raise ValueError(f"weights length {len(weights)} != dim {dim}")
+    _write_json(
+        path,
+        "classifier-logreg-hashed",
+        {"weights": [float(w) for w in weights], "bias": float(bias),
+         "dim": int(dim), "seed": int(seed)},
+    )
+
+
+def load_classifier(path: str) -> tuple[list[float], float, int, int]:
+    """→ (weights, bias, dim, seed) — pass dim/seed to featurize so the
+    apply-side hashing matches the training side exactly."""
+    d = _read_json(path, "classifier-logreg-hashed")
+    if len(d["weights"]) != d["dim"]:
+        raise ValueError(f"{path}: corrupt artifact (weights/dim mismatch)")
+    return d["weights"], d["bias"], d["dim"], d["seed"]
+
+
+# -- BPE merges (pipeline/bpe.py) -------------------------------------------
+
+def save_bpe(path: str, merges: list[tuple[str, str]]) -> None:
+    _write_json(path, "bpe-merges", {"merges": [list(m) for m in merges]})
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    d = _read_json(path, "bpe-merges")
+    out = []
+    for m in d["merges"]:
+        if len(m) != 2:
+            raise ValueError(f"{path}: corrupt merge entry {m!r}")
+        out.append((m[0], m[1]))
+    return out
+
+
+# -- SQ8 bounds (pipeline/sq.py) --------------------------------------------
+
+def save_sq(path: str, mins: list[float], maxs: list[float]) -> None:
+    if len(mins) != len(maxs):
+        raise ValueError("mins/maxs length mismatch")
+    _write_json(
+        path, "sq8-bounds",
+        {"mins": [float(x) for x in mins], "maxs": [float(x) for x in maxs]},
+    )
+
+
+def load_sq(path: str) -> tuple[list[float], list[float]]:
+    d = _read_json(path, "sq8-bounds")
+    if len(d["mins"]) != len(d["maxs"]):
+        raise ValueError(f"{path}: corrupt artifact (mins/maxs mismatch)")
+    return d["mins"], d["maxs"]
+
+
+# -- bigram LM (pipeline/lm.py) ---------------------------------------------
+
+def save_lm(
+    root: str, bigrams: DataFrame, contexts: DataFrame, vocab_size: int
+) -> None:
+    """Tables as parquet + metadata JSON under one directory."""
+    bigrams.write.mode("overwrite").parquet(os.path.join(root, "bigrams"))
+    contexts.write.mode("overwrite").parquet(os.path.join(root, "contexts"))
+    _write_json(
+        os.path.join(root, "lm.json"), "bigram-lm",
+        {"vocab_size": int(vocab_size)},
+    )
+
+
+def load_lm(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame, int]:
+    d = _read_json(os.path.join(root, "lm.json"), "bigram-lm")
+    return (
+        spark.read.parquet(os.path.join(root, "bigrams")),
+        spark.read.parquet(os.path.join(root, "contexts")),
+        int(d["vocab_size"]),
+    )

@@ -1,0 +1,88 @@
+"""Artifact persistence (pipeline/artifacts.py): round-trip identity
+for every trained-artifact kind, kind-tag validation (loading the wrong
+artifact fails loudly), and an end-to-end train→save→load→apply proof
+for the classifier, BPE, SQ8, and the bigram LM."""
+
+import pytest
+
+from search_engine_framework_spark.pipeline import artifacts as A
+
+
+def test_classifier_roundtrip_and_apply(spark, tmp_path):
+    from search_engine_framework_spark.pipeline import classify
+
+    docs = spark.createDataFrame(
+        [(i, "good clean text" if i % 2 else "spam junk buy")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "doc_id long, label int"
+    )
+    dim = 16
+    feats = classify.featurize(docs, dim=dim)
+    w, b = classify.train_logreg(feats, labels, dim=dim, iters=8, lr=5.0)
+    p = str(tmp_path / "clf.json")
+    A.save_classifier(p, w, b, dim)
+    w2, b2, dim2, seed2 = A.load_classifier(p)
+    assert (w2, b2, dim2, seed2) == (w, b, dim, 0)
+    before = {
+        r["doc_id"]: r["p"] for r in classify.score(feats, w, b).collect()
+    }
+    after = {
+        r["doc_id"]: r["p"] for r in classify.score(feats, w2, b2).collect()
+    }
+    assert after == before
+
+
+def test_bpe_roundtrip(spark, tmp_path):
+    from search_engine_framework_spark.pipeline.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low lower"), (1, "low lowest")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, num_merges=4, min_pair_count=1)
+    p = str(tmp_path / "bpe.json")
+    A.save_bpe(p, merges)
+    assert A.load_bpe(p) == merges
+    assert all(isinstance(m, tuple) for m in A.load_bpe(p))
+
+
+def test_sq_roundtrip(tmp_path):
+    mins, maxs = [-1.5, 0.0], [2.5, 0.0]
+    p = str(tmp_path / "sq.json")
+    A.save_sq(p, mins, maxs)
+    assert A.load_sq(p) == (mins, maxs)
+    with pytest.raises(ValueError):
+        A.save_sq(p, [0.0], [0.0, 1.0])
+
+
+def test_lm_roundtrip_and_apply(spark, tmp_path):
+    from search_engine_framework_spark.pipeline.lm import lm_score, lm_train
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b c a")], "doc_id long, text string"
+    )
+    bg, cx, v = lm_train(docs)
+    root = str(tmp_path / "lm")
+    A.save_lm(root, bg, cx, v)
+    bg2, cx2, v2 = A.load_lm(spark, root)
+    assert v2 == v
+    before = {
+        r["doc_id"]: round(r["cross_entropy"], 10)
+        for r in lm_score(docs, bg, cx, v).collect()
+    }
+    after = {
+        r["doc_id"]: round(r["cross_entropy"], 10)
+        for r in lm_score(docs, bg2, cx2, v2).collect()
+    }
+    assert after == before
+
+
+def test_kind_tag_validation(tmp_path):
+    p = str(tmp_path / "x.json")
+    A.save_sq(p, [0.0], [1.0])
+    with pytest.raises(ValueError, match="expected"):
+        A.load_bpe(p)
+    with pytest.raises(ValueError, match="expected"):
+        A.load_classifier(p)
