@@ -1192,6 +1192,54 @@ def q_classify_score(spark, sf_dir):
     return out.select("doc_id", _r4(F.col("p")).alias("p"))
 
 
+DSIR_DIM = 256
+DSIR_ALPHA = 1.0
+DSIR_SEED = 0
+DSIR_TARGET_LANG = "fr"
+DSIR_NSEL = 120
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket models fit on the lang='fr' target vs the whole pool;
+    per-doc log p_t/p_r weight via the ascending-bucket deterministic
+    fold so the DuckDB twin replays the double bit-for-bit."""
+    from .pipeline import dsir
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
+    fr = dsir.hashed_ngram_features(docs, dim=DSIR_DIM, seed=DSIR_SEED)
+    ft = dsir.hashed_ngram_features(target, dim=DSIR_DIM, seed=DSIR_SEED)
+    lp_t = dsir.fit_bucket_logprobs(ft, dim=DSIR_DIM, alpha=DSIR_ALPHA)
+    lp_r = dsir.fit_bucket_logprobs(fr, dim=DSIR_DIM, alpha=DSIR_ALPHA)
+    w = dsir.importance_weights(fr, lp_t, lp_r, ordered=True)
+    return docs.join(w, "doc_id", "left").select(
+        "doc_id", _r4(F.coalesce(F.col("logw"), F.lit(0.0))).alias("logw")
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel-top-k resampling: the end-to-end selection of the
+    120 most target-like (plus deterministic-noise) documents. The
+    md5-derived Gumbel draw and the ordered weight fold make the
+    (logw + gumbel) sort key engine-replayable, so the top-k cut is
+    stable across Spark and DuckDB."""
+    from .pipeline import dsir
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
+    out = dsir.dsir_select(
+        docs,
+        target,
+        n_select=DSIR_NSEL,
+        dim=DSIR_DIM,
+        alpha=DSIR_ALPHA,
+        seed=DSIR_SEED,
+        ordered=True,
+    )
+    return out.select("doc_id", _r4(F.col("key")).alias("key"))
+
+
 def q_sq_search(spark, sf_dir):
     """SQ8 scalar-quantized ANN (FAISS QT_8bit / Lucene int8 analog):
     per-dim [min,max] trained on the corpus, uint8 codes, asymmetric
@@ -2995,6 +3043,87 @@ FROM documents d LEFT JOIN dots ON dots.doc_id = d.doc_id
 
 ORACLE_SQL["classify_score"] = _classify_sql()
 
+
+def _b48_sql(key_expr: str, salt: str) -> str:
+    """First 12 hex digits of md5(key || salt) as a BIGINT (digit-by-
+    digit like _b16_sql) — the 48-bit uniform for the Gumbel draw."""
+    h = f"md5({key_expr} || '{salt}')"
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f"::BIGINT * {16 ** (11 - i)}"
+        for i in range(12)
+    ) + ")"
+
+
+def _dsir_sql(select_tail: str) -> str:
+    """Shared DSIR twin: grams → md5 buckets → smoothed bucket models
+    (target = lang fixed by DSIR_TARGET_LANG, raw = all docs) →
+    ascending-bucket list_reduce weight fold, replaying pipeline/dsir.py
+    arithmetic operand for operand."""
+    d, a = DSIR_DIM, DSIR_ALPHA
+    return (
+        _SQL_BASE
+        + f""",
+grams AS (
+  SELECT doc_id, term AS g FROM tokpos
+  UNION ALL
+  SELECT t1.doc_id, t1.term || '_' || t2.term AS g
+  FROM tokpos t1 JOIN tokpos t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+fx AS (
+  SELECT doc_id, ({_b16_sql('g', DSIR_SEED)} % {d}) AS bucket,
+         count(*)::DOUBLE AS n
+  FROM grams GROUP BY 1, 2
+),
+tcnt AS (
+  SELECT bucket, sum(n) AS c FROM fx
+  JOIN documents USING (doc_id)
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+),
+rcnt AS (SELECT bucket, sum(n) AS c FROM fx GROUP BY 1),
+lp AS (
+  SELECT b.i AS bucket,
+         ln((COALESCE(t.c, 0.0) + {a!r})
+            / ((SELECT COALESCE(sum(c), 0.0) FROM tcnt) + {a * d!r})) AS lt,
+         ln((COALESCE(r.c, 0.0) + {a!r})
+            / ((SELECT COALESCE(sum(c), 0.0) FROM rcnt) + {a * d!r})) AS lr
+  FROM (SELECT unnest(generate_series(0, {d - 1})) AS i) b
+  LEFT JOIN tcnt t ON t.bucket = b.i
+  LEFT JOIN rcnt r ON r.bucket = b.i
+),
+contrib AS (
+  SELECT fx.doc_id, fx.bucket, fx.n * (lp.lt - lp.lr) AS c
+  FROM fx JOIN lp ON lp.bucket = fx.bucket
+),
+w AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(c ORDER BY bucket)),
+                     (a, b) -> a + b) AS logw
+  FROM contrib GROUP BY 1
+),
+wd AS (
+  SELECT d.doc_id, COALESCE(w.logw, 0.0) AS logw
+  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+)
+{select_tail}
+"""
+    )
+
+
+ORACLE_SQL["dsir_weights"] = _dsir_sql(
+    "SELECT doc_id, round(logw, 4) + 0.0 AS logw FROM wd"
+)
+
+ORACLE_SQL["dsir_select"] = _dsir_sql(
+    f"""SELECT doc_id, round(key, 4) + 0.0 AS key FROM (
+  SELECT doc_id,
+         logw + (-ln(-ln(({_b48_sql("doc_id::VARCHAR", f"|g{DSIR_SEED}")}::DOUBLE + 0.5)
+                        / {float(1 << 48)!r}))) AS key
+  FROM wd
+) ORDER BY key DESC, doc_id ASC LIMIT {DSIR_NSEL}"""
+)
+
 ORACLE_SQL["sorted_search"] = (
     _SQL_BASE
     + """,
@@ -4050,6 +4179,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "semdedup_exact1": q_semdedup_exact1,
     "classify_score": q_classify_score,
+    "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "sq_search": q_sq_search,
     "bpe_tokens": q_bpe_tokens,
     "funnel": q_funnel,

@@ -1,0 +1,219 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023, "Data Selection for Language Models via Importance
+Resampling"; public method, arXiv:2302.03169).
+
+The domain-matching selection step of pretraining pipelines: given a
+small high-quality TARGET corpus and a huge RAW pool, score every raw
+document by how target-like it is and resample the pool toward the
+target distribution. This is the learned-complement of the heuristic
+gates in :mod:`.curate` and the discriminative classifier in
+:mod:`.classify` (extension family — the reference engine has no
+data-pipeline analog; cf. /root/reference/src/QryEval.java which only
+*queries* a prebuilt corpus).
+
+Method (exactly the paper's hashed n-gram variant):
+
+1. **Features** — each document is a bag of hashed n-grams (unigrams +
+   adjacent bigrams of the analyzer-twin token stream), every gram
+   mapped to one of ``dim`` buckets via the engine-portable 16-bit md5
+   bucket hash already used by :mod:`.classify` and :mod:`.sampling`
+   (``int(md5(gram|seed)[:4], 16) % dim``) so DuckDB/any engine can
+   replay it bit-for-bit.
+2. **Bucket models** — two smoothed multinomials over the bucket space,
+   fit on the target and the raw pool: ``p(b) = (c_b + α) / (Σc + α·dim)``.
+   Both tables are ``dim``-bounded (driver/broadcast sized, never
+   corpus sized).
+3. **Importance weight** — ``log w(doc) = Σ_b c_b · (log p_t(b) − log p_r(b))``.
+4. **Selection** — Gumbel top-k resampling *without replacement*:
+   ``key = log w + Gumbel(0,1)`` with the Gumbel draw a pure function
+   of ``(doc id, seed)`` (48 md5 bits → u ∈ (0,1) → −ln(−ln u)), so the
+   selection replays bit-identically across engines, partitionings and
+   reruns — the same determinism contract as :mod:`.sampling`.
+
+100 TB posture: the feature pass is one corpus-linear tokenize +
+map-side-combinable (doc, bucket) count; the two bucket models are one
+``dim``-bounded aggregation each and join back as broadcasts; the
+selection is a global top-k (TakeOrderedAndProject), never a full
+sort. Nothing corpus-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .textstats import tokens_col
+
+__all__ = [
+    "hashed_ngram_features",
+    "fit_bucket_logprobs",
+    "importance_weights",
+    "gumbel_key",
+    "dsir_select",
+]
+
+
+def _bucket16(gram: Column, seed: int) -> Column:
+    """First 16 bits of md5(gram|seed) as int — the shared engine-
+    portable hash family (classify.featurize / sampling.bucket16)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(gram, F.lit(f"|{seed}"))), 1, 4), 16, 10)
+        .cast("int")
+    )
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    dim: int = 8192,
+    seed: int = 0,
+    bigrams: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed n-gram bag in COO layout → ``(id_col, bucket:int, n:long)``.
+
+    Grams = analyzer-twin tokens plus (optionally) adjacent bigrams
+    joined with ``_`` (the tokenizer never emits ``_`` inside a token,
+    so the two gram kinds cannot collide textually). Docs that analyze
+    to zero tokens produce no rows. One tokenize pass, one map-side
+    combinable groupBy — linear in corpus tokens.
+    """
+    if dim < 2 or dim > 65536:
+        raise ValueError("dim must be in [2, 65536] (16-bit bucket hash)")
+    toks = tokens_col(F.col(text_col))
+    grams = toks
+    if bigrams:
+        # zip toks[i] with toks[i+1]; the trailing unpaired element
+        # concats with NULL -> NULL -> filtered out.
+        big = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit("_"), b),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        grams = F.concat(grams, big)
+    g = docs.select(F.col(id_col), F.explode(grams).alias("_g"))
+    return (
+        g.select(id_col, (_bucket16(F.col("_g"), seed) % dim).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def fit_bucket_logprobs(
+    feats: DataFrame, dim: int, alpha: float = 1.0
+) -> DataFrame:
+    """Smoothed multinomial over the bucket space → ``(bucket, logp)``
+    with every bucket in [0, dim) present (α mass for unseen buckets).
+
+    One dim-bounded aggregation; the scalar total is a driver read of a
+    dim-row frame — never corpus-sized.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed logs diverge)")
+    spark = feats.sparkSession
+    cnt = feats.groupBy("bucket").agg(F.sum("n").alias("c"))
+    rows = cnt.collect()  # <= dim rows by construction
+    total = float(sum(r["c"] for r in rows)) + alpha * dim
+    by_bucket = {int(r["bucket"]): float(r["c"]) for r in rows}
+    data = [
+        (b, math.log((by_bucket.get(b, 0.0) + alpha) / total)) for b in range(dim)
+    ]
+    return spark.createDataFrame(data, "bucket int, logp double")
+
+
+def importance_weights(
+    feats: DataFrame,
+    logp_target: DataFrame,
+    logp_raw: DataFrame,
+    id_col: str = "doc_id",
+    ordered: bool = False,
+) -> DataFrame:
+    """Per-doc log importance weight ``Σ_b n_b·(logp_t(b) − logp_r(b))``
+    → ``(id_col, logw)``. Docs with no feature rows are absent (treat
+    as logw = 0 downstream).
+
+    ``ordered=False`` (default, the scale path): a plain combinable
+    ``sum`` — map-side partial aggregation, float order unspecified.
+    ``ordered=True``: folds contributions in ascending-bucket order so
+    the double is bit-identical across engines/partitionings (needed
+    when a top-k cut on the weight must replay exactly, e.g. the
+    contract twin); costs a per-doc ``collect_list`` bounded by
+    ``min(doclen, dim)`` elements.
+    """
+    lt = logp_target.select("bucket", F.col("logp").alias("_lt"))
+    lr = logp_raw.select("bucket", F.col("logp").alias("_lr"))
+    j = (
+        feats.join(F.broadcast(lt), "bucket")
+        .join(F.broadcast(lr), "bucket")
+        .select(
+            id_col,
+            "bucket",
+            (F.col("n").cast("double") * (F.col("_lt") - F.col("_lr"))).alias("_c"),
+        )
+    )
+    if not ordered:
+        return j.groupBy(id_col).agg(F.sum("_c").alias("logw"))
+    return j.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "_c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("logw")
+    )
+
+
+def gumbel_key(id_expr: Column, logw: Column, seed: int = 0) -> Column:
+    """Gumbel-top-k sampling key ``logw + g`` where ``g = −ln(−ln u)``
+    and ``u ∈ (0,1)`` comes from the first 48 bits of
+    ``md5(id|g{seed})`` via ``(h + 0.5) / 2^48``. The hash and the
+    uniform are exact in binary64 (48 < 53 bits), so they replay
+    bit-for-bit on any engine; the two ``ln`` evaluations agree across
+    libms to the last ulp, which is why the contract twin compares the
+    key rounded to 4 decimals rather than raw bits."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_expr.cast("string"), F.lit(f"|g{seed}"))), 1, 12),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 48))
+    return logw + -F.log(-F.log(u))
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    n_select: int,
+    dim: int = 8192,
+    alpha: float = 1.0,
+    seed: int = 0,
+    bigrams: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ordered: bool = False,
+) -> DataFrame:
+    """End-to-end DSIR: fit target/raw bucket models, weight every raw
+    doc, Gumbel-top-``n_select`` resample. Returns ``docs``' columns
+    plus ``logw`` and the sampling ``key`` (descending key = selection
+    order). Feature-less docs carry logw = 0 (pure noise draw), exactly
+    the paper's behavior for empty text."""
+    if n_select <= 0:
+        raise ValueError("n_select must be positive")
+    fr = hashed_ngram_features(
+        docs, dim=dim, seed=seed, bigrams=bigrams, id_col=id_col, text_col=text_col
+    )
+    ft = hashed_ngram_features(
+        target, dim=dim, seed=seed, bigrams=bigrams, id_col=id_col, text_col=text_col
+    )
+    lp_t = fit_bucket_logprobs(ft, dim=dim, alpha=alpha)
+    lp_r = fit_bucket_logprobs(fr, dim=dim, alpha=alpha)
+    w = importance_weights(fr, lp_t, lp_r, id_col=id_col, ordered=ordered)
+    out = docs.join(w, id_col, "left").withColumn(
+        "logw", F.coalesce(F.col("logw"), F.lit(0.0))
+    )
+    out = out.withColumn("key", gumbel_key(F.col(id_col), F.col("logw"), seed=seed))
+    return out.orderBy(F.desc("key"), F.col(id_col).asc()).limit(n_select)

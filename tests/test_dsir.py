@@ -1,0 +1,231 @@
+"""DSIR importance resampling (pipeline/dsir.py) — Xie et al. 2023.
+
+Locked here:
+
+* hashed_ngram_features: unigram+bigram bag vs a hashlib oracle,
+  bigram off-switch, empty/NULL docs produce no rows;
+* fit_bucket_logprobs: every bucket present, probabilities sum to 1,
+  smoothing math vs hand computation;
+* importance_weights: exact agreement with an independent Python
+  oracle in both plain-sum and ordered-fold modes; docs absent from
+  the pool drop out;
+* gumbel_key: md5-derived draw matches hashlib bit-for-bit and is
+  seed-sensitive;
+* dsir_select end-to-end: a pool of target-like and off-target docs —
+  selection strongly prefers target-like docs, replays exactly under
+  repartitioning, and matches a full pure-Python DSIR implementation.
+"""
+
+import hashlib
+import math
+
+import pytest
+
+from search_engine_framework_spark.pipeline import dsir
+
+DIM = 64
+SEED = 0
+
+
+def _toks(text):
+    return [
+        t
+        for t in "".join(c if c.isalnum() else " " for c in (text or "").lower()).split()
+        if t
+    ]
+
+
+def _bucket(gram: str, dim: int, seed: int = SEED) -> int:
+    return int(hashlib.md5(f"{gram}|{seed}".encode()).hexdigest()[:4], 16) % dim
+
+
+def _py_feats(text, dim, bigrams=True, seed=SEED):
+    toks = _toks(text)
+    grams = list(toks)
+    if bigrams:
+        grams += [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    out: dict[int, int] = {}
+    for g in grams:
+        b = _bucket(g, dim, seed)
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _py_logprobs(feat_maps, dim, alpha=1.0):
+    cnt = [0.0] * dim
+    for m in feat_maps:
+        for b, n in m.items():
+            cnt[b] += n
+    total = sum(cnt) + alpha * dim
+    return [math.log((c + alpha) / total) for c in cnt]
+
+
+def _py_logw(feats, lp_t, lp_r):
+    # ascending-bucket fold, matching ordered=True
+    acc = 0.0
+    for b in sorted(feats):
+        acc += feats[b] * (lp_t[b] - lp_r[b])
+    return acc
+
+
+def _py_gumbel(doc_id, seed=SEED):
+    h = int(hashlib.md5(f"{doc_id}|g{seed}".encode()).hexdigest()[:12], 16)
+    u = (float(h) + 0.5) / float(1 << 48)
+    return -math.log(-math.log(u))
+
+
+CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "a dog chased the cat"),
+    (2, ""),
+    (3, None),
+    (4, "cat cat cat dog"),
+    (5, "quantum flux capacitor resonance chamber"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_features_match_hashlib(spark, docs):
+    rows = dsir.hashed_ngram_features(docs, dim=DIM).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["bucket"]] = r["n"]
+    for doc_id, text in CORPUS:
+        want = _py_feats(text, DIM)
+        assert got.get(doc_id, {}) == want, f"doc {doc_id}"
+    # empty/NULL docs produce no rows at all
+    assert 2 not in got and 3 not in got
+
+
+def test_features_unigram_only(spark, docs):
+    rows = dsir.hashed_ngram_features(docs, dim=DIM, bigrams=False).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["bucket"]] = r["n"]
+    for doc_id, text in CORPUS:
+        assert got.get(doc_id, {}) == _py_feats(text, DIM, bigrams=False)
+
+
+def test_features_dim_validation(docs):
+    with pytest.raises(ValueError):
+        dsir.hashed_ngram_features(docs, dim=1)
+    with pytest.raises(ValueError):
+        dsir.hashed_ngram_features(docs, dim=1 << 17)
+
+
+def test_bucket_logprobs(spark, docs):
+    feats = dsir.hashed_ngram_features(docs, dim=DIM)
+    lp = dsir.fit_bucket_logprobs(feats, dim=DIM, alpha=0.5)
+    rows = {r["bucket"]: r["logp"] for r in lp.collect()}
+    assert set(rows) == set(range(DIM))
+    assert sum(math.exp(v) for v in rows.values()) == pytest.approx(1.0)
+    want = _py_logprobs(
+        [_py_feats(t, DIM) for _, t in CORPUS], DIM, alpha=0.5
+    )
+    for b in range(DIM):
+        assert rows[b] == pytest.approx(want[b], rel=1e-12), f"bucket {b}"
+    with pytest.raises(ValueError):
+        dsir.fit_bucket_logprobs(feats, dim=DIM, alpha=0.0)
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_importance_weights(spark, docs, ordered):
+    feats = dsir.hashed_ngram_features(docs, dim=DIM)
+    target = docs.where("doc_id IN (0, 4)")  # cat-heavy target
+    ft = dsir.hashed_ngram_features(target, dim=DIM)
+    lp_t = dsir.fit_bucket_logprobs(ft, dim=DIM)
+    lp_r = dsir.fit_bucket_logprobs(feats, dim=DIM)
+    w = dsir.importance_weights(feats, lp_t, lp_r, ordered=ordered)
+    got = {r["doc_id"]: r["logw"] for r in w.collect()}
+
+    py_t = _py_logprobs([_py_feats(t, DIM) for i, t in CORPUS if i in (0, 4)], DIM)
+    py_r = _py_logprobs([_py_feats(t, DIM) for _, t in CORPUS], DIM)
+    for doc_id, text in CORPUS:
+        f = _py_feats(text, DIM)
+        if not f:
+            assert doc_id not in got  # feature-less docs drop out
+            continue
+        want = _py_logw(f, py_t, py_r)
+        if ordered:
+            assert got[doc_id] == want, f"doc {doc_id} (bit-exact fold)"
+        else:
+            assert got[doc_id] == pytest.approx(want, rel=1e-12)
+    # the off-target jargon doc must weigh less than the cat docs
+    assert got[5] < got[0] and got[5] < got[4]
+
+
+def test_gumbel_key_matches_hashlib(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = df.select(
+        "doc_id",
+        dsir.gumbel_key(F.col("doc_id"), F.lit(0.0), seed=3).alias("g"),
+    ).collect()
+    for r in out:
+        # the 48-bit uniform is bit-exact; JVM vs CPython libm `log`
+        # may differ in the last ulp, so compare at 1e-15 rel.
+        assert r["g"] == pytest.approx(
+            _py_gumbel(r["doc_id"], seed=3), rel=1e-15
+        ), r["doc_id"]
+    # seed sensitivity
+    out2 = df.select(
+        dsir.gumbel_key(F.col("doc_id"), F.lit(0.0), seed=4).alias("g")
+    ).collect()
+    assert {r["g"] for r in out} != {r["g"] for r in out2}
+
+
+def test_dsir_select_end_to_end(spark):
+    # 30 target-like docs, 30 off-topic docs; target = 10 held-out
+    # target-like docs. Selection of 20 should be dominated by the
+    # target-like family.
+    pool = []
+    for i in range(30):
+        pool.append((i, f"the cat sat on mat {i % 3} and the dog ran"))
+    for i in range(30, 60):
+        pool.append((i, f"flux capacitor resonance chamber mode {i % 5} tensor"))
+    docs = spark.createDataFrame(pool, "doc_id long, text string")
+    # target shares the pool cat-docs' phrase structure (same bigrams),
+    # so both gram kinds carry signal; flux docs share nothing.
+    target = spark.createDataFrame(
+        [(100 + i, f"the cat sat on mat {i % 4} and the dog ran") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sel = dsir.dsir_select(
+        docs, target, n_select=20, dim=256, seed=1, ordered=True
+    )
+    rows = sel.collect()
+    assert len(rows) == 20
+    ids = {r["doc_id"] for r in rows}
+    assert sum(1 for i in ids if i < 30) >= 16  # overwhelmingly target-like
+
+    # deterministic under repartitioning
+    sel2 = dsir.dsir_select(
+        docs.repartition(7), target.repartition(3), n_select=20, dim=256,
+        seed=1, ordered=True,
+    )
+    rows2 = sel2.collect()
+    assert [(r["doc_id"], r["key"]) for r in rows] == [
+        (r["doc_id"], r["key"]) for r in rows2
+    ]
+
+    # full pure-Python DSIR replay (ordered fold + md5 Gumbel)
+    py_t = _py_logprobs([_py_feats(t, 256, seed=1) for _, t in target.collect()], 256)
+    py_r = _py_logprobs([_py_feats(t, 256, seed=1) for _, t in pool], 256)
+    keys = []
+    for doc_id, text in pool:
+        f = _py_feats(text, 256, seed=1)
+        lw = _py_logw(f, py_t, py_r) if f else 0.0
+        keys.append((lw + _py_gumbel(doc_id, seed=1), doc_id))
+    keys.sort(key=lambda x: (-x[0], x[1]))
+    want = [(d, k) for k, d in keys[:20]]
+    assert [r["doc_id"] for r in rows] == [d for d, _ in want]
+    for r, (_, k) in zip(rows, want):
+        assert r["key"] == pytest.approx(k, rel=1e-12)
+
+    with pytest.raises(ValueError):
+        dsir.dsir_select(docs, target, n_select=0)
