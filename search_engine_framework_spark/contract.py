@@ -1240,6 +1240,79 @@ def q_dsir_select(spark, sf_dir):
     return out.select("doc_id", _r4(F.col("key")).alias("key"))
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 5
+PR_OUTDEG = 3
+
+
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank (pipeline/graph.py) over a deterministic
+    md5-derived link graph on the documents table: each doc links to
+    PR_OUTDEG targets ``bucket16(doc_id|e{j}) % N`` (the shared
+    engine-portable hash family), 5 power iterations at damping 0.85
+    with ordered contribution folds so the DuckDB twin replays every
+    double bit-for-bit. Every node has out-degree >= 1 by construction,
+    so the dangling term is exactly 0.0 on both sides."""
+    from .pipeline import dsir, graph
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    legs = [
+        docs.select(
+            F.col("doc_id").alias("src"),
+            (
+                dsir._bucket16(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(f"|e{j}")), 0
+                )
+                % n
+            ).cast("long").alias("dst"),
+        )
+        for j in range(PR_OUTDEG)
+    ]
+    edges = legs[0]
+    for leg in legs[1:]:
+        edges = edges.union(leg)
+    ranks = graph.pagerank(
+        edges,
+        damping=PR_DAMPING,
+        iters=PR_ITERS,
+        nodes=docs.select(F.col("doc_id").alias("id")),
+        ordered=True,
+    )
+    return ranks.select(F.col("id").alias("doc_id"), _r4(F.col("p")).alias("p"))
+
+
+def _pagerank_sql() -> str:
+    nn = "(SELECT count(*)::DOUBLE FROM documents)"
+    legs = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ({_b16_sql('doc_id::VARCHAR || ' + repr('|e' + str(j)), 0)}"
+        f" % (SELECT count(*) FROM documents))::BIGINT AS dst FROM documents"
+        for j in range(PR_OUTDEG)
+    )
+    sql = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({legs})),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT doc_id AS id, 1.0 / {nn} AS p FROM documents)"""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        sql += f""",
+r{i} AS (
+  SELECT n.id,
+         (1.0::DOUBLE - {PR_DAMPING}::DOUBLE) / {nn}
+         + {PR_DAMPING}::DOUBLE * COALESCE(c.s, 0.0) AS p
+  FROM r0 n LEFT JOIN (
+    SELECT e.dst AS id,
+           list_reduce(list_prepend(0.0, list(r.p / o.outdeg ORDER BY e.src)),
+                       (a, b) -> a + b) AS s
+    FROM e JOIN {prev} r ON r.id = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.id = n.id
+)"""
+        prev = f"r{i}"
+    sql += f"\nSELECT id AS doc_id, round(p, 4) + 0.0 AS p FROM {prev}"
+    return sql
+
+
 def q_sq_search(spark, sf_dir):
     """SQ8 scalar-quantized ANN (FAISS QT_8bit / Lucene int8 analog):
     per-dim [min,max] trained on the corpus, uint8 codes, asymmetric
@@ -3124,6 +3197,8 @@ ORACLE_SQL["dsir_select"] = _dsir_sql(
 ) ORDER BY key DESC, doc_id ASC LIMIT {DSIR_NSEL}"""
 )
 
+ORACLE_SQL["pagerank"] = _pagerank_sql()
+
 ORACLE_SQL["sorted_search"] = (
     _SQL_BASE
     + """,
@@ -4181,6 +4256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classify_score": q_classify_score,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "pagerank": q_pagerank,
     "sq_search": q_sq_search,
     "bpe_tokens": q_bpe_tokens,
     "funnel": q_funnel,

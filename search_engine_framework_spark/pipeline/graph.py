@@ -1,0 +1,133 @@
+"""Distributed PageRank over an edge table (power iteration).
+
+The reference consumes PageRank only as a precomputed LeToR feature
+file (``letor:pageRankFile`` — LearnToRank.java:143-150, read here by
+``letor.read_pagerank_file``); it never computes it. At training-data
+scale the scores have to come from somewhere: this module produces
+them from a link/edge table with the classic damped power iteration
+(Page et al. 1999, public method), so the engine covers both halves of
+S10 — computing the prior and joining it as a feature.
+
+Semantics (the standard formulation):
+
+* nodes = distinct endpoints of ``edges`` (isolated nodes may be
+  supplied via ``nodes=``);
+* ``p_0(v) = 1/N``;
+* each iteration:
+  ``p'(v) = (1−d)/N + d·(Σ_{u→v} p(u)/outdeg(u) + dangling/N)``
+  where ``dangling = Σ_{outdeg(u)=0} p(u)`` — dangling mass is
+  redistributed uniformly, so Σp stays exactly 1 in real arithmetic;
+* multi-edges count once (the edge set is de-duplicated); self-loops
+  are kept (a node may cite itself — matching the plain formulation;
+  drop them upstream if unwanted).
+
+100 TB posture: each iteration is ONE shuffle of the edge-join
+contributions into a map-side-combinable per-dst sum, plus a scalar
+(1-row) dangling aggregate; ranks/outdeg join back on the node key.
+Nothing corpus-sized reaches the driver (the dangling scalar is one
+float). Lineage is cut per iteration with ``localCheckpoint`` (the
+same discipline as :mod:`.cc`), so the plan does not deepen with
+``iters``. For a web-scale graph the edge table should be bucketed on
+``dst`` so the per-iteration shuffle co-locates.
+
+``ordered=True`` replaces the two float sums with ascending-key folds
+(contributions by ``src``, dangling by node id), making every double
+bit-replayable across engines/partitionings — the contract-twin mode,
+same contract as :func:`.dsir.importance_weights`. Cost: a per-dst
+``collect_list`` bounded by in-degree; the default plain sum is the
+scale path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["pagerank"]
+
+
+def _ordered_sum(value: Column, order: Column) -> Column:
+    """Deterministic ascending-`order` fold of `value` (bit-replayable)."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(order.alias("o"), value.alias("x")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["x"],
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    nodes: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ordered: bool = False,
+) -> DataFrame:
+    """Damped PageRank → ``(id, p)`` with Σp = 1 (up to float error).
+
+    ``edges`` rows beyond (src, dst) are ignored; duplicate edges count
+    once. ``nodes`` (one ``id`` column), when given, adds isolated
+    nodes to the distribution (they receive base + dangling mass only).
+    """
+    if not 0.0 <= damping < 1.0:
+        raise ValueError("damping must be in [0, 1)")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    node_ids = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    )
+    if nodes is not None:
+        node_ids = node_ids.union(nodes.select(F.col("id")))
+    node_ids = node_ids.distinct().localCheckpoint(eager=True)
+    n = node_ids.count()
+    if n == 0:
+        return node_ids.withColumn("p", F.lit(0.0))
+
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # (src, dst, outdeg) fixed for all iterations
+    eo = e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    base = (1.0 - damping) / n
+    ranks = node_ids.withColumn("p", F.lit(1.0 / n))
+    has_out = outdeg.select(F.col("src").alias("id"))
+
+    for _ in range(iters):
+        dang_df = ranks.join(has_out, "id", "left_anti")
+        if ordered:
+            drow = dang_df.agg(
+                _ordered_sum(F.col("p"), F.col("id")).alias("s")
+            ).collect()[0]
+        else:
+            drow = dang_df.agg(F.sum("p").alias("s")).collect()[0]
+        dangling = float(drow["s"] or 0.0)
+
+        contrib = eo.join(
+            ranks.select(F.col("id").alias("src"), "p"), "src"
+        ).select("dst", (F.col("p") / F.col("outdeg")).alias("c"), "src")
+        if ordered:
+            sums = contrib.groupBy("dst").agg(
+                _ordered_sum(F.col("c"), F.col("src")).alias("s")
+            )
+        else:
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+
+        ranks = (
+            node_ids.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

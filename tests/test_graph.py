@@ -1,0 +1,96 @@
+"""Distributed PageRank (pipeline/graph.py) vs a pure-Python power
+iteration — dangling mass, isolated nodes, duplicate edges, self-loops,
+ordered-fold determinism, and parameter validation."""
+
+import pytest
+
+from search_engine_framework_spark.pipeline import graph
+
+
+def _py_pagerank(edges, n_nodes_ids, damping=0.85, iters=10):
+    edges = sorted(set(edges))
+    ids = sorted(n_nodes_ids)
+    n = len(ids)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    p = {i: 1.0 / n for i in ids}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dangling = sum(p[i] for i in ids if i not in outdeg)
+        sums = {i: 0.0 for i in ids}
+        for s, d in edges:
+            sums[d] += p[s] / outdeg[s]
+        p = {i: base + damping * (sums[i] + dangling / n) for i in ids}
+    return p
+
+
+EDGES = [
+    (1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (4, 1),
+    (5, 5),          # self-loop
+    (4, 3),          # duplicate — must count once
+]
+# node 6 is dangling (edge in, none out); node 7 isolated (via nodes=)
+EDGES.append((1, 6))
+
+
+@pytest.fixture(scope="module")
+def edf(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_pagerank_matches_python(spark, edf):
+    got = {r["id"]: r["p"] for r in graph.pagerank(edf, iters=7).collect()}
+    want = _py_pagerank(EDGES, {1, 2, 3, 4, 5, 6}, iters=7)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12), f"node {i}"
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_ordered_bit_stable(spark, edf):
+    a = {r["id"]: r["p"] for r in graph.pagerank(edf, iters=5, ordered=True).collect()}
+    b = {
+        r["id"]: r["p"]
+        for r in graph.pagerank(
+            edf.repartition(5), iters=5, ordered=True
+        ).collect()
+    }
+    assert a == b  # bit-exact under repartitioning
+    want = _py_pagerank(EDGES, {1, 2, 3, 4, 5, 6}, iters=5)
+    for i in want:
+        assert a[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_pagerank_isolated_nodes(spark, edf):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    got = {
+        r["id"]: r["p"]
+        for r in graph.pagerank(edf, iters=6, nodes=nodes).collect()
+    }
+    want = _py_pagerank(EDGES, set(range(1, 8)), iters=6)
+    assert set(got) == set(range(1, 8))
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+    # isolated node gets base + dangling share only
+    assert got[7] < min(got[1], got[2], got[3])
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_zero_iters_uniform(spark, edf):
+    got = {r["id"]: r["p"] for r in graph.pagerank(edf, iters=0).collect()}
+    assert all(v == pytest.approx(1.0 / 6) for v in got.values())
+
+
+def test_pagerank_validation(spark, edf):
+    with pytest.raises(ValueError):
+        graph.pagerank(edf, damping=1.0)
+    with pytest.raises(ValueError):
+        graph.pagerank(edf, damping=-0.1)
+    with pytest.raises(ValueError):
+        graph.pagerank(edf, iters=-1)
+
+
+def test_pagerank_empty(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(e, iters=3).count() == 0
