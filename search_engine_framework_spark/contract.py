@@ -1313,6 +1313,64 @@ r{i} AS (
     return sql
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC source round-trip (sources/warc.py — the Common Crawl
+    ingestion format): the documents table is serialized into 4 WARC
+    shards (2 plain, 2 record-gzipped .warc.gz) as HTTP response
+    records, then read back with the distributed binaryFile+mapInPandas
+    reader; doc_id comes from the WARC-Target-URI, text from the HTTP
+    body. The builder is a driver-side test fixture (WARC is an input
+    format); the READ path is the scale path under test. Oracle: the
+    documents table itself."""
+    import hashlib
+    import os
+
+    from .sources import warc as warcmod
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ident = f"{sf_dir}|{os.path.getsize(src)}|{int(os.path.getmtime(src))}"
+    digest = hashlib.md5(ident.encode()).hexdigest()[:12]
+    root = os.path.join("/tmp", "sefs_warc", digest)
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            _read(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        shards = 4
+        for s in range(shards):
+            recs = [
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:uuid:{r['doc_id']:08d}>",
+                    "target_uri": f"http://corpus.test/doc/{r['doc_id']}",
+                    "warc_date": "2026-01-01T00:00:00Z",
+                    "http_status": 200,
+                    "http_content_type": "text/plain",
+                    "payload": (r["text"] or "").encode(),
+                }
+                for r in rows
+                if r["doc_id"] % shards == s
+            ]
+            gz = s % 2 == 1
+            fn = os.path.join(root, f"part-{s}.warc" + (".gz" if gz else ""))
+            with open(fn + ".tmp", "wb") as f:
+                f.write(warcmod.build_warc_bytes(recs, gzip_members=gz))
+            os.replace(fn + ".tmp", fn)
+        with open(done, "w") as f:
+            f.write(ident)
+    df = warcmod.read_warc(spark, os.path.join(root, "*.warc*"))
+    return df.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+    )
+
+
 def q_sq_search(spark, sf_dir):
     """SQ8 scalar-quantized ANN (FAISS QT_8bit / Lucene int8 analog):
     per-dim [min,max] trained on the corpus, uint8 codes, asymmetric
@@ -3199,6 +3257,8 @@ ORACLE_SQL["dsir_select"] = _dsir_sql(
 
 ORACLE_SQL["pagerank"] = _pagerank_sql()
 
+ORACLE_SQL["warc_ingest"] = "SELECT doc_id, text FROM documents"
+
 ORACLE_SQL["sorted_search"] = (
     _SQL_BASE
     + """,
@@ -4257,6 +4317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
     "pagerank": q_pagerank,
+    "warc_ingest": q_warc_ingest,
     "sq_search": q_sq_search,
     "bpe_tokens": q_bpe_tokens,
     "funnel": q_funnel,

@@ -1,0 +1,208 @@
+"""WARC source — Common Crawl-shaped web-archive ingestion.
+
+The reference ingests web corpora only through a prebuilt Lucene index
+(QryEval.java:102-103 opens an index directory; the crawl→index step
+happens outside it). A 100 TB training-data pipeline starts further
+upstream: raw crawl data arrives as WARC files (ISO 28500, the Common
+Crawl distribution format), so the engine needs a first-class WARC →
+DataFrame reader in front of the curation/dedup/index stages.
+
+Layout and scale model (the standard one — warcio/sparkcc do the
+same): WARC files do NOT split mid-record, so the unit of parallelism
+is the FILE. ``read_warc`` lists the glob with Spark's ``binaryFile``
+source (one row per file, content as bytes — never collected to the
+driver) and parses records inside ``mapInPandas``, emitting one row
+per WARC record. Common Crawl segments are ~1 GB gzipped — one task
+each; a 100 TB crawl is ~10⁵ files, far above any cluster's core
+count, so file-granular parallelism saturates executors without a
+shuffle. Both plain ``.warc`` and record-at-a-time-gzipped ``.warc.gz``
+(multi-member gzip, the Common Crawl convention) are handled.
+
+Record parsing (public format, ISO 28500 / IIPC spec):
+
+* each record: ``WARC/1.0\\r\\n`` + header lines + blank line + exactly
+  ``Content-Length`` payload bytes + ``\\r\\n\\r\\n`` separator;
+* for ``WARC-Type: response`` records whose payload is an HTTP
+  response, the HTTP status line / headers are split off: ``payload``
+  is the HTTP BODY, ``http_status`` and ``http_content_type`` come
+  from the HTTP headers (non-HTTP payloads pass through whole with
+  NULL http fields);
+* malformed input fails loudly (truncated payload, missing version
+  line) — a corrupt 100 TB ingest should stop, not silently shrink.
+
+``build_warc_bytes`` is the inverse (records → WARC bytes) used by
+tests and the contract round-trip; it is driver-side by design (WARC
+is an *input* format here).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "path string, record_id string, warc_type string, target_uri string, "
+    "warc_date string, http_status int, http_content_type string, "
+    "payload binary"
+)
+
+_CRLF = b"\r\n"
+
+
+class WarcFormatError(ValueError):
+    pass
+
+
+def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
+    """Parse one WARC file's bytes (already un-gzipped) into record
+    dicts matching WARC_SCHEMA (minus ``path``, added by the caller)."""
+    out: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(_CRLF, pos)
+        if eol < 0 or not data.startswith(b"WARC/", pos):
+            raise WarcFormatError(
+                f"{path}: expected WARC version line at byte {pos}"
+            )
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = data.find(_CRLF, pos)
+            if eol < 0:
+                raise WarcFormatError(f"{path}: unterminated header block")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, _, v = line.partition(b":")
+            headers[k.decode("ascii", "replace").strip().lower()] = (
+                v.decode("utf-8", "replace").strip()
+            )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise WarcFormatError(f"{path}: missing/bad Content-Length")
+        if pos + clen > n:
+            raise WarcFormatError(f"{path}: truncated payload at byte {pos}")
+        block = data[pos : pos + clen]
+        pos += clen
+        wtype = headers.get("warc-type", "")
+        status = None
+        ctype = None
+        payload = block
+        if wtype == "response" and block.startswith(b"HTTP/"):
+            split = block.find(_CRLF + _CRLF)
+            if split >= 0:
+                head, payload = block[:split], block[split + 4 :]
+                lines = head.split(_CRLF)
+                parts = lines[0].split(None, 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                for hl in lines[1:]:
+                    hk, _, hv = hl.partition(b":")
+                    if hk.decode("ascii", "replace").strip().lower() == "content-type":
+                        ctype = hv.decode("utf-8", "replace").strip()
+        out.append(
+            {
+                "record_id": headers.get("warc-record-id", ""),
+                "warc_type": wtype,
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "http_status": status,
+                "http_content_type": ctype,
+                "payload": payload,
+            }
+        )
+    return out
+
+
+def read_warc(
+    spark: SparkSession,
+    path_glob: str,
+    warc_types: tuple[str, ...] | None = ("response",),
+) -> DataFrame:
+    """WARC files under ``path_glob`` → one row per record
+    (WARC_SCHEMA). ``warc_types`` filters record types early
+    (default: responses only, the training-data payload class);
+    ``None`` keeps everything."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def _parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)  # multi-member safe
+                for rec in parse_warc_bytes(data, path=path):
+                    if warc_types is not None and rec["warc_type"] not in warc_types:
+                        continue
+                    rec["path"] = path
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "record_id",
+                    "warc_type",
+                    "target_uri",
+                    "warc_date",
+                    "http_status",
+                    "http_content_type",
+                    "payload",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(_parse, WARC_SCHEMA)
+
+
+def build_warc_bytes(
+    records: Iterable[dict],
+    gzip_members: bool = False,
+) -> bytes:
+    """Records → WARC/1.0 bytes. Each record dict: ``warc_type``,
+    ``payload`` (bytes), optional ``target_uri``/``record_id``/
+    ``warc_date``/``http_status``/``http_content_type`` (HTTP framing
+    is added for responses when http_status is given). With
+    ``gzip_members`` each record becomes its own gzip member
+    (the Common Crawl .warc.gz convention, mtime pinned for
+    determinism)."""
+    out = io.BytesIO()
+    for rec in records:
+        payload = rec["payload"]
+        if rec.get("http_status") is not None:
+            head = (
+                f"HTTP/1.1 {rec['http_status']} OK\r\n"
+                f"Content-Type: {rec.get('http_content_type') or 'text/html'}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            payload = head + payload
+        hdrs = [f"WARC/1.0", f"WARC-Type: {rec['warc_type']}"]
+        for key, field in (
+            ("record_id", "WARC-Record-ID"),
+            ("target_uri", "WARC-Target-URI"),
+            ("warc_date", "WARC-Date"),
+        ):
+            if rec.get(key):
+                hdrs.append(f"{field}: {rec[key]}")
+        hdrs.append(f"Content-Length: {len(payload)}")
+        raw = ("\r\n".join(hdrs) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(raw)
+            out.write(buf.getvalue())
+        else:
+            out.write(raw)
+    return out.getvalue()

@@ -1,0 +1,109 @@
+"""WARC source (sources/warc.py) — record framing, HTTP payload
+splitting, gzip members, type filtering, and fail-loud malformed input."""
+
+import gzip
+import os
+
+import pytest
+
+from search_engine_framework_spark.sources import warc
+
+
+def _recs():
+    return [
+        {
+            "warc_type": "warcinfo",
+            "record_id": "<urn:uuid:0>",
+            "payload": b"software: test\r\n",
+        },
+        {
+            "warc_type": "request",
+            "record_id": "<urn:uuid:1>",
+            "target_uri": "http://a.test/x",
+            "payload": b"GET /x HTTP/1.1\r\n\r\n",
+        },
+        {
+            "warc_type": "response",
+            "record_id": "<urn:uuid:2>",
+            "target_uri": "http://a.test/x",
+            "warc_date": "2026-01-01T00:00:00Z",
+            "http_status": 200,
+            "http_content_type": "text/html; charset=utf-8",
+            "payload": "<html>café</html>".encode(),
+        },
+        {
+            "warc_type": "response",
+            "record_id": "<urn:uuid:3>",
+            "target_uri": "http://b.test/y",
+            "http_status": 404,
+            "payload": b"not here",
+        },
+        {
+            # response whose payload is NOT HTTP — must pass through whole
+            "warc_type": "response",
+            "record_id": "<urn:uuid:4>",
+            "target_uri": "dns:b.test",
+            "payload": b"raw-bytes \x00\x01",
+        },
+    ]
+
+
+def test_build_parse_roundtrip():
+    data = warc.build_warc_bytes(_recs())
+    got = warc.parse_warc_bytes(data)
+    assert [g["warc_type"] for g in got] == [
+        "warcinfo", "request", "response", "response", "response",
+    ]
+    r2 = got[2]
+    assert r2["payload"] == "<html>café</html>".encode()
+    assert r2["http_status"] == 200
+    assert r2["http_content_type"] == "text/html; charset=utf-8"
+    assert r2["target_uri"] == "http://a.test/x"
+    assert r2["warc_date"] == "2026-01-01T00:00:00Z"
+    assert got[3]["http_status"] == 404
+    # non-HTTP response payload kept whole, NULL http fields
+    assert got[4]["payload"] == b"raw-bytes \x00\x01"
+    assert got[4]["http_status"] is None and got[4]["http_content_type"] is None
+
+
+def test_gzip_members_roundtrip():
+    data = warc.build_warc_bytes(_recs(), gzip_members=True)
+    # multi-member: each record its own gzip stream
+    assert data.count(b"\x1f\x8b\x08") >= len(_recs())
+    got = warc.parse_warc_bytes(gzip.decompress(data))
+    assert len(got) == len(_recs())
+    assert got[2]["payload"] == "<html>café</html>".encode()
+    # deterministic bytes (mtime pinned)
+    assert data == warc.build_warc_bytes(_recs(), gzip_members=True)
+
+
+def test_malformed_inputs():
+    good = warc.build_warc_bytes(_recs())
+    with pytest.raises(warc.WarcFormatError):
+        warc.parse_warc_bytes(b"NOT-WARC/1.0\r\n\r\n")
+    with pytest.raises(warc.WarcFormatError):
+        warc.parse_warc_bytes(good[: len(good) // 2])  # truncated payload
+    with pytest.raises(warc.WarcFormatError):
+        warc.parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")  # no length
+
+
+def test_read_warc_spark(spark, tmp_path):
+    plain = tmp_path / "a.warc"
+    gzed = tmp_path / "b.warc.gz"
+    plain.write_bytes(warc.build_warc_bytes(_recs()))
+    gzed.write_bytes(warc.build_warc_bytes(_recs(), gzip_members=True))
+
+    df = warc.read_warc(spark, str(tmp_path / "*.warc*"))
+    rows = df.collect()
+    # default filter: responses only, from both files
+    assert len(rows) == 6
+    assert {r["warc_type"] for r in rows} == {"response"}
+    assert {os.path.basename(r["path"]) for r in rows} == {"a.warc", "b.warc.gz"}
+    by_id = {(os.path.basename(r["path"]), r["record_id"]): r for r in rows}
+    r = by_id[("a.warc", "<urn:uuid:2>")]
+    assert bytes(r["payload"]) == "<html>café</html>".encode()
+    assert r["http_status"] == 200
+
+    # unfiltered read sees every record type
+    all_df = warc.read_warc(spark, str(tmp_path / "a.warc"), warc_types=None)
+    assert all_df.count() == len(_recs())
