@@ -1013,6 +1013,22 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_facet_date_hist(spark, sf_dir):
+    """Calendar-interval date histogram (ES date_histogram with
+    calendar_interval=week): weekly purchase-event counts (Monday-start weeks, 5 buckets at sf0.01) over the
+    whole events frame (hits=None, the event-analytics shape). Months
+    are not fixed-width, so this is date_trunc bucketing, not the
+    epoch-seconds facet_histogram."""
+    from .facets import facet_date_histogram
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    out = facet_date_histogram(None, ev, "ts", "week")
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"), "n"
+    )
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (streaming/events.py user_sessions, run in
     batch mode): Spark's session_window vs the DuckDB gaps-and-islands
@@ -4232,6 +4248,13 @@ FROM lifted ORDER BY lifted.lift DESC, term ASC LIMIT 20
 """
 )
 
+ORACLE_SQL["facet_date_hist"] = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS n
+FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE_SQL["facet_histogram"] = (
     _SQL_BASE
     + _LEX_RANK_SQL
@@ -4347,6 +4370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_prefix": q_term_prefix,
     "facet_counts": q_facet_counts,
     "facet_histogram": q_facet_histogram,
+    "facet_date_hist": q_facet_date_hist,
     "facet_stats": q_facet_stats,
     "facet_ranges": q_facet_ranges,
     "facet_percentiles": q_facet_percentiles,

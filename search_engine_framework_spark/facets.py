@@ -56,6 +56,49 @@ def facet_counts(
     )
 
 
+_CAL_INTERVALS = ("year", "quarter", "month", "week", "day", "hour", "minute")
+
+
+def facet_date_histogram(
+    hits: DataFrame | None,
+    metadata: DataFrame,
+    col: str,
+    interval: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Calendar-interval date histogram (the Elasticsearch
+    ``date_histogram`` with ``calendar_interval`` analog — distinct
+    from :func:`facet_histogram` over epoch seconds because calendar
+    months/quarters/years are NOT fixed-width: bucketing is
+    ``date_trunc``, whose week starts Monday on both Spark and
+    DuckDB/ANSI engines).
+
+    ``hits=None`` aggregates the whole ``metadata`` frame (the
+    event-analytics shape — one map-side-combinable pass, no join);
+    otherwise the usual broadcast top-k hit join. NULL timestamps are
+    excluded. Returns DataFrame(bucket:timestamp, n:long) sparse and
+    ascending, like Elasticsearch with min_doc_count=1.
+    """
+    if interval not in _CAL_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {_CAL_INTERVALS}, got {interval!r}"
+        )
+    frame = metadata
+    if hits is not None:
+        frame = metadata.select(id_col, col).join(
+            F.broadcast(hits.select(id_col)), id_col
+        )
+    v = F.col(col).cast("timestamp")
+    return (
+        frame.where(v.isNotNull())
+        .select(F.date_trunc(interval, v).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.asc("bucket"))
+    )
+
+
 def facet_histogram(
     hits: DataFrame,
     metadata: DataFrame,

@@ -149,6 +149,46 @@ def test_facet_histogram_hand_computed(spark):
 
 
 # ---------------------------------------------------------------------------
+# facet_date_histogram (calendar-interval date histogram)
+# ---------------------------------------------------------------------------
+
+def test_facet_date_histogram_hand_computed(spark):
+    import datetime as dt
+
+    from search_engine_framework_spark.facets import facet_date_histogram
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts = [
+        (0, dt.datetime(2024, 1, 31, 23, 59)),   # Jan, week of Mon Jan 29
+        (1, dt.datetime(2024, 2, 1, 0, 0)),      # Feb, SAME Mon Jan 29 week
+        (2, dt.datetime(2024, 2, 4, 12, 0)),     # Feb, Sunday of that week
+        (3, dt.datetime(2024, 2, 5, 0, 0)),      # Feb, next (Mon Feb 5) week
+        (4, None),                               # excluded
+        (99, dt.datetime(2024, 2, 20, 0, 0)),    # not a hit below
+    ]
+    meta = spark.createDataFrame(ts, "doc_id long, t timestamp")
+
+    # whole-frame path (hits=None): calendar months are not fixed-width
+    got = [(r["bucket"].date().isoformat(), r["n"]) for r in
+           facet_date_histogram(None, meta, "t", "month").collect()]
+    assert got == [("2024-01-01", 1), ("2024-02-01", 4)]
+
+    # weeks start Monday and straddle the month boundary
+    gotw = [(r["bucket"].date().isoformat(), r["n"]) for r in
+            facet_date_histogram(None, meta, "t", "week").collect()]
+    assert gotw == [("2024-01-29", 3), ("2024-02-05", 1), ("2024-02-19", 1)]
+
+    # hit-set join path excludes non-hits
+    hits = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    goth = [(r["bucket"].date().isoformat(), r["n"]) for r in
+            facet_date_histogram(hits, meta, "t", "month").collect()]
+    assert goth == [("2024-01-01", 1), ("2024-02-01", 3)]
+
+    with pytest.raises(ValueError):
+        facet_date_histogram(None, meta, "t", "fortnight")
+
+
+# ---------------------------------------------------------------------------
 # significant_terms (document-frequency lift of hit terms vs corpus)
 # ---------------------------------------------------------------------------
 
