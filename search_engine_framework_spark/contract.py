@@ -703,6 +703,20 @@ def q_neardup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """The keep-best-of-cluster dedup ACTION: same minhash-LSH pairs
+    and connected components as `neardup_clusters`, but the canonical
+    member is the cluster's LONGEST doc (elect_by=n_chars, ties to min
+    id) — the C4/RefinedWeb keep-best rule rather than min-id."""
+    from .pipeline import cc as ccm
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.8, k=3, num_hashes=32, bands=16)
+    return ccm.dedup_clusters(docs, pairs, elect_by="n_chars").select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 def q_chunks(spark, sf_dir):
     """RAG-style token-window chunking (pipeline/chunking.py):
     chunk_size=32, overlap=8 over `documents`; the DuckDB twin replays
@@ -3730,7 +3744,7 @@ FROM c
 """
 # Standalone (not _SQL_BASE) because the recursive closure needs the
 # RECURSIVE keyword on the whole WITH clause.
-ORACLE_SQL["neardup_clusters"] = r"""
+_CC_CLUSTER_SQL = r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -3760,10 +3774,25 @@ reach AS (
 comp AS (
   SELECT x AS node, least(min(y), x) AS component FROM reach GROUP BY x
 )
+"""
+
+ORACLE_SQL["neardup_clusters"] = _CC_CLUSTER_SQL + r"""
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id)::BIGINT AS cluster_id,
        d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+ORACLE_SQL["dedup_keep_best"] = _CC_CLUSTER_SQL + r"""
+SELECT doc_id, cluster_id,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id ASC) = 1
+         AS is_canonical
+FROM (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.component, d.doc_id)::BIGINT AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
 """
 ORACLE_SQL["conv_rollup"] = (
     _SQL_BASE
@@ -4306,6 +4335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_fp": q_conv_fp,
     "neardup_pairs": q_neardup_pairs,
     "neardup_clusters": q_neardup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "ngram_jaccard": q_ngram_jaccard,
     "chunks": q_chunks,
     "quality": q_quality,

@@ -142,25 +142,59 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "a",
     dst: str = "b",
+    elect_by: str | None = None,
 ) -> DataFrame:
     """Cluster assignment + canonical election for a whole corpus.
 
     Returns one row per input doc: (id_col, cluster_id, is_canonical).
-    Docs in no near-dup pair are singleton clusters of themselves; the
-    canonical member of a multi-doc cluster is its minimum id (a pure
-    deterministic rule — swap in quality-ranked election by re-keying
-    ids upstream). Downstream dedup = ``.where("is_canonical")``.
+    Docs in no near-dup pair are singleton clusters of themselves.
+    Downstream dedup = ``.where("is_canonical")``.
+
+    Election rule: with ``elect_by=None`` the canonical member is the
+    minimum id (pure, deterministic). With ``elect_by=<column>`` the
+    canonical member is the cluster's HIGHEST-scoring doc (NULL scores
+    rank last), ties broken by minimum id — the keep-best-quality rule
+    real curation pipelines use (C4/RefinedWeb keep the longest or
+    highest-quality member, not an arbitrary one). The election is a
+    map-side-combinable ``max(struct(score, -id))`` groupBy — never a
+    per-cluster window, so a 10⁸-member boilerplate cluster costs its
+    combiner, not one task.
 
     The components frame is component-count sized (tiny next to the
-    corpus), so the join back to ``docs`` broadcasts under AQE.
+    corpus), so the join back to ``docs`` broadcasts under AQE; the
+    elect_by variant adds one join keyed on cluster_id (AQE skew-join
+    splits the giant-cluster key if one dominates).
     """
     comp = connected_components(pairs, src=src, dst=dst)
+    cols = [F.col(id_col)] + ([F.col(elect_by)] if elect_by else [])
     out = docs.join(
         comp.withColumnRenamed("node", id_col), on=id_col, how="left"
     ).select(
-        F.col(id_col),
+        *cols,
         F.coalesce("component", F.col(id_col).cast("long")).alias("cluster_id"),
     )
-    return out.withColumn(
-        "is_canonical", (F.col(id_col).cast("long") == F.col("cluster_id"))
+    if elect_by is None:
+        return out.withColumn(
+            "is_canonical", (F.col(id_col).cast("long") == F.col("cluster_id"))
+        )
+    score = F.coalesce(
+        F.col(elect_by).cast("double"), F.lit(float("-inf"))
+    )
+    best = out.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                score.alias("s"),
+                (-F.col(id_col).cast("long")).alias("negid"),
+            )
+        ).alias("best")
+    )
+    return (
+        out.join(best, "cluster_id")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            (F.col(id_col).cast("long") == -F.col("best.negid")).alias(
+                "is_canonical"
+            ),
+        )
     )

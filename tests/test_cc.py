@@ -100,6 +100,35 @@ def test_dedup_clusters_singletons_and_canonicals(spark):
     assert sorted(kept) == [0, 1, 2, 4, 6]
 
 
+def test_dedup_clusters_elect_by_quality(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, 10.0),   # singleton
+            (1, 5.0),    # cluster {1,5,7}: 7 has top score
+            (5, 9.0),
+            (7, 9.0),    # ties 5 at 9.0 → NEITHER wins... see below
+            (2, None),   # cluster {2,3}: NULL ranks last
+            (3, 1.0),
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 5), (5, 7), (2, 3)], "a long, b long")
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in cc.dedup_clusters(docs, pairs, elect_by="q").collect()
+    }
+    # {1,5,7}: max score 9.0 shared by 5 and 7 → min id 5 wins
+    assert rows[5] == (1, True)
+    assert rows[1] == (1, False) and rows[7] == (1, False)
+    # {2,3}: NULL ranks last → 3 wins despite larger id
+    assert rows[3] == (2, True) and rows[2] == (2, False)
+    # singleton is its own canonical even with elect_by
+    assert rows[0] == (0, True)
+    # exactly one canonical per cluster
+    kept = [d for d, (_, canon) in rows.items() if canon]
+    assert sorted(kept) == [0, 3, 5]
+
+
 def test_end_to_end_with_near_dup_pairs(spark):
     # two exact-ish dup families A (3 docs) and B (2 docs) + distinct docs
     base_a = "spark shuffles the posting lists across executor partitions"
