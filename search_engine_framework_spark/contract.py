@@ -1401,6 +1401,30 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_jsonl_ingest(spark, sf_dir):
+    """JSONL source round-trip (sources/jsonl.py — the corpus-release
+    interchange format): documents written as gzipped JSON-lines part
+    files by the distributed writer, read back under an explicit
+    schema in FAILFAST mode. Oracle: the documents table itself."""
+    import hashlib
+    import os
+
+    from .sources import jsonl
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ident = f"{sf_dir}|{os.path.getsize(src)}|{int(os.path.getmtime(src))}"
+    digest = hashlib.md5(ident.encode()).hexdigest()[:12]
+    root = os.path.join("/tmp", "sefs_jsonl", digest)
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        jsonl.write_jsonl(_read(spark, sf_dir, "documents"), root)
+    df = jsonl.read_jsonl(
+        spark,
+        root,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return df.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_sq_search(spark, sf_dir):
     """SQ8 scalar-quantized ANN (FAISS QT_8bit / Lucene int8 analog):
     per-dim [min,max] trained on the corpus, uint8 codes, asymmetric
@@ -3289,6 +3313,10 @@ ORACLE_SQL["pagerank"] = _pagerank_sql()
 
 ORACLE_SQL["warc_ingest"] = "SELECT doc_id, text FROM documents"
 
+ORACLE_SQL["jsonl_ingest"] = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+)
+
 ORACLE_SQL["sorted_search"] = (
     _SQL_BASE
     + """,
@@ -4371,6 +4399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "pagerank": q_pagerank,
     "warc_ingest": q_warc_ingest,
+    "jsonl_ingest": q_jsonl_ingest,
     "sq_search": q_sq_search,
     "bpe_tokens": q_bpe_tokens,
     "funnel": q_funnel,

@@ -1,0 +1,75 @@
+"""JSON-Lines source/sink — the interchange format of text-corpus
+releases (each line one JSON document: The Pile, RedPajama, Dolma all
+ship this way), next to :mod:`.warc` (raw crawl) and parquet (columnar
+working format).
+
+The reference has no raw-corpus ingestion at all (it opens a prebuilt
+Lucene index — QryEval.java:102-103); this is part of the pipeline
+extension surface. Spark's native JSON reader does the heavy lifting
+(distributed, splittable for uncompressed files, per-file parallel for
+.gz); this wrapper pins the three decisions that matter at 100 TB:
+
+* **Explicit schema, never inference** — schema inference is a full
+  extra pass over the corpus AND silently unions drifting shapes;
+  at scale both are bugs. ``schema`` is required.
+* **Corrupt-record policy is explicit**: ``bad_records="fail"``
+  (FAILFAST — the default: a corrupt 100 TB ingest should stop),
+  ``"drop"`` (DROPMALFORMED), or ``"audit"`` (PERMISSIVE with the
+  raw line kept in ``_corrupt_record`` so a filter can route bad
+  lines to a quarantine sink — the Dolma-style audit trail).
+* **Round-trip writer** (``write_jsonl``) for handing corpora to
+  JSONL-consuming tools; gzip per-part (splittability traded for
+  size, the standard release format).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_jsonl", "write_jsonl", "CORRUPT_COL"]
+
+CORRUPT_COL = "_corrupt_record"
+
+_MODES = {"fail": "FAILFAST", "drop": "DROPMALFORMED", "audit": "PERMISSIVE"}
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path_glob: str,
+    schema: str,
+    bad_records: str = "fail",
+) -> DataFrame:
+    """JSONL files → DataFrame with exactly ``schema``'s columns (plus
+    ``_corrupt_record`` string in ``audit`` mode: NULL for good rows,
+    the raw line for bad ones — schema fields are NULL on those rows).
+    """
+    if bad_records not in _MODES:
+        raise ValueError(f"bad_records must be one of {sorted(_MODES)}")
+    full_schema = schema
+    if bad_records == "audit":
+        full_schema = f"{schema}, {CORRUPT_COL} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", _MODES[bad_records])
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path_glob)
+    )
+    if bad_records == "audit":
+        # Spark refuses queries that reference ONLY the internal corrupt
+        # column on the raw scan; materializing through cache lifts the
+        # restriction for downstream quarantine filters.
+        df = df.cache()
+    return df
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    gzip: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """DataFrame → JSONL part files (one JSON object per line)."""
+    w = df.write.mode(mode)
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.json(path)

@@ -1,0 +1,74 @@
+"""JSONL source/sink (sources/jsonl.py) — round-trip, corrupt-record
+policies (fail / drop / audit), and schema pinning."""
+
+import gzip
+import os
+
+import pytest
+from py4j.protocol import Py4JJavaError
+
+from search_engine_framework_spark.sources import jsonl
+
+SCHEMA = "doc_id long, text string"
+
+
+def test_roundtrip_gzip(spark, tmp_path):
+    out = str(tmp_path / "docs")
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], SCHEMA
+    )
+    jsonl.write_jsonl(df, out)
+    assert any(f.endswith(".json.gz") for f in os.listdir(out))
+    back = jsonl.read_jsonl(spark, out, SCHEMA)
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
+        (i, f"text {i}") for i in range(20)
+    ]
+
+
+@pytest.fixture()
+def mixed_file(tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": "NaN-ish", "text": 3}\n'
+    )
+    return str(p)
+
+
+def test_bad_records_fail(spark, mixed_file):
+    with pytest.raises(Py4JJavaError):
+        jsonl.read_jsonl(spark, mixed_file, SCHEMA, bad_records="fail").collect()
+
+
+def test_bad_records_drop(spark, mixed_file):
+    rows = jsonl.read_jsonl(
+        spark, mixed_file, SCHEMA, bad_records="drop"
+    ).collect()
+    assert sorted((r["doc_id"], r["text"]) for r in rows) == [
+        (1, "ok"), (2, "also ok"),
+    ]
+
+
+def test_bad_records_audit(spark, mixed_file):
+    df = jsonl.read_jsonl(spark, mixed_file, SCHEMA, bad_records="audit")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r[jsonl.CORRUPT_COL] is None]
+    bad = [r for r in rows if r[jsonl.CORRUPT_COL] is not None]
+    assert sorted(r["doc_id"] for r in good) == [1, 2]
+    # the raw offending lines are preserved for quarantine
+    assert {r[jsonl.CORRUPT_COL] for r in bad} == {
+        "this is not json",
+        '{"doc_id": "NaN-ish", "text": 3}',
+    }
+    assert all(r["doc_id"] is None for r in bad)
+    # quarantine filter on the corrupt column works (cache lifts the
+    # internal-column restriction)
+    assert df.where(f"{jsonl.CORRUPT_COL} IS NOT NULL").count() == 2
+
+
+def test_bad_mode_validation(spark, mixed_file):
+    with pytest.raises(ValueError):
+        jsonl.read_jsonl(spark, mixed_file, SCHEMA, bad_records="ignore")
