@@ -1,0 +1,140 @@
+"""End-to-end training-data preparation — the whole funnel as ONE
+composition: curate → near-dup keep-best → benchmark decontamination →
+chunk → (optional BPE) → pack → shard.
+
+Every stage is an already-oracle-verified operator (curate.py, cc.py,
+dedup.py, chunking.py, bpe.py, packing.py, sampling.py); this module
+contributes the canonical wiring a real pretraining pipeline runs —
+the C4/Dolma/RefinedWeb gate order — plus a cross-stage audit report.
+The reference engine has no analog (it consumes a finished corpus);
+this is the capstone of the pipeline extension surface.
+
+Stage order rationale (the published-pipeline consensus):
+
+1. **curate** first — cheap per-doc gates (quality, language, exact
+   dedup) shrink the corpus before anything pairwise runs;
+2. **near-dup keep-best** on survivors — minhash-LSH pairs →
+   connected components → highest-quality member kept (cc.py
+   ``elect_by``), so boilerplate families collapse to one doc;
+3. **decontaminate** last among doc gates — benchmark n-gram overlap
+   is checked against the docs that could actually ship;
+4. **chunk → pack → shard** — geometry only: token windows, next-fit
+   packing to ``capacity``, deterministic shard assignment keyed by
+   pack id (replays bit-identically across engines/partitionings).
+
+Laziness: all returned DataFrames are unexecuted plans sharing the
+funnel lineage; ``report()`` is the only action and runs one
+aggregation wave. Nothing corpus-sized touches the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from . import curate as curate_mod
+from . import dedup as dedup_mod
+from .cc import dedup_clusters
+from .chunking import chunk_documents
+from .packing import pack_chunks
+from .sampling import shard_assign
+
+__all__ = ["PreparedData", "prepare_training_data"]
+
+
+@dataclass
+class PreparedData:
+    """The funnel's artifacts, all lazy. ``corpus`` is the deduped,
+    decontaminated document set (input columns + ``split``); ``chunks``
+    its token windows; ``packed`` the shard-assigned packed sequences
+    (chunk rows + ``pack_id``, ``pack_pos``, ``shard``)."""
+
+    flags: DataFrame
+    corpus: DataFrame
+    chunks: DataFrame
+    packed: DataFrame
+    _stage_counts: dict[str, DataFrame] = field(default_factory=dict)
+
+    def report(self) -> dict[str, int]:
+        """Cross-stage funnel counts (one aggregation wave; the audit
+        artifact a pipeline run logs)."""
+        out: dict[str, int] = {}
+        for name, df in self._stage_counts.items():
+            out[name] = df.count()
+        return out
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    neardup: bool = True,
+    neardup_threshold: float = 0.8,
+    neardup_k: int = 3,
+    elect_by: str | None = None,
+    decontam_n: int = 13,
+    chunk_size: int = 256,
+    overlap: int = 0,
+    capacity: int = 1024,
+    n_shards: int = 64,
+    seed: int = 42,
+    curate_kwargs: dict | None = None,
+) -> PreparedData:
+    """Run the full preparation funnel over ``docs`` (needs ``doc_id``
+    and ``text``; extra columns ride along into ``corpus``).
+
+    ``benchmark`` (a frame with ``text``) enables the decontamination
+    gate. ``elect_by`` names a column for keep-best near-dup election
+    (None keeps the min-id member). ``capacity`` is the packed-sequence
+    token budget; chunks longer than it are impossible by construction
+    when ``chunk_size <= capacity`` (enforced).
+    """
+    if chunk_size > capacity:
+        raise ValueError(
+            f"chunk_size {chunk_size} exceeds pack capacity {capacity}"
+        )
+    flags = curate_mod.curation_flags(docs, seed=seed, **(curate_kwargs or {}))
+    kept = flags.where("keep").select("doc_id", "split")
+    corpus = docs.join(kept, "doc_id")
+    stage_counts = {"input": docs, "curated": corpus}
+
+    if neardup:
+        pairs = dedup_mod.near_dup_pairs(
+            corpus, threshold=neardup_threshold, k=neardup_k
+        )
+        clusters = dedup_clusters(corpus, pairs, elect_by=elect_by)
+        corpus = corpus.join(
+            clusters.where("is_canonical").select("doc_id"), "doc_id"
+        )
+        stage_counts["after_neardup"] = corpus
+
+    if benchmark is not None:
+        contam = dedup_mod.decontaminate(corpus, benchmark, n=decontam_n)
+        corpus = corpus.join(
+            contam.where("is_contaminated").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        stage_counts["after_decontam"] = corpus
+
+    chunks = chunk_documents(
+        corpus, chunk_size=chunk_size, overlap=overlap
+    ).withColumn(
+        "chunk_id", F.concat_ws("#", F.col("doc_id"), F.col("chunk_idx"))
+    )
+    packed = pack_chunks(chunks, capacity=capacity, seed=seed)
+    packed = shard_assign(
+        packed, n_shards=n_shards, key_col="pack_id", seed=seed
+    )
+    stage_counts["chunks"] = chunks
+    stage_counts["packs"] = packed.select("pack_id").distinct()
+
+    return PreparedData(
+        flags=flags,
+        corpus=corpus,
+        chunks=chunks,
+        packed=packed,
+        _stage_counts=stage_counts,
+    )

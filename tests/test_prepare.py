@@ -1,0 +1,135 @@
+"""End-to-end training-data preparation (pipeline/prepare.py): the
+curate → near-dup keep-best → decontaminate → chunk → pack → shard
+funnel. Each stage is oracle-verified elsewhere; locked here is the
+WIRING — stage order, gate composition, funnel accounting, packing
+invariants, and determinism of the final shard assignment."""
+
+import pytest
+
+from search_engine_framework_spark.pipeline import prepare
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm window sill and counts birds in the garden"
+)
+
+
+def _mk_docs(spark):
+    rows = []
+    # 8 good distinct docs — unique 8-token tails keep pairwise Jaccard
+    # of unrelated docs well under the 0.8 near-dup threshold
+    for i in range(8):
+        tail = " ".join(f"unique{i}w{j}" for j in range(8))
+        rows.append((i, GOOD + " " + tail, "en"))
+    # exact duplicate pair (9 dups 8's text exactly) — curate keeps min id
+    rows.append((8, GOOD + " exact dup family zeta eta theta iota kappa", "en"))
+    rows.append((9, GOOD + " exact dup family zeta eta theta iota kappa", "en"))
+    # near-dup family {10, 11}: ONE token differs in a long shared tail
+    nd = " near dup family with a long common tail shared by both members"
+    rows.append((10, GOOD + nd + " alpha", "en"))
+    rows.append((11, GOOD + nd + " beta", "en"))
+    # quality failures: too short / digit soup
+    rows.append((12, "too short", "en"))
+    rows.append((13, "1 2 3 4 5 6 7 8 9 0 " * 5, "en"))
+    # contaminated doc: contains the benchmark passage verbatim
+    rows.append((14, GOOD + " the secret benchmark passage appears verbatim "
+                     "inside this training document somehow", "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def bench_df(spark):
+    return spark.createDataFrame(
+        [(0, "the secret benchmark passage appears verbatim inside this "
+             "training document somehow")],
+        "qid long, text string",
+    )
+
+
+def test_funnel_end_to_end(spark, bench_df):
+    docs = _mk_docs(spark)
+    out = prepare.prepare_training_data(
+        docs,
+        benchmark=bench_df,
+        chunk_size=16,
+        overlap=0,
+        capacity=32,
+        n_shards=4,
+        decontam_n=8,
+        seed=7,
+    )
+    rep = out.report()
+    assert rep["input"] == 15
+    # curate drops 12 (short) and 13 (digits) and dup-loser 9 → 12 kept
+    assert rep["curated"] == 12
+    kept_ids = {r["doc_id"] for r in out.corpus.select("doc_id").collect()}
+    assert 9 not in kept_ids and 12 not in kept_ids and 13 not in kept_ids
+    # near-dup collapses {10,11} to one; decontam drops 14
+    assert rep["after_neardup"] == 11
+    assert rep["after_decontam"] == 10
+    assert 14 not in kept_ids
+    assert len({10, 11} & kept_ids) == 1
+    # every surviving doc has a split and chunks exist for each
+    assert out.corpus.where("split IS NULL").count() == 0
+    chunk_ids = {r["doc_id"] for r in out.chunks.select("doc_id").collect()}
+    assert chunk_ids == kept_ids
+    # packing: every pack within capacity, every chunk packed exactly once
+    packs = out.packed.groupBy("pack_id").sum("n_tokens").collect()
+    assert all(r["sum(n_tokens)"] <= 32 for r in packs)
+    assert out.packed.count() == out.chunks.count()
+    assert rep["packs"] == len(packs)
+    # shard column present and within range
+    shards = {r["shard"] for r in out.packed.select("shard").collect()}
+    assert shards <= set(range(4))
+
+
+def test_funnel_optional_stages(spark):
+    docs = _mk_docs(spark)
+    out = prepare.prepare_training_data(
+        docs, neardup=False, chunk_size=16, capacity=32, seed=7
+    )
+    rep = out.report()
+    assert "after_neardup" not in rep and "after_decontam" not in rep
+    # both members of the near-dup family survive without the gate
+    kept = {r["doc_id"] for r in out.corpus.select("doc_id").collect()}
+    assert {10, 11} <= kept
+
+
+def test_keep_best_election(spark, bench_df):
+    docs = _mk_docs(spark).withColumn(
+        "q", (F := __import__("pyspark.sql.functions", fromlist=["col"]))
+        .col("doc_id").cast("double")
+    )
+    out = prepare.prepare_training_data(
+        docs, benchmark=None, elect_by="q",
+        chunk_size=16, capacity=32, seed=7,
+    )
+    kept = {r["doc_id"] for r in out.corpus.select("doc_id").collect()}
+    # highest q in the near-dup family {10, 11} is 11
+    assert 11 in kept and 10 not in kept
+
+
+def test_determinism_across_partitioning(spark, bench_df):
+    docs = _mk_docs(spark)
+    a = prepare.prepare_training_data(
+        docs, benchmark=bench_df, chunk_size=16, capacity=32,
+        decontam_n=8, seed=7,
+    )
+    b = prepare.prepare_training_data(
+        docs.repartition(7), benchmark=bench_df, chunk_size=16, capacity=32,
+        decontam_n=8, seed=7,
+    )
+    key = lambda df: sorted(
+        (r["chunk_id"], r["pack_id"], r["pack_pos"], r["shard"])
+        for r in df.packed.select(
+            "chunk_id", "pack_id", "pack_pos", "shard"
+        ).collect()
+    )
+    assert key(a) == key(b)
+
+
+def test_capacity_validation(spark):
+    with pytest.raises(ValueError):
+        prepare.prepare_training_data(
+            _mk_docs(spark), chunk_size=64, capacity=32
+        )
