@@ -259,6 +259,24 @@ def q_near(spark, sf_dir):
     return _search_full(spark, sf_dir, "#NEAR/3(key agg)", UnrankedBoolean())
 
 
+def q_first_op(spark, sf_dir):
+    """#FIRST/n (Lucene SpanFirstQuery analog): 'key' occurrences in
+    the first 5 token slots; RankedBoolean score = surviving tf."""
+    from .plans.models import RankedBoolean
+
+    return _search_full(spark, sf_dir, "#FIRST/5(key)", RankedBoolean())
+
+
+def q_first_bm25(spark, sf_dir):
+    """#FIRST/n under BM25: the composed list's OWN df (docs with a
+    match in the first 5 slots) drives idf, exercising the
+    ensure_stats list-level statistics path."""
+    from .plans.models import BM25
+
+    out = _search_full(spark, sf_dir, "#FIRST/5(key)", BM25())
+    return out.select("doc_id", _r4(F.col("score")).alias("score"))
+
+
 def q_phrase(spark, sf_dir):
     """Quoted exact phrase (Lucene PhraseQuery analog): '"key agg"'
     rewrites in the parser to #NEAR/1(key agg) — adjacent, in order."""
@@ -2470,6 +2488,27 @@ FROM tokpos t1 JOIN tokpos t2
   ON t1.doc_id = t2.doc_id AND t1.term = 'key' AND t2.term = 'agg'
  AND t2.pos - t1.pos BETWEEN 1 AND 3
 """,
+    "first_op": _SQL_BASE
+    + """
+SELECT doc_id, count(*)::DOUBLE AS score
+FROM tokpos WHERE term = 'key' AND pos < 5 GROUP BY 1
+""",
+    "first_bm25": _SQL_BASE
+    + """, fx AS (
+  SELECT doc_id, count(*)::BIGINT AS tf
+  FROM tokpos WHERE term = 'key' AND pos < 5 GROUP BY 1
+),
+fstat AS (SELECT count(*)::BIGINT AS df FROM fx)
+SELECT fx.doc_id,
+       round(ln((cstats.n_docs - fstat.df + 0.5) / (fstat.df + 0.5))
+         * (fx.tf::DOUBLE /
+            (fx.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+             + 0.75 * (dl.doclen::DOUBLE
+                       / (cstats.sum_doclen::DOUBLE / cstats.doc_count))))),
+             4) + 0.0 AS score
+FROM fx JOIN dl ON dl.doc_id = fx.doc_id
+CROSS JOIN cstats CROSS JOIN fstat
+""",
     "phrase": _SQL_BASE
     + """
 SELECT DISTINCT t1.doc_id, 1.0 AS score
@@ -4335,6 +4374,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_or_ranked": q_bool_or_ranked,
     "bool_and_not": q_bool_and_not,
     "near": q_near,
+    "first_op": q_first_op,
+    "first_bm25": q_first_bm25,
     "phrase": q_phrase,
     "window_op": q_window_op,
     "syn_ranked": q_syn_ranked,

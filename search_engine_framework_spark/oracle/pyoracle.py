@@ -97,6 +97,14 @@ class Oracle:
         if isinstance(node, ast.Term):
             pl = ix.postings.get((node.term, node.field), [])
             return InvListPy(node.field, list(pl))
+        if isinstance(node, ast.First):
+            kid = self.eval_il(node.child)
+            out = []
+            for d, _tf, pos in kid.postings:
+                kept = [p for p in pos if p < node.n]
+                if kept:
+                    out.append((d, len(kept), kept))
+            return InvListPy(kid.field, out)
         kids = [self.eval_il(c) for c in node.children]
         fields = {k.field for k in kids}
         if len(fields) > 1:

@@ -100,6 +100,23 @@ class _Eval:
                 .where(F.col("_n") >= node.n)
                 .select("_d")
             )
+        if isinstance(node, ast.First):
+            # SpanFirst match semantics: the term occurs in the first n
+            # token slots. Like #NEAR here, composed children are out of
+            # scope for the set-algebra evaluator — plain terms only.
+            if not isinstance(node.child, ast.Term):
+                raise ValueError(
+                    "percolate #FIRST child must be a plain term"
+                )
+            self._check_field(node.child.field)
+            return (
+                self.tok.where(
+                    (F.col("_t") == node.child.term)
+                    & (F.col("_p") < node.n)
+                )
+                .select("_d")
+                .distinct()
+            )
         if isinstance(node, (ast.Near, ast.WindowOp)):
             return self._chain(node)
         if isinstance(node, (ast.Sum, ast.Wand, ast.Wsum)):

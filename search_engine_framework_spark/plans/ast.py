@@ -153,7 +153,25 @@ class Msm(Node):
     children: tuple[Node, ...]
 
 
-IL_NODES = (Term, Syn, Near, WindowOp, Wildcard, Fuzzy, SuffixWildcard, Regex)
+@dataclass(frozen=True)
+class First(Node):
+    """``#FIRST/n(child)`` — our Lucene SpanFirstQuery analog (the
+    reference has none): the child's match positions restricted to the
+    first ``n`` token slots (0-based position < n; for composed
+    positional children the EMITTED match position is tested, i.e. the
+    reference's emit-last convention for #NEAR / emit-max for
+    #WINDOW). An inverted-list operator, legal anywhere an il-op is —
+    including as a #NEAR/#WINDOW/#SYN child — matching Lucene's span
+    composability. Docs with no surviving position drop out; tf is
+    recomputed over the surviving positions."""
+
+    n: int
+    child: Node
+
+
+IL_NODES = (
+    Term, Syn, Near, WindowOp, Wildcard, Fuzzy, SuffixWildcard, Regex, First
+)
 SL_NODES = (And, Or, Not, Sum, Wand, Wsum, Msm)
 
 
@@ -186,7 +204,7 @@ def query_terms(node: Node) -> set[tuple[str, str]]:
     if isinstance(node, Term):
         return {(node.term, node.field)}
     out: set[tuple[str, str]] = set()
-    kids = (node.child,) if isinstance(node, Not) else node.children
+    kids = (node.child,) if isinstance(node, (Not, First)) else node.children
     for c in kids:
         out |= query_terms(c)
     return out
@@ -199,7 +217,7 @@ def query_fields(node: Node) -> set[str]:
     if isinstance(node, (Term, Wildcard, Fuzzy, SuffixWildcard, Regex)):
         return {node.field}
     out: set[str] = set()
-    kids = (node.child,) if isinstance(node, Not) else node.children
+    kids = (node.child,) if isinstance(node, (Not, First)) else node.children
     for c in kids:
         out |= query_fields(c)
     return out
@@ -208,11 +226,11 @@ def query_fields(node: Node) -> set[str]:
 def needs_positions(node: Node) -> bool:
     """True iff the tree contains a positional operator (#NEAR/#WINDOW/#SYN)
     — only then does the posting scan need to decode position blobs."""
-    if isinstance(node, (Near, WindowOp, Syn)):
+    if isinstance(node, (Near, WindowOp, Syn, First)):
         return True
     if isinstance(node, (Wildcard, Fuzzy, SuffixWildcard, Regex)):  # → #SYN
         return True
     if isinstance(node, Term):
         return False
-    kids = (node.child,) if isinstance(node, Not) else node.children
+    kids = (node.child,) if isinstance(node, (Not, First)) else node.children
     return any(needs_positions(c) for c in kids)

@@ -286,6 +286,22 @@ class QueryCompiler:
             )
             return ILResult(merged, kids[0].field)
 
+        if isinstance(node, ast.First):
+            # Lucene SpanFirstQuery analog: keep match positions < n,
+            # recompute tf, drop emptied docs. Pure column math on the
+            # child's frame — no extra shuffle or UDF.
+            kid = self.compile_il(node.child)
+            kept = (
+                kid.df.withColumn(
+                    "positions",
+                    F.filter("positions", lambda p: p < F.lit(node.n)),
+                )
+                .where(F.size("positions") > 0)
+                .withColumn("tf", F.size("positions"))
+                .select("doc_id", "tf", "positions", "doclen")
+            )
+            return ILResult(kept, kid.field)
+
         if isinstance(node, (ast.Near, ast.WindowOp)):
             kids = [self.compile_il(c) for c in node.children]
             self._check_same_field(kids, node)

@@ -75,6 +75,10 @@ class _Builder:
             return ast.Not(child)
         if self.kind == "msm":
             return ast.Msm(self.n, ch)
+        if self.kind == "first":
+            if len(ch) != 1:
+                raise ValueError("#FIRST/n takes exactly one argument")
+            return ast.First(self.n, ch[0])
         raise ValueError(f"unknown op kind {self.kind}")
 
 
@@ -169,6 +173,12 @@ def parse_query(
         elif low.startswith("#window/"):
             has_weight = False
             push(_Builder("window", n=int(token.split("/")[1])))
+        elif low.startswith("#first/"):
+            has_weight = False
+            first_n = int(token.split("/")[1])
+            if first_n < 1:
+                raise ValueError(f"#FIRST/n needs n >= 1: {token!r}")
+            push(_Builder("first", n=first_n))
         elif low.startswith("#msm/"):
             has_weight = False
             msm_n = int(token.split("/")[1])

@@ -89,6 +89,8 @@ def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
             return n
         if isinstance(n, ast.Not):
             return ast.Not(rewrite(n.child))
+        if isinstance(n, ast.First):
+            return ast.First(n.n, rewrite(n.child))
         kids = tuple(rewrite(c) for c in n.children)
         if isinstance(n, (ast.Near, ast.WindowOp, ast.Msm)):
             return type(n)(n.n, kids)
@@ -107,7 +109,11 @@ def has_wildcards(node: ast.Node) -> bool:
         return True
     if isinstance(node, ast.Term):
         return False
-    kids = (node.child,) if isinstance(node, ast.Not) else node.children
+    kids = (
+        (node.child,)
+        if isinstance(node, (ast.Not, ast.First))
+        else node.children
+    )
     return any(has_wildcards(c) for c in kids)
 
 
@@ -172,6 +178,8 @@ def expand_wildcards(
             return n
         if isinstance(n, ast.Not):
             return ast.Not(rewrite(n.child))
+        if isinstance(n, ast.First):
+            return ast.First(n.n, rewrite(n.child))
         kids = tuple(rewrite(c) for c in n.children)
         if isinstance(n, (ast.Near, ast.WindowOp, ast.Msm)):
             return type(n)(n.n, kids)

@@ -71,6 +71,14 @@ BATTERY = [
     ("#MSM/1(search engine)", BM),
     ("#MSM/2(#AND(search engine) index data)", RB),
     ("#MSM/2(#NEAR/1(search engine) index query)", BM),
+    # span-first (Lucene SpanFirstQuery analog): position-gated IL op,
+    # alone, under every model family, and composed both ways
+    ("#FIRST/3(search)", BM),
+    ("#FIRST/3(search)", RB),
+    ("#FIRST/5(engine)", IND),
+    ("#FIRST/8(#NEAR/2(search engine))", RB),
+    ("#NEAR/4(#FIRST/10(search) engine)", BM),
+    ("#SYN(#FIRST/2(search) index)", RB),
 ]
 
 

@@ -111,3 +111,25 @@ def test_user_operator_plus_sibling_term_is_valid():
     assert isinstance(q, ast.Or)
     assert isinstance(q.children[0], ast.And)
     assert q.children[1] == ast.Term("c")
+
+
+def test_first_parses_and_validates():
+    q = parse_query("#FIRST/5(cat)", RankedBoolean())
+    assert isinstance(q, ast.Or)
+    f = q.children[0]
+    assert f == ast.First(5, ast.Term("cat"))
+    # composes inside positional ops and takes composed children
+    q2 = parse_query("#NEAR/2(#FIRST/9(cat) dog)", RankedBoolean())
+    assert q2.children[0] == ast.Near(2, (ast.First(9, ast.Term("cat")),
+                                          ast.Term("dog")))
+    q3 = parse_query("#FIRST/4(#SYN(cat dog))", RankedBoolean())
+    assert q3.children[0] == ast.First(
+        4, ast.Syn((ast.Term("cat"), ast.Term("dog")))
+    )
+    with pytest.raises(ValueError):
+        parse_query("#FIRST/2(cat dog)", RankedBoolean())  # exactly one arg
+    with pytest.raises(ValueError):
+        parse_query("#FIRST/0(cat)", RankedBoolean())  # n >= 1
+    # stopword child analyzes away -> whole operator elides
+    q4 = parse_query("#FIRST/3(the) cat", RankedBoolean())
+    assert q4.children == (ast.Term("cat"),)

@@ -212,3 +212,25 @@ def test_rescore_validation(engine):
         engine.search_rescore(
             "search", BM25(), "engine", BM25(), window=5, k=10
         )
+
+
+def test_percolate_first(spark):
+    out = percolate(
+        _batch(spark),
+        {"f2": "#FIRST/2(spark)", "f1": "#FIRST/1(merge)"},
+        cfg=CFG,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # 'spark' in first 2 slots: docs 0 ("spark merges..."), 1 ("merge
+    # spark..."), 2 ("spark spark spark")
+    assert got.get("f2") == {0, 1, 2}
+    # 'merge' at position 0 only: doc 1. Doc 3 ("a merge ...") does NOT
+    # match — positions keep the original token slots (stopwords leave
+    # gaps, Lucene posIncrement semantics), so its 'merge' sits at 1.
+    assert got.get("f1") == {1}
+    with pytest.raises(ValueError):
+        percolate(
+            _batch(spark), {"bad": "#FIRST/2(#NEAR/1(spark merge))"}, cfg=CFG
+        )
