@@ -1419,6 +1419,25 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+FOLD_INJECT_SRC = "aeocnu"
+FOLD_INJECT_DST = "àéôçñü"
+
+
+def q_fold_accents(spark, sf_dir):
+    """ASCII folding (Lucene ASCIIFoldingFilter analog,
+    functions/folding.py): accents are injected deterministically into
+    the documents text (translate a→à … plus a one→many þ case), then
+    folded back with the JVM column fold; the DuckDB twin replays the
+    injection AND the exact replace+translate fold chain generated
+    from the same FOLD map."""
+    from .functions.folding import fold_ascii_col
+
+    docs = _read(spark, sf_dir, "documents")
+    inj = F.translate(F.col("text"), FOLD_INJECT_SRC, FOLD_INJECT_DST)
+    inj = F.replace(inj, F.lit("th"), F.lit("þ"))
+    return docs.select("doc_id", F.md5(fold_ascii_col(inj)).alias("folded_md5"))
+
+
 def q_jsonl_ingest(spark, sf_dir):
     """JSONL source round-trip (sources/jsonl.py — the corpus-release
     interchange format): documents written as gzipped JSON-lines part
@@ -3356,6 +3375,22 @@ ORACLE_SQL["jsonl_ingest"] = (
     "SELECT doc_id, text, lang, source, n_chars FROM documents"
 )
 
+
+def _fold_sql() -> str:
+    from .functions.folding import sql_fold_expr
+
+    inj = (
+        f"replace(translate(text, '{FOLD_INJECT_SRC}', '{FOLD_INJECT_DST}'),"
+        " 'th', 'þ')"
+    )
+    return (
+        f"SELECT doc_id, md5({sql_fold_expr(inj)}) AS folded_md5 "
+        "FROM documents"
+    )
+
+
+ORACLE_SQL["fold_accents"] = _fold_sql()
+
 ORACLE_SQL["sorted_search"] = (
     _SQL_BASE
     + """,
@@ -4441,6 +4476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "warc_ingest": q_warc_ingest,
     "jsonl_ingest": q_jsonl_ingest,
+    "fold_accents": q_fold_accents,
     "sq_search": q_sq_search,
     "bpe_tokens": q_bpe_tokens,
     "funnel": q_funnel,

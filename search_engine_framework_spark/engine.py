@@ -61,9 +61,15 @@ class SearchEngine:
                 "lowercase": analyzer.lowercase,
                 "stopwords": analyzer.stopwords,
                 "stemmer": analyzer.stemmer,
+                "fold_ascii": analyzer.fold_ascii,
             }
-            theirs = {k: recorded.get(k) for k in mine}
-            if all(v is not None for v in theirs.values()) and theirs != mine:
+            # compare only keys the lineage actually recorded, so
+            # indexes built before a config field existed stay openable
+            # (the field's default is the old behavior by construction)
+            theirs = {
+                k: recorded[k] for k in mine if recorded.get(k) is not None
+            }
+            if theirs and theirs != {k: mine[k] for k in theirs}:
                 raise ValueError(
                     f"analyzer {mine} does not match the index's build "
                     f"lineage {theirs}; pass analyzer=None to adopt the "

@@ -36,6 +36,7 @@ from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
+from .folding import fold_ascii_text
 from .stopwords import LUCENE_ENGLISH_STOPWORDS
 from .stemmer import get_stemmer
 
@@ -55,6 +56,11 @@ class AnalyzerConfig:
     lowercase: bool = True
     stopwords: bool = True
     stemmer: str = "kstem"  # "kstem" | "none"
+    # ASCIIFoldingFilter analog (functions/folding.py): fold Latin
+    # diacritics to ASCII BEFORE tokenization. Default False — existing
+    # indexes and every contract twin are bit-stable; enabling it is a
+    # lineage-recorded index property like the stemmer.
+    fold_ascii: bool = False
 
     @staticmethod
     def reference() -> "AnalyzerConfig":
@@ -80,10 +86,13 @@ class AnalyzerConfig:
             lowercase=bool(ana.get("lowercase", True)),
             stopwords=bool(ana.get("stopwords", True)),
             stemmer=str(ana.get("stemmer", "kstem")),
+            fold_ascii=bool(ana.get("fold_ascii", False)),
         )
 
 
 def _raw_tokens(text: str, cfg: AnalyzerConfig) -> Iterator[str]:
+    if cfg.fold_ascii and text:
+        text = fold_ascii_text(text)
     if cfg is SQL_SAFE or (not cfg.stopwords and cfg.stemmer == "none"):
         # sql_safe tokenization must EXACTLY match the SQL expression
         # regexp_split(lower(text), '[^a-z0-9]+') with empties dropped.
@@ -110,6 +119,8 @@ def analyze_positions(text: str, cfg: AnalyzerConfig | None = None) -> list[tupl
     when an apostrophe is present, attribute lookups hoisted.
     """
     cfg = cfg or AnalyzerConfig.reference()
+    if cfg.fold_ascii and text:
+        text = fold_ascii_text(text)
     if cfg is SQL_SAFE or (not cfg.stopwords and cfg.stemmer == "none"):
         # delegate the non-reference branches (sql_safe must EXACTLY
         # match its SQL twin; see _raw_tokens)

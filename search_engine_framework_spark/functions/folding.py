@@ -1,0 +1,102 @@
+"""ASCII folding — the Lucene ASCIIFoldingFilter analog.
+
+The reference corpus is English transcripts, but web/multilingual
+corpora carry Latin diacritics ("café", "naïve", "Zürich") that the
+ASCII tokenizer regex would otherwise split mid-word ("café" → "caf").
+Folding maps accented Latin letters to their ASCII base BEFORE
+tokenization, exactly where Lucene places ASCIIFoldingFilter.
+
+One authoritative map, three bit-identical implementations:
+
+* :func:`fold_ascii_text` — pure Python ``str.translate`` (runs inside
+  the analyzer's Arrow tokenizer and the rank-identity oracle);
+* :func:`fold_ascii_col` — JVM column expression (``replace`` chain for
+  one→many folds + one ``translate`` for one→one) for pipeline use on
+  raw text columns — no UDF;
+* the contract twin regenerates the same chain in DuckDB SQL from this
+  map (``sql_fold_expr``), so the oracle replays it character for
+  character (deliberately NOT DuckDB's ``strip_accents``, whose ICU
+  table differs at the edges).
+
+Scope (documented subset, same spirit as the kstem-lite fallback): the
+Latin-1 Supplement and Latin Extended-A letters — the blocks that
+cover the European languages a web crawl actually hits — plus the
+standard one→many folds (æ→ae, œ→oe, ß→ss, þ→th, ĳ→ij). Lucene's full
+table spans many more blocks; characters outside this map pass through
+unchanged (they then tokenize as before — no behavior change for pure
+ASCII text, which is why ``fold_ascii=False`` indexes are bit-stable).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+__all__ = [
+    "FOLD_1TO1",
+    "FOLD_MULTI",
+    "fold_ascii_text",
+    "fold_ascii_col",
+    "sql_fold_expr",
+]
+
+# one→one folds: Latin-1 Supplement + Latin Extended-A
+_PAIRS = {
+    "ÀÁÂÃÄÅĀĂĄ": "A", "àáâãäåāăą": "a",
+    "ÇĆĈĊČ": "C", "çćĉċč": "c",
+    "ÐĎĐ": "D", "ðďđ": "d",
+    "ÈÉÊËĒĔĖĘĚ": "E", "èéêëēĕėęě": "e",
+    "ĜĞĠĢ": "G", "ĝğġģ": "g",
+    "ĤĦ": "H", "ĥħ": "h",
+    "ÌÍÎÏĨĪĬĮİ": "I", "ìíîïĩīĭįı": "i",
+    "Ĵ": "J", "ĵ": "j",
+    "Ķ": "K", "ķĸ": "k",
+    "ĹĻĽĿŁ": "L", "ĺļľŀł": "l",
+    "ÑŃŅŇŊ": "N", "ñńņňŋ": "n",
+    "ÒÓÔÕÖØŌŎŐ": "O", "òóôõöøōŏő": "o",
+    "ŔŖŘ": "R", "ŕŗř": "r",
+    "ŚŜŞŠ": "S", "śŝşš": "s",
+    "ŢŤŦ": "T", "ţťŧ": "t",
+    "ÙÚÛÜŨŪŬŮŰŲ": "U", "ùúûüũūŭůűų": "u",
+    "Ŵ": "W", "ŵ": "w",
+    "ÝŶŸ": "Y", "ýÿŷ": "y",
+    "ŹŻŽ": "Z", "źżž": "z",
+}
+FOLD_1TO1: dict[str, str] = {
+    src: dst for srcs, dst in _PAIRS.items() for src in srcs
+}
+
+# one→many folds (applied FIRST, before the 1:1 translate)
+FOLD_MULTI: dict[str, str] = {
+    "Æ": "AE", "æ": "ae",
+    "Œ": "OE", "œ": "oe",
+    "ß": "ss",
+    "Þ": "TH", "þ": "th",
+    "Ĳ": "IJ", "ĳ": "ij",
+    "ŉ": "n",
+}
+
+_SRC = "".join(FOLD_1TO1)
+_DST = "".join(FOLD_1TO1.values())
+_TABLE = str.maketrans({**FOLD_MULTI, **FOLD_1TO1})
+
+
+def fold_ascii_text(text: str) -> str:
+    """Python fold (one translate pass — multi-char targets included)."""
+    return text.translate(_TABLE)
+
+
+def fold_ascii_col(col: Column) -> Column:
+    """JVM fold: replace chain for one→many, then one translate."""
+    out = col
+    for src, dst in FOLD_MULTI.items():
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return F.translate(out, _SRC, _DST)
+
+
+def sql_fold_expr(expr: str) -> str:
+    """The identical fold as DuckDB SQL over ``expr`` (contract twin)."""
+    out = expr
+    for src, dst in FOLD_MULTI.items():
+        out = f"replace({out}, '{src}', '{dst}')"
+    return f"translate({out}, '{_SRC}', '{_DST}')"

@@ -1,0 +1,99 @@
+"""ASCII folding (functions/folding.py + the analyzer's fold_ascii
+option) — map correctness, Python/Spark/DuckDB tri-identity, analyzer
+integration, end-to-end folded index, and lineage parity."""
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_framework_spark.functions import folding
+from search_engine_framework_spark.functions.analyzer import (
+    AnalyzerConfig,
+    analyze_positions,
+)
+
+SAMPLES = [
+    "café naïve Zürich façade",
+    "straße œuvre Æsir þorn ĳsselmeer",
+    "plain ascii stays untouched 123",
+    "MIXED Çase ÀCCENTS",
+    "",
+]
+
+
+def test_fold_text_hand_cases():
+    f = folding.fold_ascii_text
+    assert f("café") == "cafe"
+    assert f("naïve") == "naive"
+    assert f("Zürich") == "Zurich"
+    assert f("straße") == "strasse"
+    assert f("œuvre") == "oeuvre"
+    assert f("Æsir") == "AEsir"
+    assert f("þorn") == "thorn"
+    assert f("ĳsselmeer") == "ijsselmeer"
+    assert f("søren") == "soren"  # ø has no NFKD decomposition — table fold
+    assert f("plain") == "plain"
+    # idempotent
+    for s in SAMPLES:
+        assert f(f(s)) == f(s)
+
+
+def test_fold_tri_identity(spark):
+    """Python, Spark-JVM, and DuckDB folds agree byte for byte."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)],
+                               "i long, s string")
+    got_spark = {
+        r["i"]: r["f"]
+        for r in df.select("i", folding.fold_ascii_col(F.col("s")).alias("f")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(SAMPLES):
+        py = folding.fold_ascii_text(s)
+        assert got_spark[i] == py, f"spark vs python on {s!r}"
+        sql = con.execute(
+            f"SELECT {folding.sql_fold_expr('?')}", [s]
+        ).fetchone()[0]
+        assert sql == py, f"duckdb vs python on {s!r}"
+
+
+def test_analyzer_fold_option():
+    cfg = AnalyzerConfig(fold_ascii=True)
+    got = analyze_positions("café naïve Zürich", cfg)
+    assert [t for _, t in got] == ["cafe", "naive", "zurich"]
+    # multi-char fold feeds the tokenizer as one word
+    assert [t for _, t in analyze_positions("straße", cfg)] == ["strasse"]
+    # default OFF: the ASCII tokenizer splits at the accent (old behavior)
+    off = analyze_positions("café", AnalyzerConfig())
+    assert [t for _, t in off] == ["caf"]
+    # pure-ASCII text analyzes identically with and without folding
+    txt = "the quick brown fox 3.14 o'neill"
+    assert analyze_positions(txt, cfg) == analyze_positions(txt, AnalyzerConfig())
+
+
+def test_folded_index_end_to_end(spark, tmp_path):
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.plans.models import RankedBoolean
+
+    cfg = AnalyzerConfig(fold_ascii=True)
+    corpus = spark.createDataFrame(
+        [
+            ("c0", 0, "user", "visit the café near Zürich", ""),
+            ("c0", 1, "assistant", "the cafe is closed", ""),
+            ("c1", 0, "user", "nothing relevant", ""),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    paths = build_index(
+        spark, corpus, str(tmp_path / "ix"), fields=("body",), cfg=cfg,
+        n_buckets=4, n_salts=2,
+    )
+    eng = SearchEngine(spark, paths)  # adopts the lineage analyzer
+    # accented and plain query forms hit BOTH docs
+    for q in ("café", "cafe"):
+        ids = {r["ext_id"] for r in eng.search(q, RankedBoolean(), k=10).collect()}
+        assert ids == {"c0:0", "c0:1"}, q
+    # explicit mismatched fold_ascii fails loudly (lineage parity)
+    with pytest.raises(ValueError):
+        eng2 = SearchEngine(spark, paths, AnalyzerConfig(fold_ascii=False))
+        eng2.search("cafe", RankedBoolean(), k=5)
