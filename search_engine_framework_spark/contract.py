@@ -2168,6 +2168,73 @@ def q_facet_stats(spark, sf_dir):
     )
 
 
+def q_facet_bucket_stats(spark, sf_dir):
+    """Per-bucket sub-aggregation (ES terms-agg + nested stats analog):
+    per lang bucket of the flagship BM25 top-k, doc count + n_chars
+    min/max/sum/avg/std in one grouped pass."""
+    from .facets import facet_bucket_stats
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")))
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = facet_bucket_stats(hits, docs, "lang", "n_chars")
+    return out.select(
+        "value",
+        "n_docs",
+        "n",
+        "min",
+        "max",
+        "sum",
+        _r4(F.col("avg")).alias("avg"),
+        _r4(F.col("std")).alias("std"),
+    )
+
+
+def q_facet_pct_ranks(spark, sf_dir):
+    """Inverse percentiles (ES percentile_ranks analog): the exact CDF
+    of hit n_chars at probe values 150/250/400."""
+    from .facets import facet_percentile_ranks
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")))
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = facet_percentile_ranks(hits, docs, "n_chars", [150.0, 250.0, 400.0])
+    return out.select("value", _r4(F.col("pct")).alias("pct"))
+
+
+def q_facet_matrix(spark, sf_dir):
+    """Field-pair covariance/correlation (ES matrix_stats analog):
+    n_chars vs sql-safe token count over the flagship BM25 top-k,
+    moment-form so the twin replays every double."""
+    from .facets import facet_matrix_stats
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    hits = top.select(_orig_id(F.col("ext_id")))
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("n_toks"),
+    )
+    out = facet_matrix_stats(hits, docs, "n_chars", "n_toks")
+    return out.select(
+        "n",
+        _r4(F.col("mean_x")).alias("mean_x"),
+        _r4(F.col("mean_y")).alias("mean_y"),
+        _r4(F.col("cov")).alias("cov"),
+        _r4(F.col("corr")).alias("corr"),
+    )
+
+
 def q_facet_top_hits(spark, sf_dir):
     """Grouped top-k (Elasticsearch top_hits sub-aggregation analog):
     the best 2 hits per lang bucket of the flagship BM25 top-k, each
@@ -4215,6 +4282,78 @@ FROM unp GROUP BY 1, 2 ORDER BY facet ASC, n DESC, value ASC
 )
 
 
+ORACLE_SQL["facet_bucket_stats"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+bvals AS (
+  SELECT d.lang::VARCHAR AS value, d.n_chars::DOUBLE AS v
+  FROM documents d JOIN lex ON lex.doc_id = d.doc_id
+)
+SELECT value, count(*)::BIGINT AS n_docs, count(v)::BIGINT AS n,
+       min(v) AS min, max(v) AS max, sum(v) AS sum,
+       round(avg(v), 4) + 0.0 AS avg,
+       round(sqrt(greatest(0.0, avg(v * v) - avg(v) * avg(v))), 4) + 0.0
+         AS std
+FROM bvals GROUP BY 1
+"""
+)
+
+ORACLE_SQL["facet_pct_ranks"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+pvals AS (
+  SELECT d.n_chars::DOUBLE AS v
+  FROM documents d JOIN lex ON lex.doc_id = d.doc_id
+  WHERE d.n_chars IS NOT NULL
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum((v <= 150.0)::BIGINT) AS le0,
+         sum((v <= 250.0)::BIGINT) AS le1,
+         sum((v <= 400.0)::BIGINT) AS le2
+  FROM pvals
+)
+SELECT 150.0 AS value,
+       round(CASE WHEN n > 0 THEN le0 * 100.0 / n END, 4) + 0.0 AS pct
+FROM agg
+UNION ALL SELECT 250.0,
+       round(CASE WHEN n > 0 THEN le1 * 100.0 / n END, 4) + 0.0 FROM agg
+UNION ALL SELECT 400.0,
+       round(CASE WHEN n > 0 THEN le2 * 100.0 / n END, 4) + 0.0 FROM agg
+"""
+)
+
+ORACLE_SQL["facet_matrix"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + """,
+mvals AS (
+  SELECT d.n_chars::DOUBLE AS x,
+         len(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                         t -> t <> ''))::DOUBLE AS y
+  FROM documents d JOIN lex ON lex.doc_id = d.doc_id
+  WHERE d.n_chars IS NOT NULL AND d.text IS NOT NULL
+),
+m AS (
+  SELECT count(*)::BIGINT AS n, avg(x) AS mean_x, avg(y) AS mean_y,
+         avg(x * y) AS exy, avg(x * x) AS exx, avg(y * y) AS eyy
+  FROM mvals
+)
+SELECT n,
+       round(mean_x, 4) + 0.0 AS mean_x,
+       round(mean_y, 4) + 0.0 AS mean_y,
+       round(exy - mean_x * mean_y, 4) + 0.0 AS cov,
+       round(CASE WHEN n > 0 AND (exx - mean_x * mean_x) > 0
+                   AND (eyy - mean_y * mean_y) > 0
+             THEN (exy - mean_x * mean_y)
+                  / sqrt((exx - mean_x * mean_x) * (eyy - mean_y * mean_y))
+             END, 4) + 0.0 AS corr
+FROM m
+"""
+)
+
 ORACLE_SQL["facet_stats"] = (
     _SQL_BASE
     + _LEX_RANK_SQL
@@ -4508,6 +4647,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_histogram": q_facet_histogram,
     "facet_date_hist": q_facet_date_hist,
     "facet_stats": q_facet_stats,
+    "facet_bucket_stats": q_facet_bucket_stats,
+    "facet_pct_ranks": q_facet_pct_ranks,
+    "facet_matrix": q_facet_matrix,
     "facet_ranges": q_facet_ranges,
     "facet_percentiles": q_facet_percentiles,
     "facet_cardinality": q_facet_cardinality,

@@ -254,6 +254,134 @@ def facet_stats(
     )
 
 
+def facet_bucket_stats(
+    hits: DataFrame,
+    metadata: DataFrame,
+    facet_col: str,
+    value_col: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket numeric statistics — the Elasticsearch
+    **sub-aggregation** shape (a ``terms`` aggregation with a nested
+    ``stats``: "per source: how many hits, and their min/max/avg/std
+    text length"). One grouped pass over the broadcast hit join; the
+    same moment-form std as :func:`facet_stats` so any SQL oracle
+    replays it exactly. NULL facet values form their own bucket (ES
+    ``missing`` behavior is a COALESCE upstream if wanted); NULL metric
+    values are excluded from the metric but counted in ``n_docs``.
+    Returns DataFrame(value:string, n_docs:long, n:long, min:double,
+    max:double, sum:double, avg:double, std:double) ordered by
+    (n_docs desc, value asc) — the ES terms-agg display order.
+    """
+    joined = metadata.select(id_col, facet_col, value_col).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    v = F.col(value_col).cast("double")
+    vn = F.when(v.isNotNull(), v)
+    return (
+        joined.groupBy(F.col(facet_col).cast("string").alias("value"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(vn).cast("long").alias("n"),
+            F.min(vn).alias("min"),
+            F.max(vn).alias("max"),
+            F.sum(vn).alias("sum"),
+            F.avg(vn).alias("avg"),
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0), F.avg(vn * vn) - F.avg(vn) * F.avg(vn)
+                )
+            ).alias("std"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+    )
+
+
+def facet_percentile_ranks(
+    hits: DataFrame,
+    metadata: DataFrame,
+    col: str,
+    values: Sequence[float],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverse percentiles — the Elasticsearch ``percentile_ranks``
+    aggregation analog: for each probe value, the percentage of hit
+    rows with ``col <= value`` (the CDF at the probe, exact — the input
+    is the already-cut hit set, so no t-digest sketch is warranted;
+    mirrors :func:`facet_percentiles`' exactness argument). NULLs are
+    excluded. Returns DataFrame(value:double, pct:double ∈ [0,100])
+    ordered by value; pct is NULL when no non-null rows exist.
+    One conditional-sum pass, map-side combinable.
+    """
+    if not values:
+        raise ValueError("facet_percentile_ranks needs at least one value")
+    joined = metadata.select(id_col, col).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    v = F.col(col).cast("double")
+    base = joined.where(v.isNotNull())
+    probes = sorted(set(float(x) for x in values))
+    aggs = [F.count("*").cast("long").alias("_n")] + [
+        F.sum((v <= F.lit(x)).cast("long")).alias(f"_le{i}")
+        for i, x in enumerate(probes)
+    ]
+    row = base.agg(*aggs)
+    pairs = ", ".join(
+        f"{x!r}D, CASE WHEN _n > 0 THEN _le{i} * 100.0 / _n END"
+        for i, x in enumerate(probes)
+    )
+    return row.selectExpr(
+        f"stack({len(probes)}, {pairs}) as (value, pct)"
+    ).orderBy("value")
+
+
+def facet_matrix_stats(
+    hits: DataFrame,
+    metadata: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-field covariance/correlation over a hit set — the
+    Elasticsearch ``matrix_stats`` aggregation analog for a field pair.
+    Moment form throughout (E[xy]−E[x]E[y] etc.), so the single
+    aggregation is map-side combinable AND bit-replayable by a SQL
+    twin. Rows where EITHER field is NULL are excluded (ES listwise
+    deletion). Returns one row: (n:long, mean_x, mean_y, cov,
+    corr:double — NULL when either variance is 0 or n = 0).
+    """
+    joined = metadata.select(id_col, col_x, col_y).join(
+        F.broadcast(hits.select(id_col)), id_col
+    )
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = joined.where(x.isNotNull() & y.isNotNull())
+    row = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(x).alias("mean_x"),
+        F.avg(y).alias("mean_y"),
+        F.avg(x * y).alias("_exy"),
+        F.avg(x * x).alias("_exx"),
+        F.avg(y * y).alias("_eyy"),
+    )
+    cov = F.col("_exy") - F.col("mean_x") * F.col("mean_y")
+    var_x = F.col("_exx") - F.col("mean_x") * F.col("mean_x")
+    var_y = F.col("_eyy") - F.col("mean_y") * F.col("mean_y")
+    return row.select(
+        "n",
+        "mean_x",
+        "mean_y",
+        cov.alias("cov"),
+        F.when(
+            (F.col("n") > 0) & (var_x > 0) & (var_y > 0),
+            cov / F.sqrt(var_x * var_y),
+        ).alias("corr"),
+    )
+
+
 def top_hits_per_facet(
     hits: DataFrame,
     metadata: DataFrame,

@@ -240,3 +240,68 @@ def test_significant_terms_empty_hits(spark, tiny_index):
     eng = SearchEngine(spark, paths)
     empty = spark.createDataFrame([], "doc_id long")
     assert significant_terms(empty, eng.reader).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# facet_bucket_stats / facet_percentile_ranks / facet_matrix_stats
+# ---------------------------------------------------------------------------
+
+def test_facet_bucket_stats_hand_computed(spark):
+    from search_engine_framework_spark.facets import facet_bucket_stats
+
+    hits = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(0, "a", 10.0), (1, "a", 20.0), (2, "a", None), (3, "b", 5.0),
+         (4, None, 7.0), (5, "b", 5.0), (99, "a", 1000.0)],
+        "doc_id long, g string, v double",
+    )
+    rows = facet_bucket_stats(hits, meta, "g", "v").collect()
+    got = {r["value"]: r for r in rows}
+    # display order: n_docs desc, value asc
+    assert [r["value"] for r in rows] == ["a", "b", None]
+    a = got["a"]
+    assert (a["n_docs"], a["n"], a["min"], a["max"], a["sum"]) == (3, 2, 10.0, 20.0, 30.0)
+    assert a["avg"] == 15.0 and a["std"] == 5.0
+    b = got["b"]
+    assert (b["n_docs"], b["n"], b["avg"], b["std"]) == (2, 2, 5.0, 0.0)
+    # NULL facet value forms its own bucket
+    assert got[None]["n_docs"] == 1 and got[None]["avg"] == 7.0
+
+
+def test_facet_percentile_ranks_hand_computed(spark):
+    from search_engine_framework_spark.facets import facet_percentile_ranks
+
+    hits = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(0, 10.0), (1, 20.0), (2, 30.0), (3, 40.0), (4, None)],
+        "doc_id long, v double",
+    )
+    rows = facet_percentile_ranks(hits, meta, "v", [5.0, 20.0, 100.0, 20.0])
+    got = [(r["value"], r["pct"]) for r in rows.collect()]
+    # duplicates deduped, sorted; NULL row excluded from the base (n=4)
+    assert got == [(5.0, 0.0), (20.0, 50.0), (100.0, 100.0)]
+    with pytest.raises(ValueError):
+        facet_percentile_ranks(hits, meta, "v", [])
+
+
+def test_facet_matrix_stats_hand_computed(spark):
+    from search_engine_framework_spark.facets import facet_matrix_stats
+
+    hits = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    # y = 2x exactly -> corr 1; one row NULL-y drops listwise
+    meta = spark.createDataFrame(
+        [(0, 1.0, 2.0), (1, 2.0, 4.0), (2, 3.0, 6.0), (3, None, 9.0),
+         (4, 4.0, None)],
+        "doc_id long, x double, y double",
+    )
+    r = facet_matrix_stats(hits, meta, "x", "y").collect()[0]
+    assert r["n"] == 3
+    assert r["mean_x"] == 2.0 and r["mean_y"] == 4.0
+    assert r["corr"] == pytest.approx(1.0)
+    assert r["cov"] == pytest.approx(4.0 / 3)
+    # constant column -> corr NULL
+    meta2 = spark.createDataFrame(
+        [(0, 1.0, 5.0), (1, 2.0, 5.0)], "doc_id long, x double, y double"
+    )
+    r2 = facet_matrix_stats(hits, meta2, "x", "y").collect()[0]
+    assert r2["corr"] is None
