@@ -22,6 +22,10 @@ Components
                      (hashed features + broadcast-weight sigmoid).
   percolate        — 4 stored queries vs documents as an ingest batch.
   events_funnel_retention — ordered funnel + weekly retention cohorts.
+  dsir_select      — DSIR importance resampling end-to-end (hashed
+                     n-gram bucket models + Gumbel top-100).
+  pagerank5        — 5 damped power iterations over a deterministic
+                     3-out-degree link graph on documents.
 
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
 scripts/scaling_bench.py, not here — see BENCH.md.
@@ -242,6 +246,41 @@ def main() -> None:
     funnel_counts(ev, ["signup", "view", "purchase"], within=7 * 86400.0).count()
     retention_cohorts(ev, period_seconds=7 * 86400.0).count()
     timings["events_funnel_retention"] = round(time.time() - t0, 3)
+
+    # DSIR importance resampling end-to-end (two bucket-model fits,
+    # per-doc weights, Gumbel top-100) — plain-sum scale path
+    from search_engine_framework_spark.pipeline import dsir as dsir_mod
+
+    t0 = time.time()
+    dsir_mod.dsir_select(
+        docs, docs.where(F.col("lang") == "fr"), n_select=100, dim=2048
+    ).count()
+    timings["dsir_select"] = round(time.time() - t0, 3)
+
+    # PageRank: 5 damped power iterations over a deterministic
+    # 3-out-degree md5-derived link graph on documents
+    from search_engine_framework_spark.pipeline import graph as graph_mod
+    from search_engine_framework_spark.pipeline.dsir import _bucket16
+
+    n_docs_pr = docs.count()
+    legs = [
+        docs.select(
+            F.col("doc_id").alias("src"),
+            (
+                _bucket16(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(f"|e{j}")), 0
+                )
+                % n_docs_pr
+            ).cast("long").alias("dst"),
+        )
+        for j in range(3)
+    ]
+    pr_edges = legs[0]
+    for leg in legs[1:]:
+        pr_edges = pr_edges.union(leg)
+    t0 = time.time()
+    graph_mod.pagerank(pr_edges, iters=5).count()
+    timings["pagerank5"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
