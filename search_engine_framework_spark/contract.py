@@ -1061,6 +1061,40 @@ def q_facet_date_hist(spark, sf_dir):
     )
 
 
+def q_asof_attrib(spark, sf_dir):
+    """As-of join (kdb aj / pandas merge_asof / DuckDB ASOF analog,
+    operators/asof.py): every purchase attributed to the user's latest
+    click at-or-before it within 1 hour — single-shuffle union+window,
+    never a range-join explosion. The DuckDB twin replays the exact
+    latest-row election with a LEFT JOIN + row_number qualify (ties:
+    ts desc, event_id desc — the payload-struct ordering)."""
+    from .operators.asof import as_of_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = as_of_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        tolerance=3600.0,
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("event_id_r").alias("click_id"),
+        _r4(F.col("value_r")).alias("click_value"),
+    )
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (streaming/events.py user_sessions, run in
     batch mode): Spark's session_window vs the DuckDB gaps-and-islands
@@ -3436,6 +3470,24 @@ ORACLE_SQL["dsir_select"] = _dsir_sql(
 
 ORACLE_SQL["pagerank"] = _pagerank_sql()
 
+ORACLE_SQL["asof_attrib"] = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       c.event_id AS click_id,
+       round(c.value, 4) + 0.0 AS click_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 3600 SECONDS
+QUALIFY row_number() OVER (
+  PARTITION BY p.event_id
+  ORDER BY c.ts DESC NULLS LAST, c.event_id DESC, c.value DESC
+) = 1
+"""
+
 ORACLE_SQL["warc_ingest"] = "SELECT doc_id, text FROM documents"
 
 ORACLE_SQL["jsonl_ingest"] = (
@@ -4602,6 +4654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "knn_join": q_knn_join,
     "events_hourly": q_events_hourly,
+    "asof_attrib": q_asof_attrib,
     "user_sessions": q_user_sessions,
     "multimodal_features": q_multimodal_features,
     "vsm_cosine": q_vsm_cosine,

@@ -1,0 +1,124 @@
+"""As-of join — for each left row, the latest right row at or before
+its timestamp (optionally within a tolerance), per key.
+
+The classic time-series/attribution operator (kdb+ ``aj``, pandas
+``merge_asof``, DuckDB ``ASOF JOIN``): "attribute each purchase to the
+user's most recent prior click within an hour", "join each trade to
+the prevailing quote". Spark has no built-in; the naive formulation
+(range join + keep-latest) explodes to O(|matches|) intermediate rows
+before pruning — every left row joins EVERY earlier right row in the
+window before the top-1 cut.
+
+This implementation is the single-shuffle union trick instead:
+
+1. tag right rows (carrying a payload struct) and left rows, union
+   them into one frame — no join at all;
+2. one window ``partitionBy(keys) orderBy(ts, side, right-id)`` with
+   ``last(payload, ignoreNulls)`` over UNBOUNDED PRECEDING..CURRENT —
+   each left row sees exactly the latest right payload at or before
+   it. Rights sort BEFORE lefts at equal ts (as-of ``<=``), equal-ts
+   rights tie-break to the largest right order key (deterministic);
+3. keep left rows, apply the tolerance filter. Soundness of filtering
+   only the latest candidate: if the LATEST right ≤ ts is older than
+   ``ts − tolerance``, every other right is older still — so no match
+   exists. Exact, not a heuristic.
+
+Cost: ONE shuffle of |L|+|R| rows on the key columns, linear window
+sweep per key. Skew note: a window partition is one task per key —
+per-user/per-symbol cardinalities are naturally bounded; for a
+pathological single-key corpus, pre-split by time range and stitch.
+
+Batch AND streaming: the same frame logic runs under Structured
+Streaming foreachBatch per micro-batch against a static (or
+snapshotted) right side; for stream-stream correlation Spark's
+native interval join covers the windowed-equality case.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["as_of_join"]
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: float | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """→ every ``left`` row + the matched right row's columns
+    (``right_cols``, default: all non-key non-ts columns) renamed with
+    ``suffix``, plus ``<right_ts><suffix>`` (the matched timestamp,
+    NULL when no right row qualifies). ``tolerance`` (seconds) bounds
+    the lookback: a match requires ``left_ts − tolerance ≤ right_ts ≤
+    left_ts``. Equal-timestamp rights tie-break deterministically to
+    the row with the largest (ts, payload-struct) ordering.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("as_of_join needs at least one key column")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    overlap = [c for c in right_cols if f"{c}{suffix}" in left.columns]
+    if overlap:
+        raise ValueError(
+            f"suffixed right columns collide with left columns: {overlap}"
+        )
+
+    # epoch seconds; the intermediate timestamp cast routes
+    # TIMESTAMP_NTZ inputs (parquet default) through the session
+    # timezone — numeric ts columns round-trip unchanged
+    ts_d = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    payload = F.struct(
+        ts_d(right_ts).alias("_ts"),
+        *[F.col(c) for c in right_cols],
+    )
+    r = right.select(
+        *keys,
+        ts_d(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+    )
+    l = left.select(
+        "*",
+        ts_d(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+    )
+    u = l.unionByName(r.select(*keys, "_t", "_side", "_p"), allowMissingColumns=True)
+
+    # rights before lefts at equal ts; equal-ts rights ordered by their
+    # payload struct so last() is deterministic
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w)).where(
+        F.col("_side") == 1
+    )
+    ok = F.col("_m").isNotNull()
+    if tolerance is not None:
+        ok = ok & (F.col("_t") - F.col("_m._ts") <= F.lit(float(tolerance)))
+    m = F.when(ok, F.col("_m"))
+    out_cols = [F.col(c) for c in left.columns]
+    # double → timestamp → original dtype (TIMESTAMP_NTZ has no direct
+    # numeric cast in either direction)
+    out_cols.append(
+        m["_ts"]
+        .cast("timestamp")
+        .cast(dict(right.dtypes)[right_ts])
+        .alias(f"{right_ts}{suffix}")
+    )
+    out_cols += [m[c].alias(f"{c}{suffix}") for c in right_cols]
+    return matched.select(*out_cols)

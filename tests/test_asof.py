@@ -1,0 +1,105 @@
+"""As-of join (operators/asof.py) vs a pure-Python reference —
+latest-at-or-before semantics, tolerance bound, equal-ts preference,
+deterministic ties, NULL for unmatched, multi-key, validation."""
+
+import pytest
+
+from search_engine_framework_spark.operators.asof import as_of_join
+
+
+def _py_asof(lefts, rights, tol=None):
+    out = {}
+    for lid, k, lt in lefts:
+        cands = [
+            (rt, rid, rv)
+            for rid, rk, rt, rv in rights
+            if rk == k and rt <= lt and (tol is None or lt - rt <= tol)
+        ]
+        out[lid] = max(cands) if cands else None  # max over (ts, id, v)
+    return out
+
+
+LEFTS = [  # (id, key, ts)
+    (100, "u1", 50.0),
+    (101, "u1", 10.0),
+    (102, "u1", 5.0),    # no prior right
+    (103, "u2", 100.0),
+    (104, "u3", 100.0),  # key with no rights at all
+    (105, "u1", 20.0),   # exactly equal ts to a right -> matches it
+]
+RIGHTS = [  # (id, key, ts, v)
+    (1, "u1", 8.0, 1.0),
+    (2, "u1", 20.0, 2.0),
+    (3, "u1", 20.0, 3.0),  # equal-ts tie -> larger id wins
+    (4, "u1", 45.0, 4.0),
+    (5, "u2", 99.0, 5.0),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    l = spark.createDataFrame(LEFTS, "lid long, k string, ts double")
+    r = spark.createDataFrame(RIGHTS, "rid long, k string, ts double, v double")
+    return l, r
+
+
+def _check(rows, tol):
+    want = _py_asof(LEFTS, RIGHTS, tol)
+    assert len(rows) == len(LEFTS)
+    for row in rows:
+        exp = want[row["lid"]]
+        if exp is None:
+            assert row["ts_r"] is None and row["rid_r"] is None, row
+        else:
+            assert (row["ts_r"], row["rid_r"], row["v_r"]) == exp, row
+
+
+def test_asof_no_tolerance(spark, frames):
+    l, r = frames
+    out = as_of_join(l, r, ["k"]).collect()
+    _check(out, None)
+    # spot checks: 105 at ts=20 matches the ts=20 right with LARGER id
+    by = {row["lid"]: row for row in out}
+    assert by[105]["rid_r"] == 3
+    assert by[100]["rid_r"] == 4
+    assert by[102]["rid_r"] is None
+    assert by[104]["rid_r"] is None
+
+
+def test_asof_tolerance(spark, frames):
+    l, r = frames
+    out = as_of_join(l, r, ["k"], tolerance=4.0).collect()
+    _check(out, 4.0)
+    by = {row["lid"]: row for row in out}
+    # 101 at ts=10: latest right is ts=8 (within 4) -> match;
+    # 100 at ts=50: latest is 45 (within 5 > 4) -> NO match even though
+    # an older right exists — latest-only is the correct semantics
+    assert by[101]["rid_r"] == 1
+    assert by[100]["rid_r"] is None
+
+
+def test_asof_multikey_and_determinism(spark, frames):
+    l, r = frames
+    l2 = l.withColumn("k2", l["k"])
+    r2 = r.withColumn("k2", r["k"])
+    out1 = sorted(
+        (x["lid"], x["rid_r"]) for x in as_of_join(l2, r2, ["k", "k2"]).collect()
+    )
+    out2 = sorted(
+        (x["lid"], x["rid_r"])
+        for x in as_of_join(
+            l2.repartition(5), r2.repartition(3), ["k", "k2"]
+        ).collect()
+    )
+    assert out1 == out2
+    assert dict(out1)[100] == 4
+
+
+def test_asof_validation(spark, frames):
+    l, r = frames
+    with pytest.raises(ValueError):
+        as_of_join(l, r, [])
+    with pytest.raises(ValueError):
+        as_of_join(l, r, ["k"], tolerance=-1.0)
+    with pytest.raises(ValueError):
+        as_of_join(l.withColumn("v_r", l["ts"]), r, ["k"])  # suffix collision
