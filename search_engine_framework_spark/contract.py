@@ -1095,6 +1095,31 @@ def q_asof_attrib(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval join (streaming/joins.py — the Structured Streaming
+    stream-stream join shape run on the batch path): ALL clicks in
+    the hour at-or-before each purchase per user. Complements
+    `asof_attrib`, which keeps only the latest match; the stream run
+    is verified ≡ this batch plan in tests/test_streaming_joins.py."""
+    from .streaming.joins import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = interval_join(purchases, clicks, ["user_id"], upper=3600.0)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("click_id"),
+        _r4(F.col("value_r")).alias("click_value"),
+    )
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (streaming/events.py user_sessions, run in
     batch mode): Spark's session_window vs the DuckDB gaps-and-islands
@@ -3470,6 +3495,17 @@ ORACLE_SQL["dsir_select"] = _dsir_sql(
 
 ORACLE_SQL["pagerank"] = _pagerank_sql()
 
+ORACLE_SQL["interval_join"] = """
+SELECT p.event_id, p.user_id, c.event_id AS click_id,
+       round(c.value, 4) + 0.0 AS click_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 3600 SECONDS
+"""
+
 ORACLE_SQL["asof_attrib"] = """
 SELECT p.event_id, p.user_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -4655,6 +4691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
     "events_hourly": q_events_hourly,
     "asof_attrib": q_asof_attrib,
+    "interval_join": q_interval_join,
     "user_sessions": q_user_sessions,
     "multimodal_features": q_multimodal_features,
     "vsm_cosine": q_vsm_cosine,

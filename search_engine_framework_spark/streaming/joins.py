@@ -1,0 +1,83 @@
+"""Interval joins — ALL right rows within a time band of each left
+row, per key. Batch and stream-stream from ONE implementation.
+
+The companion to :mod:`..operators.asof` (which keeps only the LATEST
+match): attribution analytics ("every click within the hour before a
+purchase"), impression-conversion correlation, trade-quote windows.
+
+Spark-first design: this is exactly the shape Structured Streaming's
+stream-stream join engine natively supports — an equi-join on keys
+plus a RANGE predicate between the two event-time columns. Given both
+sides' watermarks, Spark derives how long each side's state must be
+retained (state TTL = watermark delay + band width) and expires it;
+without the range predicate the state would grow forever. The same
+join expression on static frames is a plain (broadcast- or
+shuffle-)hash join with the band as a residual filter, so batch and
+streaming results agree by construction — the batch run IS the oracle
+for the streaming run (tests/test_streaming_joins.py, and the
+`interval_join` contract entry hash-matches DuckDB on the batch path).
+
+Inner interval joins emit eagerly (a match is final the moment both
+rows exist — nothing needs to wait for the watermark); the watermark
+only bounds state size and late-data admission.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["interval_join"]
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: float = 0.0,
+    upper: float = 3600.0,
+    suffix: str = "_r",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Inner join: every (left, right) pair sharing ``key_cols`` with
+    ``left_ts − upper ≤ right_ts ≤ left_ts − lower`` (defaults: rights
+    in the hour at-or-before the left; ``lower=0`` includes equal ts).
+    Right columns come back suffixed. ``watermark`` (e.g. ``"2
+    hours"``) is REQUIRED when both inputs are streams — it is applied
+    to both event-time columns and bounds the join state.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("interval_join needs at least one key column")
+    if upper < lower:
+        raise ValueError(f"upper ({upper}) must be >= lower ({lower})")
+    both_streaming = left.isStreaming and right.isStreaming
+    if both_streaming and watermark is None:
+        raise ValueError(
+            "stream-stream interval joins need a watermark to bound state"
+        )
+    if watermark is not None:
+        if left.isStreaming:
+            left = left.withWatermark(left_ts, watermark)
+        if right.isStreaming:
+            right = right.withWatermark(right_ts, watermark)
+    r = right.select([F.col(c).alias(f"{c}{suffix}") for c in right.columns])
+    collide = set(r.columns) & set(left.columns)
+    if collide:
+        raise ValueError(f"suffixed right columns collide: {sorted(collide)}")
+    lt = F.col(left_ts)
+    rt = F.col(f"{right_ts}{suffix}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k) == F.col(f"{k}{suffix}") for k in keys],
+    )
+    cond = (
+        cond
+        & (rt >= lt - F.expr(f"INTERVAL '{float(upper)}' SECOND"))
+        & (rt <= lt - F.expr(f"INTERVAL '{float(lower)}' SECOND"))
+    )
+    return left.join(r, cond, "inner")

@@ -1,0 +1,77 @@
+"""Interval join (streaming/joins.py) — batch hand-check, band
+boundaries, and the stream-stream run matching the batch oracle."""
+
+import datetime as dt
+
+import pytest
+
+from search_engine_framework_spark.streaming.joins import interval_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+LEFTS = [  # purchases: (id, user, ts)
+    (100, 1, _ts(2, 0)),
+    (101, 1, _ts(3, 0)),
+    (102, 2, _ts(2, 30)),
+]
+RIGHTS = [  # clicks: (id, user, ts)
+    (1, 1, _ts(1, 10)),   # within 1h of 100
+    (2, 1, _ts(2, 0)),    # equal ts -> matches 100 (lower=0) and 101
+    (3, 1, _ts(0, 30)),   # too old for both
+    (4, 2, _ts(2, 0)),    # within 1h of 102
+    (5, 3, _ts(2, 0)),    # wrong key
+]
+WANT = {(100, 1), (100, 2), (101, 2), (102, 4)}
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    l = spark.createDataFrame(LEFTS, "lid long, user_id long, ts timestamp")
+    r = spark.createDataFrame(RIGHTS, "rid long, user_id long, ts timestamp")
+    return l, r
+
+
+def test_batch_hand_computed(spark, frames):
+    l, r = frames
+    out = interval_join(l, r, ["user_id"], lower=0.0, upper=3600.0)
+    got = {(x["lid"], x["rid_r"]) for x in out.collect()}
+    assert got == WANT
+    # lower=1s drops exactly the equal-ts pairs (100,2); the
+    # exactly-one-hour pair (101,2) stays at the upper boundary
+    out2 = interval_join(l, r, ["user_id"], lower=1.0, upper=3600.0)
+    got2 = {(x["lid"], x["rid_r"]) for x in out2.collect()}
+    assert got2 == WANT - {(100, 2)}
+    with pytest.raises(ValueError):
+        interval_join(l, r, [])
+    with pytest.raises(ValueError):
+        interval_join(l, r, ["user_id"], lower=10.0, upper=5.0)
+
+
+def test_stream_stream_matches_batch(spark, frames, tmp_path):
+    l, r = frames
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    l.write.parquet(lsrc)
+    r.write.parquet(rsrc)
+    ls = spark.readStream.schema(l.schema).parquet(lsrc)
+    rs = spark.readStream.schema(r.schema).parquet(rsrc)
+    joined = interval_join(ls, rs, ["user_id"], watermark="2 hours")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(x["lid"], x["rid_r"]) for x in spark.read.parquet(out).collect()}
+    assert got == WANT  # stream ≡ batch
+
+    # stream-stream without a watermark refuses to start
+    with pytest.raises(ValueError):
+        interval_join(ls, rs, ["user_id"])
