@@ -1420,6 +1420,19 @@ r{i} AS (
     return sql
 
 
+def _tmp_fixture_root(sf_dir: str, name: str) -> tuple[str, str]:
+    """(root, ident) for a /tmp round-trip fixture keyed by the source
+    parquet's identity (path + size + mtime) — ONE cache-invalidation
+    rule shared by every source round-trip entry."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ident = f"{sf_dir}|{os.path.getsize(src)}|{int(os.path.getmtime(src))}"
+    digest = hashlib.md5(ident.encode()).hexdigest()[:12]
+    return os.path.join("/tmp", f"sefs_{name}", digest), ident
+
+
 def q_warc_ingest(spark, sf_dir):
     """WARC source round-trip (sources/warc.py — the Common Crawl
     ingestion format): the documents table is serialized into 4 WARC
@@ -1429,15 +1442,11 @@ def q_warc_ingest(spark, sf_dir):
     body. The builder is a driver-side test fixture (WARC is an input
     format); the READ path is the scale path under test. Oracle: the
     documents table itself."""
-    import hashlib
     import os
 
     from .sources import warc as warcmod
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    ident = f"{sf_dir}|{os.path.getsize(src)}|{int(os.path.getmtime(src))}"
-    digest = hashlib.md5(ident.encode()).hexdigest()[:12]
-    root = os.path.join("/tmp", "sefs_warc", digest)
+    root, ident = _tmp_fixture_root(sf_dir, "warc")
     done = os.path.join(root, "_done")
     if not os.path.exists(done):
         os.makedirs(root, exist_ok=True)
@@ -1464,9 +1473,12 @@ def q_warc_ingest(spark, sf_dir):
             ]
             gz = s % 2 == 1
             fn = os.path.join(root, f"part-{s}.warc" + (".gz" if gz else ""))
-            with open(fn + ".tmp", "wb") as f:
+            # temp name must NOT match the read glob (*.warc*): a crash
+            # between write and rename must leave nothing readable
+            tmp = os.path.join(root, f"part-{s}.tmp")
+            with open(tmp, "wb") as f:
                 f.write(warcmod.build_warc_bytes(recs, gzip_members=gz))
-            os.replace(fn + ".tmp", fn)
+            os.replace(tmp, fn)
         with open(done, "w") as f:
             f.write(ident)
     df = warcmod.read_warc(spark, os.path.join(root, "*.warc*"))
@@ -1502,15 +1514,11 @@ def q_jsonl_ingest(spark, sf_dir):
     interchange format): documents written as gzipped JSON-lines part
     files by the distributed writer, read back under an explicit
     schema in FAILFAST mode. Oracle: the documents table itself."""
-    import hashlib
     import os
 
     from .sources import jsonl
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    ident = f"{sf_dir}|{os.path.getsize(src)}|{int(os.path.getmtime(src))}"
-    digest = hashlib.md5(ident.encode()).hexdigest()[:12]
-    root = os.path.join("/tmp", "sefs_jsonl", digest)
+    root, _ = _tmp_fixture_root(sf_dir, "jsonl")
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
         jsonl.write_jsonl(_read(spark, sf_dir, "documents"), root)
     df = jsonl.read_jsonl(

@@ -63,13 +63,21 @@ class SearchEngine:
                 "stemmer": analyzer.stemmer,
                 "fold_ascii": analyzer.fold_ascii,
             }
-            # compare only keys the lineage actually recorded, so
-            # indexes built before a config field existed stay openable
-            # (the field's default is the old behavior by construction)
-            theirs = {
-                k: recorded[k] for k in mine if recorded.get(k) is not None
+            # keys missing from an old index's lineage compare against
+            # the field DEFAULT (the old behavior by construction) — so
+            # passing a non-default option against a pre-option index
+            # fails loudly instead of silently drifting recall
+            defaults = {
+                "lowercase": True,
+                "stopwords": True,
+                "stemmer": "kstem",
+                "fold_ascii": False,
             }
-            if theirs and theirs != {k: mine[k] for k in theirs}:
+            theirs = {
+                k: (recorded[k] if recorded.get(k) is not None else defaults[k])
+                for k in mine
+            }
+            if theirs != mine:
                 raise ValueError(
                     f"analyzer {mine} does not match the index's build "
                     f"lineage {theirs}; pass analyzer=None to adopt the "

@@ -278,19 +278,18 @@ def facet_bucket_stats(
         F.broadcast(hits.select(id_col)), id_col
     )
     v = F.col(value_col).cast("double")
-    vn = F.when(v.isNotNull(), v)
     return (
         joined.groupBy(F.col(facet_col).cast("string").alias("value"))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.count(vn).cast("long").alias("n"),
-            F.min(vn).alias("min"),
-            F.max(vn).alias("max"),
-            F.sum(vn).alias("sum"),
-            F.avg(vn).alias("avg"),
+            F.count(v).cast("long").alias("n"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.sum(v).alias("sum"),
+            F.avg(v).alias("avg"),
             F.sqrt(
                 F.greatest(
-                    F.lit(0.0), F.avg(vn * vn) - F.avg(vn) * F.avg(vn)
+                    F.lit(0.0), F.avg(v * v) - F.avg(v) * F.avg(v)
                 )
             ).alias("std"),
         )

@@ -69,7 +69,11 @@ def as_of_join(
         right_cols = [
             c for c in right.columns if c not in keys and c != right_ts
         ]
-    overlap = [c for c in right_cols if f"{c}{suffix}" in left.columns]
+    overlap = [
+        c
+        for c in right_cols + [right_ts]
+        if f"{c}{suffix}" in left.columns
+    ]
     if overlap:
         raise ValueError(
             f"suffixed right columns collide with left columns: {overlap}"
@@ -83,7 +87,10 @@ def as_of_join(
         ts_d(right_ts).alias("_ts"),
         *[F.col(c) for c in right_cols],
     )
-    r = right.select(
+    # NULL-ts rights can never be "at or before" anything; unfiltered
+    # they would sort NULLS-FIRST and leak their payload into every
+    # left row with no genuine match
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *keys,
         ts_d(right_ts).alias("_t"),
         F.lit(0).alias("_side"),

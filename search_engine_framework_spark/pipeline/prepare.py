@@ -58,12 +58,19 @@ class PreparedData:
     _stage_counts: dict[str, DataFrame] = field(default_factory=dict)
 
     def report(self) -> dict[str, int]:
-        """Cross-stage funnel counts (one aggregation wave; the audit
-        artifact a pipeline run logs)."""
-        out: dict[str, int] = {}
-        for name, df in self._stage_counts.items():
-            out[name] = df.count()
-        return out
+        """Cross-stage funnel counts — the audit artifact a pipeline
+        run logs. Every stage frame is persisted for the duration of
+        the report (and unpersisted after), so each later stage's count
+        reuses the earlier stages' materialized results instead of
+        re-running the whole funnel once per count."""
+        frames = list(self._stage_counts.items())
+        for _, df in frames:
+            df.persist()
+        try:
+            return {name: df.count() for name, df in frames}
+        finally:
+            for _, df in frames:
+                df.unpersist()
 
 
 def prepare_training_data(

@@ -57,7 +57,10 @@ def read_jsonl(
     if bad_records == "audit":
         # Spark refuses queries that reference ONLY the internal corrupt
         # column on the raw scan; materializing through cache lifts the
-        # restriction for downstream quarantine filters.
+        # restriction for downstream quarantine filters. The cache pins
+        # the frame in executor storage for the session — callers doing
+        # corpus-scale audits should df.unpersist() once the good rows
+        # and the quarantine set have been written out.
         df = df.cache()
     return df
 

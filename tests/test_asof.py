@@ -95,6 +95,18 @@ def test_asof_multikey_and_determinism(spark, frames):
     assert dict(out1)[100] == 4
 
 
+def test_asof_null_ts_right_never_matches(spark, frames):
+    l, r = frames
+    r_null = r.union(
+        spark.createDataFrame([(9, "u1", None, 9.0)], r.schema)
+    )
+    out = {x["lid"]: x["rid_r"] for x in as_of_join(l, r_null, ["k"]).collect()}
+    # 102 (ts=5, no prior right) must STAY unmatched — a NULL-ts right
+    # must not leak its payload via NULLS-FIRST ordering
+    assert out[102] is None
+    assert out[100] == 4 and out[105] == 3  # genuine matches unchanged
+
+
 def test_asof_validation(spark, frames):
     l, r = frames
     with pytest.raises(ValueError):
@@ -103,3 +115,5 @@ def test_asof_validation(spark, frames):
         as_of_join(l, r, ["k"], tolerance=-1.0)
     with pytest.raises(ValueError):
         as_of_join(l.withColumn("v_r", l["ts"]), r, ["k"])  # suffix collision
+    with pytest.raises(ValueError):
+        as_of_join(l.withColumn("ts_r", l["ts"]), r, ["k"])  # ts collision
