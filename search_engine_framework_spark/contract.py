@@ -424,6 +424,35 @@ def q_multi_search(spark, sf_dir):
     )
 
 
+def q_merge_search(spark, sf_dir):
+    """Physical index merge (index/merge.py, Lucene addIndexes analog):
+    the two parity half-indexes from `multi_search` merged into ONE
+    on-disk index (rebased ids, re-encoded segments) must reproduce the
+    single combined index's flagship BM25 top-k exactly — shares
+    bm25_topk's DuckDB oracle verbatim. Where multi_search proves the
+    VIRTUAL union, this proves the PHYSICAL one."""
+    from .index.merge import merge_indexes
+    from .plans.models import BM25
+
+    get_multi_engine(spark, sf_dir)  # materializes the half-indexes
+    key = os.path.abspath(sf_dir)
+    digest = hashlib.sha1((key + "#multi").encode()).hexdigest()[:12]
+    halves = [
+        os.path.join("/tmp", "sefs_entry_idx", f"{digest}-{part}")
+        for part in (0, 1)
+    ]
+    out = os.path.join("/tmp", "sefs_entry_idx", f"{digest}-merged")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        merge_indexes(spark, halves, out)
+    eng = SearchEngine(spark, out, analyzer=AnalyzerConfig.sql_safe())
+    top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
+    return top.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
 def q_rollover_search(spark, sf_dir):
     """Index rollover (ES rollover/ILM analog): the documents corpus
     written as two size-sealed generations (first half fills gen-0 to
@@ -1527,6 +1556,22 @@ def q_jsonl_ingest(spark, sf_dir):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     return df.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+WS_SEED = 5
+WS_N = 80
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (pipeline/sampling.weighted_sample): 80 documents drawn with
+    probability ∝ n_chars via the deterministic Gumbel key ln(w)+g;
+    the DuckDB twin replays the 48-bit md5 uniform digit for digit."""
+    from .pipeline.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_sample(docs, WS_N, "n_chars", seed=WS_SEED)
+    return out.select("doc_id", _r4(F.col("skey")).alias("skey"))
 
 
 def q_sq_search(spark, sf_dir):
@@ -3554,6 +3599,16 @@ def _fold_sql() -> str:
 
 ORACLE_SQL["fold_accents"] = _fold_sql()
 
+ORACLE_SQL["weighted_sample"] = f"""
+SELECT doc_id, round(skey, 4) + 0.0 AS skey FROM (
+  SELECT doc_id,
+         ln(n_chars::DOUBLE)
+         + (-ln(-ln(({_b48_sql("doc_id::VARCHAR", f"|g{WS_SEED}")}::DOUBLE + 0.5)
+                    / {float(1 << 48)!r}))) AS skey
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+) ORDER BY skey DESC, doc_id ASC LIMIT {WS_N}
+"""
+
 ORACLE_SQL["sorted_search"] = (
     _SQL_BASE
     + """,
@@ -3959,6 +4014,7 @@ ORDER BY dot / (nr * qn.n) DESC, vec_id ASC LIMIT 10
 # Federated half-indexes with merged global stats must reproduce the
 # single-index flagship ranking exactly.
 ORACLE_SQL["multi_search"] = ORACLE_SQL["bm25_topk"]
+ORACLE_SQL["merge_search"] = ORACLE_SQL["bm25_topk"]
 # Rollover generations federate through the same MultiReader invariant.
 ORACLE_SQL["rollover_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
@@ -4659,6 +4715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "msm_bm25": q_msm_bm25,
     "msm_boolean": q_msm_boolean,
     "multi_search": q_multi_search,
+    "merge_search": q_merge_search,
     "rollover_search": q_rollover_search,
     "snippets_multi": q_snippets_multi,
     "snippets": q_snippets,
@@ -4714,6 +4771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_ingest": q_warc_ingest,
     "jsonl_ingest": q_jsonl_ingest,
     "fold_accents": q_fold_accents,
+    "weighted_sample": q_weighted_sample,
     "sq_search": q_sq_search,
     "bpe_tokens": q_bpe_tokens,
     "funnel": q_funnel,

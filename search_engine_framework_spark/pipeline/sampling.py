@@ -371,3 +371,43 @@ def stratified_sample(
         keep = ~cond if cond is not None else F.lit(True)
         picked = picked.where(keep).unionByName(redo)
     return picked
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — n rows drawn with
+    probability proportional to ``weight_col`` (quality-weighted
+    subsampling, importance-weighted corpus thinning).
+
+    The Efraimidis-Spirakis scheme in its Gumbel form: sampling key
+    ``ln(w) + Gumbel(0,1)`` with the Gumbel draw a pure function of
+    ``(key_col, seed)`` (:func:`..dsir.gumbel_key`'s 48-bit md5
+    uniform), then the global top-``n`` — equivalent to drawing without
+    replacement by the exponential-clocks argument, and, like every
+    sampler in this module, bit-replayable across engines,
+    partitionings and reruns. Rows with NULL or non-positive weight are
+    excluded (ln undefined — the zero-probability convention).
+
+    Plan: one column expression + TakeOrderedAndProject; no shuffle, no
+    sort of the full corpus. Returns the input columns + ``skey``
+    ordered by (skey desc, key asc) — the selection order.
+    """
+    from .dsir import gumbel_key
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = F.col(weight_col).cast("double")
+    out = (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn(
+            "skey", gumbel_key(F.col(key_col), F.log(w), seed=seed)
+        )
+        .orderBy(F.desc("skey"), F.col(key_col).asc())
+        .limit(n)
+    )
+    return out

@@ -1,0 +1,149 @@
+"""Physical index merge (index/merge.py) — the Lucene addIndexes /
+expungeDeletes analog. Core statement:
+
+    search(merge(A, B))  ≡  search(index(A ∪ B))
+
+with A carrying a tombstoned doc that must be EXPUNGED by the merge
+(so the combined oracle index is built WITHOUT that doc). Also locked:
+stats arithmetic (N, max_doc), post-merge append id-safety, and the
+analyzer / field / duplicate-ext_id fail-loud rails."""
+
+import pytest
+
+from search_engine_framework_spark.engine import SearchEngine
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.index.build import build_index
+from search_engine_framework_spark.index.deletes import delete_docs
+from search_engine_framework_spark.index.merge import merge_indexes
+from search_engine_framework_spark.plans.models import (
+    BM25,
+    Indri,
+    RankedBoolean,
+    UnrankedBoolean,
+)
+from search_engine_framework_spark.sources.transcripts import synth_transcripts
+
+CFG = AnalyzerConfig.reference()
+
+
+@pytest.fixture(scope="module")
+def merged_and_oracle(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("merge")
+    corpus = synth_transcripts(spark, n_convs=30, seed=21).cache()
+    half_a = corpus.where("conv_id < 'conv-00000015'")
+    half_b = corpus.where("conv_id >= 'conv-00000015'")
+
+    p_a = build_index(spark, half_a, str(root / "a"),
+                      fields=("body", "role"), n_buckets=4, n_salts=2)
+    p_b = build_index(spark, half_b, str(root / "b"),
+                      fields=("body", "role"), n_buckets=4, n_salts=2)
+    # tombstone one doc in A — the merge must expunge it
+    victim = "conv-00000003:0"
+    n_del = delete_docs(spark, p_a.root, ext_ids=[victim])
+    assert n_del == 1
+
+    merged = merge_indexes(spark, [p_a, p_b], str(root / "m"))
+
+    oracle_corpus = corpus.where(
+        "NOT (conv_id = 'conv-00000003' AND turn_idx = 0)"
+    )
+    p_o = build_index(spark, oracle_corpus, str(root / "oracle"),
+                      fields=("body", "role"), n_buckets=4, n_salts=2)
+    return (
+        SearchEngine(spark, merged, CFG),
+        SearchEngine(spark, p_o, CFG),
+        (p_a, p_b, merged, victim),
+    )
+
+
+QUERIES = [
+    ("search engine index", BM25()),
+    ("search engine index", Indri()),
+    ("#AND(search engine)", RankedBoolean()),
+    ("#OR(#AND(data model) spark)", UnrankedBoolean()),
+    ("#NEAR/3(search engine)", BM25()),
+    ("#WINDOW/8(data model)", Indri()),
+    ("#NOT(search)", RankedBoolean()),
+    ("user.role search", RankedBoolean()),
+]
+
+
+@pytest.mark.parametrize(
+    "query,model", QUERIES,
+    ids=[f"{q}|{type(m).__name__}" for q, m in QUERIES],
+)
+def test_merged_equals_combined(merged_and_oracle, query, model):
+    m_eng, o_eng, _ = merged_and_oracle
+    got = [(r["ext_id"], r["rank"], r["score"])
+           for r in m_eng.search(query, model, k=100).collect()]
+    want = [(r["ext_id"], r["rank"], r["score"])
+            for r in o_eng.search(query, model, k=100).collect()]
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_merge_stats_and_expunge(spark, merged_and_oracle):
+    m_eng, o_eng, (p_a, p_b, merged, victim) = merged_and_oracle
+    ms = m_eng.reader.stats
+    os_ = o_eng.reader.stats
+    assert ms["N"] == os_["N"]
+    # max_doc spans BOTH sources' full id spaces (incl. the expunged
+    # id), so it strictly exceeds the live count
+    import json
+
+    with open(p_a.stats) as fh:
+        a_stats = json.load(fh)
+    with open(p_b.stats) as fh:
+        b_stats = json.load(fh)
+    src_span = a_stats.get("max_doc", a_stats["N"]) + b_stats.get(
+        "max_doc", b_stats["N"]
+    )
+    assert ms["max_doc"] == src_span == ms["N"] + 1
+    # the tombstoned doc is gone physically: no docmap row, no tombstones
+    assert m_eng.reader.docmap().where(f"ext_id = '{victim}'").count() == 0
+    assert m_eng.reader.tombstones() is None
+    # and it is unfindable
+    hits = m_eng.search("user.role", RankedBoolean(), k=1000).collect()
+    assert victim not in {r["ext_id"] for r in hits}
+
+
+def test_merge_then_append_no_id_collision(spark, merged_and_oracle, tmp_path):
+    from search_engine_framework_spark.streaming.incremental import append_index
+
+    _, _, (_, _, merged, _) = merged_and_oracle
+    extra = synth_transcripts(spark, n_convs=3, seed=99).withColumn(
+        "conv_id",
+        __import__("pyspark.sql.functions", fromlist=["concat"]).concat(
+            __import__("pyspark.sql.functions", fromlist=["lit"]).lit("x-"),
+            __import__("pyspark.sql.functions", fromlist=["col"]).col("conv_id"),
+        ),
+    )
+    append_index(spark, extra, merged.root)
+    eng = SearchEngine(spark, merged, CFG)
+    dm = eng.reader.docmap()
+    assert dm.count() == dm.select("doc_id").distinct().count()
+    assert dm.count() == dm.select("ext_id").distinct().count()
+
+
+def test_merge_fail_loud_rails(spark, tmp_path):
+    corpus = synth_transcripts(spark, n_convs=6, seed=33).cache()
+    p1 = build_index(spark, corpus, str(tmp_path / "i1"),
+                     fields=("body",), n_buckets=2, n_salts=2)
+    # duplicate ext_ids: merging an index with itself
+    with pytest.raises(ValueError, match="duplicate ext_id"):
+        merge_indexes(spark, [p1, p1], str(tmp_path / "dup"))
+    # different analyzer
+    p2 = build_index(
+        spark, corpus.limit(5), str(tmp_path / "i2"), fields=("body",),
+        cfg=AnalyzerConfig(stemmer="none"), n_buckets=2, n_salts=2,
+    )
+    with pytest.raises(ValueError, match="different analyzers"):
+        merge_indexes(spark, [p1, p2], str(tmp_path / "bad"))
+    # different fields
+    p3 = build_index(spark, corpus.limit(5), str(tmp_path / "i3"),
+                     fields=("body", "role"), n_buckets=2, n_salts=2)
+    with pytest.raises(ValueError, match="different fields"):
+        merge_indexes(spark, [p1, p3], str(tmp_path / "bad2"))
+    with pytest.raises(ValueError):
+        merge_indexes(spark, [], str(tmp_path / "empty"))

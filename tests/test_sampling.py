@@ -238,3 +238,42 @@ def test_mixture_absent_group_raises(docs):
         sampling.mixture_sample(docs, {"src0": -1.0}, 10, group_col="source")
     with pytest.raises(ValueError):
         sampling.mixture_sample(docs, {"src0": 1.0}, 0, group_col="source")
+
+
+def test_weighted_sample_statistics_and_determinism(spark):
+    import hashlib
+    import math
+
+    from search_engine_framework_spark.pipeline.sampling import weighted_sample
+
+    # 2 heavy rows (w=1000) + 200 light rows (w=1): the heavies are
+    # ~1000x more likely — with n=20 draws both are near-certain picks
+    rows = [(0, 1000.0), (1, 1000.0)] + [(i, 1.0) for i in range(2, 202)]
+    rows += [(500, None), (501, 0.0), (502, -3.0)]  # excluded
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, 20, "w", seed=3)
+    got = [(r["doc_id"], r["skey"]) for r in out.collect()]
+    assert len(got) == 20
+    ids = {d for d, _ in got}
+    assert {0, 1} <= ids
+    assert ids.isdisjoint({500, 501, 502})
+    # skeys strictly descending (unique draws), ties impossible here
+    keys = [k for _, k in got]
+    assert keys == sorted(keys, reverse=True)
+
+    # exact replay under repartitioning
+    out2 = weighted_sample(df.repartition(7), 20, "w", seed=3)
+    assert [(r["doc_id"], r["skey"]) for r in out2.collect()] == got
+
+    # key formula matches hashlib/math bit-for-bit (mod last-ulp of ln)
+    def py_key(d, w):
+        h = int(hashlib.md5(f"{d}|g3".encode()).hexdigest()[:12], 16)
+        u = (h + 0.5) / (1 << 48)
+        return math.log(w) + -math.log(-math.log(u))
+
+    for d, k in got[:5]:
+        w = 1000.0 if d in (0, 1) else 1.0
+        assert k == pytest.approx(py_key(d, w), rel=1e-14)
+
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
