@@ -1747,7 +1747,7 @@ def q_ivfpq_exact(spark, sf_dir):
     return top.select("vec_id", _r4(F.col("adc_dist")).alias("adc_dist"))
 
 
-def q_ir_metrics(spark, sf_dir):
+def _ir_eval_frame(spark, sf_dir):
     """Distributed trec_eval metrics (eval.py) over a deterministic
     synthetic evaluation set derived from `documents` with pure modular
     arithmetic — 5 query topics, per-topic ranking = top-50 docs by a
@@ -1796,6 +1796,25 @@ def q_ir_metrics(spark, sf_dir):
     return per_query_metrics(
         ranking, qrels, ks=(10, 20), ndcg_ks=(10,), round_dp=4
     )
+
+
+def q_ir_metrics(spark, sf_dir):
+    """See _ir_eval_frame — the classic trec_eval measures (P@k, AP,
+    RR, NDCG); `ir_bpref` covers the judged-only pair from the same
+    frame."""
+    return _ir_eval_frame(spark, sf_dir).select(
+        "qid", "num_ret", "num_rel", "num_rel_ret",
+        "p_at_10", "p_at_20", "ap", "rr", "ndcg_at_10",
+    )
+
+
+def q_ir_bpref(spark, sf_dir):
+    """trec_eval's judged-only measures over the same synthetic eval
+    set as `ir_metrics`: R-precision and bpref (unjudged docs ignored;
+    each relevant-retrieved doc contributes
+    1 − min(judged-nonrel-above, R)/min(N, R))."""
+    full = _ir_eval_frame(spark, sf_dir)
+    return full.select("qid", "r_prec", "bpref")
 
 
 _IR_METRICS_SQL = """
@@ -4018,6 +4037,76 @@ ORACLE_SQL["merge_search"] = ORACLE_SQL["bm25_topk"]
 # Rollover generations federate through the same MultiReader invariant.
 ORACLE_SQL["rollover_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
+
+# bpref/R-prec twin: same synthetic eval set; judged-only window math
+_IR_BPREF_SQL = """
+WITH qs AS (SELECT unnest(range(5)) AS q),
+base AS (SELECT doc_id, q FROM documents CROSS JOIN qs),
+ranking AS (
+  SELECT 'q' || q AS qid, lpad(doc_id::VARCHAR, 6, '0') AS ext_id, rank
+  FROM (
+    SELECT doc_id, q,
+           row_number() OVER (
+             PARTITION BY q
+             ORDER BY ((doc_id * 2654435761 + q * 97) % 1000003) DESC,
+                      doc_id ASC
+           ) AS rank
+    FROM base
+    WHERE (doc_id * 37 + q) % 7 = 0
+  )
+  WHERE rank <= 50
+),
+qrels AS (
+  SELECT 'q' || q AS qid, lpad(doc_id::VARCHAR, 6, '0') AS ext_id,
+         CASE WHEN (doc_id * 13 + q) % 4 = 0
+              THEN 1 + (doc_id % 3) ELSE 0 END AS rel
+  FROM base
+  WHERE (doc_id + q) % 2 = 0
+),
+topic AS (
+  SELECT qid,
+         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS num_rel,
+         SUM(CASE WHEN rel <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonrel
+  FROM qrels GROUP BY qid
+),
+j AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN COALESCE(qr.rel, 0) > 0 THEN 1 ELSE 0 END AS isrel,
+         CASE WHEN qr.rel IS NOT NULL AND qr.rel <= 0
+              THEN 1 ELSE 0 END AS isnr
+  FROM ranking r
+  LEFT JOIN qrels qr ON r.qid = qr.qid AND r.ext_id = qr.ext_id
+),
+jc AS (
+  SELECT *, COALESCE(SUM(isnr) OVER (
+    PARTITION BY qid ORDER BY rank
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS nr_above FROM j
+),
+per AS (
+  SELECT jc.qid,
+         SUM(CASE WHEN jc.rank <= t.num_rel THEN jc.isrel ELSE 0 END)
+           AS rprec_num,
+         SUM(CASE WHEN jc.isrel = 1 THEN
+               CASE WHEN least(t.n_nonrel, t.num_rel) > 0
+                    THEN 1.0 - least(jc.nr_above, t.num_rel)::DOUBLE
+                         / least(t.n_nonrel, t.num_rel)
+                    ELSE 1.0 END
+             ELSE 0.0 END) AS bpref_sum,
+         any_value(t.num_rel) AS num_rel
+  FROM jc JOIN topic t ON t.qid = jc.qid
+  GROUP BY jc.qid
+)
+SELECT qid,
+       ROUND(CASE WHEN num_rel > 0
+                  THEN rprec_num::DOUBLE / num_rel ELSE 0 END, 4) + 0.0
+         AS r_prec,
+       ROUND(CASE WHEN num_rel > 0
+                  THEN bpref_sum / num_rel ELSE 0 END, 4) + 0.0 AS bpref
+FROM per
+"""
+
+ORACLE_SQL["ir_bpref"] = _IR_BPREF_SQL
 ORACLE_SQL["cooccur"] = _SQL_BASE + r"""
 , co AS (
   SELECT least(x.term, y.term) AS w1, greatest(x.term, y.term) AS w2,
@@ -4785,6 +4874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_exactcode": q_pq_exactcode,
     "ivfpq_exact": q_ivfpq_exact,
     "ir_metrics": q_ir_metrics,
+    "ir_bpref": q_ir_bpref,
     "conv_rollup": q_conv_rollup,
     "collapsed_topk": q_collapsed_topk,
     "more_like_this": q_more_like_this,

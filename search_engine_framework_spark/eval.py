@@ -59,18 +59,50 @@ def per_query_metrics(
 ) -> DataFrame:
     """→ one row per qid present in ``ranking``:
     (qid, num_ret, num_rel, num_rel_ret, p_at_<k>..., ap, rr,
-    ndcg_at_<k>...). Queries in qrels but never run are absent (trec_eval
+    ndcg_at_<k>..., r_prec, bpref). ``r_prec`` = precision at rank R
+    (R = num_rel); ``bpref`` is trec_eval's judged-only preference
+    measure — unjudged docs are ignored, each relevant-retrieved doc
+    contributes ``1 − min(judged-nonrel above, R)/min(N, R)``.
+    Queries in qrels but never run are absent (trec_eval
     scores the run's topics); queries retrieved with num_rel == 0 get
     ap = rr-as-computed and are excluded from ``summarize`` means.
     """
     qr = qrels.select(
         "qid", "ext_id", F.col("rel").cast("int").alias("rel")
     )
+
+    # qrels side first: num_rel, judged-nonrel count (bpref's N), and
+    # the ideal DCG from the full judged set
+    wq = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("ext_id"))
+    ideal = qr.withColumn("_irank", F.row_number().over(wq))
+    idisc = F.log2(F.col("_irank").cast("double") + F.lit(1.0))
+    iaggs = [
+        F.sum((F.col("rel") > 0).cast("int")).alias("num_rel"),
+        F.sum((F.col("rel") <= 0).cast("int")).alias("_n_nonrel"),
+    ]
+    for k in ndcg_ks:
+        iaggs.append(
+            F.sum(
+                F.when(F.col("_irank") <= k, _gain(F.col("rel"), gain) / idisc)
+                .otherwise(F.lit(0.0))
+            ).alias(f"_idcg_{k}")
+        )
+    per_topic = ideal.groupBy("qid").agg(*iaggs)
+
     j = (
         ranking.select("qid", "ext_id", F.col("rank").cast("int").alias("rank"))
-        .join(qr, ["qid", "ext_id"], "left")
-        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+        .join(qr.withColumnRenamed("rel", "_rel_j"), ["qid", "ext_id"], "left")
+        .withColumn("rel", F.coalesce("_rel_j", F.lit(0)))
         .withColumn("isrel", (F.col("rel") > 0).cast("int"))
+        # judged-nonrelevant flag: present in qrels with rel <= 0 —
+        # distinct from unjudged (absent), which bpref ignores entirely
+        .withColumn(
+            "_isnr",
+            (F.col("_rel_j").isNotNull() & (F.col("_rel_j") <= 0)).cast("int"),
+        )
+        .join(F.broadcast(per_topic), "qid", "left")
+        .withColumn("num_rel", F.coalesce("num_rel", F.lit(0)))
+        .withColumn("_n_nonrel", F.coalesce("_n_nonrel", F.lit(0)))
     )
     # cumulative relevant count at each rank (rank is dense per qid, so
     # ordering by rank is total — no peer ambiguity in the frame)
@@ -79,8 +111,26 @@ def per_query_metrics(
         .orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    j = j.withColumn("cum_rel", F.sum("isrel").over(w))
+    w_above = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = j.withColumn("cum_rel", F.sum("isrel").over(w)).withColumn(
+        "_nr_above", F.coalesce(F.sum("_isnr").over(w_above), F.lit(0))
+    )
     disc = F.log2(F.col("rank").cast("double") + F.lit(1.0))
+
+    # bpref (trec_eval): (1/R) * sum over relevant-retrieved of
+    # 1 - min(judged-nonrel-above, R) / min(N, R); when min(N, R) == 0
+    # each contribution is 1 (trec_eval's zero-denominator convention)
+    _bpref_den = F.least(F.col("_n_nonrel"), F.col("num_rel"))
+    _bpref_contrib = F.when(
+        _bpref_den > 0,
+        F.lit(1.0)
+        - F.least(F.col("_nr_above"), F.col("num_rel")).cast("double")
+        / _bpref_den,
+    ).otherwise(F.lit(1.0))
 
     aggs = [
         F.count("*").alias("num_ret"),
@@ -92,6 +142,13 @@ def per_query_metrics(
             ).otherwise(F.lit(0.0))
         ).alias("_ap_num"),
         F.min(F.when(F.col("isrel") == 1, F.col("rank"))).alias("_frr"),
+        # R-precision numerator: relevant docs in the top R
+        F.sum(
+            F.when(F.col("rank") <= F.col("num_rel"), F.col("isrel")).otherwise(0)
+        ).alias("_rprec_num"),
+        F.sum(
+            F.when(F.col("isrel") == 1, _bpref_contrib).otherwise(F.lit(0.0))
+        ).alias("_bpref_sum"),
     ]
     for k in ks:
         aggs.append(
@@ -107,26 +164,12 @@ def per_query_metrics(
                 .otherwise(F.lit(0.0))
             ).alias(f"_dcg_{k}")
         )
-    per_run = j.groupBy("qid").agg(*aggs)
-
-    # qrels side: num_rel and the ideal DCG from the full judged set
-    wq = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("ext_id"))
-    ideal = qr.withColumn("_irank", F.row_number().over(wq))
-    idisc = F.log2(F.col("_irank").cast("double") + F.lit(1.0))
-    iaggs = [F.sum((F.col("rel") > 0).cast("int")).alias("num_rel")]
     for k in ndcg_ks:
-        iaggs.append(
-            F.sum(
-                F.when(F.col("_irank") <= k, _gain(F.col("rel"), gain) / idisc)
-                .otherwise(F.lit(0.0))
-            ).alias(f"_idcg_{k}")
-        )
-    per_topic = ideal.groupBy("qid").agg(*iaggs)
+        aggs.append(F.first(f"_idcg_{k}").alias(f"_idcg_{k}"))
+    per_run = j.groupBy("qid", "num_rel").agg(*aggs)
 
     out = (
-        per_run.join(per_topic, "qid", "left")
-        .withColumn("num_rel", F.coalesce("num_rel", F.lit(0)))
-        .withColumn(
+        per_run.withColumn(
             "ap",
             F.when(
                 F.col("num_rel") > 0, F.col("_ap_num") / F.col("num_rel")
@@ -147,15 +190,30 @@ def per_query_metrics(
                 F.col(f"_dcg_{k}") / F.col(f"_idcg_{k}"),
             ).otherwise(F.lit(0.0)),
         )
+    out = out.withColumn(
+        "r_prec",
+        F.when(
+            F.col("num_rel") > 0,
+            F.col("_rprec_num").cast("double") / F.col("num_rel"),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "bpref",
+        F.when(
+            F.col("num_rel") > 0, F.col("_bpref_sum") / F.col("num_rel")
+        ).otherwise(F.lit(0.0)),
+    )
     metric_cols = (
         ["num_ret", "num_rel", "num_rel_ret"]
         + [f"p_at_{k}" for k in ks]
         + ["ap", "rr"]
         + [f"ndcg_at_{k}" for k in ndcg_ks]
+        + ["r_prec", "bpref"]
     )
     if round_dp is not None:
         for c in metric_cols:
-            if c.startswith(("p_at_", "ndcg_at_")) or c in ("ap", "rr"):
+            if c.startswith(("p_at_", "ndcg_at_")) or c in (
+                "ap", "rr", "r_prec", "bpref",
+            ):
                 out = out.withColumn(c, F.round(F.col(c), round_dp))
     return out.select("qid", *metric_cols)
 
@@ -178,7 +236,8 @@ def summarize(per_query: DataFrame, exclude_no_rel: bool = True) -> DataFrame:
     mean_cols = [
         c
         for c in per_query.columns
-        if c.startswith(("p_at_", "ndcg_at_")) or c in ("ap", "rr")
+        if c.startswith(("p_at_", "ndcg_at_"))
+        or c in ("ap", "rr", "r_prec", "bpref")
     ]
     rename = {"ap": "map", "rr": "mrr"}
     means = base.agg(

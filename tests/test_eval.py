@@ -240,3 +240,40 @@ def test_interleaved_credit_hand_case(spark):
     }
     assert got["q1"] == (1, 2, "b")
     assert got["q2"] == (0, 0, "tie")  # zero-click query still reported
+
+
+def test_bpref_and_rprec_hand_computed(spark):
+    from search_engine_framework_spark.eval import per_query_metrics
+
+    ranking = spark.createDataFrame(
+        [("q0", "d3", 1), ("q0", "d1", 2), ("q0", "d9", 3),
+         ("q0", "d4", 4), ("q0", "d2", 5)],
+        "qid string, ext_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q0", "d1", 1), ("q0", "d2", 2),          # R = 2 relevant
+         ("q0", "d3", 0), ("q0", "d4", 0), ("q0", "d5", 0)],  # N = 3
+        "qid string, ext_id string, rel int",
+    )
+    r = per_query_metrics(ranking, qrels).collect()[0]
+    # R-prec: top R=2 ranks hold d3(nonrel), d1(rel) -> 1/2
+    assert r["r_prec"] == pytest.approx(0.5)
+    # bpref: d1 (1 nonrel above) -> 1 - 1/min(3,2) = 0.5;
+    #        d2 (2 nonrel above) -> 1 - min(2,2)/2 = 0.0; /R=2 -> 0.25
+    # (d9 is UNJUDGED: ignored by bpref, and does not count as nonrel)
+    assert r["bpref"] == pytest.approx(0.25)
+
+    # N = 0 (no judged nonrelevant): every contribution is 1
+    qrels2 = spark.createDataFrame(
+        [("q0", "d1", 1), ("q0", "d2", 1)],
+        "qid string, ext_id string, rel int",
+    )
+    r2 = per_query_metrics(ranking, qrels2).collect()[0]
+    assert r2["bpref"] == pytest.approx(1.0)  # both relevant retrieved
+
+    # R = 0 (no relevant at all): both measures 0
+    qrels3 = spark.createDataFrame(
+        [("q0", "d3", 0)], "qid string, ext_id string, rel int"
+    )
+    r3 = per_query_metrics(ranking, qrels3).collect()[0]
+    assert r3["bpref"] == 0.0 and r3["r_prec"] == 0.0
