@@ -2186,6 +2186,50 @@ def q_hybrid_rrf(spark, sf_dir):
 SPELL_QUERIES = ("sprak", "mergge", "window", "zzzqqq")
 
 
+PHONETIC_QUERIES = ("merje", "vallue", "windoe")
+
+
+def _py_soundex(w: str) -> str:
+    """Driver-side twin of Spark's F.soundex for lowercase a-z words —
+    used to inline the query-side codes into the DuckDB oracle (a
+    mismatch with the JVM implementation would break the join and fail
+    the entry; tests/test_fusion_spell.py cross-checks it directly)."""
+    from itertools import groupby
+
+    m = "01230129022455012623019202"  # h/w→9 (skipped), vowels+y→0
+    c1 = "".join(m[ord(ch) - 97] for ch in w)
+    c3 = "".join(k for k, _ in groupby(c1.replace("9", "")))
+    c4 = c3 if c1[0] == "9" else c3[1:]
+    return w[0].upper() + (c4.replace("0", "") + "000")[:3]
+
+
+def q_phonetic(spark, sf_dir):
+    """Phonetic did-you-mean (Lucene/ES phonetic-analysis analog,
+    spell.suggest_phonetic): dictionary terms Soundex-equal to each
+    query, ranked (levenshtein asc, df desc, term asc). The DuckDB twin
+    recomputes Soundex — including the h/w-skip and first-letter
+    collapse rules — with translate + indexed list_filter (RE2 has no
+    backreferences), and carries the query codes as literals from the
+    driver-side twin of the JVM implementation."""
+    from .spell import suggest_phonetic
+
+    eng = get_engine(spark, sf_dir)
+    dic = (
+        eng.reader.term_stats_df()
+        .where(F.col("field") == "body")
+        .select("term", "df")
+    )
+    out = suggest_phonetic(spark, dic, list(PHONETIC_QUERIES), topn=5)
+    return out.select(
+        "query",
+        "term",
+        "code",
+        F.col("dist").cast("long").alias("dist"),
+        "df",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_spell_suggest(spark, sf_dir):
     """SymSpell-style did-you-mean over the index's term dictionary
     (spell.py): delete-1 neighborhood join + exact levenshtein filter,
@@ -4453,6 +4497,58 @@ FROM fused ORDER BY rrf DESC, doc_id ASC
 """
 )
 
+def _phonetic_sql() -> str:
+    qvals = ", ".join(
+        f"('{q}', '{_py_soundex(q)}')" for q in PHONETIC_QUERIES
+    )
+    tmap = (
+        "translate({c}, 'abcdefghijklmnopqrstuvwxyz',"
+        " '01230129022455012623019202')"
+    )
+    return (
+        _SQL_BASE
+        + f""",
+ph AS (
+  SELECT term, df,
+         string_split(replace({tmap.format(c='term')}, '9', ''), '') AS cl,
+         substr({tmap.format(c='term')}, 1, 1) AS f1
+  FROM dfreq WHERE regexp_full_match(term, '[a-z]+')
+),
+ph2 AS (
+  SELECT term, df, f1,
+         COALESCE(list_aggregate(
+           list_filter(cl, (x, i) -> i = 1 OR x <> cl[i-1]),
+           'string_agg', ''), '') AS c3
+  FROM ph
+),
+codes AS (
+  SELECT term, df,
+         upper(substr(term, 1, 1)) ||
+         substr(replace(CASE WHEN f1 = '9' THEN c3 ELSE substr(c3, 2) END,
+                        '0', '') || '000', 1, 3) AS code
+  FROM ph2
+),
+qs AS (SELECT * FROM (VALUES {qvals}) AS q(query, code)),
+cand AS (
+  SELECT q.query, c.term, c.code,
+         levenshtein(lower(q.query), c.term) AS dist, c.df
+  FROM codes c JOIN qs q ON q.code = c.code
+  WHERE c.term <> lower(q.query)
+),
+rk AS (
+  SELECT query, term, code, dist, df,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY dist ASC, df DESC, term ASC) AS rank
+  FROM cand
+)
+SELECT query, term, code, dist::BIGINT AS dist, df, rank::BIGINT AS rank
+FROM rk WHERE rank <= 5
+"""
+    )
+
+
+ORACLE_SQL["phonetic"] = _phonetic_sql()
+
 ORACLE_SQL["spell_suggest"] = (
     _SQL_BASE
     + f""",
@@ -4887,6 +4983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_window": q_context_window,
     "hybrid_rrf": q_hybrid_rrf,
     "spell_suggest": q_spell_suggest,
+    "phonetic": q_phonetic,
     "spell_suggest2": q_spell_suggest2,
     "term_prefix": q_term_prefix,
     "facet_counts": q_facet_counts,

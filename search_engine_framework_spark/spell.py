@@ -291,3 +291,61 @@ def suggest_phrase(
         out_rows,
         "query string, suggestion string, rank int, logp double, edits int",
     ).orderBy("query", "rank")
+
+
+def suggest_phonetic(
+    spark: SparkSession,
+    dictionary: DataFrame,
+    queries: Sequence[str],
+    *,
+    topn: int = 5,
+) -> DataFrame:
+    """Phonetic did-you-mean — the Lucene/ES phonetic-analysis analog
+    (Soundex): dictionary terms that SOUND like each query, the
+    complement of :func:`suggest`'s edit-distance candidates (a
+    misheard word — "sirch" for "search" — is 2 edits away but
+    soundex-identical).
+
+    Mechanics: one equi-join on the Soundex code (JVM ``F.soundex`` on
+    both sides — vocabulary-bounded, broadcast query side, no cross
+    join), ranked by (levenshtein asc, df desc, term asc) within each
+    query so spelling-closer homophones surface first. Only alphabetic
+    terms participate (Spark's soundex passes non-alphabetic input
+    through unchanged, which would fabricate digit-term "homophones");
+    a non-alphabetic query returns no rows. The query term itself is
+    excluded (a homophone list that echoes the input is noise).
+
+    Returns DataFrame(query, term, code, dist:int, df:long, rank:int)
+    with rank 1..topn per query.
+    """
+    alpha = [q for q in dict.fromkeys(queries) if q and q.isalpha()]
+    if not alpha:
+        return spark.createDataFrame(
+            [],
+            "query string, term string, code string, dist int, "
+            "df long, rank int",
+        )
+    qdf = spark.createDataFrame([(q,) for q in alpha], "query string")
+    qdf = qdf.select("query", F.soundex(F.lower("query")).alias("code"))
+    dterms = (
+        dictionary.where(F.col("term").rlike("^[a-z]+$"))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.soundex("term").alias("code"),
+        )
+    )
+    cand = (
+        dterms.join(F.broadcast(qdf), "code")
+        .where(F.col("term") != F.lower(F.col("query")))
+        .withColumn("dist", F.levenshtein(F.lower("query"), F.col("term")))
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(topn))
+        .select("query", "term", "code", "dist", "df", "rank")
+        .orderBy("query", "rank")
+    )

@@ -257,3 +257,56 @@ def test_suggest_rejects_bad_max_edit(spark):
     dic = spark.createDataFrame([("ab", 1)], "term string, df long")
     with pytest.raises(NotImplementedError):
         suggest(spark, dic, ["ab"], max_edit=3)
+
+
+# ---------------------------------------------------------------------------
+# suggest_phonetic (Soundex homophones)
+# ---------------------------------------------------------------------------
+
+def test_py_soundex_matches_spark(spark):
+    import random
+    import string
+
+    import pyspark.sql.functions as F
+
+    from search_engine_framework_spark.contract import _py_soundex
+
+    rng = random.Random(7)
+    words = list({
+        "".join(rng.choice(string.ascii_lowercase)
+                for _ in range(rng.randint(1, 10)))
+        for _ in range(300)
+    })
+    words += ["robert", "rupert", "ashcraft", "honeyman", "hm", "who",
+              "lloyd", "pfister", "tymczak", "czar", "a", "hw"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["s"] for r in
+           df.select("w", F.soundex("w").alias("s")).collect()}
+    for w in words:
+        assert got[w] == _py_soundex(w), w
+
+
+def test_suggest_phonetic(spark):
+    from search_engine_framework_spark.spell import suggest_phonetic
+
+    dic = spark.createDataFrame(
+        [("search", 50), ("merge", 40), ("marge", 10), ("window", 30),
+         ("value", 20), ("x9y", 5)],
+        "term string, df long",
+    )
+    out = suggest_phonetic(
+        spark, dic, ["sirch", "merje", "Merge", "12ab", ""], topn=5
+    )
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["query"], []).append((r["term"], r["dist"], r["rank"]))
+    # "sirch" is 2 edits from "search" — SymSpell@1 misses it, Soundex hits
+    assert rows["sirch"][0][0] == "search"
+    # homophone family ranked dist asc then df desc
+    assert [t for t, _, _ in rows["merje"]] == ["merge", "marge"]
+    # the query itself is excluded (case-insensitively)
+    assert [t for t, _, _ in rows["Merge"]] == ["marge"]
+    # non-alphabetic queries are dropped silently
+    assert "12ab" not in rows and "" not in rows
+    # non-alphabetic dictionary terms never appear
+    assert all(t != "x9y" for v in rows.values() for t, _, _ in v)
