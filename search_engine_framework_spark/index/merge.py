@@ -49,7 +49,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.analyzer import AnalyzerConfig
-from .build import IndexPaths, _build_index_body, _tune_encode_partitions, _dir_bytes
+from .build import (
+    IndexPaths,
+    _build_index_body,
+    _dir_bytes,
+    _restore_conf,
+    _tune_encode_partitions,
+)
 from .reader import IndexReader
 
 __all__ = ["merge_indexes"]
@@ -163,12 +169,14 @@ def merge_indexes(
             t0=t0,
         )
     finally:
-        if old_mpb is not None:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-        if old_pom is not None:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", old_pom
-            )
+        # unset-when-previously-unset, exactly like build_index — a
+        # half-restored partitionOverwriteMode=dynamic leaks into every
+        # later parquet write on the session and suppresses _SUCCESS
+        # markers other components key their crash recovery on
+        _restore_conf(spark, "spark.sql.files.maxPartitionBytes", old_mpb)
+        _restore_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", old_pom
+        )
 
     # the body wrote stats with max_doc defaulting to n_docs; the merged
     # id space is larger whenever a source carried purge gaps or deletes
