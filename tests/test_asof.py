@@ -117,3 +117,39 @@ def test_asof_validation(spark, frames):
         as_of_join(l.withColumn("v_r", l["ts"]), r, ["k"])  # suffix collision
     with pytest.raises(ValueError):
         as_of_join(l.withColumn("ts_r", l["ts"]), r, ["k"])  # ts collision
+
+
+def test_asof_randomized_vs_bruteforce(spark):
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        keys = ["a", "b", "c"]
+        lefts = [
+            (i, rng.choice(keys), float(rng.randint(0, 50)))
+            for i in range(60)
+        ]
+        rights = [
+            (100 + i, rng.choice(keys), float(rng.randint(0, 50)),
+             float(rng.randint(0, 9)))
+            for i in range(80)
+        ]
+        tol = rng.choice([None, 5.0, 0.0])
+        l = spark.createDataFrame(lefts, "lid long, k string, ts double")
+        r = spark.createDataFrame(
+            rights, "rid long, k string, ts double, v double"
+        )
+        got = {
+            x["lid"]: (x["ts_r"], x["rid_r"], x["v_r"])
+            for x in as_of_join(l, r, ["k"], tolerance=tol).collect()
+        }
+        want = _py_asof(
+            [(i, k, t) for i, k, t in lefts],
+            [(i, k, t, v) for i, k, t, v in rights],
+            tol,
+        )
+        for lid, exp in want.items():
+            if exp is None:
+                assert got[lid][1] is None, (seed, lid)
+            else:
+                assert got[lid] == exp, (seed, lid)

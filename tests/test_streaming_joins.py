@@ -75,3 +75,38 @@ def test_stream_stream_matches_batch(spark, frames, tmp_path):
     # stream-stream without a watermark refuses to start
     with pytest.raises(ValueError):
         interval_join(ls, rs, ["user_id"])
+
+
+def test_interval_join_randomized_vs_bruteforce(spark):
+    import random
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for seed in (4, 5):
+        rng = random.Random(seed)
+        keys = [1, 2, 3]
+        base = dt.datetime(2024, 3, 1)
+        lefts = [
+            (i, rng.choice(keys), base + dt.timedelta(minutes=rng.randint(0, 300)))
+            for i in range(50)
+        ]
+        rights = [
+            (100 + i, rng.choice(keys),
+             base + dt.timedelta(minutes=rng.randint(0, 300)))
+            for i in range(70)
+        ]
+        lo, up = sorted((rng.randint(0, 30) * 60, rng.randint(0, 120) * 60))
+        l = spark.createDataFrame(lefts, "lid long, user_id long, ts timestamp")
+        r = spark.createDataFrame(rights, "rid long, user_id long, ts timestamp")
+        got = {
+            (x["lid"], x["rid_r"])
+            for x in interval_join(
+                l, r, ["user_id"], lower=float(lo), upper=float(up)
+            ).collect()
+        }
+        want = {
+            (li, ri)
+            for li, lk, lt in lefts
+            for ri, rk, rt in rights
+            if lk == rk and lo <= (lt - rt).total_seconds() <= up
+        }
+        assert got == want, seed
