@@ -372,6 +372,18 @@ def q_bm25_topk(spark, sf_dir):
 _MULTI_ENGINES: dict[str, SearchEngine] = {}
 
 
+def _half_index_paths(sf_dir: str) -> list[str]:
+    """The parity half-indexes' on-disk locations — ONE derivation
+    shared by get_multi_engine (which builds them) and q_merge_search
+    (which merges them), so the keying scheme cannot drift apart."""
+    key = os.path.abspath(sf_dir)
+    digest = hashlib.sha1((key + "#multi").encode()).hexdigest()[:12]
+    return [
+        os.path.join("/tmp", "sefs_entry_idx", f"{digest}-{part}")
+        for part in (0, 1)
+    ]
+
+
 def get_multi_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     """Federated twin of :func:`get_engine`: the SAME documents corpus
     split by doc_id parity into two physically independent indexes,
@@ -384,11 +396,10 @@ def get_multi_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     key = os.path.abspath(sf_dir)
     if key in _MULTI_ENGINES:
         return _MULTI_ENGINES[key]
-    digest = hashlib.sha1((key + "#multi").encode()).hexdigest()[:12]
     cfg = AnalyzerConfig.sql_safe()
     halves = []
-    for part in (0, 1):
-        out = os.path.join("/tmp", "sefs_entry_idx", f"{digest}-{part}")
+    for out in _half_index_paths(sf_dir):
+        part = int(out.rsplit("-", 1)[1])
         if not os.path.exists(os.path.join(out, "stats.json")):
             docs = _read(spark, sf_dir, "documents").where(
                 F.col("doc_id") % 2 == part
@@ -435,15 +446,19 @@ def q_merge_search(spark, sf_dir):
     from .plans.models import BM25
 
     get_multi_engine(spark, sf_dir)  # materializes the half-indexes
-    key = os.path.abspath(sf_dir)
-    digest = hashlib.sha1((key + "#multi").encode()).hexdigest()[:12]
-    halves = [
-        os.path.join("/tmp", "sefs_entry_idx", f"{digest}-{part}")
-        for part in (0, 1)
-    ]
-    out = os.path.join("/tmp", "sefs_entry_idx", f"{digest}-merged")
-    if not os.path.exists(os.path.join(out, "stats.json")):
+    halves = _half_index_paths(sf_dir)
+    out = halves[0].rsplit("-", 1)[0] + "-merged"
+    marker = os.path.join(out, "_MERGED_OK")
+    if not os.path.exists(marker):
+        # completeness guard on a merge-written marker, NOT stats.json —
+        # the build body creates stats.json before segment encode, so a
+        # mid-merge crash must not read as done
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         merge_indexes(spark, halves, out)
+        with open(marker, "w") as fh:
+            fh.write("ok")
     eng = SearchEngine(spark, out, analyzer=AnalyzerConfig.sql_safe())
     top = eng.search(BM25_QUERY, BM25(), k=BM25_K)
     return top.select(

@@ -56,32 +56,17 @@ class SearchEngine:
         if analyzer is None:
             analyzer = recorded_cfg or AnalyzerConfig.reference()
         elif recorded_cfg:
-            recorded = lin["analyzer"]
-            mine = {
-                "lowercase": analyzer.lowercase,
-                "stopwords": analyzer.stopwords,
-                "stemmer": analyzer.stemmer,
-                "fold_ascii": analyzer.fold_ascii,
-            }
-            # keys missing from an old index's lineage compare against
-            # the field DEFAULT (the old behavior by construction) — so
-            # passing a non-default option against a pre-option index
+            # from_lineage fills missing keys with the field DEFAULTS
+            # (the old behavior by construction), so dataclass equality
+            # compares every config field — including ones added after
+            # this index was built — against the right baseline, and a
+            # non-default option passed against a pre-option index
             # fails loudly instead of silently drifting recall
-            defaults = {
-                "lowercase": True,
-                "stopwords": True,
-                "stemmer": "kstem",
-                "fold_ascii": False,
-            }
-            theirs = {
-                k: (recorded[k] if recorded.get(k) is not None else defaults[k])
-                for k in mine
-            }
-            if theirs != mine:
+            if analyzer != recorded_cfg:
                 raise ValueError(
-                    f"analyzer {mine} does not match the index's build "
-                    f"lineage {theirs}; pass analyzer=None to adopt the "
-                    "index's analyzer, or rebuild the index"
+                    f"analyzer {analyzer} does not match the index's "
+                    f"build lineage {recorded_cfg}; pass analyzer=None "
+                    "to adopt the index's analyzer, or rebuild the index"
                 )
         impl_recorded = lin.get("stemmer_impl")
         if impl_recorded:

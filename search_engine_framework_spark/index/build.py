@@ -791,6 +791,7 @@ def _build_index_body(
     segment_mode: str,
     t0: float,
     phases: dict[str, float] | None = None,
+    max_doc: int | None = None,
 ) -> IndexPaths:
     phases = {} if phases is None else phases
 
@@ -809,7 +810,7 @@ def _build_index_body(
         doclen.write.mode("overwrite").parquet(paths.doclen)
         doclen = spark.read.parquet(paths.doclen)
 
-        stats = collection_stats(doclen, n_docs)
+        stats = collection_stats(doclen, n_docs, max_doc=max_doc)
         with open(paths.stats, "w") as fh:
             json.dump(stats, fh, indent=2, sort_keys=True)
         _mark("doclen_stats")

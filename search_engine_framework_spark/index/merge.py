@@ -41,7 +41,6 @@ corpus-sized reaches the driver.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -118,7 +117,11 @@ def merge_indexes(
         tomb = rd.tombstones()
         if tomb is not None:
             tomb = tomb.select("doc_id").distinct()
-        docmaps.append(_rebase(rd.docmap(), base, tomb))
+        # rd.docmap() is already tombstone-masked by the reader
+        docmaps.append(_rebase(rd.docmap(), base, None))
+        # the reader's doc_terms() accessor drops the NULL-term doclen
+        # marker rows that the merged build NEEDS (doclen derives from
+        # them) — read raw and mask explicitly instead
         fwd = spark.read.parquet(rd.paths.doc_terms)
         forwards.append(_rebase(fwd, base, tomb))
 
@@ -167,6 +170,11 @@ def merge_indexes(
             resume=False,
             segment_mode=segment_mode,
             t0=t0,
+            # threaded straight into collection_stats: stats.json is
+            # born with the merged id-space high-water mark, so there
+            # is NO window in which a crash leaves max_doc = n_docs
+            # (which would let a later append reuse source ids)
+            max_doc=merged_max_doc,
         )
     finally:
         # unset-when-previously-unset, exactly like build_index — a
@@ -178,13 +186,4 @@ def merge_indexes(
             spark, "spark.sql.sources.partitionOverwriteMode", old_pom
         )
 
-    # the body wrote stats with max_doc defaulting to n_docs; the merged
-    # id space is larger whenever a source carried purge gaps or deletes
-    with open(paths.stats) as fh:
-        stats = json.load(fh)
-    stats["max_doc"] = merged_max_doc
-    tmp = paths.stats + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(stats, fh, indent=2, sort_keys=True)
-    os.replace(tmp, paths.stats)
     return out

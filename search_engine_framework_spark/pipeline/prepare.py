@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 from . import curate as curate_mod
 from . import dedup as dedup_mod
@@ -64,12 +65,20 @@ class PreparedData:
         reuses the earlier stages' materialized results instead of
         re-running the whole funnel once per count."""
         frames = list(self._stage_counts.items())
-        for _, df in frames:
+        # persist only frames the CALLER has not already persisted —
+        # re-persisting would either raise (different storage level) or
+        # let the finally-block evict the caller's own cache
+        mine = [
+            df
+            for _, df in frames
+            if df.storageLevel == StorageLevel.NONE
+        ]
+        for df in mine:
             df.persist()
         try:
             return {name: df.count() for name, df in frames}
         finally:
-            for _, df in frames:
+            for df in mine:
                 df.unpersist()
 
 

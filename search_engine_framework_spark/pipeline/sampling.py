@@ -402,8 +402,10 @@ def weighted_sample(
     if n <= 0:
         raise ValueError("n must be positive")
     w = F.col(weight_col).cast("double")
+    # NaN > 0 is true under Spark's NaN-greatest ordering and a NaN
+    # sort key would hijack the whole top-k — exclude with the NULLs
     out = (
-        df.where(w.isNotNull() & (w > 0))
+        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn(
             "skey", gumbel_key(F.col(key_col), F.log(w), seed=seed)
         )
