@@ -159,3 +159,48 @@ class RolloverIndex:
         tomb = gen_dir + ".dropping"
         os.rename(gen_dir, tomb)
         shutil.rmtree(tomb)
+
+    # -- force-merge -----------------------------------------------------------
+    def force_merge(self, keep_active: bool = True) -> list[str]:
+        """Physically merge SEALED generations into one (the ES
+        force-merge / ILM shrink-phase analog, built on
+        :func:`.merge.merge_indexes`): N sealed generations' segments,
+        docmaps and forward indexes re-encode into a single replacement
+        generation — queries that federated across N sub-readers now
+        open one, and every tombstone in the sealed set is expunged.
+
+        ``keep_active=True`` (default) leaves the newest generation
+        (the append target) untouched, so ingestion never contends with
+        the merge; ``False`` merges everything (quiesced index).
+
+        Crash-safe by construction: the merge builds into a ``.merging``
+        staging dir; only after it completes are the source generations
+        renamed away and the staged dir renamed to the LOWEST merged
+        generation number (so the replacement sorts before the active
+        generation, and docBase/statistics ordering is stable). Every
+        intermediate state leaves either the old generations or the
+        completed merge on disk. Returns the surviving generation dirs.
+        """
+        import shutil
+
+        from .merge import merge_indexes
+
+        gens = self.generations()
+        victims = gens[:-1] if keep_active else gens
+        if len(victims) < 2:
+            return gens  # nothing to merge
+        staged = os.path.join(self.root, ".merging")
+        shutil.rmtree(staged, ignore_errors=True)
+        merge_indexes(self.spark, victims, staged)
+        # publish: rename sources away first (readers opening mid-swap
+        # see either the old federation or the merged gen — never both),
+        # then slot the merged index in at the lowest victim number
+        backups = []
+        for g in victims:
+            b = g + ".merged-away"
+            os.rename(g, b)
+            backups.append(b)
+        os.rename(staged, victims[0])
+        for b in backups:
+            shutil.rmtree(b)
+        return self.generations()

@@ -126,3 +126,53 @@ def test_empty_root_reader_raises(spark, tmp_path):
         ri.reader()
     with pytest.raises(ValueError):
         RolloverIndex(spark, str(tmp_path / "x"), max_docs=0)
+
+
+def test_force_merge_sealed_generations(spark, corpus, tmp_path):
+    """force_merge: 3 generations → merged sealed pair + untouched
+    active; search identity with the pre-merge federation preserved."""
+    b = _batches(corpus)
+    n0 = b[0].count()
+    ri = RolloverIndex(
+        spark, str(tmp_path / "fm"), max_docs=min(n0, b[1].count()),
+        fields=("body", "role"),
+    )
+    for batch in b:
+        ri.write_batch(batch)
+    gens_before = ri.generations()
+    assert len(gens_before) == 3
+    eng_before = SearchEngine(spark, ri.reader())
+    want = [
+        (r["ext_id"], r["rank"], r["score"])
+        for r in eng_before.search("search engine index", BM25(), k=50).collect()
+    ]
+
+    survivors = ri.force_merge()  # keep_active=True
+    assert len(survivors) == 2
+    assert os.path.basename(survivors[0]) == "gen-000000"  # lowest victim slot
+    assert os.path.basename(survivors[1]) == os.path.basename(gens_before[-1])
+    assert not os.path.exists(str(tmp_path / "fm" / ".merging"))
+
+    eng_after = SearchEngine(spark, ri.reader())
+    got = [
+        (r["ext_id"], r["rank"], r["score"])
+        for r in eng_after.search("search engine index", BM25(), k=50).collect()
+    ]
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+    # appends still target the untouched active generation
+    extra = synth_transcripts(spark, n_convs=2, seed=77)
+    import pyspark.sql.functions as F
+    extra = extra.withColumn("conv_id", F.concat(F.lit("z-"), "conv_id"))
+    ri.write_batch(extra)
+
+    # full merge (quiesced): one generation left, identity still holds
+    survivors2 = ri.force_merge(keep_active=False)
+    assert len(survivors2) == 1
+    eng_all = SearchEngine(spark, ri.reader())
+    assert eng_all.search("search engine index", BM25(), k=50).count() == len(want)
+
+    # fewer than 2 victims: no-op
+    assert ri.force_merge() == survivors2
