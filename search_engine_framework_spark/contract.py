@@ -4892,56 +4892,16 @@ GROUP BY 1 ORDER BY bin_lo ASC
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "term_stats_top": q_term_stats_top,
-    "doclen": q_doclen,
-    "collection_stats": q_collection_stats,
-    "postings": q_postings,
-    "bool_and_ranked": q_bool_and_ranked,
-    "bool_or_ranked": q_bool_or_ranked,
-    "bool_and_not": q_bool_and_not,
-    "near": q_near,
-    "first_op": q_first_op,
-    "first_bm25": q_first_bm25,
-    "phrase": q_phrase,
-    "window_op": q_window_op,
-    "syn_ranked": q_syn_ranked,
-    "wildcard": q_wildcard,
-    "fuzzy": q_fuzzy,
-    "regex_term": q_regex_term,
-    "wildcard_suffix": q_wildcard_suffix,
-    "bm25_single": q_bm25_single,
-    "filtered_search": q_filtered_search,
+    # Ordering contract (round 3): the external driver verifies entries in
+    # dict order and may stop after a budget (r2 stopped at 50).  Entries
+    # never green-checked by a driver run come FIRST so the round-3 check
+    # lands on them; the flagship bm25_topk stays at the head; the 56
+    # already-driver-green entries form the tail.
+    # Rows-only (no ORACLE_SQL, by design): bm25_ref_analyzer (Krovetz
+    # stemming is not ANSI-SQL-expressible; pytest golden fixture instead)
+    # and ann_ivf (partial-probe set depends on learned centroids; its
+    # exactprobe twin is oracle-checked).
     "bm25_topk": q_bm25_topk,
-    "msm_bm25": q_msm_bm25,
-    "msm_boolean": q_msm_boolean,
-    "multi_search": q_multi_search,
-    "merge_search": q_merge_search,
-    "rollover_search": q_rollover_search,
-    "snippets_multi": q_snippets_multi,
-    "snippets": q_snippets,
-    "search_after": q_search_after,
-    "synonyms": q_synonyms,
-    "bm25_batch": q_bm25_batch,
-    "bm25_bulk": q_bm25_bulk,
-    "indri_and": q_indri_and,
-    "indri_wsum": q_indri_wsum,
-    "indri_wand": q_indri_wand,
-    "fingerprints": q_fingerprints,
-    "minhash_sigs": q_minhash_sigs,
-    "conv_fp": q_conv_fp,
-    "neardup_pairs": q_neardup_pairs,
-    "neardup_clusters": q_neardup_clusters,
-    "dedup_keep_best": q_dedup_keep_best,
-    "ngram_jaccard": q_ngram_jaccard,
-    "chunks": q_chunks,
-    "quality": q_quality,
-    "lang_id": q_lang_id,
-    "token_counts": q_token_counts,
-    "cooccur": q_cooccur,
-    "tfidf": q_tfidf,
-    "source_report": q_source_report,
-    "corpus_profile": q_corpus_profile,
-    "curation": q_curation,
     "hash_split": q_hash_split,
     "mixture_mix": q_mixture_mix,
     "dup_spans": q_dup_spans,
@@ -4952,16 +4912,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "pii_scrub": q_pii_scrub,
     "lm_score": q_lm_score,
-    "knn_cosine": q_knn_cosine,
     "knn_join": q_knn_join,
-    "events_hourly": q_events_hourly,
     "asof_attrib": q_asof_attrib,
     "interval_join": q_interval_join,
     "user_sessions": q_user_sessions,
-    "multimodal_features": q_multimodal_features,
-    "vsm_cosine": q_vsm_cosine,
-    "prf_terms": q_prf_terms,
-    "emb_neardup": q_emb_neardup,
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "semdedup_exact1": q_semdedup_exact1,
     "classify_score": q_classify_score,
@@ -5014,14 +4968,63 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_composite": q_facet_composite,
     "facet_top_hits": q_facet_top_hits,
     "significant_terms": q_significant_terms,
-    # rows-only checks (not SQL-expressible):
-    # bm25_ref_analyzer — Krovetz stemming can't be written in ANSI SQL;
-    #   locked instead by a pytest golden fixture (tests/test_ranking_extras).
-    # ann_ivf — the partial-probe subset depends on the learned centroids;
-    #   its exactprobe twin above is oracle-checked, and pytest checks
-    #   partial-probe recall against exact kNN.
     "bm25_ref_analyzer": q_bm25_ref_analyzer,
     "ann_ivf": q_ann_ivf,
+    "term_stats_top": q_term_stats_top,
+    "doclen": q_doclen,
+    "collection_stats": q_collection_stats,
+    "postings": q_postings,
+    "bool_and_ranked": q_bool_and_ranked,
+    "bool_or_ranked": q_bool_or_ranked,
+    "bool_and_not": q_bool_and_not,
+    "near": q_near,
+    "first_op": q_first_op,
+    "first_bm25": q_first_bm25,
+    "phrase": q_phrase,
+    "window_op": q_window_op,
+    "syn_ranked": q_syn_ranked,
+    "wildcard": q_wildcard,
+    "fuzzy": q_fuzzy,
+    "regex_term": q_regex_term,
+    "wildcard_suffix": q_wildcard_suffix,
+    "bm25_single": q_bm25_single,
+    "filtered_search": q_filtered_search,
+    "msm_bm25": q_msm_bm25,
+    "msm_boolean": q_msm_boolean,
+    "multi_search": q_multi_search,
+    "merge_search": q_merge_search,
+    "rollover_search": q_rollover_search,
+    "snippets_multi": q_snippets_multi,
+    "snippets": q_snippets,
+    "search_after": q_search_after,
+    "synonyms": q_synonyms,
+    "bm25_batch": q_bm25_batch,
+    "bm25_bulk": q_bm25_bulk,
+    "indri_and": q_indri_and,
+    "indri_wsum": q_indri_wsum,
+    "indri_wand": q_indri_wand,
+    "fingerprints": q_fingerprints,
+    "minhash_sigs": q_minhash_sigs,
+    "conv_fp": q_conv_fp,
+    "neardup_pairs": q_neardup_pairs,
+    "neardup_clusters": q_neardup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
+    "ngram_jaccard": q_ngram_jaccard,
+    "chunks": q_chunks,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "cooccur": q_cooccur,
+    "tfidf": q_tfidf,
+    "source_report": q_source_report,
+    "corpus_profile": q_corpus_profile,
+    "curation": q_curation,
+    "knn_cosine": q_knn_cosine,
+    "events_hourly": q_events_hourly,
+    "multimodal_features": q_multimodal_features,
+    "vsm_cosine": q_vsm_cosine,
+    "prf_terms": q_prf_terms,
+    "emb_neardup": q_emb_neardup,
 }
 
 

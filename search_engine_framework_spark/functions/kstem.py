@@ -12,15 +12,19 @@ derivational endings (-ity, -ness, -ion, -er, -ly, -al, -ive, -ize,
 confirms the candidate stem — otherwise the word is left alone.
 
 Fidelity note (deliberate, documented): Lucene ships a ~30k-headword
-lexicon (KStemData1-8). Vendoring that data verbatim is out of scope, so
-this port carries a curated ~1k-headword lexicon plus the classic
-direct-conflation and protected-word tables. On lexicon misses the
-algorithm degrades exactly the way Krovetz designed it to: conservative
-no-ops for derivational endings, heuristic e-restoration for inflectional
-ones. Behavior is LOCKED by the fixture table in
-``tests/test_analyzer.py`` — the engine, the build UDF, and the pure-
-Python rank-identity oracle all share this module, so engine-vs-oracle
-identity is exact by construction regardless of lexicon coverage.
+lexicon (KStemData1-8). This sandbox has no network, so that data cannot
+be vendored verbatim; the port carries a curated core lexicon below plus
+a ~5.8k-headword supplemental vocabulary (kstem_data.py, round 3) and
+the classic direct-conflation and protected-word tables — ~7k headwords
+total. On lexicon misses the algorithm degrades exactly the way Krovetz
+designed it to: conservative no-ops for derivational endings, heuristic
+e-restoration for inflectional ones. Behavior is LOCKED by the fixture
+tables in ``tests/test_analyzer.py`` / ``tests/test_round2.py`` — the
+engine, the build UDF, and the pure-Python rank-identity oracle all
+share this module, so engine-vs-oracle identity is exact by construction
+regardless of lexicon coverage. Lexicon edits change output and MUST
+bump ``STEMMER_IMPL['kstem']`` (stemmer.py) — the lineage rail fails
+loudly against indexes built by an older lexicon.
 """
 
 from __future__ import annotations
@@ -40,6 +44,9 @@ DIRECT_CONFLATIONS: dict[str, str] = {
     "calves": "calf", "loaves": "loaf", "shelves": "shelf",
     "thieves": "thief", "wolves": "wolf", "selves": "self",
     "oxen": "ox", "indices": "index", "matrices": "matrix",
+    # stress-final -Cer verbs whose -e sibling is also a headword: the
+    # CVC candidate order would pick "severe"; pin the true lemma.
+    "severed": "sever", "severing": "sever",
     "vertices": "vertex", "appendices": "appendix", "criteria": "criterion",
     "phenomena": "phenomenon", "data": "datum", "media": "medium",
     # irregular verbs commonly mangled by the rules
@@ -222,7 +229,13 @@ wood word work worker world worry worth wound wrap write wrong yard year
 yellow yes yesterday yet yield you young zero zone
 """.split()
 
-HEADWORDS = frozenset(_HEADWORD_LIST) | frozenset(DIRECT_CONFLATIONS.values())
+from .kstem_data import SUPPLEMENTAL_HEADWORDS  # noqa: E402
+
+HEADWORDS = (
+    frozenset(_HEADWORD_LIST)
+    | frozenset(DIRECT_CONFLATIONS.values())
+    | SUPPLEMENTAL_HEADWORDS
+)
 
 _DOUBLABLE = frozenset("bdfgklmnprtv")
 
@@ -262,18 +275,45 @@ def _undouble(stem: str) -> str:
     return stem
 
 
-def _restore_e_heuristic(stem: str) -> str:
-    """Magic-e restoration for lexicon misses (mak→make): CVC shape with a
-    final consonant outside w/x/y."""
-    if (
+def _cvc(stem: str) -> bool:
+    """Magic-e shape: consonant-vowel-consonant with the final consonant
+    outside w/x/y (hop, cod, rat — the shapes whose -e lemma doubles the
+    consonant when inflected from the SHORT word instead)."""
+    return (
         len(stem) >= 3
         and stem[-1] not in _VOWELS
         and stem[-1] not in "wxy"
         and stem[-2] in _VOWELS
         and stem[-3] not in _VOWELS
-    ):
+    )
+
+
+def _restore_e_heuristic(stem: str) -> str:
+    """Magic-e restoration for lexicon misses (mak→make)."""
+    if _cvc(stem):
         return stem + "e"
     return stem
+
+
+def _strip_candidates(base: str) -> list[str]:
+    """Dictionary-candidate order after stripping -ed/-ing/-er.
+
+    English doubling orthography disambiguates the short-word/e-word
+    lexicon pairs the expanded lexicon introduced (hop/hope, cod/code,
+    rat/rate): ``hopped`` doubles so the lemma is ``hop``; ``hoped``
+    doesn't, so the lemma is ``hope``. Hence: doubled consonant → try
+    the undoubled stem first; CVC (magic-e) shape → try ``base+"e"``
+    before the bare base; otherwise bare base first. Deliberate,
+    documented refinement over the Lucene base-first probe order —
+    needed because our curated lexicon (unlike a human-audited 30k
+    list) can't rely on per-word entry tuning; locked by the fixture
+    tables."""
+    und = _undouble(base)
+    if und != base:
+        return [und, base, base + "e"]
+    if _cvc(base):
+        return [base + "e", base]
+    return [base, base + "e"]
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +345,7 @@ def _past(w: str) -> str:
     base = w[:-2]
     if not _has_vowel(base):
         return w
-    hit = _first_in_dict([base, base + "e", _undouble(base)])
+    hit = _first_in_dict(_strip_candidates(base))
     if hit is not None:
         return hit
     und = _undouble(base)
@@ -323,7 +363,7 @@ def _aspect(w: str) -> str:
     base = w[:-3]
     if not _has_vowel(base):
         return w
-    hit = _first_in_dict([base, base + "e", _undouble(base)])
+    hit = _first_in_dict(_strip_candidates(base))
     if hit is not None:
         return hit
     und = _undouble(base)
@@ -390,7 +430,7 @@ def _ion(w: str) -> list[str]:
 @_deriv("er")
 def _er(w: str) -> list[str]:
     base = w[:-2]
-    cands = [base, base + "e", _undouble(base)]
+    cands = _strip_candidates(base)
     if base.endswith("i"):
         cands.append(base[:-1] + "y")
     return cands

@@ -1,0 +1,691 @@
+"""Supplemental KStem headword lexicon (round 3).
+
+The reference stems with Lucene's ``KStemFilter``, whose dictionary is
+the ~30k-headword KStemData1-8 list (Apache-licensed public code;
+EnglishAnalyzerConfigurable.java:156-157). This sandbox has no network,
+so the verbatim list cannot be vendored; this module instead carries a
+large curated general-English headword vocabulary (base forms plus
+deliberately protected irregular-looking words) that plays the same two
+roles the real lexicon plays in the algorithm (functions/kstem.py):
+
+1. **Protection** — a word found in the dictionary is returned as
+   itself (``morning`` must not become ``morn``, ``physics`` must not
+   become ``physic``).
+2. **Confirmation** — inflectional and derivational candidates are only
+   accepted when the candidate stem is a dictionary word
+   (``availability`` -> ``available`` requires ``available``).
+
+Inclusion rules (keep these when editing):
+* base/citation forms only — never inflected forms (``running``) and
+  never transparently-derived forms the fixtures expect to conflate
+  (``happiness``, ``development``, ``organization``), because a
+  headword is returned unchanged;
+* words that merely *look* inflected/derived but are lexical in their
+  own right ARE included on purpose (``business``, ``morning``,
+  ``corner``, ``series``, ``hundred``);
+* lowercase ASCII alphabetic only (the analyzer lowercases first).
+
+Behavior drift is version-gated: any edit here changes ``kstem`` output
+and MUST bump ``STEMMER_IMPL['kstem']`` (functions/stemmer.py) so
+indexes built by the old lexicon fail loudly at open instead of
+silently losing recall.
+"""
+
+from __future__ import annotations
+
+# ~5,800 headwords, alphabetical within each letter block.
+SUPPLEMENTAL_HEADWORDS: frozenset[str] = frozenset("""
+aback abacus abandon abbey abbreviate abdomen abduct aberration abhor
+abide ability ablaze abnormal aboard abolish abort abound abrasive
+abreast abroad abrupt absence absent absolute absorb abstain abstract
+absurd abundance abundant abuse abyss academy accelerate accent
+acceptable accessory accident acclaim accommodate accompany accomplish
+accord accordion accrue accumulate accurate accuse accustom ace ache
+achieve acid acknowledge acorn acoustic acquaint acquire acquit acre
+acrobat across acrylic actual acute adamant adapt adept adequate adhere
+adjacent adjective adjoin adjourn adjust administer admiral admire admit
+admonish adobe adolescent adopt adore adorn adrift adult advent adverb
+adverse advertise advice advise advocate aerial aerobic aerosol affair
+affect affection affiliate affirm afflict affluent afraid afternoon
+aftermath afterward again against agency agenda agent aggravate
+aggregate aggressive agile agitate ago agony ahead aid ail aim aisle
+ajar alarm album alcohol alcove alert algae algebra algorithm alias
+alibi alien align alike alive alkali allege allergy alley alliance
+alligator allocate allot alloy allude ally almanac almond aloft aloud
+alphabet already alter alternate although altitude alto altogether
+aluminum alumni amateur amaze ambassador amber ambient ambiguous
+ambition ambulance ambush amend amenity amiable amid ammonia ammunition
+amnesty among ample amplify amputate amuse anagram analog analogy
+analyst analyze anarchy anatomy ancestor anchor anchovy ancient anecdote
+angel anger angle angry anguish animal animate ankle annex announce
+annoy annual anomaly anonymous anorak another ant antelope anthem
+anthology antibiotic antic anticipate antidote antique antler anvil
+anxiety anxious anybody anyone anything anyway anywhere apart apartment
+apathy ape aperture apex apology apostle apostrophe appall apparatus
+apparel apparent appeal appendix appetite applaud applause appliance
+applicant appoint appraisal appreciate apprentice approve approximate
+apricot apron apt aquarium arbitrary arbitrate arc arcade arch
+archaic archer archive arctic ardent arduous arena argue arid arise
+aristocrat arithmetic ark armor army aroma arouse arrange array arrest
+arrogant arrow arsenal arson artery artifact artillery artisan artist
+ascend ascertain ash ashamed ashore aside asleep asparagus asphalt
+aspire aspirin assault assemble assert assert assess assort assure
+asterisk asthma astonish astound astray astronaut astronomy astute
+asylum ate atlas atmosphere atom atrocity attain attic attire attitude
+attorney attract auburn auction audible audio audit audition augment
+august aunt aura auspices austere authentic authority autograph
+automatic automobile autonomy autumn auxiliary avail avalanche avenge
+avenue averse avert aviation avid avocado awe awful awhile awkward
+awning axis axle azure
+babble baboon bachelor backbone backward bacon bacteria badge badger
+badminton baffle baggage bail bait bake bald bale ballad ballast
+ballet balloon ballot bamboo ban banal banana bandage bandit bang
+banish banister banjo banner banquet banter baptize barb barbecue
+barber bare bargain barge bark barley barn barometer baron barrack
+barrel barren barricade barrier barter basement bash basic basil basin
+bask basket bass bassoon bastion bat bath bathe baton battalion batter
+battery bauble bawl bay bayonet bazaar beach beacon bead beagle beak
+beam bean beard beast beckon bedlam bee beech beef beep beer beet
+beetle befall before beg beget beggar behalf behave behold beige
+belch belief bell bellow belly belt bemoan bench bend beneath
+benevolent benign bent bequeath bereave beret berry berth beset beside
+besiege bestow bet betray beverage beware bewilder beyond bias bicker
+bicycle bid bide bifocal bigot bike bikini bile bilingual billboard
+billiards billion billow bin binary bingo binoculars biography biology
+biopsy birch birthday biscuit bishop bison bitter bizarre blab blackboard
+blade blame bland blank blanket blare blast blatant blaze bleach bleak
+bleat bleed blemish blend bless blight blimp blind blink bliss blister
+blitz blizzard bloat blob bloc blond blossom blot blouse bludgeon
+bluff blunder blunt blur blurt blush bluster boar boast bob bobbin
+bode bog bogus boil boisterous bold bolster bolt bomb bombard bond
+bonfire bongo bonnet bonus boost boot booth booze borax bore borough
+borrow bosom boss botany botch bother boulder bounce bound boundary
+bounty bouquet bout boutique bow bowl boxer boycott brace bracelet
+bracket brag braid braille brake bramble bran brand brandish brandy
+brash brass brat bravado bravo brawl bray brazen breach breadth
+breakfast breast breath breathe breed breeze brevity brew bribe brick
+bridle brigade brim brine brink brisk bristle brittle broach broadcast
+brocade broccoli brochure broil broke broker bronze brooch brood brook
+broom broth brow brown bruise brunch brunt brush brusque brute bubble
+buck bucket buckle bud buddy budge buffalo buffet buffoon buggy bugle
+bulb bulge bulk bull bulldozer bullet bulletin bullion bully bulwark
+bumblebee bump bumper bun bunch bundle bungalow bungle bunk bunny
+buoy buoyant burden bureau bureaucracy burger burglar burial burly
+burn burrow burst bury bush bushel bust bustle butcher butler butt
+butter butterfly buttock button buttress buxom buzz buzzard bygone
+bypass bystander byte
+cab cabbage cabin cabinet cable cactus cadence cadet cafe cafeteria
+cage cajole cake calamity calcium calendar calf caliber calibrate
+calico calligraphy callous callus calorie calves camel cameo camera
+camouflage campaign campus canal canary candid candle candor candy
+cane canine canister canker cannibal cannon canoe canon canopy
+canteen canter canvas canvass canyon cap capable capacity cape caper
+capillary capitalize capitulate capricious capsize capsule caption
+captive capture caramel carat caravan carbon carcass cardboard
+cardigan cardinal caress cargo caricature carnage carnival carol
+carousel carp carpenter carpet carriage carrot cart cartel cartilage
+carton cartoon cartridge carve cascade casino cask casket casserole
+cassette cast caste castle casual casualty catalog catalyst catapult
+cataract catastrophe catchy category cater caterpillar cathedral
+cattle caucus cauldron cauliflower caulk caution cavalier cavalry cave
+cavern caviar cavity cease cedar cede ceiling celebrate celebrity
+celery celestial cello cement cemetery censor census centipede
+ceramic cereal ceremony certify chafe chaff chagrin chalet chalk
+chamber chameleon champagne champion chancellor chandelier chaos chap
+chapel chaperon chaplain char character charade charcoal chariot
+charisma charity charm charter chase chasm chassis chaste chat
+chatter chauffeur cheat cheek cheer cheese cheetah cherish cherry
+chess chestnut chew chic chick chicken chide chill chime chimney
+chimpanzee chin china chip chipmunk chirp chisel chivalry chive
+chlorine chocolate choir choke cholera chop chord chore chorus
+christen chrome chronic chronicle chuck chuckle chug chum chunk churn
+chute cider cigar cinder cinema cinnamon cipher circa circuit circus
+cistern citadel cite citizen citrus civic civil clad clamber clammy
+clamor clamp clan clang clap clarify clarinet clarity clash clasp
+clatter clause claw clay clench clergy clerk clever cliche click
+cliff climate climax clinch cling clinic clip cloak clog cloister
+clone clot cloth clothe clove clown club cluck clue clump clumsy
+clutch clutter coal coalesce coarse coax cobalt cobbler cobra cobweb
+cocoa coconut cocoon cod coddle codify coerce coexist coffee coffer
+coffin cog cogent cognition coherent cohort coil coin coincide colander
+collaborate collapse collar collateral colleague collide collie
+colloquial collude cologne colon colonel colony colossal colt
+columnist coma comb combat combine combustion comedy comet comfy comic
+comma commend commentary commerce commission commodity commodore
+commotion commune commute compact companion compass compassion
+compatible compel compensate compete competent complain complement
+compliment comply component compose compost compound comprehend
+compromise compulsion comrade concave conceal concede conceive
+concentrate concept concert concession conch concise conclave concoct
+concrete concur concussion condemn condense condone conduit cone
+confection confer confess confide confine confiscate confound
+confront confuse congeal congenial congest congratulate congregate
+congress conjecture conjure conquer conquest conscience conscious
+consecrate consecutive consensus consent conserve console
+consolidate consonant consort conspicuous conspire constable
+constellation consternation constitute constrain constrict construe
+consul contact contagious contaminate contemplate contempt contend
+contest contort contour contraband contradict contraption contrary
+contrast contribute contrite contrive controversy convene convenient
+convent convention converge conversion converse convex convey convict convince convoy
+convulse coo cook cooperate coordinate cop cope copious copper coral
+cord cordial cordon corduroy cork cormorant corn cornea coronation
+coroner corporal corporate corps corpse corral correlate correspond
+corridor corrode corrupt corsage cosmetic cosmic cosmos cot cottage
+cotton couch cougar cough council counsel countenance counter
+counterfeit countless coup coupon courage courier courteous courtesy
+cousin cove covenant covert covet cow coward cowboy cower coy coyote
+cozy crab crack cradle craft crag cram cramp crane crank cranny
+crate crater crave crawl crayon craze crazy creak cream crease creed
+creek creep cremate crescent crest crevice crib cricket crime cringe
+cripple crisp criterion critique croak crochet crock crocodile crook
+crop croquet crouch crouton crow crucial crucify crude cruel cruise
+crumb crumble crumple crunch crusade crust crutch cry crypt cryptic
+crystal cub cube cubicle cuckoo cucumber cuddle cue cuff culminate
+culprit cult cultivate culvert cumbersome cunning curate curb curd
+cure curfew curio curious curl currency curriculum curry curse cursor
+curt curtail curtain cushion custard custody cutlery cutlet cyclone
+cylinder cymbal cynic cypress cyst
+dab dabble dad daffodil dagger dainty dairy daisy dale dam dame damp
+damsel dandelion dandruff dandy dangle dapper dare dart dash dastardly
+datum daunt dawdle dawn daze dazzle deacon dean dearth death debacle
+debit debris debut decadent decay decease deceive decent decimal
+decipher deck declaim decline decompose decorate decoy decrease
+decree dedicate deduce deduct deed deem deface defame default defeat
+defect defer defiant deficit defile deflate deflect deform defraud
+defrost deft defunct defy degenerate degrade dehydrate deity dejected
+delegate deliberate delicate delicious delight delinquent delirious
+delta delude deluge delve demean demeanor demise demolish demon
+demonstrate demote demure den denim denote denounce dent dentist
+denude depart depict deplete deplore deploy deport depose deposit
+depot deprave deprecate depress deprive deputy derail deranged derby
+derelict deride descend desert deserve designate desire desist
+desolate despair desperate despise despite despot dessert destine
+destiny destitute destroy detach detain deter detergent deteriorate
+detest dethrone detour detract detriment devastate deviate devil
+devious devise devoid devote devour devout dew dexterity diagnose
+diagonal diagram dial dialect dialogue diameter diamond diaper
+diaphragm diary dice dictate diesel differentiate diffuse digest
+dignity dike dilapidated dilate dilemma diligent dilute dim dime
+diminish dimple din dine dinghy dingy dinosaur diocese dip diploma
+diplomat dire dirge dirt disaster disc discard discern discipline
+disclose discourse discreet discrete discriminate disdain disease
+disguise disgust dish dishevel dismal dismantle dismay dismiss
+disparage dispatch dispel dispense disperse dispose dispute disrupt
+dissect dissent dissolve dissuade distill distort distract distraught
+distress disturb ditch dither ditty dive diverge diverse divert
+divine divorce divulge dizzy dock dodge doe dogma dole doll dolphin
+dome dominate domino don donate donkey donor doodle doom dormant
+dormitory dose dot dote dour douse dove dowdy dowel downward dowry
+doze dozen drab drag dragon drain drama drape drastic drawl dread
+dreary dredge drench drift drill drizzle drone drool droop drought
+drove drown drowsy drudge drug drum drunk dual dub dubious duchess
+duck duct dud dude duel duet duke dull dumb dummy dump dune dungeon
+dunk dupe duplicate durable duration duress dusk dwarf dwell dwindle
+dye dynamic dynamite dynasty
+eager eagle earl earnest earthquake ease easel eat eave ebb ebony
+eccentric echo eclipse ecology economy ecstasy eddy eden edible edict
+edifice edition educe eel eerie efface effervescent efficient effigy
+ego eject eke elaborate elapse elastic elated elbow elder elegant
+elegy elephant elevate elicit eligible elite elk ellipse elm elongate
+elope eloquent elude elusive emanate emancipate embalm embargo embark
+embarrass embassy embellish ember embezzle emblem embody embrace
+embroider embryo emerald emeritus eminent emit emperor emphasis
+emphasize empire empirical emulate enact enamel enchant encircle
+enclave enclose encompass encore encounter encourage encroach
+encyclopedia endeavor endorse endow endure enema enemy enforce engage
+engrave engross engulf enhance enigma enlighten enlist enmity ennui
+enormous enrage enrich enroll ensemble enshrine ensign enslave ensue
+entail entangle enterprise entertain enthusiasm entice entitle entity
+entourage entrance entreat entrust enumerate enunciate envelop
+envelope envious environment envisage envoy envy enzyme epic epidemic
+episode epitaph epithet epitome epoch equate equation equator equity
+equivalent era eradicate erase erect erode errand erratic erudite
+erupt escalate escort espouse essay essence esteem esthetic estrange
+estuary etch eternal ether ethic ethnic etiquette eulogy euphoria
+evacuate evade evaporate evasive eve everybody everyone everything
+everywhere evict evoke evolve ewe exacerbate exaggerate exalt
+exasperate excavate excel excerpt excess excite exclaim exclude
+excrete excursion excuse exempt exert exhale exhaust exhibit
+exhilarate exhort exile exodus exonerate exorbitant exotic expedite
+expel expend experiment expire explicit exploit expose expound
+expulsion exquisite extent exterior exterminate external extinct
+extol extort extradite extravagant extreme extricate exuberant exude
+exult
+fable fabric fabricate facade facet facile fad fade fagot faint
+fake falcon fallacy fallow falter fame familiar famine famish fancy
+fanfare fang fantasy farce fare farewell fascinate fashion fasten
+fastidious fatal fate fathom fatigue faucet fauna favorite fawn fax
+faze feast feat feather feature feces feeble feign feline fell fellow
+felon felt female feminine fen fence fend fender ferment fern
+ferocious ferret ferry fertile fervent fervor fester festival festoon
+fetch fetish fetter feud feudal fever fiasco fib fiber fickle fiddle
+fidelity fidget fiend fierce fiery fiesta fife fig filament filch
+filial fillet filly filth fin finale finance finch finite fir fiscal
+fissure fist fitful fixture fizz fjord flabby flag flagrant flail
+flair flake flamboyant flamingo flank flannel flap flare flash flask
+flaunt flavor flaw flax flea fleck flee fleece fleet flesh flex flexible flick
+flicker flimsy flinch fling flint flip flirt flit flock floe flog
+flood flop floral florist floss flounder flour flourish flout fluct
+fluctuate flue fluent fluff fluid fluke flung flunk fluorescent flurry
+flush fluster flute flutter flux foal foam fob fodder foe fog foible
+foil foist folder foliage folk folly fond fondle font fool foolish
+footage forage foray forbear forbid ford fore forearm forebear
+forecast forefather forego forehead forensic foresee foreshadow
+forfeit forge forgive forgo fork forlorn formidable formula forsake
+fort forte forthcoming fortify fortnight fortress fortuitous forty
+fossil foster foul found fountain fowl fox foyer fracas fraction
+fracture fragile fragment fragrant frail franchise frank frantic
+fraternal fraud fraught fray freak freckle freeze freight frenzy
+fret friction fridge frigate fright frigid frill fringe frisk fritter
+frivolous frock frog frolic frond frontier frost froth frown frugal
+frustrate fry fudge fugitive fulcrum fulfill fumble fume fumigate
+funnel fur furious furlough furnace furnish furor furrow furtive fury
+fuse fuselage fusion fuss futile fuzz
+gab gable gadget gag gaiety gait gala galaxy gale gall gallant
+galleon gallery galley gallon gallop gallows galore galvanize gamble
+gambol gander gang gangrene gangster gape garage garb garbage garble
+gargle garland garlic garment garnish garret garrison garter gash
+gasket gasoline gasp gastric gaudy gauge gaunt gauze gavel gawk
+gazelle gazette gear gecko gel gelatin gem gender gene genial genius
+genre genteel gentry genuine geography geology geometry geranium
+germ germinate gesture geyser ghastly ghetto ghost giant gibberish
+gibe giddy gig giggle gild gill gimmick gin ginger gingham giraffe
+girder girdle girth gist glacier glamour glance gland glare glaze
+gleam glean glee glen glib glide glimmer glimpse glint glisten
+glitter gloat globe gloom glory gloss glove glow glucose glue glum
+glut glutton gnarl gnash gnat gnaw gnome goad goat gobble goblet
+goblin god goggles gong goo goose gopher gore gorge gorgeous gorilla
+gory gosling gospel gossip gouge gourd gourmet gout gown grab grace
+gracious gradient gradual graduate graffiti graft gram grammar
+granary grandeur grandiose granite granule grape grapefruit grapple
+grasp grate gratify gratis gratitude grave gravel gravity gravy
+graze grease greed gregarious grenade grid griddle grief grieve grill
+grim grimace grime grin grind grip gripe grisly grit grizzly groan
+grocer groggy groin groom groove grope grotesque grotto grouch
+grouse grove grovel growl grub grudge gruel gruesome gruff grumble
+grunt guano guerrilla guild guile guillotine guilt guinea guise
+guitar gulch gulf gull gullible gully gulp gum gumption gurgle guru
+gush gusset gust gusto gut gutter guzzle gym gymnast gypsum gyrate
+habitat hack haddock hag haggard haggle hail halibut hallmark hallow
+halo halt halter halve ham hamburger hamlet hammer hammock hamper
+hamster hamstring handicap handkerchief handsome handy hangar hanker
+haphazard hapless harangue harass harbinger harbor hardy hare harem
+hark harlot harmony harness harp harpoon harrow harsh harvest hassle
+haste hasten hasty hatch hatchet hate haughty haul haunch haunt
+haven havoc hawk hay hazard haze hazel headache headline headquarters
+heal heap hearse hearth hearty heath heathen heather heave heaven
+heckle hectic hedge heed heel hefty heifer heinous heir heirloom
+helicopter helium hell hello helm helmet hem hemisphere hemlock
+hemorrhage hemp hen hence herald herb herd heresy heritage hermit
+hernia heroic heron herring hesitate hew hexagon heyday hibernate
+hiccup hide hideous hierarchy hijack hike hilarious hilt hind hinder
+hinge hippopotamus hiss hitch hive hoard hoarse hoax hobble hobby
+hockey hoe hog hoist holler hollow holly holster homage homestead
+homicide hone honey honk hood hoof hook hoop hoot hop horde horizon
+hormone horn hornet horoscope horrendous horrible horrid horror
+hose hosiery hostage hostel hostile hound hover howl hub hubbub
+huddle hue huff hug hull hum humane humble humid humiliate humility
+hummingbird humor hump hunch hurdle hurl hurricane hurtle husband
+hush husk husky hustle hutch hybrid hydrant hydraulic hydrogen hyena
+hygiene hymn hyphen hypnosis hypocrisy hypothesis hysteria
+iceberg icicle icing icon icy idiom idiosyncrasy idiot idle idol
+idyllic igloo ignite ignoble ignore iguana ilk ill illegible
+illicit illuminate illusion illustrate illustrious imbecile imbibe
+imbue imitate immaculate immense immerse immigrate imminent immune
+imp impair impale impart impasse impeach impeccable impede imperative
+imperial impersonate impetus impinge implant implement implicate
+implicit implore imply impose impound impoverish impregnable impress
+imprint imprison impromptu improvise impudent impulse impunity impute
+inane inaugurate incandescent incantation incapacitate incarcerate
+incense incentive inception incessant inch incident incinerate incise
+incite incline incognito incorporate increment incriminate incubate
+incumbent incur indemnity indent indicative indict indigenous indigo
+indoctrinate indolent indoor induce induct indulge inept inert
+infamous infant infatuate infect infer inferior inferno infest
+infiltrate infinite infirm inflate inflict influenza influx infringe
+infuriate infuse ingenious ingot ingratiate ingredient inhabit inhale
+inherent inherit inhibit iniquity initiate inject injunction inkling
+inmate inn innate innocent innocuous innovate innuendo inoculate
+inquest inquire inquisitive insatiable inscribe insect insert insidious
+insight insinuate insipid insist insolent insomnia inspect inspire
+instigate instill instinct institute instruct instrument insulate
+insulin insult insurgent intact intake integer integral integrate
+integrity intellect intelligent intense intent inter intercede
+intercept interfere interim interior interject interlude intermediate
+intermittent intern interpret interrogate interrupt intersect
+intersperse intervene intestine intimate intimidate intone intoxicate
+intravenous intrepid intricate intrigue intrinsic intrude intuition
+inundate inure invade invalid invective inveigh invent inventory
+inverse invert invoice invoke irate ire iris irk iron irony irrigate
+irritate isolate isthmus itch iterate itinerary ivory ivy
+jab jabber jack jackal jacket jade jagged jaguar jail jam jamb jangle
+janitor jar jargon jasmine jaunt javelin jaw jay jazz jealous jeer
+jelly jeopardy jerk jersey jest jet jettison jewel jibe jig jiggle
+jilt jingle jinx jitter jockey jocular jog joint jolly jolt jostle
+jot journal jovial jowl jubilant judicial judicious jug juggle juice
+jumble jumbo junction jungle juniper junk junta jurisdiction juror
+jury jut jute juvenile
+kaleidoscope kangaroo karate kayak keel keen keg kelp kennel kerchief
+kernel kerosene ketchup kettle keyboard khaki kick kidnap kidney kiln
+kilo kilometer kilt kimono kin kindle kindred kinetic kingdom kink
+kiosk kiss kit kite kitten kiwi knack knapsack knead kneel knell
+knight knit knob knock knoll knot knuckle koala kosher kudos
+lab lace lacerate lacquer lad ladder laden ladle lag lagoon lair
+lamb lame lament laminate lamp lance landmark landscape lane lantern
+lap lapel lapse larceny larch lard lark larva laser lash lasso latch
+latent lateral lathe lather latitude latter lattice laud laudable
+laurel lava lavender lavish lawn lawyer lax layman lazy leach lead
+leaflet leak leap lease leash leather lecture ledge ledger leech
+leek leer leeway legacy legend legible legion legislate legitimate
+leisure lemon lemonade lemur lend lenient lens lentil leopard leotard
+leper lesion lest lethal lethargy lettuce levee lever levy lewd
+lexicon liable liaison libel liberal liberate liberty license lichen
+lick lid lieu lieutenant ligament likewise lilac lilt lily limb
+limber lime limerick limestone limousine limp limpid linchpin linen
+linger lingo linguist liniment lining linoleum lint lion liquid
+liquidate liquor lisp lithe litigate litter liver livid lizard llama
+lob lobby lobe lobster locomotive locust lodge loft lofty loge loin
+loiter loll lollipop lone lonely longevity longitude loom loon loot
+lop lope lopsided lord lore lotion lottery lotus lounge louse lout
+lovely lozenge lubricate lucid ludicrous lug luggage lukewarm lull
+lullaby lumber luminous lump lunar lunatic lung lunge lurch lure
+lurid lurk luscious lush lust luster lute luxury lychee lynch lynx
+lyric
+macabre macaroni mace machete machine mackerel mad madam madden
+magazine maggot magistrate magnate magnesium magnet magnificent
+magnify magnitude magnolia magpie mahogany maid maiden maim
+mainstream maize majestic malady malaria male malice malign mallard
+mallet malt mammal mammoth manacle mandate mandolin mane maneuver
+mangle mango manifest manifesto manipulate mankind manner manor
+mansion mantel mantle manual manufacture manure manuscript maple mar
+marathon marble mare margarine marigold marinate marine marital
+maritime marmalade maroon marquee marrow marsh marshal marsupial
+martial martyr marvel mascot masculine mask mason masquerade
+massacre massage massive mast mastiff mat matador match mate
+matriarch matrimony matrix matron mature maul mausoleum maverick
+maxim maximum mayhem mayonnaise mayor maze mead meadow meager meal
+meander meantime meanwhile meddle mediate medicine mediocre meditate
+meek melancholy mellow melodrama melody melon melt membrane memo
+memoir memorandum menace menagerie mend menial mentor mercenary
+merchant mercury mercy mere meridian meringue mermaid merry mesh
+mesmerize mess metabolism metaphor mete meteor meter metric
+metropolis mica microbe microphone microscope midday midget midnight
+midst midway mien migrate mild mildew milestone militant military
+militia mill millennium million mime mimic mince mingle miniature
+minimize minimum minister mink minnow mint minuet minus miracle
+mirage mire mirth miscellaneous mischief miser misery mishap mist
+mite mitigate mitten moan moat mob mobile mobilize moccasin mock
+mockery mode moderate modest modicum module moist molar molasses
+mold mole molecule molest mollify molten momentum monarch monastery
+monetary mongrel monk monkey monologue monopoly monotonous monsoon
+monster montage monument mooch mood moor moose mop mope moral morale
+morass morbid morgue morning moron morose morsel mortal mortar
+mortgage mortify mosaic mosque mosquito moss motel moth motif motive
+motley motto mound mourn moustache muck mucus mud muddle muffin
+muffle mug mulch mule mull multiple multitude mumble mummy munch
+mundane municipal munitions mural murder murky murmur muse museum
+mush mushroom musket muslin mussel mustache mustard muster musty
+mutable mutate mute mutilate mutiny mutter mutton mutual muzzle myriad
+myrtle mystery mystic mystify myth
+nab nag nail naive naked nap napkin narrate nasal nasty natal
+nausea nautical naval nave navel navigate navy neat nebula
+necessary nectar needle nefarious negate negotiate neigh nephew
+nepotism nestle nettle neural neutral nevertheless newt niche nick
+nickel nickname niece nifty nimble nip nitrogen nobility noble
+nocturnal nod nomad nominal nominate nonchalant nondescript nonsense
+nook noon noose nor norm nostalgia nostril notable notch notify
+notorious nourish novel novice noxious nozzle nuance nucleus nude
+nudge nugget nuisance null nullify numb numeral numerous nun nuptial
+nurture nut nutmeg nutrient nutrition nuzzle nylon nymph
+oaf oak oar oasis oat oath obedient obelisk obese obey obituary
+objective oblige oblique obliterate oblivion oblong obnoxious oboe
+obscene obscure obsess obsolete obstacle obstinate obstruct occult
+occupy octave octopus odd ode odor odyssey ogle ogre ointment okra
+olive omelet omen ominous omit onerous onion onset onslaught onus
+onward ooze opal opaque opera opportune opportunity opt optic
+optimism optimum opulent oracle oral orator orb orbit orchard
+orchestra orchid ordain ordeal ordinance ore organ orient orifice
+ornament ornate orphan oscillate osprey ostensible ostracize ostrich
+otter ounce oust oval ovation oven overall overboard overcast
+overcoat overdue overhaul overhead overlook overnight overseas
+oversee overt overture overwhelm owe owl oxide oxygen oyster ozone
+pacify pact pad paddle paddock padlock pagan pageant pagoda pail
+palace palate pale palette pall pallid palm palpable paltry pamper
+pamphlet pan panacea pancake panda pandemonium pander pane pang
+panic panorama pansy pant panther pantomime pantry pants papaya
+parable parachute parade paradigm paradise paradox paraffin paragon
+paragraph parakeet paralysis paramount paranoia parapet paraphrase
+parasite parasol parcel parch parchment pardon pare parish parity
+parlor parody parole parrot parsley parsnip parson partake partial
+participate particle particular partisan passion pasta paste pastel pastime
+pastor pastry pasture pat patch patent paternal pathos patio
+patriarch patriot patrol patron pauper pave pavilion paw pawn pea
+peach peacock peal peanut pear pearl peasant peat pebble pecan peck
+peculiar pedal pedant peddle pedestal pedestrian pedigree peek peel
+peep peer peg pelican pellet pelt penalty penance penchant pencil
+pendant pendulum penetrate penguin peninsula penitent pennant penny
+pension pensive pentagon peony pepper perceive perch percussion
+peremptory perennial peril perimeter periscope perish perjury perk
+permanent permeate pernicious perpendicular perpetrate perpetual
+perplex persecute persevere persist persona perspective perspire
+persuade pertain perturb peruse pervade perverse pessimism pest
+pester pesticide pestle petal petite petition petrify petty petulant
+pew pewter phantom pharmacy pheasant phenomenal philosophy phobia
+phoenix phonetic phony phosphorus photograph physics mathematics economics politics statistics statistic analytics physician physique
+piano piccolo pickle picnic pictorial picturesque piety pig pigeon
+pigment pike pile pilfer pilgrim pill pillage pillar pillow pimple
+pin pinch pine pineapple pinnacle pint pioneer pious pique pirate
+pistol piston pit pith pity pivot pixel pixie placard placate placid
+plagiarize plague plaid plank plankton plaque plasma plaster
+plastic plateau platform platinum platitude platoon platter plausible viable
+plaza plea plead pleasant pledge plenary plight plod plop plot
+plow ploy pluck plug plum plumb plume plummet plump plunder plunge
+plush ply pneumonia poach pod podium poet poignant poise poison poke
+polar pole polygon polymer pomp pompous poncho pond ponder pony
+poodle pop poplar poppy porcelain porch porcupine pore pork porous
+porpoise porridge portal portend portent porter portfolio portico
+portray pose posse posterity posture potato potent potion pottery
+pouch poultry pounce powder pox pragmatic prairie prance prank prawn
+preach precarious precaution precede precept precinct precious
+precipice precise preclude precocious predecessor predicament
+predicate prelude premier premise preoccupy prerogative prescribe
+prestige presume pretend pretext prevail prevalent prey priest
+primitive prince principal principle prism prison pristine privilege
+probation proclaim procrastinate procure prod prodigal prodigy
+profane profess proficient profound profuse prognosis prohibit
+proliferate prolific prolong promenade prominent promiscuous
+promontory prone prong pronounce prop propagate propel prophecy
+prophet proportion proposition proprietor prose prosecute prospect
+prosper prostrate protagonist protocol proton prototype protract
+protrude proverb province provision provoke prowess prowl proxy
+prude prudent prune pry psalm pseudonym psyche pub puberty puck
+pucker pudding puddle puff pulley pulp pulpit pulsate pulse pulverize
+puma pummel pun punch punctual punctuate puncture pundit pungent
+punish punt puny pup pupil puppet purge purify purple purport pursue
+purvey pus putrid putt putty puzzle pygmy pyramid python
+quack quadrant quadruple quaff quagmire quail quaint qualify qualm
+quandary quantity quantum quarantine quarrel quarry quart quartet
+quartz quash quaver quay queasy queen quell quench quest quibble
+quill quilt quintet quip quirk quiver quota quotient
+rabbit rabble rabid raccoon racket radar radiant radiate radical
+radish radius raffle raft rafter rag rage ragged raid rally ram
+ramble ramp rampage rampant ramshackle ranch rancid rancor rang
+ransack ransom rant rap rapport rapture rascal rash rasp raspberry
+rat ratify ration rational rattle raucous ravage rave raven ravine
+ravish ray rayon raze razor realm ream reap rebate rebel rebuff
+rebuke rebut recede recess recipe reciprocal recite reckless reckon
+reclaim recline recluse recoil reconcile reconnaissance recount
+recourse recruit rectangle rectify rector recuperate recur redeem
+redundant reed reef reek reel refine refrain refuge refund refurbish
+refute regal regale regatta regime regiment regress rehearse reign
+reimburse rein reindeer reinforce reiterate rejoice rejuvenate
+relapse relent relic relinquish relish reluctant remedy reminisce
+remiss remnant remorse remuneration rend renegade renounce renovate
+renown repast repeal repel repent repertoire replenish replete
+replica repose reprehensible repress reprieve reprimand reprisal
+reproach reprove reptile republic repudiate repugnant repulse
+reputable repute requiem requisite rescind resemble resent reservoir
+residue resign resilient resin resist resonant resort resound
+respite resplendent restrain restrict resume resurrect resuscitate
+retail retaliate retard reticent retina retinue retort retract
+retreat retrieve retro retrospect revel revenge revenue revere
+reverie reverse revert revise revive revoke revolt revolve revue
+rhapsody rhetoric rheumatism rhinoceros rhubarb rhyme rhythm rib
+ribbon rickety ricochet rid riddle ridge ridicule rife rifle rift
+rig rigid rigor rile rim rind riot rip ripe ripple rite ritual
+rival rivet roam roar roast rob robe robin robot robust rocket rod
+rodent rodeo rogue roster rostrum rosy rot rotate rote rotten rotund
+rouge rouse rout rove rover rowdy rubber rubble ruby rudder ruddy rude
+rudiment rue ruffian ruffle rug rugged ruin rum rumble ruminate
+rummage rumor rump rupture rural ruse russet rust rustic rustle rut
+ruthless rye
+saber sable sabotage sac sachet sack sacrament sacred sacrifice
+saddle safari saffron sag saga sage sail saint sake salad salamander
+salient saline saliva sallow salmon salon saloon salute salvage
+salvation salve samurai sanctify sanction sanctuary sanctum sandal
+sandwich sane sanguine sanitary sanity sap sapling sapphire sarcasm
+sardine sash satchel satellite satin satire saturate sauce saucer
+sauna saunter sausage savage savor saw saxophone scab scaffold scalable scald
+scallop scalp scalpel scamper scandal scant scapegoat scar scarf
+scathing scatter scavenge scenario scent scepter sceptic schism
+scholar scoff scold scoop scoot scope scorch scorn scorpion scoundrel
+scour scourge scout scowl scramble scrap scrape scratch scrawl
+scream screech screw scribble scribe scrimmage script scroll scrub
+scruple scrutiny scuffle sculpt scum scurry scuttle scythe seal
+seam sear season seaweed secede seclude secrete sect sector sedan
+sedate sediment seduce seep seethe segment segregate seismic seize
+seldom semblance semester seminar senate senile sentiment sentinel
+sentry sequel sequin serenade serene serf sergeant serial sermon
+serpent serum servant sever sew sewage sewer sextet shabby shack
+shackle shaft shaggy shale shallow sham shamble shame shampoo
+shamrock shank shanty shard shark shatter shave shawl shear sheath
+shed sheen sheep sheer shepherd sheriff shield shimmer shin shingle
+shiver shoal shone shore shorn shovel shred shrewd shriek shrill
+shrimp shrine shrink shrivel shroud shrub shrug shudder shun shunt
+shutter shuttle shy sibling siege sieve sift sigh silhouette silk
+sill silly silo silt simmer simper simultaneous sin sinew sinister
+sinus sip siphon sir sire siren sirloin sizzle skeleton skeptic
+skew skewer ski skid skiff skim skimp skip skirmish skirt skit
+skulk skull skunk slab slack slag slam slander slang slant slap
+slash slat slate slaughter slave slay sled sledge sleek sleet sleeve
+sleigh slender sleuth slime sling slink slit sliver slogan sloop
+slop slope sloth slouch slough sluggish sluice slum slumber slump
+slur slurp sly smack smash smear smell smelt smirk smite smock
+smog smoke smolder smother smudge smug smuggle snack snag snail
+snake snap snare snarl snatch sneak sneer sneeze snicker sniff
+snip snipe snivel snob snoop snore snorkel snort snout snub snug
+snuggle soak soap soar sob sober soccer sociable socket sod soda
+sodden sodium sofa soggy sojourn solace soldier sole solemn solicit
+soliloquy solitary solitude solo soluble solvent somber somersault
+somewhat somewhere sonata sonnet soothe sop sophisticate soprano
+sorcery sordid sore sorrow sour sow spa spacious spade span spangle
+spaniel spank spar sparrow sparse spasm spat spate spatial spatter
+spatula spawn species specimen speck spectacle spectator specter spectrum
+speculate sphere spice spider spike spinach spindle spine spiral
+spire spite splash splendid splendor splice splint splinter splurge
+spoil spoke spokesman sponge sponsor spontaneous spool spoon sporadic
+spouse spout sprain sprawl spray sprig sprightly sprint sprocket
+sprout spruce spry spur spurious spurn spurt sputter spy squabble
+squad squadron squalid squall squander squash squat squawk squeak
+squeal squeamish squeeze squelch squid squint squire squirm squirrel
+squirt stab stack stadium stag stagger stagnant staid stain stair
+stake stale stalemate stalk stall stallion stalwart stamina stammer
+stampede stance stanza staple starboard starch stare stark starling
+startle starve stash stately statue stature statute staunch stave
+stead steed steep steeple steer stellar stench stencil stereo
+sterile stern stethoscope stew steward stifle stigma stile stilt
+stimulate sting stingy stink stint stipend stipulate stir stirrup
+stitch stoic stoke stole stolid stomach stomp stool stoop stout
+stove stow straddle straggle strain strait strand strap stratagem
+stratum straw strawberry stray streak strenuous stride strife
+stringent strive stroke stroll strut stub stubble stubborn stucco
+stud studio stumble stump stun stunt stupendous stupid stupor sturdy
+stutter suave subdue subject sublime submerge subordinate subpoena
+subscribe subsequent subside subsidy substantial subtle suburb
+subvert succinct succulent succumb suction sudden suds sue suede
+suffice suffix suffocate suffrage suitor sulfur sulk sullen sultan
+sultry summit summon sumptuous sundae sunder sundry superb
+superficial superfluous superior superlative supersede superstition
+supervise supper supplant supple suppress supreme surcharge surf
+surge surgeon surly surmise surmount surname surpass surplus
+surrender surreptitious surrogate surround surveillance suspend
+swagger swallow swamp swan swarm swat swathe sway swear sweat
+sweater swelter swerve swift swig swindle swine swirl swish swivel
+swollen swoon swoop sword sycamore syllable symmetry sympathy
+symphony symposium symptom synagogue syndicate syndrome synonym
+synopsis syntax synthesis syringe syrup
+tabernacle tableau tablet taboo tabulate tacit taciturn tack tackle
+tact tactic tadpole taffeta tag tailor taint talent talisman
+talon tambourine tame tamper tan tandem tangent tangerine tangible
+tangle tango tantalize tantamount tantrum taper tapestry tar
+tarantula tardy tariff tarnish tarpaulin tart tassel tatter taunt
+taut tavern tawdry tawny tease technique tedious teem teeter
+telegraph telephone telescope temper temperament tempest template
+temple tempo temporary tempt tenacious tenant tenement tenet tennis
+tenor tense tensor tent tentacle tentative tenuous tenure tepid terminal
+terminate terrace terrain terrestrial terrible terrier terrific
+terrify territory terror terse testament testify testimony tether
+thaw theater theft therapy thermal thermometer thesis thicket thigh
+thimble thirst thistle thorn thorough thoroughfare though thousand
+thrash thrift thrill thrive throb throne throng throttle thrust
+thud thug thump thunder thwart thyme tiara tick tickle tidal tide
+tidy tier tiger tile till tilt timber timid tin tinder tinge tingle
+tinker tinkle tinsel tint tirade tire tissue titanic tithe toad
+toast tokenize tobacco toddle toddler toe toil tolerate toll tomato tomb
+tome tonic tonsil topaz topple torch torment tornado torpedo
+torrent torrid torso tortoise torture toss tot totter toucan touch
+tourist tournament tousle tout tow towel tractor trait traitor
+trample trampoline tranquil transcend transcribe transient transit
+transition transmit transparent trapeze trash trauma traverse
+travesty trawl tray treacherous tread treason treasure treaty treble
+trek trellis tremble tremendous tremor trench trepidation trespass
+tress trestle tribe tribunal tributary tribute trifle trigger trill
+trillion trilogy trim trinket trio triple tripod trite triumph
+trivial troll trolley trombone troop trophy tropic trot troupe
+trout trowel truant truce trudge trumpet truncate trundle trunk
+truss tub tuba tube tuck tuft tug tuition tulip tumble tumor
+tumult tundra turban turbine turbulent turf turkey turmoil turnip
+turpentine turquoise turret turtle tusk tussle tutor tuxedo twang
+tweak tweed tweezers twig twilight twin twine twinge twinkle twirl
+twist twitch twitter tycoon typhoon tyranny tyrant
+udder ulcer ulterior ultimate ultimatum umbrella umpire unanimous
+uncanny uncle uncouth unction undulate unduly unearth uneasy ungainly
+unicorn uniform unilateral unison universal university unkempt
+unless unravel unruly untoward unwieldy upbraid upheaval uphold
+upholster upright uprising uproar upscale upstairs uptight uranium
+urchin urine usher usurp utensil utility utmost utopia
+vacant vacate vaccine vacillate vacuum vagabond vagrant vague vain
+vale valet valiant valley valor valve vandal vane vanguard vanilla
+vanish vanity vanquish vantage vapid vapor variable varnish vase
+vassal vat vault vaunt veal veer vegetable vehement veil vein
+velocity velvet vend vendetta veneer venerable vengeance venison
+venom vent ventilate ventriloquist veranda verbatim verbose verdant
+verdict verge vermin vernacular versatile verse vertical vertigo
+verve vessel vest vestibule vestige veteran veto vex viaduct vial
+vibrant vibrate vicar vicarious vice vicinity vicious victim victor
+vie vigil vigilant vignette vigor vile vilify villain vindicate
+vindictive vine vinegar vineyard vintage vinyl viola violate violet
+violin viper virile virtue virtuoso virulent visa viscous vise
+vista vivacious vivid vixen vocal vocation vociferous vogue void
+volatile volcano volley volt voluble voluntary voluptuous vomit
+voracious vortex vouch vow vowel voyage vulgar vulnerable vulture
+wad waddle wade wafer waffle waft wag wagon waif wail waist waive
+waiver wallaby wallet wallow walnut walrus waltz wan wand wane
+wangle want ward warden wardrobe ware warehouse warfare warp
+warrant warrior wart wary wasp wastrel watt wattle waver wax
+wayward wean weary weasel weave wedge wee weed weep weevil weird
+weld welfare welt welter wharf wheat whet whim whimper whimsical
+whine whinny whip whir whirl whisk whistle whittle wholesale whoop
+wick wicked wicker wicket widow width wield wig wiggle wigwam
+wilderness wile willing wilt wily wince winch windmill wink winnow wintry
+wisp wistful wit witch wither witty wizard wobble woe wok wolf
+wombat wont wool word worm worse worship wrangle wreak wreath
+wreck wren wrench wrest wrestle wretch wriggle wring wrinkle wrist
+writhe wry
+xenon xylophone
+yacht yak yam yank yap yarn yawn yearn yeast yelp yen yew yodel
+yoga yogurt yoke yokel yolk yonder yore yule
+zany zeal zebra zenith zephyr zest zigzag zinc zipper zither zodiac
+zombie zoo zoom
+""".split())

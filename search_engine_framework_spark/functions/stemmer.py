@@ -165,7 +165,10 @@ def kstem_lite(word: str) -> str:
 STEMMER_IMPL = {
     "none": "none/1",
     "kstem-lite": "kstem-lite/1",
-    "kstem": "kstem/krovetz-2",
+    # krovetz-3: ~5.8k-headword supplemental lexicon (kstem_data.py)
+    # merged into HEADWORDS — protection + derivational confirmation
+    # coverage toward Lucene's ~30k KStemData list.
+    "kstem": "kstem/krovetz-3",
 }
 
 

@@ -237,6 +237,7 @@ def knn_join(
     q_id_col: str = "query_id",
     q_vec_col: str = "embedding",
     margin: int = 8,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for EVERY query vector in one job:
     (query_id, vec_id, rank, cosine), rank 1..k per query.
@@ -258,19 +259,68 @@ def knn_join(
        oracle's ``list_reduce``) uses, then a per-query window top-k with
        the deterministic (desc cosine, asc id) tie-break.
 
-    The query side is collected to the driver and shipped in the UDF
-    closure — the realistic regime for batch kNN (up to ~10^5 queries ×
-    dim floats); tile the query set for more. The corpus side streams at
-    any scale.
+    ``chunk_size=None`` (default) ships the whole query set in one UDF
+    closure — the right call up to ~10^5 queries × dim floats.  For
+    larger query sets pass ``chunk_size``: the query side is streamed
+    through ``toLocalIterator`` in bounded slices of that many vectors,
+    each slice runs the identical two-stage plan, and the results union.
+    Driver memory is then bounded by one slice (plus one query-side
+    partition of the iterator), never the full query set; the trade is
+    one corpus pass per slice.  Per-query results are independent, so
+    chunking is bit-identical to the single-closure path
+    (tests/test_similarity.py locks this).
     """
     if q_id_col == id_col:
         raise ValueError(
             "knn_join: alias the query id column (q_id_col) to a name "
             f"different from the corpus id column ({id_col!r})"
         )
+    if chunk_size is not None:
+        if chunk_size <= 0:
+            raise ValueError("knn_join: chunk_size must be positive")
+        out = None
+        buf: list = []
+        q_proj = queries.select(q_id_col, q_vec_col)
+        for row in q_proj.toLocalIterator():
+            buf.append(row)
+            if len(buf) == chunk_size:
+                part = _knn_join_rows(
+                    embs, queries, buf, k, id_col, vec_col,
+                    q_id_col, q_vec_col, margin,
+                )
+                out = part if out is None else out.unionByName(part)
+                buf = []
+        if buf:
+            part = _knn_join_rows(
+                embs, queries, buf, k, id_col, vec_col,
+                q_id_col, q_vec_col, margin,
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            raise ValueError("knn_join: empty query set")
+        return out
     qrows = queries.select(q_id_col, q_vec_col).collect()
     if not qrows:
         raise ValueError("knn_join: empty query set")
+    return _knn_join_rows(
+        embs, queries, qrows, k, id_col, vec_col, q_id_col, q_vec_col,
+        margin,
+    )
+
+
+def _knn_join_rows(
+    embs: DataFrame,
+    queries: DataFrame,
+    qrows: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    margin: int,
+) -> DataFrame:
+    """One knn_join slice: exact top-k for the given collected query rows
+    (see knn_join for the plan shape)."""
     q_ids = [r[0] for r in qrows]
     qmat = np.asarray([list(map(float, r[1])) for r in qrows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -309,7 +359,11 @@ def knn_join(
         queries.select(q_id_col).withColumn("qi", F.lit(0))
         .select("qi", q_id_col).schema,
     )
-    qvecs = queries.select(
+    # rebuilt from the collected rows (not the full `queries` frame) so a
+    # chunked call broadcasts only this slice's vectors
+    qvecs = spark.createDataFrame(
+        qrows, queries.select(q_id_col, q_vec_col).schema
+    ).select(
         F.col(q_id_col).alias("_qid"), F.col(q_vec_col).alias("_qvec")
     )
     rer = (

@@ -87,14 +87,57 @@ def test_percolate_analyzer_parity(spark):
     assert percolate(docs, {"s": "the of and"}, cfg=CFG).count() == 0
 
 
-def test_percolate_near_exists_semantics(spark):
-    # chain must exist with EVERY consecutive gap in [1, n]
+def test_percolate_near_greedy_kernel_semantics(spark):
+    # ordered chain with every consecutive gap in [0, n] — evaluated by
+    # the REFERENCE greedy kernel (operators/positional.near_match),
+    # identical to scored retrieval since round 3
     docs = spark.createDataFrame(
         [(0, "alpha beta gamma"), (1, "alpha gamma beta")],
         "doc_id long, text string",
     )
     out = percolate(docs, {"q": "#NEAR/1(alpha beta gamma)"}, cfg=CFG).collect()
     assert [(r["doc_id"]) for r in out] == [0]
+    # repeated-term quirk parity (QryopIlNear allows pos == lastPos, so
+    # a single occurrence satisfies #NEAR(t t) — bug-for-bug with the
+    # engine kernel, which the old EXISTS-chain evaluation missed)
+    docs2 = spark.createDataFrame(
+        [(0, "solo alpha here"), (1, "no match")],
+        "doc_id long, text string",
+    )
+    out2 = percolate(docs2, {"q": "#NEAR/2(alpha alpha)"}, cfg=CFG).collect()
+    assert [(r["doc_id"]) for r in out2] == [0]
+
+
+def test_percolate_positional_parity_with_engine(spark, engine, tiny_index):
+    """Percolating the engine's own corpus must produce EXACTLY the
+    engine's match set for positional queries — including 3-term chains
+    where the greedy cursors differ from naive exists-chains."""
+    import pyspark.sql.functions as F
+
+    _, _, tdf = tiny_index
+    dm = engine.reader.docmap().select("doc_id", "ext_id")
+    docs = tdf.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "ext_id"
+        ),
+        F.col("text"),
+    ).join(dm, "ext_id").select("doc_id", "text")
+    queries = {
+        "n3": "#NEAR/3(search engine index)",
+        "n1": "#NEAR/1(search engine)",
+        "w8": "#WINDOW/8(search engine index)",
+        "w3": "#WINDOW/3(merge spark)",
+        "rep": "#NEAR/2(spark spark)",
+    }
+    got = {q: set() for q in queries}
+    for r in percolate(docs, queries, cfg=CFG).collect():
+        got[r["query_id"]].add(r["doc_id"])
+    for qid, qtext in queries.items():
+        want = {
+            r["doc_id"]
+            for r in engine.search_df(qtext, UnrankedBoolean()).collect()
+        }
+        assert got[qid] == want, f"{qid}: {qtext}"
 
 
 def test_percolate_errors(spark):

@@ -194,6 +194,34 @@ KSTEM_FIXTURES = {
     "during": "during", "was": "was", "this": "this",
     # out-of-lexicon: conservative no-ops / heuristic inflection only
     "baba": "baba", "kelu": "kelu", "tisoma": "tisoma",
+    # round-3 expanded lexicon (kstem_data.py, stemmer_impl krovetz-3):
+    # derivational forms the 1k lexicon missed
+    "iteration": "iterate", "iterations": "iterate", "iterator": "iterate",
+    "allocation": "allocate", "efficiency": "efficient",
+    "availability": "available", "scalability": "scalable",
+    "compatibility": "compatible", "cardinality": "cardinal",
+    "implementation": "implement", "deployment": "deploy",
+    "precision": "precise", "diversity": "diverse",
+    "explicitly": "explicit", "lazily": "lazy", "atomic": "atom",
+    "tokenizer": "tokenize", "tokenized": "tokenize",
+    "coalescing": "coalesce", "analyzing": "analyze", "invoked": "invoke",
+    # doubling-orthography disambiguation of short/e lexicon pairs
+    # (_strip_candidates: doubled -> undouble first, CVC -> +e first)
+    "hoped": "hope", "hopped": "hop", "hoping": "hope",
+    "coding": "code", "rating": "rate", "riding": "ride",
+    "firing": "fire", "dining": "dine", "caring": "care",
+    "staring": "stare", "starred": "star", "diner": "dine",
+    "planed": "plane", "planned": "plan", "sloped": "slope",
+    "griped": "gripe", "gripped": "grip", "scraped": "scrape",
+    "scrapped": "scrap",
+    # base-first preserved for non-CVC shapes
+    "visited": "visit", "opened": "open", "modeled": "model",
+    "offered": "offer", "filtered": "filter", "severed": "sever",
+    # newly protected lexical lookalikes
+    "species": "species", "passion": "passion", "bitter": "bitter",
+    "rubber": "rubber", "willing": "willing", "university": "university",
+    "counter": "counter", "morning": "morning", "physics": "physics",
+    "convention": "convention", "mutable": "mutable", "viable": "viable",
 }
 
 

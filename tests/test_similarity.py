@@ -147,3 +147,30 @@ def test_knn_join_rejects_colliding_id_names(embs):
     df, _ = embs
     with pytest.raises(ValueError):
         sim.knn_join(df, df, k=3, q_id_col="vec_id")
+
+
+def test_knn_join_chunked_bit_identical(embs):
+    """chunk_size forces the query set through >=2 bounded slices; rows
+    must be BIT-identical to the single-closure path (per-query results
+    are independent, so slicing cannot change them)."""
+    df, _ = embs
+    queries = df.where("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    corpus = df.where("vec_id >= 5").repartition(3)
+    one = sim.knn_join(corpus, queries, k=4, margin=2).collect()
+    chunked = sim.knn_join(
+        corpus, queries, k=4, margin=2, chunk_size=2  # 5 queries -> 3 slices
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, chunked), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, one), key=lambda t: (t[0], t[2])
+    )
+    assert len({key(r) for r in chunked}) == len(chunked)
+
+
+def test_knn_join_chunk_size_validation(embs):
+    df, _ = embs
+    q = df.selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError):
+        sim.knn_join(df, q, k=3, chunk_size=0)
