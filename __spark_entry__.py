@@ -9,8 +9,17 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 102 of 105 entries are
-                  oracle-checked — including the round-2 extensions
+                  summation orders differ). 125 of 128 entries are
+                  oracle-checked (round 3 adds chat_render — chat-format
+                  training export with loss-mask spans, hybrid_combsum —
+                  CombMNZ score fusion, boosted_terms — Lucene-style caret
+                  term boosts term^w, and bm25_lucene — the modern Lucene
+                  BM25Similarity ln(1+x)-idf scorer; round 3 also REORDERS
+                  the dict so entries never green-checked by a budgeted
+                  driver run come first, and ships
+                  scripts/contract_sweep.py whose committed
+                  CONTRACT_SWEEP.json is the builder's own full-sweep
+                  verdict in the driver's JSON shape) — including the round-2 extensions
                   fuzzy term queries (fuzzy: SymSpell dictionary
                   expansion into #SYN, DuckDB levenshtein twin),
                   field-collapsed top-k (collapsed_topk: best turn per

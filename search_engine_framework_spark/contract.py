@@ -721,6 +721,111 @@ def q_minhash_sigs(spark, sf_dir):
     )
 
 
+def q_bm25_lucene(spark, sf_dir):
+    """Modern-Lucene BM25Similarity scorer (LuceneBM25 model, round 3):
+    the flagship query under the ln(1 + (N-df+0.5)/(df+0.5)) positive
+    idf — same plan shape as bm25_topk, different idf literal. Twin
+    replays the Lucene idf in SQL."""
+    from .plans.models import LuceneBM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search(BM25_QUERY, LuceneBM25(), k=BM25_K)
+    return top.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
+def q_boosted_terms(spark, sf_dir):
+    """Caret term boosts (Lucene boost analog, round 3): BM25 #SUM with
+    per-child multipliers — ``spark merge^2.5 window^0.5`` — through the
+    full engine path (parser → Boost AST → compiler fold). Exactly
+    representable boost literals so the twin's arithmetic is
+    IEEE-identical; boosted plans decline the driver fast path and the
+    block-max prune (their upper bounds assume unboosted folds)."""
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    top = eng.search("spark merge^2.5 window^0.5", BM25(), k=BM25_K)
+    return top.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
+def q_hybrid_combsum(spark, sf_dir):
+    """CombMNZ score fusion (fusion.combsum_fuse) of the flagship BM25
+    top-20 and the vec_id=0 embedding-cosine top-20: per-ranking min-max
+    normalization over each top-k cut, weighted sum, times the number of
+    channels containing the doc. Same channel construction as
+    q_hybrid_rrf; the twin replays the min-max + MNZ arithmetic."""
+    from .fusion import combsum_fuse, ranked
+    from .pipeline import similarity
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    lex = eng.search(BM25_QUERY, BM25(), k=BM25_K).select(
+        _orig_id(F.col("ext_id")), "score"
+    )
+    embs = _read(spark, sf_dir, "embeddings")
+    qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
+    qcol = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    scored = embs.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        (
+            similarity._dot(F.col("embedding"), qcol)
+            / (similarity._norm(F.col("embedding")) * similarity._norm(qcol))
+        ).alias("score"),
+    )
+    order = [F.desc("score"), F.asc("doc_id")]
+    vec = ranked(scored.orderBy(*order).limit(BM25_K), order, k=BM25_K)
+    fused = combsum_fuse(
+        [
+            ("lex", lex.select("doc_id", "score")),
+            ("vec", vec.select("doc_id", "score")),
+        ],
+        mnz=True,
+    )
+    return fused.select(
+        "doc_id",
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("fused")).alias("fused"),
+    )
+
+
+def q_chat_render(spark, sf_dir):
+    """Chat-format training export (pipeline/render.py): documents
+    grouped into the synthetic 5-turn conversations (doc_id div/mod 5,
+    role alternating by doc parity), rendered to one training document
+    per conversation with assistant loss-mask spans; one output row per
+    loss span (conversations whose turns are all user-role drop out with
+    the explode, mirrored by the twin's role filter)."""
+    from .pipeline.render import render_chat
+
+    docs = _read(spark, sf_dir, "documents")
+    turns = docs.select(
+        (F.col("doc_id") / 5).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    rendered = render_chat(turns)
+    return rendered.select(
+        "conv_id", "n_turns", "text", F.explode("loss_spans").alias("_s")
+    ).select(
+        "conv_id",
+        "n_turns",
+        "text",
+        F.col("_s.start").alias("span_start"),
+        F.col("_s.end").alias("span_end"),
+    )
+
+
 def q_conv_fp(spark, sf_dir):
     """Conversation-level exact-dedup fingerprints: documents grouped
     into 5-turn conversations (doc_id div/mod 5 — the same synthetic
@@ -1640,7 +1745,12 @@ def q_bm25_ref_analyzer(spark, sf_dir):
     rank semantics match /root/reference; not expressible in ANSI SQL."""
     from .plans.models import BM25
 
-    key = os.path.abspath(sf_dir) + "#ref"
+    from .functions.stemmer import stemmer_impl
+
+    # the stemmer impl version is part of the cache identity: a lexicon
+    # upgrade (krovetz-2 -> krovetz-3) must rebuild into a FRESH dir, not
+    # trip the lineage rail on a stale /tmp index from a prior version
+    key = os.path.abspath(sf_dir) + "#ref#" + stemmer_impl("kstem")
     if key not in _ENGINES:
         digest = hashlib.sha1(key.encode()).hexdigest()[:12]
         out = os.path.join("/tmp", "sefs_entry_idx", digest)
@@ -3244,6 +3354,38 @@ SELECT doc_id,
          + 0.0 AS dup_trigram_frac
 FROM agg
 """,
+    "chat_render": """
+WITH turns AS (
+  SELECT doc_id // 5 AS conv_id, (doc_id % 5)::INT AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         coalesce(text, '') AS t
+  FROM documents
+),
+pieces AS (
+  SELECT conv_id, turn_idx, role, t,
+         '<|' || role || '|>' || chr(10) AS pre,
+         '<|' || role || '|>' || chr(10) || t || chr(10) AS piece
+  FROM turns
+),
+offs AS (
+  SELECT conv_id, turn_idx, role, t, pre,
+         coalesce(sum(len(piece)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM pieces
+),
+rendered AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         string_agg(piece, '' ORDER BY turn_idx) AS text
+  FROM pieces GROUP BY 1
+)
+SELECT r.conv_id, r.n_turns, r.text,
+       (o.cum + len(o.pre))::BIGINT AS span_start,
+       (o.cum + len(o.pre) + len(o.t))::BIGINT AS span_end
+FROM rendered r JOIN offs o ON o.conv_id = r.conv_id
+WHERE o.role = 'assistant'
+ORDER BY r.conv_id, span_start
+""",
     "conv_fp": """
 WITH t AS (
   SELECT doc_id // 5 AS conv_id, doc_id % 5 AS turn_idx,
@@ -4512,6 +4654,136 @@ FROM fused ORDER BY rrf DESC, doc_id ASC
 """
 )
 
+def _lucene_bm25_term_sql(term: str) -> str:
+    """Per-term LuceneBM25 score CTE: positive ln(1+x) idf, same tf
+    saturation as _bm25_term_sql."""
+    return f"""
+  SELECT tf.doc_id,
+         ln(1.0 + (cstats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf::DOUBLE /
+              (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+               + 0.75 * (dl.doclen::DOUBLE
+                         / (cstats.sum_doclen::DOUBLE / cstats.doc_count)))))
+           AS s
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cstats
+  JOIN dfreq ON dfreq.term = tf.term
+  WHERE tf.term = '{term}'
+"""
+
+
+ORACLE_SQL["bm25_lucene"] = (
+    _SQL_BASE
+    + f""", t1 AS ({_lucene_bm25_term_sql('spark')}),
+t2 AS ({_lucene_bm25_term_sql('merge')}),
+t3 AS ({_lucene_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+scored AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+       round(s, 4) + 0.0 AS score
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+)
+
+# Boosted BM25 #SUM: the bm25_topk fold with per-child multipliers in
+# the compiler's operand order ((s * user_w) * boost, child order).
+ORACLE_SQL["boosted_terms"] = (
+    _SQL_BASE
+    + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+scored AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0)
+             + COALESCE(t2.s * 1.0 * 2.5, 0.0)
+             + COALESCE(t3.s * 1.0 * 0.5, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+       round(s, 4) + 0.0 AS score
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+)
+
+# CombMNZ over the same two channels: lexscored/vecscored CTEs reused,
+# score-cut instead of rank-cut, per-ranking min-max over the cut, MNZ
+# multiplier = channels containing the doc (combsum_fuse arithmetic
+# replayed operation-for-operation).
+ORACLE_SQL["hybrid_combsum"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + f""",
+lexcut AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+    FROM lexscored) WHERE r <= {BM25_K}
+),
+vecscored AS (
+  SELECT e.vec_id AS doc_id,
+         list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(e.embedding,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(q.qv,
+                  x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cosine
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+),
+veccut AS (
+  SELECT doc_id, cosine AS s FROM (
+    SELECT doc_id, cosine,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r
+    FROM vecscored) WHERE r <= {BM25_K}
+),
+lexn AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () = min(s) OVER () THEN 0.0
+              ELSE (s - min(s) OVER ())
+                   / (max(s) OVER () - min(s) OVER ()) END AS ns
+  FROM lexcut
+),
+vecn AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () = min(s) OVER () THEN 0.0
+              ELSE (s - min(s) OVER ())
+                   / (max(s) OVER () - min(s) OVER ()) END AS ns
+  FROM veccut
+),
+cfused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         ((l.doc_id IS NOT NULL)::INT + (v.doc_id IS NOT NULL)::INT)
+           AS n_matched,
+         (0.0 + COALESCE(1.0 * l.ns, 0.0) + COALESCE(1.0 * v.ns, 0.0))
+           * ((l.doc_id IS NOT NULL)::INT
+              + (v.doc_id IS NOT NULL)::INT)::DOUBLE AS fused
+  FROM lexn l FULL OUTER JOIN vecn v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, n_matched::BIGINT AS n_matched,
+       row_number() OVER (ORDER BY fused DESC, doc_id ASC)::BIGINT AS rank,
+       round(fused, 4) + 0.0 AS fused
+FROM cfused ORDER BY rank
+"""
+)
+
 def _phonetic_sql() -> str:
     qvals = ", ".join(
         f"('{q}', '{_py_soundex(q)}')" for q in PHONETIC_QUERIES
@@ -4902,6 +5174,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and ann_ivf (partial-probe set depends on learned centroids; its
     # exactprobe twin is oracle-checked).
     "bm25_topk": q_bm25_topk,
+    "chat_render": q_chat_render,
+    "hybrid_combsum": q_hybrid_combsum,
+    "boosted_terms": q_boosted_terms,
+    "bm25_lucene": q_bm25_lucene,
     "hash_split": q_hash_split,
     "mixture_mix": q_mixture_mix,
     "dup_spans": q_dup_spans,

@@ -499,7 +499,7 @@ class SearchEngine:
         corpus-wide work. Raises for non-flat queries (positional /
         boolean / Indri trees have no per-term additive decomposition
         to report honestly)."""
-        from .functions.scoring import bm25_idf
+        from .functions.scoring import model_idf
         from .plans.models import BM25 as _BM25
 
         if not isinstance(model, _BM25):
@@ -543,7 +543,7 @@ class SearchEngine:
             tf = tfs.get((t, f), 0)
             dl = dls.get(f, 0)
             avg = self.reader.avg_doclen(f)
-            idf = bm25_idf(n, df)
+            idf = model_idf(m, n, df)
             if tf > 0:
                 tfw = tf / (tf + m.k_1 * ((1.0 - m.b) + m.b * (dl / avg)))
                 s = idf * tfw

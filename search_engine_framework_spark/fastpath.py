@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import os
 
-from .functions.scoring import bm25_idf
+from .functions.scoring import model_idf
 
 __all__ = ["bm25_topk_driver", "MAX_POSTINGS"]
 
@@ -148,7 +148,7 @@ def bm25_topk_driver(
         st = stats.get((t, f))
         if not st or st["df"] == 0:
             continue
-        idf = bm25_idf(n_docs, st["df"])
+        idf = model_idf(m, n_docs, st["df"])
         avg = reader.avg_doclen(f)
         # same operand order as functions/scoring.bm25_tf_weight +
         # compiler leaf (lit(idf) * tfw) and fold (* user_w)

@@ -35,6 +35,27 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5)) if df > 0 else 0.0
 
 
+def lucene_bm25_idf(n_docs: int, df: int) -> float:
+    """Lucene 8+ BM25Similarity idf: ln(1 + (N-df+0.5)/(df+0.5)) —
+    strictly positive; 0.0 for unseen terms (same convention as
+    bm25_idf)."""
+    return (
+        math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df > 0 else 0.0
+    )
+
+
+def model_idf(model, n_docs: int, df: int) -> float:
+    """The idf the given BM25-family model uses — THE dispatch every
+    scoring site must share (compiler leaf, block-max bounds, driver
+    fast path, explain_doc) so a model change can never drift one site:
+    LuceneBM25 -> lucene_bm25_idf, classic BM25 -> bm25_idf."""
+    from ..plans.models import LuceneBM25
+
+    if isinstance(model, LuceneBM25):
+        return lucene_bm25_idf(n_docs, df)
+    return bm25_idf(n_docs, df)
+
+
 def bm25_tf_weight(
     k_1: float,
     b: float,

@@ -90,6 +90,90 @@ def rrf_fuse(
     return fused.orderBy("rank")
 
 
+def combsum_fuse(
+    rankings: Sequence[tuple[str, DataFrame]],
+    *,
+    on: Sequence[str] = ("doc_id",),
+    score_col: str = "score",
+    per: Sequence[str] = (),
+    norm: str = "minmax",
+    mnz: bool = False,
+    weights: dict[str, float] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Score-based fusion — CombSUM / CombMNZ (Fox & Shaw, TREC-2 1994),
+    the classic companion to rank-based RRF when channel scores ARE
+    worth calibrating:
+
+        CombSUM(d) = sum_r w_r * norm_r(score_r(d))
+        CombMNZ(d) = CombSUM(d) * |{r : d in ranking r}|
+
+    rankings — ordered (name, DataFrame) pairs; each frame carries the
+        ``on`` key columns plus ``score_col`` (higher = better), already
+        top-k cut by its engine. Sequence order fixes the float fold.
+    per      — query-partition columns (subset of ``on``) for the
+        normalization window; empty = one query, normalize over the
+        whole frame.
+    norm     — "minmax": (s - min)/(max - min) within the ranking
+        (per query), 0.0 when constant — the LeToR A9 convention
+        (letor.py); "none": trust the raw scores.
+    mnz      — multiply by the number of rankings containing the doc
+        (CombMNZ); False = CombSUM.
+
+    Returns DataFrame(*on, n_matched:int, fused:double, rank:int)
+    ordered by (fused desc, *on asc) — the engine's tie-break. Scale
+    posture mirrors rrf_fuse: inputs are top-k cuts, fusion is
+    arithmetic over sum(k_r) rows; min/max windows run on those same
+    tiny frames, never the corpus.
+    """
+    if not rankings:
+        raise ValueError("combsum_fuse needs at least one ranking")
+    if norm not in ("minmax", "none"):
+        raise ValueError(f"combsum_fuse: unknown norm {norm!r}")
+    weights = weights or {}
+    on = list(on)
+    per = list(per)
+    if any(c not in on for c in per):
+        raise ValueError(f"per columns {per} must be a subset of on {on}")
+    names = [name for name, _ in rankings]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate ranking names in combsum_fuse: {names}")
+
+    nw = Window.partitionBy(*per) if per else Window.partitionBy(F.lit(1))
+    contribs = []
+    for name, df in rankings:
+        w = float(weights.get(name, 1.0))
+        s = F.col(score_col).cast("double")
+        if norm == "minmax":
+            lo, hi = F.min(s).over(nw), F.max(s).over(nw)
+            s = F.when(hi == lo, F.lit(0.0)).otherwise((s - lo) / (hi - lo))
+        contribs.append(df.select(*on, (F.lit(w) * s).alias(f"__cs_{name}")))
+    fused = contribs[0]
+    for c in contribs[1:]:
+        fused = fused.join(c, on, "full_outer")
+    total = F.lit(0.0)
+    n_matched = F.lit(0)
+    for name in names:
+        c = F.col(f"__cs_{name}")
+        total = total + F.coalesce(c, F.lit(0.0))
+        n_matched = n_matched + c.isNotNull().cast("int")
+    if mnz:
+        total = total * n_matched.cast("double")
+    fused = fused.select(
+        *on, n_matched.alias("n_matched"), total.alias("fused")
+    )
+    order = [F.desc("fused")] + [F.asc(c) for c in on if c not in per]
+    rw = (
+        Window.partitionBy(*per).orderBy(*order)
+        if per
+        else Window.orderBy(*order)
+    )
+    fused = fused.withColumn("rank", F.row_number().over(rw))
+    if k is not None:
+        fused = fused.where(F.col("rank") <= int(k))
+    return fused.orderBy(*per, "rank")
+
+
 def ranked(
     df: DataFrame,
     order: Sequence,

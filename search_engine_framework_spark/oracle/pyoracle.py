@@ -20,6 +20,7 @@ from ..operators.positional import near_match, syn_merge, window_match
 from ..plans import ast
 from ..plans.models import (
     BM25,
+    LuceneBM25,
     Indri,
     RankedBoolean,
     RetrievalModel,
@@ -154,6 +155,8 @@ class Oracle:
             n = ix.n_docs
             df = il.df
             idf = math.log((n - df + 0.5) / (df + 0.5))
+            if isinstance(m, LuceneBM25):
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
             dc = ix.doc_count.get(il.field, 0)
             avg = ix.sum_doclen.get(il.field, 0) / dc if dc else 0.0
             for d, tf, _p in il.postings:
@@ -221,6 +224,11 @@ class Oracle:
                 )
                 return sl, {"kind": "not"}
             raise ValueError("#NOT only under boolean models")
+        if isinstance(node, ast.Boost):
+            raise ValueError(
+                "term boosts (term^w) are only legal as direct children "
+                "of BM25 #SUM / #MSM"
+            )
         if isinstance(node, ast.Sum):
             if not isinstance(m, BM25):
                 raise ValueError("#SUM only under BM25")
@@ -275,7 +283,15 @@ class Oracle:
     def _bm25_sum(self, children, min_match: int = 1) -> tuple[ScoreListPy, dict]:
         m = self.model
         user_w = (m.k_3 + 1.0) * 1.0 / (m.k_3 + 1.0)
-        kids = [self.eval_sl(c)[0] for c in children]
+        # ast.Boost children scale their contribution — same unwrap and
+        # operand order as the compiler (s * user_w, then * boost)
+        boosts = [
+            c.weight if isinstance(c, ast.Boost) else 1.0 for c in children
+        ]
+        plain = [
+            c.child if isinstance(c, ast.Boost) else c for c in children
+        ]
+        kids = [self.eval_sl(c)[0] for c in plain]
         maps = [dict(k) for k in kids]
         docs = sorted(set().union(*[set(mp) for mp in maps]) if maps else set())
         sl = ScoreListPy()
@@ -283,9 +299,12 @@ class Oracle:
             if sum(1 for mp in maps if d in mp) < min_match:
                 continue
             score = 0.0
-            for mp in maps:  # child order — float-order parity
+            for mp, b in zip(maps, boosts):  # child order — float parity
                 if d in mp:
-                    score += user_w * mp[d]
+                    contrib = user_w * mp[d]
+                    if b != 1.0:
+                        contrib = contrib * b
+                    score += contrib
             sl.append((d, score))
         return sl, {"kind": "sum"}
 

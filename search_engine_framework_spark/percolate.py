@@ -127,6 +127,9 @@ class _Eval:
             # scoring operators carry no extra MATCH semantics beyond
             # their children's union (every child match contributes)
             return self._union([self.run(c) for c in node.children])
+        if isinstance(node, ast.Boost):
+            # boosts scale scores; match semantics are the child's
+            return self.run(node.child)
         raise ValueError(f"percolate cannot evaluate {type(node).__name__}")
 
     @staticmethod

@@ -1,0 +1,117 @@
+"""Chat-format training export: multi-turn conversations → one rendered
+training document per conversation, with character-offset loss-mask
+spans for the turns that should receive loss (assistant-only training,
+the standard SFT recipe).
+
+The deploy step between this engine's transcript corpus (input_hint
+schema: conv_id, turn_idx, role, text, ...) and a tokenizer/packer: each
+turn renders as ``prefix(role) + text + suffix`` in turn order, the
+conversation is their concatenation, and every loss-role turn yields a
+[start, end) character span covering exactly its ``text`` (template
+tokens around it are masked out). Downstream, spans survive tokenization
+via offset mapping, and chunking.py / packing.py consume the rendered
+docs unchanged.
+
+Scale shape (10^12 turns): ZERO UDFs — template assembly is string
+concat columns, offsets are ONE cumulative-sum window over
+(conv, turn_idx), and assembly is ONE groupBy(conv) whose
+``sort_array(collect_list(struct(turn_idx, ...)))`` makes turn order
+deterministic under any partitioning; the window and the groupBy hash
+the same key, so the whole operator costs a single shuffle. State per
+group is one conversation (bounded by turns/conv, the same bound
+conv_fingerprints relies on), never the corpus.
+
+Determinism: output is a pure function of the input rows — no
+timestamps, no partition ids. (conv_id, turn_idx) is assumed unique per
+the input_hint invariant ("stable turn ordering"); duplicate turn_idx
+values would make offsets ambiguous, so the audit column ``n_turns``
+lets callers assert against expected conversation sizes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def render_chat(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    loss_roles: tuple[str, ...] = ("assistant",),
+    role_prefix: tuple[str, str] = ("<|", "|>\n"),
+    turn_suffix: str = "\n",
+) -> DataFrame:
+    """→ one row per conversation:
+    (conv_id, n_turns, n_chars, text, loss_spans).
+
+    * ``text`` — ``role_prefix[0] + role + role_prefix[1] + turn_text +
+      turn_suffix`` per turn, concatenated in ``turn_idx`` order.
+    * ``loss_spans`` — array<struct<start:long, end:long>> of character
+      offsets [start, end) into ``text``, one per turn whose role is in
+      ``loss_roles``, covering exactly that turn's ``turn_text`` (turn-
+      order sorted). Empty array when no loss-role turns exist.
+    * NULL turn text renders as '' (span of length 0 is still emitted —
+      the turn happened; the trainer sees an empty target).
+    """
+    pre0, pre1 = role_prefix
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    piece = F.concat(
+        F.lit(pre0), F.col(role_col), F.lit(pre1), text, F.lit(turn_suffix)
+    )
+    prefix_len = (
+        F.lit(len(pre0)) + F.length(F.col(role_col)) + F.lit(len(pre1))
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).cast("int").alias("_idx"),
+        piece.alias("_piece"),
+        (
+            F.coalesce(F.sum(F.length(piece)).over(w), F.lit(0)).cast("long")
+            + prefix_len.cast("long")
+        ).alias("_start"),
+        F.length(text).cast("long").alias("_tlen"),
+        F.col(role_col).isin(*loss_roles).alias("_is_loss"),
+    )
+    return (
+        staged.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("_idx", "_piece"))
+                    ),
+                    lambda s: s["_piece"],
+                ),
+                "",
+            ).alias("text"),
+            # collect_list drops the NULLs .when() leaves for non-loss
+            # turns; sort_array orders spans by start == turn order
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_is_loss"),
+                        F.struct(
+                            F.col("_start").alias("start"),
+                            (F.col("_start") + F.col("_tlen")).alias("end"),
+                        ),
+                    )
+                )
+            ).alias("loss_spans"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.length("text").cast("long").alias("n_chars"),
+            "text",
+            "loss_spans",
+        )
+    )

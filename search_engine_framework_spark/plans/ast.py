@@ -169,10 +169,23 @@ class First(Node):
     child: Node
 
 
+@dataclass(frozen=True)
+class Boost(Node):
+    """``term^w`` — our Lucene boost analog (the reference grammar has
+    none): the child's BM25 score contribution is multiplied by
+    ``weight``. Legal ONLY as a direct child of BM25 #SUM / #MSM (the
+    one place the engine has a per-child additive contribution to
+    scale); the compiler fails loudly anywhere else. Parser restricts
+    the child to a plain (possibly field-qualified) term."""
+
+    child: Node
+    weight: float
+
+
 IL_NODES = (
     Term, Syn, Near, WindowOp, Wildcard, Fuzzy, SuffixWildcard, Regex, First
 )
-SL_NODES = (And, Or, Not, Sum, Wand, Wsum, Msm)
+SL_NODES = (And, Or, Not, Sum, Wand, Wsum, Msm, Boost)
 
 
 def is_il(node: Node) -> bool:
@@ -204,7 +217,10 @@ def query_terms(node: Node) -> set[tuple[str, str]]:
     if isinstance(node, Term):
         return {(node.term, node.field)}
     out: set[tuple[str, str]] = set()
-    kids = (node.child,) if isinstance(node, (Not, First)) else node.children
+    kids = (
+        (node.child,) if isinstance(node, (Not, First, Boost))
+        else node.children
+    )
     for c in kids:
         out |= query_terms(c)
     return out
@@ -217,7 +233,10 @@ def query_fields(node: Node) -> set[str]:
     if isinstance(node, (Term, Wildcard, Fuzzy, SuffixWildcard, Regex)):
         return {node.field}
     out: set[str] = set()
-    kids = (node.child,) if isinstance(node, (Not, First)) else node.children
+    kids = (
+        (node.child,) if isinstance(node, (Not, First, Boost))
+        else node.children
+    )
     for c in kids:
         out |= query_fields(c)
     return out
@@ -232,5 +251,8 @@ def needs_positions(node: Node) -> bool:
         return True
     if isinstance(node, Term):
         return False
-    kids = (node.child,) if isinstance(node, (Not, First)) else node.children
+    kids = (
+        (node.child,) if isinstance(node, (Not, First, Boost))
+        else node.children
+    )
     return any(needs_positions(c) for c in kids)

@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.scoring import bm25_idf, bm25_tf_weight
+from ..functions.scoring import bm25_idf, bm25_tf_weight, model_idf
 from ..index.reader import IndexReader
 from ..operators.positional import near_match, syn_merge, window_match
 from . import ast
@@ -198,7 +198,7 @@ class QueryCompiler:
             df = int(st["df"])
             if df <= 0:
                 continue
-            i = bm25_idf(n_docs, df)
+            i = model_idf(self.model, n_docs, df)
             idf[p] = i
             mtf = max(1, int(st["max_tf"] or 1))
             # contribution i·tf/(tf + k1((1−b) + b·dl/avg)) over tf ∈
@@ -364,6 +364,13 @@ class QueryCompiler:
     # ------------------------------------------------------------- SL family
     def compile_sl(self, node: ast.Node) -> SLResult:
         m = self.model
+        if isinstance(node, ast.Boost):
+            # consumed by _bm25_sum before recursion — reaching here
+            # means the boost sits somewhere it has no semantics
+            raise ValueError(
+                "term boosts (term^w) are only legal as direct children "
+                "of BM25 #SUM / #MSM"
+            )
         if ast.is_il(node):
             return self._score(node)
 
@@ -434,7 +441,7 @@ class QueryCompiler:
         if isinstance(m, BM25):
             n_docs = self.reader.num_docs
             ildf, _ = il.ensure_stats()
-            idf = bm25_idf(n_docs, ildf)
+            idf = model_idf(m, n_docs, ildf)
             avg_dl = self.reader.avg_doclen(il.field)
             tf_w = bm25_tf_weight(m.k_1, m.b, avg_dl)
             return SLResult(
@@ -539,7 +546,18 @@ class QueryCompiler:
     def _bm25_sum(
         self, children: tuple[ast.Node, ...], min_match: int = 1
     ) -> SLResult:
-        kids = [self.compile_sl(c) for c in children]
+        # ast.Boost children (term^w) scale their contribution: the ONE
+        # operator with a per-child additive contribution to multiply,
+        # hence the only place boosts are legal (compile_sl rejects them
+        # everywhere else). Boost weight 1.0 never reaches here (the
+        # parser collapses it), so unboosted plans are bit-unchanged.
+        boosts = [
+            c.weight if isinstance(c, ast.Boost) else 1.0 for c in children
+        ]
+        plain = tuple(
+            c.child if isinstance(c, ast.Boost) else c for c in children
+        )
+        kids = [self.compile_sl(c) for c in plain]
         if not kids or min_match > len(kids):
             return self._empty_sl()
         m = self.model
@@ -551,12 +569,15 @@ class QueryCompiler:
         )
         if min_match > 1:  # MSM gate: plan unchanged for plain #SUM
             grouped = grouped.where(F.size("m") >= min_match)
-        # accumulate IN CHILD ORDER (float-order parity with the DAAT loop)
+        # accumulate IN CHILD ORDER (float-order parity with the DAAT loop);
+        # boosted children multiply s * user_w * boost in that order (the
+        # oracle twins replay the same operand order)
         expr = F.lit(0.0)
         for j in range(len(kids)):
-            expr = expr + F.coalesce(
-                F.col("m")[F.lit(j)] * F.lit(user_w), F.lit(0.0)
-            )
+            contrib = F.col("m")[F.lit(j)] * F.lit(user_w)
+            if boosts[j] != 1.0:
+                contrib = contrib * F.lit(boosts[j])
+            expr = expr + F.coalesce(contrib, F.lit(0.0))
         return SLResult(grouped.select("doc_id", expr.alias("score")))
 
     # -- Indri weighted folds -----------------------------------------------------

@@ -28,6 +28,25 @@ class BM25(RetrievalModel):
 
 
 @dataclass(frozen=True)
+class LuceneBM25(BM25):
+    """Modern Lucene ``BM25Similarity`` (Lucene 8+, LUCENE-8563) — the
+    scorer a user migrating FROM current Lucene/Elasticsearch expects,
+    alongside the reference's course-classic BM25:
+
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5))  — strictly positive (no
+      negative contributions for df > N/2, unlike QryopSlScore.java:139);
+    * same tf saturation tf/(tf + k1*((1-b) + b*dl/avg_dl)); Lucene 8
+      dropped the (k1+1) numerator as order-irrelevant, so score =
+      idf * tf_norm — structurally identical to the classic plan, only
+      the idf literal differs.
+
+    Deliberate exactness deviation from Lucene: we use the true doclen,
+    not Lucene's lossy 1-byte SmallFloat norm quantization — documented
+    as a fidelity IMPROVEMENT (Lucene's quantization is a space
+    optimization, not a semantic)."""
+
+
+@dataclass(frozen=True)
 class Indri(RetrievalModel):
     mu: float = 2500.0
     lam: float = 0.4

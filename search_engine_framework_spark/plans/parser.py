@@ -245,6 +245,18 @@ def parse_query(
                     current.weights.append(weight)
                     got_weight = False
                 continue
+            # Lucene-style term boost ``term^2`` / ``term.field^2.5``
+            # (parsed before field stripping; plain terms only — the
+            # multi-term rewrites have no single contribution to scale)
+            boost = None
+            bmatch = re.fullmatch(r"(.+?)\^(\d+(?:\.\d+)?)", token)
+            if bmatch:
+                token = bmatch.group(1)
+                boost = float(bmatch.group(2))
+                if boost <= 0:
+                    raise ValueError(
+                        f"term boost must be > 0: {bmatch.group(0)!r}"
+                    )
             field = None
             term_text = token
             for f in TERM_FIELDS:
@@ -257,6 +269,10 @@ def parse_query(
                 # lowercased only, never analyzed; expands against the
                 # term dictionary into #SYN (dictionary scan — see
                 # ast.SuffixWildcard for the cost note).
+                if boost is not None:
+                    raise ValueError(
+                        f"boosts are only supported on plain terms: {token!r}"
+                    )
                 suffix = term_text[1:].lower()
                 if not re.fullmatch(r"[a-z0-9]+", suffix):
                     raise ValueError(
@@ -285,6 +301,10 @@ def parse_query(
                 # would corrupt it); the engine expands it against the
                 # term dictionary into #SYN of all terms within the
                 # edit distance.
+                if boost is not None:
+                    raise ValueError(
+                        f"boosts are only supported on plain terms: {token!r}"
+                    )
                 max_edit = int(fz.group(2)) if fz.group(2) else 2
                 if max_edit not in (1, 2):
                     raise ValueError(
@@ -309,6 +329,10 @@ def parse_query(
                 # Lucene, the pattern is NOT analyzed — lowercased only
                 # (stemming a prefix would corrupt it); the engine
                 # expands it against the term dictionary into #SYN.
+                if boost is not None:
+                    raise ValueError(
+                        f"boosts are only supported on plain terms: {token!r}"
+                    )
                 prefix = term_text[:-1].lower()
                 if not re.fullmatch(r"[a-z0-9]+", prefix):
                     raise ValueError(
@@ -323,9 +347,10 @@ def parse_query(
                 continue
             terms = analyze_terms(term_text, cfg)
             if terms:
-                current.children.append(
-                    ast.Term(terms[0], field or ast.DEFAULT_FIELD)
-                )
+                tnode: ast.Node = ast.Term(terms[0], field or ast.DEFAULT_FIELD)
+                if boost is not None and boost != 1.0:
+                    tnode = ast.Boost(tnode, boost)
+                current.children.append(tnode)
                 if has_weight and got_weight:
                     current.weights.append(weight)
                     got_weight = False

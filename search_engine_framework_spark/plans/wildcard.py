@@ -91,6 +91,8 @@ def expand_synonyms(node: ast.Node, synmap: dict, cfg=None) -> ast.Node:
             return ast.Not(rewrite(n.child))
         if isinstance(n, ast.First):
             return ast.First(n.n, rewrite(n.child))
+        if isinstance(n, ast.Boost):
+            return ast.Boost(rewrite(n.child), n.weight)
         kids = tuple(rewrite(c) for c in n.children)
         if isinstance(n, (ast.Near, ast.WindowOp, ast.Msm)):
             return type(n)(n.n, kids)
@@ -111,7 +113,7 @@ def has_wildcards(node: ast.Node) -> bool:
         return False
     kids = (
         (node.child,)
-        if isinstance(node, (ast.Not, ast.First))
+        if isinstance(node, (ast.Not, ast.First, ast.Boost))
         else node.children
     )
     return any(has_wildcards(c) for c in kids)
@@ -180,6 +182,8 @@ def expand_wildcards(
             return ast.Not(rewrite(n.child))
         if isinstance(n, ast.First):
             return ast.First(n.n, rewrite(n.child))
+        if isinstance(n, ast.Boost):
+            return ast.Boost(rewrite(n.child), n.weight)
         kids = tuple(rewrite(c) for c in n.children)
         if isinstance(n, (ast.Near, ast.WindowOp, ast.Msm)):
             return type(n)(n.n, kids)

@@ -13,6 +13,7 @@ from search_engine_framework_spark.oracle.pyoracle import Oracle, PyIndex
 from search_engine_framework_spark.plans.models import (
     BM25,
     Indri,
+    LuceneBM25,
     RankedBoolean,
     UnrankedBoolean,
 )
@@ -21,12 +22,22 @@ from search_engine_framework_spark.plans.parser import parse_query
 CFG = AnalyzerConfig.reference()
 
 BM = BM25(k_1=1.2, b=0.75, k_3=0.0)
+LB = LuceneBM25()
 IND = Indri(mu=2500.0, lam=0.4)
 RB = RankedBoolean()
 UB = UnrankedBoolean()
 
 BATTERY = [
     ("search engine index", BM),
+    # caret boosts (round 3): contribution * boost, child-order fold
+    ("search engine^3 index", BM),
+    ("search^0.5 engine index^2.5", BM),
+    ("#SUM(search engine^2)", BM),
+    # modern-Lucene BM25 similarity (positive ln(1+x) idf)
+    ("search engine index", LB),
+    ("#SUM(cheap internet heart)", LB),
+    ("search engine^2 index", LB),
+    ("#MSM/2(search engine^2 index)", BM),
     ("search engine index", IND),
     ("search engine index", RB),
     ("search engine index", UB),

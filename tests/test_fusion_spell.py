@@ -310,3 +310,117 @@ def test_suggest_phonetic(spark):
     assert "12ab" not in rows and "" not in rows
     # non-alphabetic dictionary terms never appear
     assert all(t != "x9y" for v in rows.values() for t, _, _ in v)
+
+
+# ------------------------------------------------------- CombSUM / CombMNZ
+
+def _py_combsum(rankings, mnz=False, weights=None):
+    """rankings: ordered (name, {id: score}); min-max per ranking."""
+    weights = weights or {}
+    norm = {}
+    for name, scores in rankings:
+        lo, hi = min(scores.values()), max(scores.values())
+        norm[name] = {
+            d: 0.0 if hi == lo else (s - lo) / (hi - lo)
+            for d, s in scores.items()
+        }
+    out = {}
+    for d in {d for _, sc in rankings for d in sc}:
+        total, n = 0.0, 0
+        for name, _ in rankings:
+            if d in norm[name]:
+                total = total + weights.get(name, 1.0) * norm[name][d]
+                n += 1
+        out[d] = (total * n if mnz else total, n)
+    return out
+
+
+def _combsum_frames(spark):
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 6.0), (3, 2.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.5), (1, 0.1)], "doc_id long, score double"
+    )
+    return [("lex", a), ("vec", b)], [
+        ("lex", {1: 10.0, 2: 6.0, 3: 2.0}),
+        ("vec", {2: 0.9, 4: 0.5, 1: 0.1}),
+    ]
+
+
+def test_combsum_matches_python_oracle(spark):
+    from search_engine_framework_spark.fusion import combsum_fuse
+
+    frames, py = _combsum_frames(spark)
+    for mnz in (False, True):
+        got = {
+            r["doc_id"]: (r["fused"], r["n_matched"])
+            for r in combsum_fuse(frames, mnz=mnz).collect()
+        }
+        exp = _py_combsum(py, mnz=mnz)
+        assert set(got) == set(exp)
+        for d in exp:
+            assert got[d][1] == exp[d][1]
+            assert abs(got[d][0] - exp[d][0]) < 1e-12
+    # mnz promotes the doc both channels contain
+    mnz_rank = {
+        r["doc_id"]: r["rank"]
+        for r in combsum_fuse(frames, mnz=True).collect()
+    }
+    assert mnz_rank[2] == 1  # in both channels
+
+
+def test_combsum_constant_scores_and_weights(spark):
+    from search_engine_framework_spark.fusion import combsum_fuse
+
+    const = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0)], "doc_id long, score double"
+    )
+    other = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: r["fused"]
+        for r in combsum_fuse(
+            [("c", const), ("o", other)], weights={"o": 2.0}
+        ).collect()
+    }
+    # constant ranking contributes 0.0 (LeToR A9 convention); weight 2
+    assert got[1] == pytest.approx(2.0)
+    assert got[2] == pytest.approx(0.0)
+
+
+def test_combsum_per_query_partition(spark):
+    from search_engine_framework_spark.fusion import combsum_fuse
+
+    a = spark.createDataFrame(
+        [("q1", 1, 4.0), ("q1", 2, 2.0), ("q2", 1, 9.0), ("q2", 3, 3.0)],
+        "qid string, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 2, 0.8), ("q2", 3, 0.6)],
+        "qid string, doc_id long, score double",
+    )
+    rows = combsum_fuse(
+        [("a", a), ("b", b)], on=("qid", "doc_id"), per=("qid",)
+    ).collect()
+    ranks = {(r["qid"], r["doc_id"]): r["rank"] for r in rows}
+    # min-max is PER QUERY: each query's a-channel max doc normalizes to
+    # 1.0 (b's singleton channels normalize to 0), and ranks restart per
+    # query
+    assert ranks[("q1", 1)] == 1 and ranks[("q2", 1)] == 1
+    assert ranks[("q1", 2)] == 2 and ranks[("q2", 3)] == 2
+
+
+def test_combsum_validation(spark):
+    from search_engine_framework_spark.fusion import combsum_fuse
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError):
+        combsum_fuse([])
+    with pytest.raises(ValueError):
+        combsum_fuse([("a", df), ("a", df)])
+    with pytest.raises(ValueError):
+        combsum_fuse([("a", df)], per=("qid",))
+    with pytest.raises(ValueError):
+        combsum_fuse([("a", df)], norm="zscore")

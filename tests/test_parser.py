@@ -133,3 +133,55 @@ def test_first_parses_and_validates():
     # stopword child analyzes away -> whole operator elides
     q4 = parse_query("#FIRST/3(the) cat", RankedBoolean())
     assert q4.children == (ast.Term("cat"),)
+
+
+# ----------------------------------------------------------- caret boosts
+
+def test_boost_parsing():
+    from search_engine_framework_spark.plans import ast
+    from search_engine_framework_spark.plans.models import BM25
+    from search_engine_framework_spark.plans.parser import parse_query
+
+    node = parse_query("spark merge^2.5 window.role^3", BM25())
+    kids = node.children
+    assert isinstance(kids[0], ast.Term)
+    assert isinstance(kids[1], ast.Boost) and kids[1].weight == 2.5
+    assert kids[1].child == ast.Term("merge", "body")
+    assert isinstance(kids[2], ast.Boost) and kids[2].weight == 3.0
+    assert kids[2].child.field == "role"
+    # ^1.0 collapses to a plain Term (bit-identical unboosted plan)
+    node = parse_query("spark^1.0 merge", BM25())
+    assert all(isinstance(c, ast.Term) for c in node.children)
+
+
+def test_boost_errors():
+    import pytest as _pytest
+
+    from search_engine_framework_spark.plans.models import BM25
+    from search_engine_framework_spark.plans.parser import parse_query
+
+    with _pytest.raises(ValueError, match="> 0"):
+        parse_query("spark^0", BM25())
+    for bad in ("spar*^2", "*ark^2", "sprak~1^2"):
+        with _pytest.raises(ValueError, match="plain terms"):
+            parse_query(bad, BM25())
+
+
+def test_boost_stopword_dropped():
+    from search_engine_framework_spark.plans import ast
+    from search_engine_framework_spark.plans.models import BM25
+    from search_engine_framework_spark.plans.parser import parse_query
+
+    node = parse_query("the^5 spark", BM25())
+    assert node.children == (ast.Term("spark", "body"),)
+
+
+def test_boost_walkers():
+    from search_engine_framework_spark.plans import ast
+    from search_engine_framework_spark.plans.models import BM25
+    from search_engine_framework_spark.plans.parser import parse_query
+
+    node = parse_query("spark merge.role^2", BM25())
+    assert ast.query_terms(node) == {("spark", "body"), ("merge", "role")}
+    assert ast.query_fields(node) == {"body", "role"}
+    assert not ast.needs_positions(node)

@@ -1,0 +1,114 @@
+"""Chat-format training export (pipeline/render.py) vs a pure-Python
+oracle: rendered text, span offsets, span-slice identity, determinism
+under repartitioning, template/loss-role options."""
+
+import pyspark.sql.functions as F
+
+from search_engine_framework_spark.pipeline.render import render_chat
+
+ROWS = [
+    ("c1", 0, "user", "hello there"),
+    ("c1", 1, "assistant", "hi!"),
+    ("c1", 2, "user", "bye"),
+    ("c1", 3, "assistant", None),          # NULL text -> empty span
+    ("c2", 0, "system", "rules"),
+    ("c2", 1, "assistant", "ok"),
+    ("c3", 0, "user", "unicode café ☃"),
+    ("c3", 1, "assistant", "snöman"),
+    ("c4", 0, "user", "no assistant turn"),  # -> empty loss_spans
+]
+
+
+def _oracle(rows, loss=("assistant",), pre=("<|", "|>\n"), suf="\n"):
+    convs = {}
+    for c, i, r, t in rows:
+        convs.setdefault(c, []).append((i, r, t or ""))
+    res = {}
+    for c, ts in convs.items():
+        ts.sort()
+        text, spans = "", []
+        for _i, r, t in ts:
+            prefix = pre[0] + r + pre[1]
+            start = len(text) + len(prefix)
+            if r in loss:
+                spans.append((start, start + len(t)))
+            text += prefix + t + suf
+        res[c] = (len(ts), len(text), text, spans)
+    return res
+
+
+def _df(spark, nparts=1):
+    return spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, role string, text string"
+    ).repartition(nparts)
+
+
+def test_render_chat_matches_oracle(spark):
+    out = {r["conv_id"]: r for r in render_chat(_df(spark, 3)).collect()}
+    exp = _oracle(ROWS)
+    assert set(out) == set(exp)
+    for c, (n, nch, text, spans) in exp.items():
+        r = out[c]
+        assert r["n_turns"] == n
+        assert r["n_chars"] == nch
+        assert r["text"] == text
+        assert [(s["start"], s["end"]) for s in r["loss_spans"]] == spans
+        # the span slices are EXACTLY the loss turns' texts
+        for (s, e), t in zip(
+            spans,
+            [
+                t or ""
+                for cc, i, role, t in sorted(ROWS)
+                if cc == c and role == "assistant"
+            ],
+        ):
+            assert text[s:e] == t
+
+
+def test_render_chat_partitioning_invariant(spark):
+    a = sorted(
+        ((r["conv_id"], r["text"]) for r in render_chat(_df(spark, 1)).collect())
+    )
+    b = sorted(
+        ((r["conv_id"], r["text"]) for r in render_chat(_df(spark, 7)).collect())
+    )
+    assert a == b
+
+
+def test_render_chat_options(spark):
+    out = {
+        r["conv_id"]: r
+        for r in render_chat(
+            _df(spark),
+            loss_roles=("user", "assistant"),
+            role_prefix=("[", "] "),
+            turn_suffix=" <eot>",
+        ).collect()
+    }
+    exp = _oracle(ROWS, loss=("user", "assistant"), pre=("[", "] "), suf=" <eot>")
+    for c, (n, nch, text, spans) in exp.items():
+        assert out[c]["text"] == text
+        assert [(s["start"], s["end"]) for s in out[c]["loss_spans"]] == spans
+    # system turn in c2 still excluded from loss
+    c2_spans = [(s["start"], s["end"]) for s in out["c2"]["loss_spans"]]
+    assert len(c2_spans) == 1
+
+
+def test_render_chat_empty_spans_kept(spark):
+    out = {r["conv_id"]: r for r in render_chat(_df(spark)).collect()}
+    assert out["c4"]["loss_spans"] == []
+    # the NULL-text assistant turn yields a zero-length span, not a drop
+    c1 = [(s["start"], s["end"]) for s in out["c1"]["loss_spans"]]
+    assert any(s == e for s, e in c1)
+
+
+def test_render_chat_feeds_chunking(spark):
+    """Composition smoke: rendered docs are plain (doc_id, text) fodder
+    for the chunking/packing stages."""
+    from search_engine_framework_spark.pipeline.chunking import chunk_documents
+
+    rendered = render_chat(_df(spark)).select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    )
+    chunks = chunk_documents(rendered, chunk_size=4, overlap=1)
+    assert chunks.count() > 0
