@@ -9,12 +9,16 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 125 of 128 entries are
+                  summation orders differ). 129 of 132 entries are
                   oracle-checked (round 3 adds chat_render — chat-format
                   training export with loss-mask spans, hybrid_combsum —
                   CombMNZ score fusion, boosted_terms — Lucene-style caret
-                  term boosts term^w, and bm25_lucene — the modern Lucene
-                  BM25Similarity ln(1+x)-idf scorer; round 3 also REORDERS
+                  term boosts term^w, bm25_lucene — the modern Lucene
+                  BM25Similarity ln(1+x)-idf scorer, ppl_buckets — the
+                  CCNet perplexity head/middle/tail partition,
+                  explain_bm25 — the distributed Lucene-explain component
+                  frame, conv_quality — conversation-structure gates, and
+                  tool_transitions — agent tool-sequence mining; round 3 also REORDERS
                   the dict so entries never green-checked by a budgeted
                   driver run come first, and ships
                   scripts/contract_sweep.py whose committed

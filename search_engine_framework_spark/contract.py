@@ -755,6 +755,29 @@ def q_boosted_terms(spark, sf_dir):
     )
 
 
+def q_explain_bm25(spark, sf_dir):
+    """Distributed Lucene-explain analog (engine.explain_topk, round 3):
+    per-(top-10 doc, query child) BM25 score components — tf, df, idf,
+    tf_weight, contribution — whose child-order fold reproduces each
+    hit's total. The twin recomputes every component from raw text."""
+    from .plans.models import BM25
+
+    eng = get_engine(spark, sf_dir)
+    out = eng.explain_topk(BM25_QUERY, BM25(), k=10)
+    return out.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("child").cast("long").alias("child"),
+        "term",
+        "tf",
+        "df",
+        _r4(F.col("idf")).alias("idf"),
+        _r4(F.col("tf_weight")).alias("tf_weight"),
+        _r4(F.col("contribution")).alias("contribution"),
+        _r4(F.col("total_score")).alias("total_score"),
+    )
+
+
 def q_hybrid_combsum(spark, sf_dir):
     """CombMNZ score fusion (fusion.combsum_fuse) of the flagship BM25
     top-20 and the vec_id=0 embedding-cosine top-20: per-ranking min-max
@@ -794,6 +817,43 @@ def q_hybrid_combsum(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         _r4(F.col("fused")).alias("fused"),
     )
+
+
+def q_conv_quality(spark, sf_dir):
+    """Conversation-structure quality gates (pipeline/curate.conv_quality)
+    over the synthetic 5-turn conversations (roles by doc parity, so
+    half the conversations start with 'assistant' and fail the
+    starts_with_user gate — both keep branches exercised)."""
+    from .pipeline.curate import conv_quality
+
+    docs = _read(spark, sf_dir, "documents")
+    turns = docs.select(
+        (F.col("doc_id") / 5).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    return conv_quality(turns)
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Agent tool-transition mining (pipeline/curate.tool_transitions)
+    over the synthetic 5-turn conversations, tool := the documents
+    source column (the input_hint tool mapping); every fifth turn
+    tool-less to exercise the transparent-NULL convention."""
+    from .pipeline.curate import tool_transitions
+
+    docs = _read(spark, sf_dir, "documents")
+    turns = docs.select(
+        (F.col("doc_id") / 5).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 5 == 2, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("tool"),
+    )
+    return tool_transitions(turns)
 
 
 def q_chat_render(spark, sf_dir):
@@ -1091,6 +1151,22 @@ def q_lm_score(spark, sf_dir):
     return out.select(
         "doc_id", "n_bigrams", _r4(F.col("cross_entropy")).alias("cross_entropy")
     )
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet perplexity partition (Wenzek et al. 2020): the lm_score
+    pipeline's cross-entropy, rounded to the contract's 4-dp grid (so
+    both engines bucket identical values — unrounded averages differ in
+    summation order), split head/middle/tail at the exact 0.25/0.75
+    percentiles; short docs with no bigrams labeled 'unscored'."""
+    from .pipeline import lm
+
+    docs = _read(spark, sf_dir, "documents")
+    bigrams, contexts, vocab = lm.lm_train(docs)
+    scored = lm.lm_score(docs, bigrams, contexts, vocab, alpha=0.1)
+    scored = scored.withColumn("ce4", _r4(F.col("cross_entropy")))
+    out = lm.ppl_partition(scored, col="ce4", fractions=(0.25, 0.5, 0.25))
+    return out.select("doc_id", "bucket")
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -3235,6 +3311,53 @@ scored AS (
 SELECT vec_id, round(cosine, 4) + 0.0 AS cosine
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
+    "ppl_buckets": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, p[1] AS v, p[2] AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(list_slice(t, 1, greatest(len(t) - 1, 0)),
+                           list_slice(t, 2, len(t)))) AS p
+    FROM toks
+  )
+), big AS (
+  SELECT v, w, count(*)::BIGINT AS c_vw FROM pos GROUP BY v, w
+), ctx AS (
+  SELECT v, count(*)::BIGINT AS c_v FROM pos GROUP BY v
+), voc AS (
+  SELECT count(DISTINCT u)::DOUBLE AS vs
+  FROM (SELECT unnest(t) AS u FROM toks)
+), scored AS (
+  SELECT pos.doc_id,
+         count(*)::BIGINT AS n_bigrams,
+         -avg(ln((coalesce(big.c_vw, 0)::DOUBLE + 0.1)
+                 / (coalesce(ctx.c_v, 0)::DOUBLE + 0.1 * voc.vs)))
+           AS ce
+  FROM pos
+  LEFT JOIN big ON big.v = pos.v AND big.w = pos.w
+  LEFT JOIN ctx ON ctx.v = pos.v
+  CROSS JOIN voc
+  GROUP BY pos.doc_id
+),
+ced AS (
+  SELECT d.doc_id, round(s.ce, 4) + 0.0 AS ce4
+  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+), cuts AS (
+  SELECT quantile_cont(ce4, [0.25, 0.75]) AS c
+  FROM ced WHERE ce4 IS NOT NULL
+)
+SELECT doc_id,
+       CASE WHEN ce4 IS NULL THEN 'unscored'
+            WHEN ce4 <= c[1] THEN 'head'
+            WHEN ce4 <= c[2] THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ced CROSS JOIN cuts
+""",
     "lm_score": """
 WITH toks AS (
   SELECT doc_id,
@@ -3353,6 +3476,61 @@ SELECT doc_id,
                   THEN (n_tri - n_dt)::DOUBLE / n_tri ELSE 0 END, 4)
          + 0.0 AS dup_trigram_frac
 FROM agg
+""",
+    "tool_transitions": """
+WITH turns AS (
+  SELECT doc_id // 5 AS conv_id, (doc_id % 5)::INT AS turn_idx,
+         CASE WHEN doc_id % 5 = 2 THEN NULL ELSE source END AS tool
+  FROM documents
+),
+tooled AS (
+  SELECT conv_id, turn_idx, tool AS to_tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS from_tool
+  FROM turns WHERE tool IS NOT NULL AND tool <> ''
+)
+SELECT from_tool, to_tool, count(*)::BIGINT AS n,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM tooled WHERE from_tool IS NOT NULL
+GROUP BY 1, 2 ORDER BY n DESC, from_tool, to_tool
+""",
+    "conv_quality": """
+WITH turns AS (
+  SELECT doc_id // 5 AS conv_id, (doc_id % 5)::INT AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         len(coalesce(text, '')) AS n
+  FROM documents
+),
+base AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         count(*) FILTER (WHERE role = 'user')::BIGINT AS n_user,
+         count(*) FILTER (WHERE role = 'assistant')::BIGINT AS n_assistant,
+         count(*) FILTER (WHERE role = 'assistant' AND n = 0)::BIGINT
+           AS n_empty_assistant
+  FROM turns GROUP BY 1
+),
+ns AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM turns WHERE role <> 'system'
+),
+agg2 AS (
+  SELECT conv_id,
+         coalesce(sum(CASE WHEN prev = role THEN 1 ELSE 0 END), 0)::BIGINT
+           AS viol,
+         max(CASE WHEN rn = 1 THEN role END) AS first_role
+  FROM ns GROUP BY 1
+)
+SELECT b.conv_id, b.n_turns, b.n_user, b.n_assistant,
+       coalesce(a.first_role = 'user', FALSE) AS starts_with_user,
+       coalesce(a.viol, 0)::BIGINT AS n_alternation_violations,
+       b.n_empty_assistant,
+       (b.n_turns BETWEEN 2 AND 4096 AND b.n_assistant >= 1
+        AND coalesce(a.first_role = 'user', FALSE)
+        AND coalesce(a.viol, 0) = 0
+        AND b.n_empty_assistant = 0) AS keep
+FROM base b LEFT JOIN agg2 a USING (conv_id)
 """,
     "chat_render": """
 WITH turns AS (
@@ -4722,6 +4900,51 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 )
 
+# Distributed explain: top-10 of the flagship fold, then every (doc,
+# child) component recomputed from raw text — idf, saturation, and the
+# per-child contribution the engine's fold sums.
+ORACLE_SQL["explain_bm25"] = (
+    _SQL_BASE
+    + _LEX_RANK_SQL
+    + f""",
+etop AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM lexscored ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+echild(child, term) AS (VALUES (0, 'spark'), (1, 'merge'), (2, 'window'))
+SELECT etop.doc_id,
+       etop.rank::BIGINT AS rank,
+       echild.child::BIGINT AS child,
+       echild.term,
+       coalesce(tf.tf, 0)::BIGINT AS tf,
+       dfreq.df::BIGINT AS df,
+       round(ln((cstats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 4)
+         + 0.0 AS idf,
+       round(CASE WHEN coalesce(tf.tf, 0) > 0 THEN
+           tf.tf::DOUBLE /
+             (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+              + 0.75 * (dl.doclen::DOUBLE
+                        / (cstats.sum_doclen::DOUBLE / cstats.doc_count))))
+         ELSE 0.0 END, 4) + 0.0 AS tf_weight,
+       round(CASE WHEN coalesce(tf.tf, 0) > 0 THEN
+           (ln((cstats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf::DOUBLE /
+               (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+                + 0.75 * (dl.doclen::DOUBLE
+                          / (cstats.sum_doclen::DOUBLE / cstats.doc_count))))))
+           * 1.0 * 1.0
+         ELSE 0.0 END, 4) + 0.0 AS contribution,
+       round(etop.s, 4) + 0.0 AS total_score
+FROM etop
+CROSS JOIN echild
+LEFT JOIN tf ON tf.doc_id = etop.doc_id AND tf.term = echild.term
+LEFT JOIN dl ON dl.doc_id = etop.doc_id
+JOIN dfreq ON dfreq.term = echild.term
+CROSS JOIN cstats
+ORDER BY rank, child
+"""
+)
+
 # CombMNZ over the same two channels: lexscored/vecscored CTEs reused,
 # score-cut instead of rank-cut, per-ranking min-max over the cut, MNZ
 # multiplier = channels containing the doc (combsum_fuse arithmetic
@@ -5178,6 +5401,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_combsum": q_hybrid_combsum,
     "boosted_terms": q_boosted_terms,
     "bm25_lucene": q_bm25_lucene,
+    "ppl_buckets": q_ppl_buckets,
+    "explain_bm25": q_explain_bm25,
+    "conv_quality": q_conv_quality,
+    "tool_transitions": q_tool_transitions,
     "hash_split": q_hash_split,
     "mixture_mix": q_mixture_mix,
     "dup_spans": q_dup_spans,

@@ -567,6 +567,112 @@ class SearchEngine:
             "score": total,
         }
 
+    def explain_topk(self, query: str, model, k: int = 10) -> DataFrame:
+        """Distributed score explanation for the whole top-k (the
+        DataFrame companion to ``explain_doc``'s one-doc dict): one row
+        per (top-k doc, query child) with the exact BM25 components —
+        tf, df, idf, tf_weight, per-child contribution (boost included)
+        — whose child-order fold reproduces each hit's score.
+
+        Flat BM25-family #SUM queries only (plain or ^boosted terms);
+        the per-doc tf comes from the forward index, so the plan is the
+        ranked search plus k-bounded broadcast joins (child table and
+        hit set are both tiny). Raises for non-flat queries, mirroring
+        explain_doc."""
+        from .functions.scoring import model_idf
+        from .plans.models import BM25 as _BM25
+
+        if not isinstance(model, _BM25):
+            raise ValueError("explain_topk supports BM25-family models only")
+        node = self._parse(query, model)
+        # unwrap the parser's model-default #SUM wrapper (score-identical,
+        # same rule as QueryCompiler._flat_sum_pairs)
+        while (
+            isinstance(node, ast.Sum)
+            and len(node.children) == 1
+            and isinstance(node.children[0], ast.Sum)
+        ):
+            node = node.children[0]
+        flat: list[tuple[str, str, float]] = []
+        kids = node.children if isinstance(node, ast.Sum) else None
+        if kids is not None:
+            for c in kids:
+                if isinstance(c, ast.Boost) and isinstance(c.child, ast.Term):
+                    flat.append((c.child.term, c.child.field, c.weight))
+                elif isinstance(c, ast.Term):
+                    flat.append((c.term, c.field, 1.0))
+                else:
+                    flat = []
+                    break
+        if not flat:
+            raise ValueError(
+                "explain_topk supports flat BM25 #SUM(term[^boost] ...) "
+                "queries"
+            )
+        top = self.search(query, model, k=k).select(
+            "doc_id", "ext_id", "rank", F.col("score").alias("total_score")
+        )
+        stats = self.reader.term_stats({(t, f) for t, f, _ in flat})
+        n = self.reader.num_docs
+        m = model
+        user_w = (m.k_3 + 1.0) * 1.0 / (m.k_3 + 1.0)
+        child_rows = []
+        for j, (t, f, boost) in enumerate(flat):
+            df_ = int(stats.get((t, f), {}).get("df", 0))
+            child_rows.append(
+                (j, t, f, df_, model_idf(m, n, df_),
+                 self.reader.avg_doclen(f), boost)
+            )
+        childs = self.spark.createDataFrame(
+            child_rows,
+            "child int, term string, field string, df long, idf double, "
+            "avg_doclen double, boost double",
+        )
+        hits = top.select("doc_id")
+        tfs = (
+            self.reader.doc_terms()
+            .join(F.broadcast(hits), "doc_id")
+            .select("doc_id", "term", "field", "tf")
+        )
+        dls = (
+            self.reader.doclen()
+            .join(F.broadcast(hits), "doc_id")
+            .select("doc_id", "field", "doclen")
+        )
+        tf_c = F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+        dl_c = F.coalesce(F.col("doclen"), F.lit(0)).cast("double")
+        tfw = tf_c / (
+            tf_c
+            + F.lit(m.k_1)
+            * (F.lit(1.0 - m.b) + F.lit(m.b) * (dl_c / F.col("avg_doclen")))
+        )
+        contrib = (
+            (F.col("idf") * tfw) * F.lit(user_w) * F.col("boost")
+        )
+        return (
+            top.crossJoin(F.broadcast(childs))
+            .join(tfs, ["doc_id", "term", "field"], "left")
+            .join(dls, ["doc_id", "field"], "left")
+            .select(
+                "doc_id",
+                "ext_id",
+                "rank",
+                "total_score",
+                "child",
+                "term",
+                "field",
+                F.coalesce(F.col("tf"), F.lit(0)).cast("long").alias("tf"),
+                "df",
+                "idf",
+                F.col("boost"),
+                F.when(tf_c > 0, tfw).otherwise(F.lit(0.0)).alias("tf_weight"),
+                F.when(tf_c > 0, contrib)
+                .otherwise(F.lit(0.0))
+                .alias("contribution"),
+            )
+            .orderBy("rank", "child")
+        )
+
     def decode_metrics(self) -> dict:
         """Cumulative block-decode counters (block-max pruning evidence):
         {"blocks_decoded": n, "blocks_skipped": n}."""

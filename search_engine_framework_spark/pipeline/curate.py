@@ -121,3 +121,138 @@ def curation_report(flags: DataFrame) -> DataFrame:
         F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
         F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
     )
+
+
+def conv_quality(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    system_role: str = "system",
+    min_turns: int = 2,
+    max_turns: int = 4096,
+) -> DataFrame:
+    """Conversation-level quality gates — the turn-structure audit a
+    transcript corpus needs BEFORE document-level curation (which sees
+    one turn at a time and cannot judge dialogue shape). Per
+    conversation:
+
+    * ``n_turns`` / ``n_user`` / ``n_assistant`` — size and role mix;
+    * ``starts_with_user`` — first non-system turn is the user (the SFT
+      convention; leading system prompts are exempt);
+    * ``n_alternation_violations`` — adjacent same-role pairs after
+      dropping system turns (a well-formed dialogue alternates);
+    * ``n_empty_assistant`` — assistant turns with blank text (a
+      truncated or failed generation);
+    * ``keep`` — the conjunction: turn count in [min_turns, max_turns],
+      >= 1 assistant turn, starts with user, zero violations, zero
+      empty assistant turns.
+
+    Scale shape: ONE groupBy(conv) whose state is a conversation's
+    (turn_idx, role, len) triples — bounded by turns/conv exactly like
+    conv_fingerprints — then pure array expressions
+    (sort_array/filter/zip_with/aggregate, zero UDF). Turn order is
+    made explicit by the sort_array, so the audit is deterministic
+    under any partitioning.
+    """
+    tlen = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    packed = turns.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(idx_col).cast("int").alias("i"),
+                    F.col(role_col).alias("r"),
+                    tlen.cast("long").alias("n"),
+                )
+            )
+        ).alias("ts")
+    )
+    nonsys = F.filter(F.col("ts"), lambda t: t["r"] != F.lit(system_role))
+    roles = F.transform(nonsys, lambda t: t["r"])
+    k = F.size(roles)
+    pairs_same = F.zip_with(
+        F.slice(roles, 1, F.greatest(k - 1, F.lit(0))),
+        F.slice(roles, 2, F.greatest(k - 1, F.lit(0))),
+        lambda a, b: (a == b).cast("int"),
+    )
+    out = packed.select(
+        "conv_id",
+        F.size("ts").cast("long").alias("n_turns"),
+        F.size(
+            F.filter(F.col("ts"), lambda t: t["r"] == F.lit(user_role))
+        ).cast("long").alias("n_user"),
+        F.size(
+            F.filter(F.col("ts"), lambda t: t["r"] == F.lit(assistant_role))
+        ).cast("long").alias("n_assistant"),
+        F.coalesce(
+            F.element_at(roles, 1) == F.lit(user_role), F.lit(False)
+        ).alias("starts_with_user"),
+        F.coalesce(
+            F.aggregate(pairs_same, F.lit(0), lambda acc, x: acc + x),
+            F.lit(0),
+        ).cast("long").alias("n_alternation_violations"),
+        F.size(
+            F.filter(
+                F.col("ts"),
+                lambda t: (t["r"] == F.lit(assistant_role)) & (t["n"] == 0),
+            )
+        ).cast("long").alias("n_empty_assistant"),
+    )
+    keep = (
+        (F.col("n_turns") >= min_turns)
+        & (F.col("n_turns") <= max_turns)
+        & (F.col("n_assistant") >= 1)
+        & F.col("starts_with_user")
+        & (F.col("n_alternation_violations") == 0)
+        & (F.col("n_empty_assistant") == 0)
+    )
+    return out.withColumn("keep", keep)
+
+
+def tool_transitions(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Agent tool-sequence mining over transcripts: how often does tool
+    A's turn get followed by tool B's turn within one conversation?
+    The workflow-analytics primitive for agent corpora (which tool
+    chains dominate, which pairs never co-occur) — the input_hint
+    schema's ``tool`` column is exactly this signal.
+
+    Per (from_tool, to_tool): ``n`` transitions, ``n_convs`` distinct
+    conversations containing the pair. Turns with a NULL/empty tool are
+    transparent — a tool-less assistant message between two tool calls
+    does not break the chain (the standard transition-mining convention;
+    make them opaque by filtering upstream if desired).
+
+    Scale shape: one lag window over (conv, turn_idx) on the tool-turn
+    subset + one combinable groupBy — both hash the conversation key
+    first, so the whole operator is one shuffle plus a count shuffle of
+    (tools²)-bounded cardinality.
+    """
+    tooled = turns.where(
+        F.col(tool_col).isNotNull() & (F.col(tool_col) != "")
+    ).select(
+        F.col(conv_col).alias("_c"),
+        F.col(idx_col).alias("_i"),
+        F.col(tool_col).alias("to_tool"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_c").orderBy("_i")
+    pairs = tooled.withColumn("from_tool", F.lag("to_tool").over(w)).where(
+        F.col("from_tool").isNotNull()
+    )
+    return (
+        pairs.groupBy("from_tool", "to_tool")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("_c").cast("long").alias("n_convs"),
+        )
+        .orderBy(F.desc("n"), "from_tool", "to_tool")
+    )

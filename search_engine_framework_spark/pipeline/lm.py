@@ -124,3 +124,71 @@ def lm_score(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
         "cross_entropy",
     )
+
+
+def ppl_partition(
+    scored: DataFrame,
+    col: str = "cross_entropy",
+    fractions: tuple[float, ...] = (0.25, 0.5, 0.25),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    unscored_label: str = "unscored",
+) -> DataFrame:
+    """CCNet-style perplexity partition (Wenzek et al. 2020 §4.3): split
+    the corpus into quality tiers by the LM score — lower cross-entropy
+    = closer to the target distribution = ``head``. Adds a ``bucket``
+    column; rows with a NULL score (docs too short to have bigrams) get
+    ``unscored_label`` (CCNet simply drops them; keeping them labeled
+    lets the caller decide).
+
+    Bucketing is VALUE-threshold based, not rank-based: the cut points
+    are the exact cumulative-fraction percentiles of the non-null score
+    distribution (sort-based linear interpolation — the same
+    ``F.percentile`` definition facet_percentiles uses, which DuckDB's
+    quantile_cont replays bit-for-bit), and each row compares its score
+    against those broadcast literals. That makes the assignment a pure
+    function of the corpus content — deterministic under any
+    partitioning, no ntile tie ambiguity — at the cost of not hitting
+    the requested fractions exactly when scores tie across a cut.
+
+    Scale posture: one percentile aggregation (driver receives
+    ``len(fractions)-1`` floats) + one stateless column compare. At
+    10^12 docs swap ``F.percentile`` for ``F.approx_percentile`` (same
+    plan shape, documented rank error) — exactness at the cuts is a
+    test-scale luxury, not a semantic.
+    """
+    if len(fractions) != len(labels):
+        raise ValueError(
+            f"fractions/labels length mismatch: {fractions} vs {labels}"
+        )
+    if len(labels) < 2:
+        raise ValueError("ppl_partition needs at least two buckets")
+    if any(f <= 0 for f in fractions) or abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be positive and sum to 1: {fractions}")
+    cum: list[float] = []
+    acc = 0.0
+    for f in fractions[:-1]:
+        acc += f
+        cum.append(acc)
+    cuts_row = (
+        scored.where(F.col(col).isNotNull())
+        .agg(F.percentile(col, F.array(*[F.lit(c) for c in cum])).alias("c"))
+        .first()
+    )
+    cuts = list(cuts_row["c"] or [])
+    s = F.col(col)
+    if not cuts:  # zero scored rows: every row is unscored
+        return scored.withColumn(
+            "bucket",
+            F.when(s.isNull(), F.lit(unscored_label)).otherwise(
+                F.lit(labels[0])
+            ),
+        )
+    bucket = F.when(s.isNull(), F.lit(unscored_label))
+    prev = None
+    for cut, lab in zip(cuts, labels[:-1]):
+        cond = s <= F.lit(float(cut))
+        if prev is not None:
+            cond = cond & (s > F.lit(float(prev)))
+        bucket = bucket.when(cond, F.lit(lab))
+        prev = cut
+    return scored.withColumn("bucket", bucket.otherwise(F.lit(labels[-1])))

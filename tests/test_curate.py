@@ -88,3 +88,112 @@ def test_curate_and_report(docs):
     assert rep["n_lang_ok"] == 3         # 0, 1, 6
     assert rep["n_kept"] == 2            # 0, 6
     assert rep["n_train"] + rep["n_val"] + rep["n_test"] == 2
+
+
+# ------------------------------------------------- conversation quality
+
+def _cq_rows():
+    return [
+        ("good", 0, "user", "hi"), ("good", 1, "assistant", "hello"),
+        ("good", 2, "user", "q"), ("good", 3, "assistant", "a"),
+        ("sys", 0, "system", "rules"), ("sys", 1, "user", "hi"),
+        ("sys", 2, "assistant", "yo"),
+        ("badstart", 0, "assistant", "hi"), ("badstart", 1, "user", "eh"),
+        ("doubleu", 0, "user", "a"), ("doubleu", 1, "user", "b"),
+        ("doubleu", 2, "assistant", "c"),
+        ("emptya", 0, "user", "hi"), ("emptya", 1, "assistant", ""),
+        ("nulla", 0, "user", "hi"), ("nulla", 1, "assistant", None),
+        ("solo", 0, "user", "alone"),
+    ]
+
+
+def test_conv_quality_gates(spark):
+    from search_engine_framework_spark.pipeline.curate import conv_quality
+
+    df = spark.createDataFrame(
+        _cq_rows(), "conv_id string, turn_idx int, role string, text string"
+    ).repartition(3)
+    out = {r["conv_id"]: r for r in conv_quality(df).collect()}
+    assert out["good"]["keep"] and out["sys"]["keep"]
+    # leading system prompt exempt from starts_with_user
+    assert out["sys"]["starts_with_user"]
+    assert not out["badstart"]["keep"] and not out["badstart"]["starts_with_user"]
+    assert out["doubleu"]["n_alternation_violations"] == 1
+    assert not out["doubleu"]["keep"]
+    assert out["emptya"]["n_empty_assistant"] == 1 and not out["emptya"]["keep"]
+    # NULL text counts as empty
+    assert out["nulla"]["n_empty_assistant"] == 1
+    assert out["solo"]["n_turns"] == 1 and not out["solo"]["keep"]
+    assert out["good"]["n_user"] == 2 and out["good"]["n_assistant"] == 2
+
+
+def test_conv_quality_partitioning_invariant(spark):
+    from search_engine_framework_spark.pipeline.curate import conv_quality
+
+    a = sorted(
+        map(tuple, conv_quality(
+            spark.createDataFrame(
+                _cq_rows(),
+                "conv_id string, turn_idx int, role string, text string",
+            ).repartition(1)
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, conv_quality(
+            spark.createDataFrame(
+                _cq_rows(),
+                "conv_id string, turn_idx int, role string, text string",
+            ).repartition(7)
+        ).collect())
+    )
+    assert a == b
+
+
+def test_conv_quality_turn_bounds(spark):
+    from search_engine_framework_spark.pipeline.curate import conv_quality
+
+    rows = [("c", i, "user" if i % 2 == 0 else "assistant", "t")
+            for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    assert conv_quality(df, max_turns=4).first()["keep"] is False
+    assert conv_quality(df, max_turns=8).first()["keep"] is True
+    assert conv_quality(df, min_turns=7).first()["keep"] is False
+
+
+# --------------------------------------------------- tool transitions
+
+def test_tool_transitions(spark):
+    from search_engine_framework_spark.pipeline.curate import tool_transitions
+
+    rows = [
+        # c1: a -> b -> (none) -> a   => (a,b), (b,a) with NULL transparent
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, None), ("c1", 3, "a"),
+        # c2: a -> b twice within one conv => n=2, n_convs=1
+        ("c2", 0, "a"), ("c2", 1, "b"), ("c2", 2, "a"), ("c2", 3, "b"),
+        # c3: empty-string tool transparent; single tool => no pairs
+        ("c3", 0, ""), ("c3", 1, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string"
+    ).repartition(3)
+    got = {
+        (r["from_tool"], r["to_tool"]): (r["n"], r["n_convs"])
+        for r in tool_transitions(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (3, 2),   # c1 once + c2 twice
+        ("b", "a"): (2, 2),   # c1 (through the NULL) + c2
+    }
+
+
+def test_tool_transitions_conv_isolation(spark):
+    """The last tool of one conversation never chains into the next."""
+    from search_engine_framework_spark.pipeline.curate import tool_transitions
+
+    rows = [("c1", 0, "x"), ("c2", 0, "y")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string"
+    )
+    assert tool_transitions(df).count() == 0

@@ -80,3 +80,72 @@ def test_lm_score_validation(corpus):
         lm.lm_score(df, bigrams, contexts, vocab, alpha=0.0)
     with pytest.raises(ValueError, match="vocab_size"):
         lm.lm_score(df, bigrams, contexts, 0)
+
+
+# ------------------------------------------------------ perplexity buckets
+
+def test_ppl_partition_thresholds(spark):
+    from search_engine_framework_spark.pipeline.lm import ppl_partition
+
+    rows = [(i, float(i)) for i in range(100)] + [(100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, ce double").repartition(5)
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_partition(
+            df, col="ce", fractions=(0.25, 0.5, 0.25)
+        ).collect()
+    }
+    # value cuts at the exact 0.25/0.75 percentiles of 0..99
+    # (24.75, 74.25): head = ce <= 24.75 -> 0..24
+    assert sum(1 for v in out.values() if v == "head") == 25
+    assert sum(1 for v in out.values() if v == "middle") == 50
+    assert sum(1 for v in out.values() if v == "tail") == 25
+    assert out[100] == "unscored"
+    assert out[0] == "head" and out[50] == "middle" and out[99] == "tail"
+
+
+def test_ppl_partition_partitioning_invariant(spark):
+    from search_engine_framework_spark.pipeline.lm import ppl_partition
+
+    rows = [(i, float((i * 37) % 13)) for i in range(60)]
+    a = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_partition(
+            spark.createDataFrame(rows, "doc_id long, ce double")
+            .repartition(1),
+            col="ce",
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_partition(
+            spark.createDataFrame(rows, "doc_id long, ce double")
+            .repartition(7),
+            col="ce",
+        ).collect()
+    }
+    assert a == b
+
+
+def test_ppl_partition_validation(spark):
+    import pytest as _pytest
+
+    from search_engine_framework_spark.pipeline.lm import ppl_partition
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, ce double")
+    with _pytest.raises(ValueError):
+        ppl_partition(df, col="ce", fractions=(0.5, 0.5), labels=("a",))
+    with _pytest.raises(ValueError):
+        ppl_partition(df, col="ce", fractions=(1.0,), labels=("a",))
+    with _pytest.raises(ValueError):
+        ppl_partition(df, col="ce", fractions=(0.7, 0.5))
+
+
+def test_ppl_partition_all_null(spark):
+    from search_engine_framework_spark.pipeline.lm import ppl_partition
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, ce double"
+    )
+    out = {r["doc_id"]: r["bucket"] for r in ppl_partition(df, col="ce").collect()}
+    assert out == {1: "unscored", 2: "unscored"}

@@ -564,3 +564,42 @@ def test_regex_anchoring_is_whole_term(engine):
 def test_regex_expansion_cap(engine):
     with pytest.raises(ValueError, match="more than"):
         engine.reader.expand_regex("[a-z0-9]+", "body", limit=1)
+
+
+def test_explain_topk_fold_reproduces_scores(engine):
+    """explain_topk: per-(doc, child) contributions in child order must
+    fold to EXACTLY each hit's search() score, incl. boosted children
+    and the LuceneBM25 idf; zero-tf rows report zero contribution."""
+    from search_engine_framework_spark.plans.models import LuceneBM25
+
+    for q, model in [
+        ("search engine index", BM25()),
+        ("search engine^2.5 index", BM25()),
+        ("search engine", LuceneBM25()),
+    ]:
+        rows = engine.explain_topk(q, model, k=5).collect()
+        want = {
+            r["doc_id"]: r["score"]
+            for r in engine.search(q, model, k=5).collect()
+        }
+        by: dict = {}
+        for r in rows:
+            by.setdefault(r["doc_id"], []).append(r)
+        assert set(by) == set(want)
+        for d, rs in by.items():
+            rs.sort(key=lambda r: r["child"])
+            total = 0.0
+            for r in rs:
+                total = total + r["contribution"]
+                if r["tf"] == 0:
+                    assert r["contribution"] == 0.0 and r["tf_weight"] == 0.0
+            assert total == pytest.approx(want[d], rel=1e-12), (q, d)
+
+
+def test_explain_topk_rejects_non_flat(engine):
+    from search_engine_framework_spark.plans.models import Indri
+
+    with pytest.raises(ValueError, match="flat BM25"):
+        engine.explain_topk("#AND(search engine)", BM25())
+    with pytest.raises(ValueError, match="BM25-family"):
+        engine.explain_topk("search engine", Indri())
