@@ -263,12 +263,17 @@ def knn_join(
     closure — the right call up to ~10^5 queries × dim floats.  For
     larger query sets pass ``chunk_size``: the query side is streamed
     through ``toLocalIterator`` in bounded slices of that many vectors,
-    each slice runs the identical two-stage plan, and the results union.
-    Driver memory is then bounded by one slice (plus one query-side
-    partition of the iterator), never the full query set; the trade is
-    one corpus pass per slice.  Per-query results are independent, so
-    chunking is bit-identical to the single-closure path
-    (tests/test_similarity.py locks this).
+    each slice runs the identical two-stage plan EAGERLY and is
+    ``localCheckpoint``-ed — cutting its lineage so the slice's query
+    matrix (captured in the mapInPandas closure) is released instead of
+    being retained by the unioned plan.  Driver/plan memory is then
+    bounded by one slice plus the accumulated RESULTS (k rows per
+    query, block-manager-resident), never the full query-vector set;
+    the trade is one corpus pass per slice, paid at call time rather
+    than at the caller's action (and, as with any localCheckpoint,
+    executor loss requires a re-call).  Per-query results are
+    independent, so chunking is bit-identical to the single-closure
+    path (tests/test_similarity.py locks this).
     """
     if q_id_col == id_col:
         raise ValueError(
@@ -281,20 +286,24 @@ def knn_join(
         out = None
         buf: list = []
         q_proj = queries.select(q_id_col, q_vec_col)
+
+        def run_slice(rows: list) -> DataFrame:
+            part = _knn_join_rows(
+                embs, queries, rows, k, id_col, vec_col,
+                q_id_col, q_vec_col, margin,
+            )
+            # eager + lineage cut: frees this slice's closure-captured
+            # query matrix once the slice's job finishes
+            return part.localCheckpoint(eager=True)
+
         for row in q_proj.toLocalIterator():
             buf.append(row)
             if len(buf) == chunk_size:
-                part = _knn_join_rows(
-                    embs, queries, buf, k, id_col, vec_col,
-                    q_id_col, q_vec_col, margin,
-                )
+                part = run_slice(buf)
                 out = part if out is None else out.unionByName(part)
                 buf = []
         if buf:
-            part = _knn_join_rows(
-                embs, queries, buf, k, id_col, vec_col,
-                q_id_col, q_vec_col, margin,
-            )
+            part = run_slice(buf)
             out = part if out is None else out.unionByName(part)
         if out is None:
             raise ValueError("knn_join: empty query set")

@@ -783,3 +783,25 @@ def test_index_stats_report(spark, tiny_index):
     assert s["disk_bytes"]["total"] >= s["disk_bytes"]["segments"]
     assert s["pending_deletes"] == 0
     assert s["lineage"]["n_buckets"] == 8
+
+
+def test_search_many_lucene_and_boosts(spark, tiny_index):
+    """search_many (one shared scan) must equal the sequential path for
+    the round-3 scorer (LuceneBM25) and caret-boosted queries."""
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.plans.models import LuceneBM25
+
+    paths, _rows, _tdf = tiny_index
+    eng = SearchEngine(spark, paths)
+    qs = {"q1": "search engine", "q2": "search engine^2 index"}
+    many = eng.search_many(qs, LuceneBM25(), k=10)
+    for qid, text in qs.items():
+        got = [
+            (r["doc_id"], r["rank"], r["score"])
+            for r in many[qid].collect()
+        ]
+        want = [
+            (r["doc_id"], r["rank"], r["score"])
+            for r in eng.search(text, LuceneBM25(), k=10).collect()
+        ]
+        assert got == want, qid
