@@ -147,7 +147,7 @@ class SearchEngine:
             # driver fast path reads ONE index's files, so it opts out
             and getattr(self.reader, "fastpath_supported", True)
         ):
-            flat = QueryCompiler._flat_sum_pairs(node)
+            flat = QueryCompiler._flat_sum_weighted(node)
             if flat is not None:
                 from .fastpath import bm25_topk_driver
 
@@ -505,13 +505,14 @@ class SearchEngine:
         if not isinstance(model, _BM25):
             raise ValueError("explain_doc supports the BM25 model only")
         node = self._parse(query, model)
-        flat = QueryCompiler._flat_sum_pairs(node) if node else None
+        flat = QueryCompiler._flat_sum_weighted(node) if node else None
         if flat is None:
             raise ValueError(
-                "explain_doc supports flat BM25 #SUM(term ...) queries"
+                "explain_doc supports flat BM25 #SUM(term[^boost] ...) "
+                "queries"
             )
-        stats = self.reader.term_stats(set(flat))
-        fields = sorted({f for _, f in flat})
+        stats = self.reader.term_stats({(t, f) for t, f, _ in flat})
+        fields = sorted({f for _, f, _ in flat})
         dl_rows = (
             self.reader.doclen()
             .where(
@@ -527,7 +528,7 @@ class SearchEngine:
             self.reader.doc_terms()
             .where(
                 (F.col("doc_id") == int(doc_id))
-                & F.col("term").isin(sorted({t for t, _ in flat}))
+                & F.col("term").isin(sorted({t for t, _, _ in flat}))
             )
             .select("term", "field", "tf")
             .collect()
@@ -538,7 +539,7 @@ class SearchEngine:
         user_w = (m.k_3 + 1.0) * 1.0 / (m.k_3 + 1.0)
         terms = []
         total = 0.0
-        for t, f in flat:
+        for t, f, boost in flat:
             df = int(stats.get((t, f), {}).get("df", 0))
             tf = tfs.get((t, f), 0)
             dl = dls.get(f, 0)
@@ -554,11 +555,19 @@ class SearchEngine:
                 {
                     "term": t, "field": f, "tf": tf, "df": df,
                     "doclen": dl, "avg_doclen": avg, "idf": idf,
-                    "tf_weight": tfw, "user_weight": user_w, "score": s,
+                    "tf_weight": tfw, "user_weight": user_w,
+                    "boost": boost, "score": s,
                 }
             )
             # child-order fold, +0.0 for absent terms — exactly _bm25_sum
-            total = total + (s * user_w if tf > 0 else 0.0)
+            # incl. the boost multiply only when != 1.0
+            if tf > 0:
+                contrib = s * user_w
+                if boost != 1.0:
+                    contrib = contrib * boost
+                total = total + contrib
+            else:
+                total = total + 0.0
         return {
             "doc_id": int(doc_id),
             "model": {"k_1": m.k_1, "b": m.b, "k_3": m.k_3},

@@ -85,13 +85,15 @@ def _tombstones(reader) -> "set[int] | None":
 
 def bm25_topk_driver(
     reader,
-    child_pairs: list[tuple[str, str]],
+    child_pairs: "list[tuple[str, str]] | list[tuple[str, str, float]]",
     model,
     k: int,
     max_postings: int | None = None,
 ) -> "list[tuple[int, str, float]] | None":
     """Exact BM25 top-``k`` for a flat #SUM over ``child_pairs`` (child
-    order preserved, duplicates kept), computed driver-side.
+    order preserved, duplicates kept; entries may carry a third element
+    — the caret boost, default 1.0 — applied with the compiler's exact
+    operand order), computed driver-side.
 
     → [(doc_id, ext_id, score)] in final rank order, or None when any
     gate fails (caller falls back to the distributed plan). Scores are
@@ -105,7 +107,11 @@ def bm25_topk_driver(
     if not (_local_dir(seg_root) and _local_dir(doc_root)):
         return None
 
-    pairs = set(child_pairs)
+    children = [
+        (p[0], p[1], float(p[2]) if len(p) > 2 else 1.0)
+        for p in child_pairs
+    ]
+    pairs = {(t, f) for t, f, _ in children}
     stats = reader.term_stats(pairs)
     total_df = sum(s["df"] for s in stats.values())
     if total_df == 0:
@@ -140,7 +146,7 @@ def bm25_topk_driver(
     if not len(all_docs):
         return []
     scores = np.zeros(len(all_docs), dtype=np.float64)
-    for t, f in child_pairs:
+    for t, f, boost in children:
         got = postings.get((t, f))
         if got is None:
             continue
@@ -151,9 +157,12 @@ def bm25_topk_driver(
         idf = model_idf(m, n_docs, st["df"])
         avg = reader.avg_doclen(f)
         # same operand order as functions/scoring.bm25_tf_weight +
-        # compiler leaf (lit(idf) * tfw) and fold (* user_w)
+        # compiler leaf (lit(idf) * tfw) and fold (* user_w, then the
+        # boost multiply ONLY when != 1.0 — exactly _bm25_sum's expr)
         tfw = tfs / (tfs + m.k_1 * ((1.0 - m.b) + m.b * (dls / avg)))
         contrib = (idf * tfw) * user_w
+        if boost != 1.0:
+            contrib = contrib * boost
         ix = np.searchsorted(all_docs, docs)
         keep = (ix < len(all_docs)) & (all_docs[np.minimum(ix, len(all_docs) - 1)] == docs)
         scores[ix[keep]] += contrib[keep]

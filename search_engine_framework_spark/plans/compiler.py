@@ -129,12 +129,17 @@ class QueryCompiler:
         ).persist()
 
     @staticmethod
-    def _flat_sum_pairs(node: ast.Node) -> list[tuple[str, str]] | None:
-        """[(term, field)] per child (duplicates kept) for a flat
-        #SUM(term ...) tree, else None. Single-child #SUM wrappers (the
-        parser's model-default wrapper around an explicit #SUM query) are
-        transparent: #SUM(#SUM(a b)) scores identically to #SUM(a b)
-        (user_w = 1, 0.0 + s == s in IEEE754)."""
+    def _flat_sum_weighted(
+        node: ast.Node,
+    ) -> list[tuple[str, str, float]] | None:
+        """[(term, field, boost)] per child (duplicates kept, boost 1.0
+        for plain terms) for a flat #SUM(term[^boost] ...) tree, else
+        None. Single-child #SUM wrappers (the parser's model-default
+        wrapper around an explicit #SUM query) are transparent:
+        #SUM(#SUM(a b)) scores identically to #SUM(a b) (user_w = 1,
+        0.0 + s == s in IEEE754). Since round 3 boosted children
+        qualify too — the fast path and block-max pruning both carry
+        the per-child multiplier."""
         while (
             isinstance(node, ast.Sum)
             and len(node.children) == 1
@@ -145,10 +150,21 @@ class QueryCompiler:
             return None
         out = []
         for c in node.children:
-            if not isinstance(c, ast.Term):
+            if isinstance(c, ast.Boost) and isinstance(c.child, ast.Term):
+                out.append((c.child.term, c.child.field, float(c.weight)))
+            elif isinstance(c, ast.Term):
+                out.append((c.term, c.field, 1.0))
+            else:
                 return None
-            out.append((c.term, c.field))
         return out or None
+
+    @staticmethod
+    def _flat_sum_pairs(node: ast.Node) -> list[tuple[str, str]] | None:
+        """[(term, field)] view of ``_flat_sum_weighted`` (same
+        qualification rule — boosted children INCLUDED since round 3;
+        callers needing the boosts use the weighted form)."""
+        w = QueryCompiler._flat_sum_weighted(node)
+        return None if w is None else [(t, f) for t, f, _ in w]
 
     def _bm25_block_prune(
         self, node: ast.Node, k: int, min_blocks: int | None = None
@@ -159,12 +175,12 @@ class QueryCompiler:
         NEGATIVE scores, QryopSlScore.java:139 idf not floored):
 
         * θ: seed-decode each term's best blocks, take the k-th largest
-          partial score p_k, and set θ = p_k + Σ_t mult_t·min(0, gmin_t)
+          partial score p_k, and set θ = p_k + Σ_t w_t·min(0, gmin_t)
           (gmin = the term's most negative possible contribution). Each of
           those k docs' true totals ≥ its partial + the negative slack, so
           ≥ k docs have total ≥ θ ⇒ the true k-th total T_k ≥ θ.
         * skip block b of term t iff
-            mult_t·max(0, ub(b)) + Σ_{t'≠t} mult_t'·max(0, gmax_t') < θ.
+            w_t·max(0, ub(b)) + Σ_{t'≠t} w_t'·max(0, gmax_t') < θ.
           For any doc d touching a skipped block: its TRUE total and its
           COMPUTED score (which misses at most negative contributions)
           are both ≤ that bound < θ ≤ T_k. Meanwhile every doc with
@@ -172,9 +188,12 @@ class QueryCompiler:
           below θ) and there are ≥ k of them — so the top-k by computed
           scores are exactly the true top-k with exact scores.
 
-        mult = duplicate-child count (QryopSlSum user weights are 1 for
-        k₃-default); gmax/gmin come from segment-level max_tf METADATA —
-        no decode. An absolute 1e-6 margin guards float comparisons.
+        w_t = Σ of the pair's children's boosts (duplicate plain children
+        count 1.0 each; QryOpSlSum user weights are 1 for k₃-default,
+        caret boosts multiply — parser guarantees boosts > 0, so every
+        w_t > 0 and the sign analysis above is unchanged). gmax/gmin come
+        from segment-level max_tf METADATA — no decode. An absolute 1e-6
+        margin guards float comparisons.
 
         Returns None (no pruning) when the index is too small to benefit
         (< ``_PRUNE_MIN_BLOCKS`` blocks across the query's terms) or when a
@@ -183,10 +202,10 @@ class QueryCompiler:
         m = self.model
         n_docs = self.reader.num_docs
         c = m.k_1 * (1.0 - m.b)
-        child_pairs = self._flat_sum_pairs(node)
-        mult: dict[tuple[str, str], int] = {}
-        for p in child_pairs:
-            mult[p] = mult.get(p, 0) + 1
+        weighted = self._flat_sum_weighted(node)
+        mult: dict[tuple[str, str], float] = {}
+        for t, f, b in weighted:
+            mult[(t, f)] = mult.get((t, f), 0.0) + b
         pairs = set(mult)
 
         idf: dict[tuple[str, str], float] = {}

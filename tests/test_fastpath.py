@@ -103,3 +103,36 @@ def test_fastpath_respects_tombstones(spark, tmp_path):
     finally:
         os.environ.pop("SEFS_DRIVER_TOPK", None)
     assert after == dist
+
+
+def test_fastpath_boosted_identity(engine, spark):
+    """Caret-boosted flat #SUM queries take the fast path (round 3) and
+    must be BIT-identical — ids, ranks, score bits — to the distributed
+    plan, for both BM25 idf variants."""
+    import os
+
+    from search_engine_framework_spark.plans.models import LuceneBM25
+
+    for q, m in [
+        ("search engine^2.5 index", BM25()),
+        ("search^0.5 engine index^2", LuceneBM25()),
+    ]:
+        fast = [tuple(r) for r in engine.search(q, m, k=20).collect()]
+        os.environ["SEFS_DRIVER_TOPK"] = "0"
+        try:
+            slow = [tuple(r) for r in engine.search(q, m, k=20).collect()]
+        finally:
+            os.environ.pop("SEFS_DRIVER_TOPK", None)
+        assert fast == slow, (q, type(m).__name__)
+
+
+def test_fastpath_engages_on_boosted(engine):
+    from search_engine_framework_spark import fastpath
+    from search_engine_framework_spark.plans.compiler import QueryCompiler
+    from search_engine_framework_spark.plans.parser import parse_query
+
+    node = parse_query("search engine^2", BM25(), engine.analyzer)
+    flat = QueryCompiler._flat_sum_weighted(node)
+    assert flat is not None and flat[1][2] == 2.0
+    got = fastpath.bm25_topk_driver(engine.reader, flat, BM25(), 10)
+    assert got is not None and len(got) == 10

@@ -805,3 +805,28 @@ def test_search_many_lucene_and_boosts(spark, tiny_index):
             for r in eng.search(text, LuceneBM25(), k=10).collect()
         ]
         assert got == want, qid
+
+
+def test_blockmax_prune_exact_topk_boosted(spark, tmp_path):
+    """Round 3: boosted flat #SUM queries engage block-max pruning with
+    boost-weighted bounds — results must equal the unpruned plan exactly
+    while blocks are actually skipped."""
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.index.build import build_index
+    from search_engine_framework_spark.plans.models import BM25
+
+    out = str(tmp_path / "ix")
+    build_index(spark, _skewed_corpus(spark), out, fields=("body",),
+                n_buckets=8, n_salts=4, block_size=8)
+    eng = SearchEngine(spark, out)
+    q = "#SUM(zzz^3 w1^0.5)"
+    dec0, skip0 = eng.decode_metrics().values()
+    pruned = [tuple(r) for r in
+              eng.search(q, BM25(), k=5, prune_min_blocks=1).collect()]
+    dec1, skip1 = eng.decode_metrics().values()
+    assert skip1 > skip0, "no blocks skipped — boosted pruning not engaged"
+    eng2 = SearchEngine(spark, out)
+    full = [tuple(r) for r in
+            eng2.search(q, BM25(), k=5, prune_min_blocks=10**9).collect()]
+    assert pruned == full
+    assert len(full) == 5
