@@ -333,7 +333,7 @@ class SearchEngine:
         from pyspark.sql import Window
 
         from .functions.analyzer import analyze_terms
-        from .functions.scoring import bm25_idf, bm25_tf_weight
+        from .functions.scoring import bm25_tf_weight, model_idf
         from .plans.models import BM25
 
         model = model or BM25()
@@ -353,11 +353,14 @@ class SearchEngine:
             # A bare '.' inside a token ("3.14", "e.g") is an ordinary
             # analyzer token in the per-query path too — rejecting it here
             # would break the advertised parity with ``search``.
-            if "#" in text or any(
+            if "#" in text or "^" in text or any(
                 tok.endswith("." + f)
                 for tok in text.split()
                 for f in TERM_FIELDS
             ):
+                # '^' rejected too: the per-query parser reads caret
+                # boosts; the analyzer here would split 'merge^2' into
+                # two plain tokens and silently score a different query
                 raise ValueError(
                     f"query {qid!r} is not a flat term bag; use search_many"
                 )
@@ -384,7 +387,7 @@ class SearchEngine:
             max_children = max(max_children, len(terms))
             for tix, t in enumerate(terms):
                 df = stats.get((t, field), {}).get("df", 0)
-                qt_rows.append((qid, tix, t, float(bm25_idf(n_docs, df))))
+                qt_rows.append((qid, tix, t, float(model_idf(model, n_docs, df))))
         if not qt_rows:
             return empty
         qt = F.broadcast(
@@ -594,25 +597,10 @@ class SearchEngine:
         if not isinstance(model, _BM25):
             raise ValueError("explain_topk supports BM25-family models only")
         node = self._parse(query, model)
-        # unwrap the parser's model-default #SUM wrapper (score-identical,
-        # same rule as QueryCompiler._flat_sum_pairs)
-        while (
-            isinstance(node, ast.Sum)
-            and len(node.children) == 1
-            and isinstance(node.children[0], ast.Sum)
-        ):
-            node = node.children[0]
-        flat: list[tuple[str, str, float]] = []
-        kids = node.children if isinstance(node, ast.Sum) else None
-        if kids is not None:
-            for c in kids:
-                if isinstance(c, ast.Boost) and isinstance(c.child, ast.Term):
-                    flat.append((c.child.term, c.child.field, c.weight))
-                elif isinstance(c, ast.Term):
-                    flat.append((c.term, c.field, 1.0))
-                else:
-                    flat = []
-                    break
+        flat = (
+            QueryCompiler._flat_sum_weighted(node) if node is not None
+            else None
+        )
         if not flat:
             raise ValueError(
                 "explain_topk supports flat BM25 #SUM(term[^boost] ...) "

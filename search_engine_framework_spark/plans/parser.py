@@ -349,6 +349,17 @@ def parse_query(
             if terms:
                 tnode: ast.Node = ast.Term(terms[0], field or ast.DEFAULT_FIELD)
                 if boost is not None and boost != 1.0:
+                    # fail-loud at PARSE time: a boost has semantics only
+                    # where a per-child additive contribution exists —
+                    # directly under #SUM / #MSM (compile_sl would also
+                    # reject, but inside IL operators the error surfaced
+                    # as an opaque not-an-IL-node TypeError)
+                    if current.kind not in ("sum", "msm"):
+                        raise ValueError(
+                            f"term boost {token!r}^{boost:g} is only "
+                            "legal directly under #SUM / #MSM, not "
+                            f"inside #{current.kind.upper()}"
+                        )
                     tnode = ast.Boost(tnode, boost)
                 current.children.append(tnode)
                 if has_weight and got_weight:

@@ -185,3 +185,31 @@ def test_boost_walkers():
     assert ast.query_terms(node) == {("spark", "body"), ("merge", "role")}
     assert ast.query_fields(node) == {"body", "role"}
     assert not ast.needs_positions(node)
+
+
+def test_boost_rejected_outside_sum_contexts():
+    import pytest as _pytest
+
+    from search_engine_framework_spark.plans.models import (
+        BM25,
+        Indri,
+        RankedBoolean,
+    )
+    from search_engine_framework_spark.plans.parser import parse_query
+
+    cases = [
+        ("#SYN(spark^2 merge)", BM25()),
+        ("#NEAR/2(spark^2 merge)", BM25()),
+        ("#WINDOW/4(spark^2 merge)", BM25()),
+        ("#AND(spark^2 merge)", RankedBoolean()),
+        ("#WAND(0.5 spark^2 0.5 merge)", Indri()),
+        ("#NOT(spark^2)", RankedBoolean()),
+    ]
+    for q, m in cases:
+        with _pytest.raises(ValueError, match="only legal directly under"):
+            parse_query(q, m)
+    # legal placements still parse
+    from search_engine_framework_spark.plans import ast
+
+    node = parse_query("#MSM/1(spark^2 merge)", BM25())
+    assert isinstance(node.children[0].children[0], ast.Boost)

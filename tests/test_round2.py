@@ -830,3 +830,28 @@ def test_blockmax_prune_exact_topk_boosted(spark, tmp_path):
             eng2.search(q, BM25(), k=5, prune_min_blocks=10**9).collect()]
     assert pruned == full
     assert len(full) == 5
+
+
+def test_search_bulk_lucene_idf_and_caret_rejection(spark, tiny_index):
+    """search_bulk_bm25 must score LuceneBM25 with the Lucene idf
+    (bit-identical per qid to search) and must REJECT caret syntax —
+    its analyzer would split 'merge^2' into two plain tokens and
+    silently score a different query than the parser."""
+    from search_engine_framework_spark.engine import SearchEngine
+    from search_engine_framework_spark.plans.models import LuceneBM25
+
+    paths, _rows, _tdf = tiny_index
+    eng = SearchEngine(spark, paths)
+    got = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in eng.search_bulk_bm25(
+            {"q1": "search engine"}, LuceneBM25(), k=10
+        ).collect()
+    }
+    want = {
+        ("q1", r["doc_id"]): r["score"]
+        for r in eng.search("search engine", LuceneBM25(), k=10).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="flat term bag"):
+        eng.search_bulk_bm25({"q1": "search merge^2"}, LuceneBM25(), k=5)
