@@ -794,16 +794,17 @@ def test_search_many_lucene_and_boosts(spark, tiny_index):
     paths, _rows, _tdf = tiny_index
     eng = SearchEngine(spark, paths)
     qs = {"q1": "search engine", "q2": "search engine^2 index"}
-    many = eng.search_many(qs, LuceneBM25(), k=10)
+    rows = eng.search_many(qs, LuceneBM25(), k=10).collect()
     for qid, text in qs.items():
-        got = [
+        got = sorted(
             (r["doc_id"], r["rank"], r["score"])
-            for r in many[qid].collect()
-        ]
-        want = [
+            for r in rows
+            if r["qid"] == qid
+        )
+        want = sorted(
             (r["doc_id"], r["rank"], r["score"])
             for r in eng.search(text, LuceneBM25(), k=10).collect()
-        ]
+        )
         assert got == want, qid
 
 
