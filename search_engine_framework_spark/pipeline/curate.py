@@ -187,8 +187,12 @@ def conv_quality(
         F.size(
             F.filter(F.col("ts"), lambda t: t["r"] == F.lit(assistant_role))
         ).cast("long").alias("n_assistant"),
+        # try_element_at: an all-system conversation has an EMPTY
+        # non-system slice, and plain element_at throws under ANSI
+        # semantics instead of returning NULL
         F.coalesce(
-            F.element_at(roles, 1) == F.lit(user_role), F.lit(False)
+            F.try_element_at(roles, F.lit(1)) == F.lit(user_role),
+            F.lit(False),
         ).alias("starts_with_user"),
         F.coalesce(
             F.aggregate(pairs_same, F.lit(0), lambda acc, x: acc + x),

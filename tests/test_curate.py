@@ -197,3 +197,19 @@ def test_tool_transitions_conv_isolation(spark):
         rows, "conv_id string, turn_idx int, tool string"
     )
     assert tool_transitions(df).count() == 0
+
+
+def test_conv_quality_all_system(spark):
+    """A conversation with only system turns: no user start, no
+    assistant — keep False, no crashes on the empty non-system slice."""
+    from search_engine_framework_spark.pipeline.curate import conv_quality
+
+    df = spark.createDataFrame(
+        [("s", 0, "system", "a"), ("s", 1, "system", "b")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    r = conv_quality(df).first()
+    assert r["n_turns"] == 2 and r["n_user"] == 0 and r["n_assistant"] == 0
+    assert r["starts_with_user"] is False
+    assert r["n_alternation_violations"] == 0
+    assert r["keep"] is False

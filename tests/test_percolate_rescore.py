@@ -277,3 +277,14 @@ def test_percolate_first(spark):
         percolate(
             _batch(spark), {"bad": "#FIRST/2(#NEAR/1(spark merge))"}, cfg=CFG
         )
+
+
+def test_percolate_rejects_boosted_stored_query(spark):
+    """Stored queries parse under the boolean model, where caret boosts
+    have no semantics — registering one fails loudly at parse time
+    rather than silently matching as if unboosted."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="only legal directly under"):
+        percolate(docs, {"q": "alpha^2 beta"}, cfg=CFG).collect()
