@@ -9,7 +9,7 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 129 of 132 entries are
+                  summation orders differ). 130 of 133 entries are
                   oracle-checked (round 3 adds chat_render — chat-format
                   training export with loss-mask spans, hybrid_combsum —
                   CombMNZ score fusion, boosted_terms — Lucene-style caret
@@ -18,7 +18,9 @@ oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   CCNet perplexity head/middle/tail partition,
                   explain_bm25 — the distributed Lucene-explain component
                   frame, conv_quality — conversation-structure gates, and
-                  tool_transitions — agent tool-sequence mining; round 3 also REORDERS
+                  tool_transitions — agent tool-sequence mining, and
+                  letor_minmax — the reference's per-query min-max
+                  feature normalization with NaN passthrough; round 3 also REORDERS
                   the dict so entries never green-checked by a budgeted
                   driver run come first, and ships
                   scripts/contract_sweep.py whose committed

@@ -819,6 +819,38 @@ def q_hybrid_combsum(spark, sf_dir):
     )
 
 
+def q_letor_minmax(spark, sf_dir):
+    """LeToR per-query min-max feature normalization (letor.py
+    normalize_per_query — SURVEY A9, LearnToRank.java:279-314): two
+    deterministic features over documents grouped into 3 qids, with
+    planted NaNs (NaN excluded from min/max and passed through, the
+    reference's convention). Twin replays the windows with NaN→NULL
+    inside min/max (DuckDB sorts NaN greatest, so the exclusion must be
+    explicit there)."""
+    from .letor import normalize_per_query
+
+    docs = _read(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 3).cast("string")).alias(
+            "qid"
+        ),
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(float("nan")))
+        .otherwise(
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+        )
+        .alias("f_len"),
+        (F.col("doc_id") % 7).cast("double").alias("f_mod"),
+    )
+    out = normalize_per_query(feats)
+    return out.select(
+        "qid",
+        "doc_id",
+        _r4(F.col("f_len")).alias("f_len"),
+        _r4(F.col("f_mod")).alias("f_mod"),
+    )
+
+
 def q_conv_quality(spark, sf_dir):
     """Conversation-structure quality gates (pipeline/curate.conv_quality)
     over the synthetic 5-turn conversations (roles by doc parity, so
@@ -3494,6 +3526,42 @@ SELECT from_tool, to_tool, count(*)::BIGINT AS n,
 FROM tooled WHERE from_tool IS NOT NULL
 GROUP BY 1, 2 ORDER BY n DESC, from_tool, to_tool
 """,
+    "letor_minmax": """
+WITH feats AS (
+  SELECT 'q' || (doc_id % 3) AS qid, doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'NaN'::DOUBLE
+              ELSE len(coalesce(text, ''))::DOUBLE END AS f_len,
+         (doc_id % 7)::DOUBLE AS f_mod
+  FROM documents
+),
+norm AS (
+  SELECT qid, doc_id,
+    CASE WHEN isnan(f_len) THEN f_len
+         WHEN max(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END) OVER w
+              = min(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END) OVER w
+           THEN 0.0
+         ELSE (f_len
+               - min(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END) OVER w)
+              / (max(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END) OVER w
+                 - min(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END)
+                   OVER w)
+    END AS f_len,
+    CASE WHEN isnan(f_mod) THEN f_mod
+         WHEN max(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END) OVER w
+              = min(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END) OVER w
+           THEN 0.0
+         ELSE (f_mod
+               - min(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END) OVER w)
+              / (max(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END) OVER w
+                 - min(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END)
+                   OVER w)
+    END AS f_mod
+  FROM feats WINDOW w AS (PARTITION BY qid)
+)
+SELECT qid, doc_id, round(f_len, 4) + 0.0 AS f_len,
+       round(f_mod, 4) + 0.0 AS f_mod
+FROM norm
+""",
     "conv_quality": """
 WITH turns AS (
   SELECT doc_id // 5 AS conv_id, (doc_id % 5)::INT AS turn_idx,
@@ -5404,6 +5472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppl_buckets": q_ppl_buckets,
     "explain_bm25": q_explain_bm25,
     "conv_quality": q_conv_quality,
+    "letor_minmax": q_letor_minmax,
     "tool_transitions": q_tool_transitions,
     "hash_split": q_hash_split,
     "mixture_mix": q_mixture_mix,
