@@ -28,6 +28,9 @@ Components
   events_funnel_retention — ordered funnel + weekly retention cohorts.
   dsir_select      — DSIR importance resampling end-to-end (hashed
                      n-gram bucket models + Gumbel top-100).
+  transcript_prep  — round-3 transcript ops over 5-turn synthetic convs:
+                     chat-format SFT render (loss-mask spans) +
+                     conversation quality gates + tool transitions.
   pagerank5        — 5 damped power iterations over a deterministic
                      3-out-degree link graph on documents.
 
@@ -280,6 +283,29 @@ def main() -> None:
         docs, docs.where(F.col("lang") == "fr"), n_select=100, dim=2048
     ).count()
     timings["dsir_select"] = round(time.time() - t0, 3)
+
+    # round-3 transcript-prep operators over the synthetic 5-turn convs
+    # (doc_id div/mod 5, roles by parity — the contract's conv shape):
+    # chat-format SFT render + conversation gates + tool transitions
+    from search_engine_framework_spark.pipeline.curate import (
+        conv_quality, tool_transitions,
+    )
+    from search_engine_framework_spark.pipeline.render import render_chat
+
+    turns = docs.select(
+        (F.col("doc_id") / 5).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("source").alias("tool"),
+        "text",
+    )
+    t0 = time.time()
+    render_chat(turns).count()
+    conv_quality(turns).where("keep").count()
+    tool_transitions(turns).count()
+    timings["transcript_prep"] = round(time.time() - t0, 3)
 
     # PageRank: 5 damped power iterations over a deterministic
     # 3-out-degree md5-derived link graph on documents
