@@ -213,3 +213,49 @@ def test_conv_quality_all_system(spark):
     assert r["starts_with_user"] is False
     assert r["n_alternation_violations"] == 0
     assert r["keep"] is False
+
+
+def test_conv_quality_randomized_vs_oracle(spark):
+    """150 random conversations vs a pure-Python audit oracle."""
+    import random
+
+    from search_engine_framework_spark.pipeline.curate import conv_quality
+
+    rng = random.Random(20260821)
+    roles = ["user", "assistant", "system"]
+    rows = []
+    for c in range(150):
+        for i in sorted(rng.sample(range(30), rng.randint(1, 7))):
+            rows.append(
+                (f"c{c}", i, rng.choice(roles),
+                 rng.choice([None, "", "text here", "x"]))
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    ).repartition(5)
+    got = {r["conv_id"]: r for r in conv_quality(df).collect()}
+
+    convs = {}
+    for c, i, r, t in rows:
+        convs.setdefault(c, []).append((i, r, t))
+    for c, ts in convs.items():
+        ts.sort()
+        nonsys = [r for _i, r, _t in ts if r != "system"]
+        viol = sum(1 for a, b in zip(nonsys, nonsys[1:]) if a == b)
+        n_user = sum(1 for _i, r, _t in ts if r == "user")
+        n_asst = sum(1 for _i, r, _t in ts if r == "assistant")
+        n_empty = sum(
+            1 for _i, r, t in ts if r == "assistant" and not (t or "")
+        )
+        swu = bool(nonsys) and nonsys[0] == "user"
+        keep = (
+            2 <= len(ts) <= 4096 and n_asst >= 1 and swu
+            and viol == 0 and n_empty == 0
+        )
+        g = got[c]
+        assert g["n_turns"] == len(ts), c
+        assert g["n_user"] == n_user and g["n_assistant"] == n_asst, c
+        assert g["starts_with_user"] == swu, c
+        assert g["n_alternation_violations"] == viol, c
+        assert g["n_empty_assistant"] == n_empty, c
+        assert g["keep"] == keep, c

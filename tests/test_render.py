@@ -112,3 +112,37 @@ def test_render_chat_feeds_chunking(spark):
     )
     chunks = chunk_documents(rendered, chunk_size=4, overlap=1)
     assert chunks.count() > 0
+
+
+def test_render_chat_randomized_vs_oracle(spark):
+    """200 random conversations (mixed unicode, empty/None texts,
+    non-contiguous and negative turn indices, shuffled input order,
+    random partitioning) — rendered text and spans must equal the
+    pure-Python oracle exactly."""
+    import random
+
+    rng = random.Random(20260821)
+    alphabets = ["abc def ghi", "àéî öü ß", "中文 漢字", "a  b\tc", ""]
+    roles = ["user", "assistant", "system", "tool"]
+    rows = []
+    for c in range(200):
+        idxs = rng.sample(range(-3, 40), rng.randint(1, 8))
+        for i in idxs:
+            t = rng.choice(
+                [None, "", rng.choice(alphabets),
+                 " ".join(rng.choice(alphabets) for _ in range(3))]
+            )
+            rows.append((f"c{c}", i, rng.choice(roles), t))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    ).repartition(rng.randint(2, 9))
+    out = {r["conv_id"]: r for r in render_chat(df).collect()}
+    exp = _oracle(rows)
+    assert set(out) == set(exp)
+    for c, (n, nch, text, spans) in exp.items():
+        assert out[c]["n_turns"] == n, c
+        assert out[c]["text"] == text, c
+        assert [
+            (s["start"], s["end"]) for s in out[c]["loss_spans"]
+        ] == spans, c
