@@ -9,7 +9,7 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 130 of 133 entries are
+                  summation orders differ). 131 of 134 entries are
                   oracle-checked (round 3 adds chat_render — chat-format
                   training export with loss-mask spans, hybrid_combsum —
                   CombMNZ score fusion, boosted_terms — Lucene-style caret
@@ -20,7 +20,8 @@ oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   frame, conv_quality — conversation-structure gates, and
                   tool_transitions — agent tool-sequence mining, and
                   letor_minmax — the reference's per-query min-max
-                  feature normalization with NaN passthrough; round 3 also REORDERS
+                  feature normalization with NaN passthrough, and
+                  ir_rbp_err — RBP + ERR user-model eval measures; round 3 also REORDERS
                   the dict so entries never green-checked by a budgeted
                   driver run come first, and ships
                   scripts/contract_sweep.py whose committed

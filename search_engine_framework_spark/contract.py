@@ -1980,17 +1980,13 @@ def q_ivfpq_exact(spark, sf_dir):
     return top.select("vec_id", _r4(F.col("adc_dist")).alias("adc_dist"))
 
 
-def _ir_eval_frame(spark, sf_dir):
-    """Distributed trec_eval metrics (eval.py) over a deterministic
-    synthetic evaluation set derived from `documents` with pure modular
-    arithmetic — 5 query topics, per-topic ranking = top-50 docs by a
-    hashed score, graded qrels — so DuckDB reproduces ranking, qrels, and
-    every measure exactly. Covers P@k, AP, reciprocal rank, and NDCG in
-    one entry (the reference ships rankings to an external trec_eval —
-    hw4test.py:45-47; this is that missing half, Spark-native)."""
+def _ir_synth(spark, sf_dir):
+    """The deterministic synthetic evaluation set shared by every eval
+    entry: 5 query topics over `documents`, per-topic ranking = top-50
+    by a hashed score, graded qrels — pure modular arithmetic, so the
+    DuckDB twins reproduce ranking and qrels exactly.
+    → (ranking(qid, ext_id, rank), qrels(qid, ext_id, rel))."""
     from pyspark.sql import Window
-
-    from .eval import per_query_metrics
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     qs = docs.select(
@@ -2026,8 +2022,38 @@ def _ir_eval_frame(spark, sf_dir):
         .otherwise(0)
         .alias("rel"),
     )
+    return ranking, qrels
+
+
+def _ir_eval_frame(spark, sf_dir):
+    """Distributed trec_eval metrics (eval.py) over the shared synthetic
+    evaluation set (_ir_synth). Covers P@k, AP, reciprocal rank, and
+    NDCG in one entry (the reference ships rankings to an external
+    trec_eval — hw4test.py:45-47; this is that missing half,
+    Spark-native)."""
+    from .eval import per_query_metrics
+
+    ranking, qrels = _ir_synth(spark, sf_dir)
     return per_query_metrics(
         ranking, qrels, ks=(10, 20), ndcg_ks=(10,), round_dp=4
+    )
+
+
+def q_ir_rbp_err(spark, sf_dir):
+    """RBP (Moffat-Zobel) + ERR (Chapelle) over the shared synthetic
+    eval set — the user-model measures trec_eval's recall-oriented set
+    lacks; twin replays the geometric series and the exp/ln cascade
+    product in rank order."""
+    from .eval import rbp_err_metrics
+
+    ranking, qrels = _ir_synth(spark, sf_dir)
+    out = rbp_err_metrics(ranking, qrels, p=0.8)
+    return out.select(
+        "qid",
+        "num_ret",
+        _r4(F.col("rbp_80")).alias("rbp_80"),
+        _r4(F.col("rbp_residual_80")).alias("rbp_residual_80"),
+        _r4(F.col("err")).alias("err"),
     )
 
 
@@ -4483,6 +4509,58 @@ ORACLE_SQL["multi_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["merge_search"] = ORACLE_SQL["bm25_topk"]
 # Rollover generations federate through the same MultiReader invariant.
 ORACLE_SQL["rollover_search"] = ORACLE_SQL["bm25_topk"]
+ORACLE_SQL["ir_rbp_err"] = """
+WITH qs AS (SELECT unnest(range(5)) AS q),
+base AS (SELECT doc_id, q FROM documents CROSS JOIN qs),
+ranking AS (
+  SELECT 'q' || q AS qid, lpad(doc_id::VARCHAR, 6, '0') AS ext_id, rank
+  FROM (
+    SELECT doc_id, q,
+           row_number() OVER (
+             PARTITION BY q
+             ORDER BY ((doc_id * 2654435761 + q * 97) % 1000003) DESC,
+                      doc_id ASC
+           ) AS rank
+    FROM base
+    WHERE (doc_id * 37 + q) % 7 = 0
+  )
+  WHERE rank <= 50
+),
+qrels AS (
+  SELECT 'q' || q AS qid, lpad(doc_id::VARCHAR, 6, '0') AS ext_id,
+         CASE WHEN (doc_id * 13 + q) % 4 = 0
+              THEN 1 + (doc_id % 3) ELSE 0 END AS rel
+  FROM base
+  WHERE (doc_id + q) % 2 = 0
+),
+jj AS (
+  SELECT r.qid, r.rank, COALESCE(qr.rel, 0) AS rel,
+         CASE WHEN COALESCE(qr.rel, 0) > 0 THEN 1 ELSE 0 END AS isrel
+  FROM ranking r
+  LEFT JOIN qrels qr ON r.qid = qr.qid AND r.ext_id = qr.ext_id
+),
+gmax AS (SELECT greatest(max(rel), 1) AS g FROM qrels),
+rr AS (
+  SELECT qid, rank, isrel,
+         (pow(2.0, rel) - 1.0) / pow(2.0, (SELECT g FROM gmax)) AS rv
+  FROM jj
+),
+casc AS (
+  SELECT qid, rank, isrel, rv,
+         exp(coalesce(sum(ln(1.0 - rv)) OVER (
+             PARTITION BY qid ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+           AS prod_before
+  FROM rr
+)
+SELECT qid, count(*)::BIGINT AS num_ret,
+       round((1.0 - 0.8) * sum(isrel * pow(0.8, rank - 1.0)), 4) + 0.0
+         AS rbp_80,
+       round(pow(0.8, count(*)::DOUBLE), 4) + 0.0 AS rbp_residual_80,
+       round(sum(rv / rank * prod_before), 4) + 0.0 AS err
+FROM casc GROUP BY qid
+"""
+
 ORACLE_SQL["ir_metrics"] = _IR_METRICS_SQL
 
 # bpref/R-prec twin: same synthetic eval set; judged-only window math
@@ -5473,6 +5551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explain_bm25": q_explain_bm25,
     "conv_quality": q_conv_quality,
     "letor_minmax": q_letor_minmax,
+    "ir_rbp_err": q_ir_rbp_err,
     "tool_transitions": q_tool_transitions,
     "hash_split": q_hash_split,
     "mixture_mix": q_mixture_mix,

@@ -440,3 +440,94 @@ def interleaved_credit(
         .when(F.col("clicks_b") > F.col("clicks_a"), "b")
         .otherwise("tie"),
     )
+
+
+def rbp_err_metrics(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    p: float = 0.8,
+    max_grade: int | None = None,
+) -> DataFrame:
+    """Rank-Biased Precision (Moffat & Zobel, TOIS 2008) and Expected
+    Reciprocal Rank (Chapelle et al., CIKM 2009) per query — the
+    user-model companions to per_query_metrics' recall-oriented set:
+
+    * ``rbp``      = (1 − p) · Σ_i isrel_i · p^(i−1) — persistence
+      parameter ``p`` models how deep users scan (0.8 ≈ a patient
+      user; the column is named for the configured p, e.g. rbp_80).
+    * ``rbp_residual`` = p^num_ret — RBP's own uncertainty bound: the
+      score mass an arbitrarily relevant unretrieved tail could still
+      claim. rbp + residual bounds the true value from above.
+    * ``err``      = Σ_i (R_i / i) · Π_{j<i} (1 − R_j), with
+      R = (2^rel − 1) / 2^g_max — the cascade model: a user stops at
+      the first satisfying doc. ``max_grade`` defaults to the highest
+      grade in ``qrels`` (so R < 1 always and the cascade product is
+      well-defined); pass it explicitly when comparing runs across
+      qrels files with different grade ceilings.
+
+    Plan shape: one join + one per-qid cumulative window (the cascade
+    product computed as exp of the running Σ ln(1−R) in rank order) +
+    one grouped aggregation — same cost class as per_query_metrics.
+    Unjudged docs count rel 0 (standard for both measures).
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"RBP persistence p must be in (0, 1): {p}")
+    qr = qrels.select(
+        "qid", "ext_id", F.col("rel").cast("int").alias("rel")
+    )
+    if max_grade is None:
+        row = qr.agg(F.max("rel")).first()
+        max_grade = max(int(row[0] or 0), 1)
+    if max_grade < 1:
+        raise ValueError(f"max_grade must be >= 1: {max_grade}")
+
+    j = (
+        ranking.select(
+            "qid", "ext_id", F.col("rank").cast("int").alias("rank")
+        )
+        .join(qr, ["qid", "ext_id"], "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+        .withColumn("isrel", (F.col("rel") > 0).cast("int"))
+    )
+    # cascade stopping probability; rel <= max_grade => R < 1 strictly,
+    # so ln(1 - R) is finite and the running product is exact
+    r_stop = (F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0)) / F.lit(
+        float(2 ** max_grade)
+    )
+    w_before = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = j.withColumn("_r", r_stop).withColumn(
+        "_prod_before",
+        F.exp(
+            F.coalesce(
+                F.sum(F.log(F.lit(1.0) - F.col("_r"))).over(w_before),
+                F.lit(0.0),
+            )
+        ),
+    )
+    tag = str(int(round(p * 100)))
+    return (
+        j.groupBy("qid")
+        .agg(
+            F.count("*").alias("num_ret"),
+            (
+                F.lit(1.0 - p)
+                * F.sum(
+                    F.col("isrel").cast("double")
+                    * F.pow(F.lit(p), F.col("rank").cast("double") - F.lit(1.0))
+                )
+            ).alias(f"rbp_{tag}"),
+            F.sum(
+                (F.col("_r") / F.col("rank").cast("double"))
+                * F.col("_prod_before")
+            ).alias("err"),
+        )
+        .withColumn(
+            f"rbp_residual_{tag}",
+            F.pow(F.lit(p), F.col("num_ret").cast("double")),
+        )
+        .select("qid", "num_ret", f"rbp_{tag}", f"rbp_residual_{tag}", "err")
+    )

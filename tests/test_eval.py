@@ -277,3 +277,52 @@ def test_bpref_and_rprec_hand_computed(spark):
     )
     r3 = per_query_metrics(ranking, qrels3).collect()[0]
     assert r3["bpref"] == 0.0 and r3["r_prec"] == 0.0
+
+
+# --------------------------------------------------------------- RBP / ERR
+
+def test_rbp_err_hand_computed(spark):
+    from search_engine_framework_spark.eval import rbp_err_metrics
+
+    ranking = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "a", 1), ("q2", "b", 2)],
+        "qid string, ext_id string, rank int",
+    )
+    # q1: grades 2, 0(unjudged), 1; q2: no relevant retrieved
+    qrels = spark.createDataFrame(
+        [("q1", "a", 2), ("q1", "c", 1), ("q1", "z", 3),
+         ("q2", "z", 1)],
+        "qid string, ext_id string, rel int",
+    )
+    out = {r["qid"]: r for r in rbp_err_metrics(ranking, qrels, p=0.5).collect()}
+    # g_max = 3 (from qrels); R = (2^g - 1)/8
+    r1, r2, r3 = (2**2 - 1) / 8, 0.0, (2**1 - 1) / 8
+    err_q1 = r1 / 1 + (r2 / 2) * (1 - r1) + (r3 / 3) * (1 - r1) * (1 - r2)
+    assert out["q1"]["err"] == pytest.approx(err_q1, rel=1e-12)
+    # RBP p=0.5: (1-p) * (1*p^0 + 0*p^1 + 1*p^2) = 0.5 * 1.25
+    assert out["q1"]["rbp_50"] == pytest.approx(0.625, rel=1e-12)
+    assert out["q1"]["rbp_residual_50"] == pytest.approx(0.125, rel=1e-12)
+    assert out["q2"]["rbp_50"] == 0.0 and out["q2"]["err"] == 0.0
+    assert out["q2"]["rbp_residual_50"] == pytest.approx(0.25, rel=1e-12)
+
+
+def test_rbp_err_max_grade_and_validation(spark):
+    import pytest as _pytest
+
+    from search_engine_framework_spark.eval import rbp_err_metrics
+
+    ranking = spark.createDataFrame(
+        [("q1", "a", 1)], "qid string, ext_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1)], "qid string, ext_id string, rel int"
+    )
+    # explicit max_grade changes the cascade normalization
+    e1 = rbp_err_metrics(ranking, qrels, max_grade=1).first()["err"]
+    e2 = rbp_err_metrics(ranking, qrels, max_grade=2).first()["err"]
+    assert e1 == pytest.approx(0.5) and e2 == pytest.approx(0.25)
+    with _pytest.raises(ValueError):
+        rbp_err_metrics(ranking, qrels, p=1.0)
+    with _pytest.raises(ValueError):
+        rbp_err_metrics(ranking, qrels, max_grade=0)
