@@ -742,8 +742,11 @@ def q_boosted_terms(spark, sf_dir):
     per-child multipliers — ``spark merge^2.5 window^0.5`` — through the
     full engine path (parser → Boost AST → compiler fold). Exactly
     representable boost literals so the twin's arithmetic is
-    IEEE-identical; boosted plans decline the driver fast path and the
-    block-max prune (their upper bounds assume unboosted folds)."""
+    IEEE-identical; boosted flat #SUM queries take the driver fast path
+    AND block-max prune like unboosted ones — both carry the per-child
+    multiplier through their bounds (engine._flat_sum_weighted /
+    compiler._bm25_block_prune's weighted upper bounds; tests assert
+    engagement) — with scores bit-identical either way."""
     from .plans.models import BM25
 
     eng = get_engine(spark, sf_dir)

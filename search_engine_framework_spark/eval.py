@@ -475,11 +475,21 @@ def rbp_err_metrics(
     qr = qrels.select(
         "qid", "ext_id", F.col("rel").cast("int").alias("rel")
     )
+    row = qr.agg(F.max("rel")).first()
+    observed_max = int(row[0] or 0)
     if max_grade is None:
-        row = qr.agg(F.max("rel")).first()
-        max_grade = max(int(row[0] or 0), 1)
+        max_grade = max(observed_max, 1)
     if max_grade < 1:
         raise ValueError(f"max_grade must be >= 1: {max_grade}")
+    if observed_max > max_grade:
+        # rel > max_grade makes R >= 1, so ln(1-R) is -inf and ERR goes
+        # NaN silently — fail loudly instead (qrels is judgment-sized, so
+        # the extra aggregation above is negligible either way).
+        raise ValueError(
+            f"qrels contain rel={observed_max} above max_grade="
+            f"{max_grade}; pass max_grade >= {observed_max} (ERR's "
+            "cascade model needs R < 1)"
+        )
 
     j = (
         ranking.select(

@@ -181,6 +181,17 @@ class Boost(Node):
     child: Node
     weight: float
 
+    def __post_init__(self) -> None:
+        # Block-max pruning's soundness proof (compiler._bm25_block_prune:
+        # division by the child multiplier + sign analysis) assumes every
+        # boost is strictly positive; the parser enforces this for query
+        # strings, but a programmatically built tree must fail loudly here
+        # rather than silently mis-prune.
+        if not self.weight > 0:
+            raise ValueError(
+                f"Boost weight must be > 0, got {self.weight!r}"
+            )
+
 
 IL_NODES = (
     Term, Syn, Near, WindowOp, Wildcard, Fuzzy, SuffixWildcard, Regex, First

@@ -348,19 +348,24 @@ def parse_query(
             terms = analyze_terms(term_text, cfg)
             if terms:
                 tnode: ast.Node = ast.Term(terms[0], field or ast.DEFAULT_FIELD)
-                if boost is not None and boost != 1.0:
+                if boost is not None:
                     # fail-loud at PARSE time: a boost has semantics only
                     # where a per-child additive contribution exists —
                     # directly under #SUM / #MSM (compile_sl would also
                     # reject, but inside IL operators the error surfaced
-                    # as an opaque not-an-IL-node TypeError)
+                    # as an opaque not-an-IL-node TypeError). The placement
+                    # check runs for EVERY caret boost — including the
+                    # no-op ^1 — so 'term^1' and 'term^2' are accepted or
+                    # rejected in the same places; only then is the
+                    # neutral boost collapsed to a plain term.
                     if current.kind not in ("sum", "msm"):
                         raise ValueError(
                             f"term boost {token!r}^{boost:g} is only "
                             "legal directly under #SUM / #MSM, not "
                             f"inside #{current.kind.upper()}"
                         )
-                    tnode = ast.Boost(tnode, boost)
+                    if boost != 1.0:
+                        tnode = ast.Boost(tnode, boost)
                 current.children.append(tnode)
                 if has_weight and got_weight:
                     current.weights.append(weight)

@@ -326,3 +326,10 @@ def test_rbp_err_max_grade_and_validation(spark):
         rbp_err_metrics(ranking, qrels, p=1.0)
     with _pytest.raises(ValueError):
         rbp_err_metrics(ranking, qrels, max_grade=0)
+    # explicit max_grade BELOW the observed max rel would make R >= 1 and
+    # ERR silently NaN — must fail loudly instead (round-4 ADVICE fix)
+    qrels3 = spark.createDataFrame(
+        [("q1", "a", 3)], "qid string, ext_id string, rel int"
+    )
+    with _pytest.raises(ValueError, match="above max_grade"):
+        rbp_err_metrics(ranking, qrels3, max_grade=2)

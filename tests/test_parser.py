@@ -154,6 +154,36 @@ def test_boost_parsing():
     assert all(isinstance(c, ast.Term) for c in node.children)
 
 
+def test_boost_one_placement_still_validated():
+    """`term^1` must be accepted/rejected in exactly the same places as
+    `term^2`: the placement check runs BEFORE the neutral boost collapses
+    (round-4 ADVICE fix — previously `#AND(a b^1)` silently parsed)."""
+    import pytest as _pytest
+
+    from search_engine_framework_spark.plans.models import BM25, RankedBoolean
+    from search_engine_framework_spark.plans.parser import parse_query
+
+    with _pytest.raises(ValueError, match="only.*legal.*#SUM"):
+        parse_query("#AND(spark merge^1)", RankedBoolean())
+    with _pytest.raises(ValueError, match="only.*legal.*#SUM"):
+        parse_query("#SUM(spark #AND(merge^1.0 window))", BM25())
+
+
+def test_boost_ast_rejects_nonpositive_weight():
+    """Programmatically built Boost nodes fail loudly on weight <= 0 —
+    block-max pruning's soundness proof assumes every boost > 0 and the
+    parser is not the only constructor (round-4 ADVICE fix)."""
+    import pytest as _pytest
+
+    from search_engine_framework_spark.plans import ast
+
+    t = ast.Term("spark", "body")
+    for bad in (0.0, -2.5):
+        with _pytest.raises(ValueError, match="> 0"):
+            ast.Boost(t, bad)
+    assert ast.Boost(t, 0.5).weight == 0.5
+
+
 def test_boost_errors():
     import pytest as _pytest
 
