@@ -71,14 +71,15 @@ oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   twin), SemDeDup (semdedup_exact1), tf-idf export and
                   per-source rollup, and multi-fragment highlighting
                   (snippets_multi).
-                  Three rows-only entries remain, each with a hard twin
+                  Two rows-only entries remain, each with a hard twin
                   elsewhere: bm25_ref_analyzer (Krovetz stemming is not
                   ANSI-SQL-expressible; locked by a pytest golden
-                  fixture), ann_ivf (partial-probe subset depends on
-                  learned centroids; its nprobe=nlist twin
-                  ann_ivf_exactprobe IS oracle-checked), and bpe_tokens
-                  (iterative BPE argmax is not SQL-expressible; locked
-                  by a pure-Python reference + the Sennrich fixture).
+                  fixture) and bpe_tokens (iterative BPE argmax is not
+                  SQL-expressible; locked by a pure-Python reference +
+                  the Sennrich fixture). ann_ivf was retired in round 4:
+                  its partial-probe subset depends on learned centroids,
+                  and the same code path is oracle-checked via
+                  ann_ivf_exactprobe plus pytest recall tests.
                   MMR rerank (pipeline/diversity.py) is pytest-only by
                   nature: its greedy recurrence is not expressible as a
                   fixed SQL plan.
