@@ -1506,6 +1506,13 @@ PERCOLATE_QUERIES = {
     "q_or": "#OR(window data)",
     "q_near": "#NEAR/2(spark merge)",
     "q_msm": "#MSM/2(spark merge window)",
+    # round 4: composed IL children through the per-doc kernel path.
+    # #FIRST over #SYN = any synonym position < n (positional union);
+    # 2-child #NEAR with a #SYN first arg: the greedy kernel provably
+    # coincides with the exists-pair semantics for k=2 (see
+    # percolate.py module docstring), so an ANSI join twin is exact.
+    "q_first_syn": "#FIRST/3(#SYN(spark merge))",
+    "q_near_syn": "#NEAR/2(#SYN(spark data) merge)",
 }
 
 
@@ -4131,6 +4138,14 @@ SELECT 'q_msm', doc_id FROM (
   SELECT doc_id FROM tf WHERE term IN ('spark', 'merge', 'window')
   GROUP BY doc_id HAVING count(*) >= 2
 )
+UNION ALL
+SELECT DISTINCT 'q_first_syn', doc_id FROM tokpos
+ WHERE term IN ('spark', 'merge') AND pos < 3
+UNION ALL
+SELECT DISTINCT 'q_near_syn', t1.doc_id
+FROM tokpos t1 JOIN tokpos t2
+  ON t1.doc_id = t2.doc_id AND t1.term IN ('spark', 'data')
+ AND t2.term = 'merge' AND t2.pos - t1.pos BETWEEN 0 AND 2
 ORDER BY query_id, doc_id
 """
 )

@@ -16,10 +16,15 @@ stored query's AST evaluates as set algebra over that frame:
 * #SYN → union of its terms;
 * #AND → inner-join cascade, #OR → union, #NOT → batch anti-join;
 * #MSM/n → tagged union + match-count gate (>= n children);
-* #NEAR/n / #WINDOW/n → THE reference greedy-cursor kernel
+* #NEAR/n / #WINDOW/n / #FIRST/n → THE reference greedy-cursor kernels
   (operators/positional.py near_match/window_match), applied per doc to
   the k sorted position lists inside a pandas UDF; a doc matches iff
-  the kernel emits >= 1 position. Round 3 closed the earlier deviation
+  the subtree emits >= 1 position. Round 4: children may be COMPOSED IL
+  subtrees (#SYN, nested #NEAR/#WINDOW, #FIRST over any of them) — each
+  child evaluates to its per-doc emitted-position list through the same
+  recursion scored retrieval uses (plans/compiler.compile_il), so
+  registering e.g. ``#FIRST/5(#SYN(alert alarm))`` works and agrees
+  with the engine exactly. Round 3 closed the earlier deviation
   where these evaluated as SpanNear EXISTS chains: for 2 children the
   two semantics provably coincide (the greedy cursor only skips
   positions < lastPos, so it visits every candidate pair), which is why
@@ -104,25 +109,14 @@ class _Eval:
                 .where(F.col("_n") >= node.n)
                 .select("_d")
             )
-        if isinstance(node, ast.First):
-            # SpanFirst match semantics: the term occurs in the first n
-            # token slots. Like #NEAR here, composed children are out of
-            # scope for the set-algebra evaluator — plain terms only.
-            if not isinstance(node.child, ast.Term):
-                raise ValueError(
-                    "percolate #FIRST child must be a plain term"
-                )
-            self._check_field(node.child.field)
-            return (
-                self.tok.where(
-                    (F.col("_t") == node.child.term)
-                    & (F.col("_p") < node.n)
-                )
-                .select("_d")
-                .distinct()
-            )
-        if isinstance(node, (ast.Near, ast.WindowOp)):
-            return self._chain(node)
+        if isinstance(node, (ast.First, ast.Near, ast.WindowOp)):
+            # positional operators — evaluate the WHOLE IL subtree to
+            # per-doc emitted-position lists (round 4: composed children
+            # like #FIRST/5(#SYN(a b)) or nested #NEAR chains run through
+            # the same reference kernels as scored retrieval,
+            # plans/compiler.compile_il); a doc matches iff the subtree
+            # emits >= 1 position.
+            return self._positions(node).select("_d")
         if isinstance(node, (ast.Sum, ast.Wand, ast.Wsum)):
             # scoring operators carry no extra MATCH semantics beyond
             # their children's union (every child match contributes)
@@ -149,44 +143,80 @@ class _Eval:
             out = out.unionByName(f)
         return out
 
-    def _chain(self, node) -> DataFrame:
-        for c in node.children:
-            if not isinstance(c, ast.Term):
-                raise ValueError(
-                    "percolate #NEAR/#WINDOW children must be plain terms"
-                )
-            self._check_field(c.field)
-        terms = [c.term for c in node.children]
-        if not terms:
-            return self.ids.limit(0)
-        # per-doc sorted position list per child (NOT a position
-        # cross-join — the join is one row per (doc, child), so the k-way
-        # join fans out by matching docs, never by position combinations)
-        frames = [
-            self.tok.where(F.col("_t") == t)
-            .groupBy("_d")
-            .agg(F.sort_array(F.collect_list("_p")).alias(f"_pl{i}"))
-            for i, t in enumerate(terms)
-        ]
-        out = frames[0]
-        for i in range(1, len(frames)):
-            out = out.join(frames[i], "_d")
-
-        kernel = near_match if isinstance(node, ast.Near) else window_match
-        width = node.n
-
-        @pandas_udf("boolean")
-        def _kernel_matches(*plists: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    len(kernel([list(pl.iloc[i]) for pl in plists], width))
-                    > 0
-                    for i in range(len(plists[0]))
-                ]
+    def _positions(self, node: ast.Node) -> DataFrame:
+        """→ DataFrame(_d, _pl:array<int>) — per-doc sorted EMITTED
+        position lists for an inverted-list subtree, mirroring scored
+        retrieval's ``plans/compiler.compile_il`` semantics exactly over
+        the batch token frame (same greedy kernels, same #SYN
+        duplicate-keeping union, same #FIRST position filter) — so a
+        stored ``#FIRST/5(#SYN(a b))`` or a nested ``#NEAR`` chain fires
+        iff the same doc would match in the engine. Docs with an empty
+        emitted list are dropped at every level (a NEAR/WINDOW child
+        join is inner, matching compile_il's npresent == k gate)."""
+        if isinstance(node, ast.Term):
+            self._check_field(node.field)
+            return (
+                self.tok.where(F.col("_t") == node.term)
+                .groupBy("_d")
+                .agg(F.sort_array(F.collect_list("_p")).alias("_pl"))
             )
+        if isinstance(node, ast.Syn):
+            # positional union, duplicates kept (QryopIlSyn semantics /
+            # operators/positional.syn_merge)
+            kids = [self._positions(c) for c in node.children]
+            if not kids:
+                return self._empty_positions()
+            return (
+                self._union_all(kids)
+                .groupBy("_d")
+                .agg(F.array_sort(F.flatten(F.collect_list("_pl"))).alias("_pl"))
+            )
+        if isinstance(node, ast.First):
+            # SpanFirst: keep the CHILD's emitted positions < n — for a
+            # composed child that is the kernel's emit position (NEAR:
+            # last arg; WINDOW: max), exactly compile_il's filter
+            kid = self._positions(node.child)
+            return kid.select(
+                "_d",
+                F.filter("_pl", lambda p: p < F.lit(node.n)).alias("_pl"),
+            ).where(F.size("_pl") > 0)
+        if isinstance(node, (ast.Near, ast.WindowOp)):
+            kids = [self._positions(c) for c in node.children]
+            if not kids:
+                return self._empty_positions()
+            # per-doc position list per child (NOT a position cross-join
+            # — one row per (doc, child), so the k-way join fans out by
+            # matching docs, never by position combinations)
+            out = kids[0].select("_d", F.col("_pl").alias("_pl0"))
+            for i in range(1, len(kids)):
+                out = out.join(
+                    kids[i].select("_d", F.col("_pl").alias(f"_pl{i}")), "_d"
+                )
+            kernel = near_match if isinstance(node, ast.Near) else window_match
+            width = node.n
 
-        cols = [F.col(f"_pl{i}") for i in range(len(frames))]
-        return out.where(_kernel_matches(*cols)).select("_d")
+            @pandas_udf("array<int>")
+            def _kernel_pos(*plists: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [
+                        kernel([list(pl.iloc[i]) for pl in plists], width)
+                        for i in range(len(plists[0]))
+                    ]
+                )
+
+            cols = [F.col(f"_pl{i}") for i in range(len(kids))]
+            return out.select("_d", _kernel_pos(*cols).alias("_pl")).where(
+                F.size("_pl") > 0
+            )
+        raise ValueError(
+            f"percolate positional operators cannot evaluate "
+            f"{type(node).__name__} children"
+        )
+
+    def _empty_positions(self) -> DataFrame:
+        return self.ids.limit(0).select(
+            "_d", F.array().cast("array<int>").alias("_pl")
+        )
 
 
 def percolate(

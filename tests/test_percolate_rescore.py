@@ -146,8 +146,10 @@ def test_percolate_errors(spark):
         percolate(docs, {})
     with pytest.raises(ValueError, match="one text field"):
         percolate(docs, {"q": "spark.role"}, cfg=CFG).collect()
-    with pytest.raises(ValueError, match="plain terms"):
-        percolate(docs, {"q": "#NEAR/2(#SYN(a b) c)"}, cfg=CFG).collect()
+    # composed positional children are legal since round 4; multi-term
+    # expansion (wildcards) still needs a term dictionary → fail loudly
+    with pytest.raises(ValueError, match="cannot evaluate"):
+        percolate(docs, {"q": "spar*"}, cfg=CFG).collect()
 
 
 # ------------------------------------------------------------ search_sorted
@@ -273,10 +275,64 @@ def test_percolate_first(spark):
     # match — positions keep the original token slots (stopwords leave
     # gaps, Lucene posIncrement semantics), so its 'merge' sits at 1.
     assert got.get("f1") == {1}
-    with pytest.raises(ValueError):
-        percolate(
-            _batch(spark), {"bad": "#FIRST/2(#NEAR/1(spark merge))"}, cfg=CFG
-        )
+
+
+def test_percolate_first_composed_children(spark):
+    """Round 4: #FIRST over composed IL children evaluates through the
+    same per-doc kernels as scored retrieval (previously raised)."""
+    out = percolate(
+        _batch(spark),
+        {
+            # NEAR/1(spark merge) emits the LAST arg's position; doc 0
+            # ("spark merges ...") emits 1 < 2 → match; doc 1 has the
+            # wrong order, doc 2 never contains 'merge'
+            "f_near": "#FIRST/2(#NEAR/1(spark merge))",
+            # SYN(spark window): union positions; first-2-slot hits are
+            # docs 0/1/2 (spark early); doc 3's 'window' sits at slot 3
+            "f_syn": "#FIRST/2(#SYN(spark window))",
+        },
+        cfg=CFG,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert got.get("f_near") == {0}
+    assert got.get("f_syn") == {0, 1, 2}
+
+
+def test_percolate_composed_positional_parity_with_engine(
+    spark, engine, tiny_index
+):
+    """Composed children (#SYN inside #NEAR, #FIRST over #SYN and over a
+    nested #NEAR chain) must reproduce EXACTLY the engine's match set on
+    the engine's own corpus — compile_il is the semantics source."""
+    import pyspark.sql.functions as F
+
+    _, _, tdf = tiny_index
+    dm = engine.reader.docmap().select("doc_id", "ext_id")
+    docs = tdf.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "ext_id"
+        ),
+        F.col("text"),
+    ).join(dm, "ext_id").select("doc_id", "text")
+    queries = {
+        "syn_near": "#NEAR/3(#SYN(search merge) engine)",
+        "first_syn": "#FIRST/5(#SYN(search engine))",
+        "first_near": "#FIRST/8(#NEAR/2(search engine))",
+        "nested_near": "#NEAR/4(spark #NEAR/2(search engine))",
+        "first_win": "#FIRST/12(#WINDOW/6(engine index))",
+    }
+    got = {q: set() for q in queries}
+    for r in percolate(docs, queries, cfg=CFG).collect():
+        got[r["query_id"]].add(r["doc_id"])
+    for qid, qtext in queries.items():
+        want = {
+            r["doc_id"]
+            for r in engine.search_df(qtext, UnrankedBoolean()).collect()
+        }
+        assert got[qid] == want, f"{qid}: {qtext}"
+        assert want, f"{qid} matched nothing — test corpus too sparse"
 
 
 def test_percolate_rejects_boosted_stored_query(spark):
