@@ -234,12 +234,13 @@ def _nearest_centroid_l2(vec_col, cents: list[list[float]]):
     (similarity.ivf_assign routes by max dot product, the cosine-tier
     convention; mixing the two metrics would send partial probes to
     lists the build never routed matching vectors to.)"""
-    best = F.struct(
-        F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")
-    )
-    for i, c in enumerate(cents):
+    # one distances ARRAY + array_position(array_min): linear-size
+    # expression (the former nested when(...).otherwise(best) fold was
+    # 2^nlist Catalyst nodes — analysis hung beyond nlist ≈ 12);
+    # array_position returns the FIRST min index → ties to the lower id.
+    def _d2(c: list[float]):
         carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
+        return F.aggregate(
             F.zip_with(
                 vec_col, carr,
                 lambda v, cc: (v.cast("double") - cc) * (v.cast("double") - cc),
@@ -247,10 +248,9 @@ def _nearest_centroid_l2(vec_col, cents: list[list[float]]):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        best = F.when(
-            d < best["d"], F.struct(d.alias("d"), F.lit(i).alias("i"))
-        ).otherwise(best)
-    return best["i"]
+
+    dists = F.array(*[_d2(c) for c in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def ivfpq_build(

@@ -179,15 +179,21 @@ def ivf_centroids(
 
 
 def _nearest_centroid(vec_col: Column, cents: list[list[float]]) -> Column:
-    """argmax dot(vec, centroid) — deterministic ties to the lower id."""
-    best = F.struct(
-        F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")
+    """argmax dot(vec, centroid) — deterministic ties to the lower id.
+
+    Built as one distances ARRAY + array_position(array_max): expression
+    size is linear in nlist. The previous nested when(...).otherwise(best)
+    fold embedded the accumulated expression TWICE per centroid — an
+    exponential (2^nlist) Catalyst tree that hung analysis beyond
+    nlist ≈ 12; array_position returns the FIRST max index, preserving
+    the ties-to-lower-id contract."""
+    dists = F.array(
+        *[
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
     )
-    for i, c in enumerate(cents):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = _dot(vec_col, carr)
-        best = F.when(d > best["d"], F.struct(d.alias("d"), F.lit(i).alias("i"))).otherwise(best)
-    return best["i"]
+    return (F.array_position(dists, F.array_max(dists)) - 1).cast("int")
 
 
 def ivf_assign(
