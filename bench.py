@@ -4,6 +4,17 @@ Prints ONE JSON line:
   {"metric": "total_bench_sec", "value": N, "unit": "sec",
    "queries": {...per-component seconds...}, "sf": 0.1}
 
+Noise-robust protocol (round 4): every leg runs BEST-OF-2 (the shared
+sandbox host's noise is strictly additive slowdown, so the faster
+observation approximates the quiet-box value — the same policy the
+scaling protocol has used since round 1), with both raw observations
+emitted under ``<leg>_runs``; and a Spark-free CALIBRATION PROBE (one
+single-process burn of the build's tokenize + varint-codec + parquet
+resource mix, scripts/scaling_bench._mix_burn) runs before and after
+the legs, emitted as ``calib_mix_burn_sec`` — so any two BENCH_r{N}
+artifacts carry their own box-speed normalizer: leg ratios should be
+read against the probe ratio before calling a regression.
+
 Components
   index_build      — full inverted-index build (tokenize → postings →
                      salted segment merge → compressed parquet) over a
@@ -21,6 +32,12 @@ Components
   neardup_minhash  — MinHash-LSH near-dup pipeline over documents.
   simhash          — 64-bit SimHash + banded pair search over documents.
   knn_brute        — exact cosine top-10 over embeddings.
+  knn_join_chunked — batched exact kNN join, 64 queries streamed in 2
+                     chunks (chunk_size=32) — the bounded-driver scale
+                     path (round-4 ANN latency tracking).
+  ivfpq_query      — IVF-PQ ADC probe (nprobe=4 of nlist=16) against a
+                     prebuilt index; build itself is untimed (one-time
+                     cost amortized over queries at scale).
   dedup_exact      — hash-groupBy exact dedup over documents.
   classify_score   — quality-classifier inference over documents
                      (hashed features + broadcast-weight sigmoid).
@@ -46,8 +63,12 @@ import shutil
 import statistics
 import sys
 import time
+from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+)
 
 import pyspark.sql.functions as F  # noqa: E402
 
@@ -72,12 +93,57 @@ BM25_QUERIES = [
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "6000"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+
+
+def _calibrate(trials: int = 3) -> list[float]:
+    """Spark-free box-speed probe: single-process burns of the build's
+    tokenize + varint-codec + snappy-parquet resource mix. Returned as
+    raw per-burn seconds (caller takes min); committed in the JSON so
+    cross-round leg comparisons can be normalized by box speed."""
+    from scaling_bench import _mix_burn
+
+    out = []
+    _mix_burn(0)  # warm imports / allocator outside the timed burns
+    for i in range(trials):
+        t0 = time.time()
+        _mix_burn(i + 1)
+        out.append(round(time.time() - t0, 3))
+    return out
+
+
+def _leg(
+    timings: dict,
+    extra: dict,
+    name: str,
+    fn: Callable[[], dict | None],
+    repeats: int = REPEATS,
+) -> None:
+    """Run ``fn`` ``repeats`` times; record the FASTEST wall as the leg
+    value, every observation under ``<name>_runs``, and the extra keys
+    returned by the fastest run."""
+    runs: list[float] = []
+    best_extra: dict | None = None
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        r = fn() or {}
+        dt = time.time() - t0
+        runs.append(round(dt, 3))
+        if dt < best:
+            best = dt
+            best_extra = r
+    timings[name] = round(best, 3)
+    extra[f"{name}_runs"] = runs
+    if best_extra:
+        extra.update(best_extra)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    calib_pre = _calibrate()
     spark = get_spark(
         app_name="sefs-bench", master=f"local[{cpus}]",
         # 4 partitions/core: head-term encode groups don't straggle a wave
@@ -85,7 +151,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
 
     # ---- index build throughput over an on-disk transcript corpus --------
     # (the north_rule scenario: the input is an Iceberg/parquet table on
@@ -98,10 +164,12 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_dir)
     n_turns = corpus.count()
     ix_dir = "/tmp/bench_ix_transcripts"
-    shutil.rmtree(ix_dir, ignore_errors=True)
-    t0 = time.time()
-    build_index(spark, corpus, ix_dir, fields=("body",), n_buckets=int(cpus))
-    timings["index_build"] = round(time.time() - t0, 3)
+
+    def run_build():
+        shutil.rmtree(ix_dir, ignore_errors=True)
+        build_index(spark, corpus, ix_dir, fields=("body",), n_buckets=int(cpus))
+
+    _leg(timings, extra, "index_build", run_build)
     extra["index_build_turns"] = n_turns
     extra["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
 
@@ -110,14 +178,16 @@ def main() -> None:
     from search_engine_framework_spark.contract import _docs_as_transcripts
 
     doc_ix = "/tmp/bench_ix_documents"
-    shutil.rmtree(doc_ix, ignore_errors=True)
-    t0 = time.time()
-    build_index(
-        spark, _docs_as_transcripts(docs), doc_ix,
-        fields=("body",), cfg=AnalyzerConfig.sql_safe(),
-        n_buckets=8,
-    )
-    timings["index_build_documents"] = round(time.time() - t0, 3)
+
+    def run_build_docs():
+        shutil.rmtree(doc_ix, ignore_errors=True)
+        build_index(
+            spark, _docs_as_transcripts(docs), doc_ix,
+            fields=("body",), cfg=AnalyzerConfig.sql_safe(),
+            n_buckets=8,
+        )
+
+    _leg(timings, extra, "index_build_documents", run_build_docs)
     engine = SearchEngine(spark, doc_ix, analyzer=AnalyzerConfig.sql_safe())
 
     from search_engine_framework_spark.plans.models import (
@@ -127,14 +197,15 @@ def main() -> None:
     # warm one query (JVM/codegen warmup is not a per-query cost at scale)
     engine.search(BM25_QUERIES[0], BM25(), k=10)
 
-    lat = []
-    t_all = time.time()
-    for q in BM25_QUERIES:
-        t0 = time.time()
-        engine.search(q, BM25(), k=10)
-        lat.append(time.time() - t0)
-    timings["bm25_queryset"] = round(time.time() - t_all, 3)
-    extra["bm25_topk_p50"] = round(statistics.median(lat), 3)
+    def run_queryset():
+        lat = []
+        for q in BM25_QUERIES:
+            t0 = time.time()
+            engine.search(q, BM25(), k=10)
+            lat.append(time.time() - t0)
+        return {"bm25_topk_p50": round(statistics.median(lat), 3)}
+
+    _leg(timings, extra, "bm25_queryset", run_queryset)
 
     # Plain distributed BM25 path: driver fast path off (SEFS_DRIVER_TOPK=0)
     # and the DEFAULT block-max gate (which rightly declines two extra jobs
@@ -145,14 +216,16 @@ def main() -> None:
     os.environ["SEFS_DRIVER_TOPK"] = "0"
     try:
         engine.search(BM25_QUERIES[0], BM25(), k=10)  # warm distributed plan
-        lat_d = []
-        t_all = time.time()
-        for q in BM25_QUERIES:
-            t0 = time.time()
-            engine.search(q, BM25(), k=10)
-            lat_d.append(time.time() - t0)
-        timings["bm25_queryset_distributed"] = round(time.time() - t_all, 3)
-        extra["bm25_distributed_p50"] = round(statistics.median(lat_d), 3)
+
+        def run_distributed():
+            lat_d = []
+            for q in BM25_QUERIES:
+                t0 = time.time()
+                engine.search(q, BM25(), k=10)
+                lat_d.append(time.time() - t0)
+            return {"bm25_distributed_p50": round(statistics.median(lat_d), 3)}
+
+        _leg(timings, extra, "bm25_queryset_distributed", run_distributed)
     finally:
         os.environ.pop("SEFS_DRIVER_TOPK", None)
 
@@ -160,51 +233,61 @@ def main() -> None:
     # compiler._bm25_block_prune): forced engagement — at this tiny index
     # the default threshold correctly declines the 2 extra jobs, at scale
     # the skipped decode dominates. Counters show blocks never decoded.
-    lat_p = []
-    t_all = time.time()
-    for q in BM25_QUERIES:
-        t0 = time.time()
-        engine.search(q, BM25(), k=10, prune_min_blocks=1)
-        lat_p.append(time.time() - t0)
-    timings["bm25_queryset_pruned"] = round(time.time() - t_all, 3)
-    extra["bm25_pruned_p50"] = round(statistics.median(lat_p), 3)
+    def run_pruned():
+        lat_p = []
+        for q in BM25_QUERIES:
+            t0 = time.time()
+            engine.search(q, BM25(), k=10, prune_min_blocks=1)
+            lat_p.append(time.time() - t0)
+        return {"bm25_pruned_p50": round(statistics.median(lat_p), 3)}
+
+    _leg(timings, extra, "bm25_queryset_pruned", run_pruned)
     extra.update(engine.decode_metrics())
 
     # Batched evaluation of the SAME query set: one stats job + one shared
     # postings scan + one ranking window for all queries (engine.search_many)
     # vs ~2 jobs/query sequentially — the per-query scheduling fixed cost is
     # what dominates p50 at this scale.
-    t0 = time.time()
-    engine.search_many(
-        {f"q{i}": q for i, q in enumerate(BM25_QUERIES)}, BM25(), k=10
+    _leg(
+        timings, extra, "bm25_queryset_batched",
+        lambda: engine.search_many(
+            {f"q{i}": q for i, q in enumerate(BM25_QUERIES)}, BM25(), k=10
+        ) and None,
     )
-    timings["bm25_queryset_batched"] = round(time.time() - t0, 3)
 
     # Join-based bulk evaluator: ONE fixed-shape plan regardless of query
     # count (the 10^5-query shape; engine.search_bulk_bm25), bit-identical
     # results to the per-query path.
-    t0 = time.time()
-    engine.search_bulk_bm25(
-        {
-            f"q{i}": q[len("#SUM("):-1]
-            for i, q in enumerate(BM25_QUERIES)
-        },
-        k=10,
+    _leg(
+        timings, extra, "bm25_queryset_bulk",
+        lambda: engine.search_bulk_bm25(
+            {
+                f"q{i}": q[len("#SUM("):-1]
+                for i, q in enumerate(BM25_QUERIES)
+            },
+            k=10,
+        ) and None,
     )
-    timings["bm25_queryset_bulk"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    engine.search("#AND(spark #OR(merge window) #NOT(customer))", RankedBoolean(), k=10)
-    timings["boolean_query"] = round(time.time() - t0, 3)
+    _leg(
+        timings, extra, "boolean_query",
+        lambda: engine.search(
+            "#AND(spark #OR(merge window) #NOT(customer))", RankedBoolean(), k=10
+        ) and None,
+    )
 
-    t0 = time.time()
-    engine.search("#NEAR/3(key agg)", UnrankedBoolean(), k=10)
-    engine.search("#WINDOW/8(merge batch)", UnrankedBoolean(), k=10)
-    timings["positional_query"] = round(time.time() - t0, 3)
+    def run_positional():
+        engine.search("#NEAR/3(key agg)", UnrankedBoolean(), k=10)
+        engine.search("#WINDOW/8(merge batch)", UnrankedBoolean(), k=10)
 
-    t0 = time.time()
-    engine.search("#WAND(0.6 spark 0.4 #AND(merge window))", Indri(), k=10)
-    timings["indri_query"] = round(time.time() - t0, 3)
+    _leg(timings, extra, "positional_query", run_positional)
+
+    _leg(
+        timings, extra, "indri_query",
+        lambda: engine.search(
+            "#WAND(0.6 spark 0.4 #AND(merge window))", Indri(), k=10
+        ) and None,
+    )
 
     # ---- batched LeToR feature extraction (one job wave, all queries) ----
     from search_engine_framework_spark.letor_batch import batch_query_features
@@ -216,29 +299,72 @@ def main() -> None:
         for r in engine.search(text, BM25(), k=20).collect():
             cand_rows.append((qid, r["doc_id"]))
     cand = spark.createDataFrame(cand_rows, "qid string, doc_id long")
-    t0 = time.time()
-    batch_query_features(engine, lq, cand).count()
-    timings["letor_batch_features"] = round(time.time() - t0, 3)
+    _leg(
+        timings, extra, "letor_batch_features",
+        lambda: batch_query_features(engine, lq, cand).count() and None,
+    )
 
     # ---- pipeline operators ----------------------------------------------
-    t0 = time.time()
-    n_pairs = dedup.near_dup_pairs(docs, threshold=0.8).count()
-    timings["neardup_minhash"] = round(time.time() - t0, 3)
-    extra["neardup_pairs"] = n_pairs
+    def run_neardup():
+        return {
+            "neardup_pairs": dedup.near_dup_pairs(docs, threshold=0.8).count()
+        }
 
-    t0 = time.time()
-    dedup.simhash_near_pairs(dedup.simhash64(docs), max_hamming=8).count()
-    timings["simhash"] = round(time.time() - t0, 3)
+    _leg(timings, extra, "neardup_minhash", run_neardup)
 
-    t0 = time.time()
-    dedup.exact_dup_groups(docs).count()
-    timings["dedup_exact"] = round(time.time() - t0, 3)
+    _leg(
+        timings, extra, "simhash",
+        lambda: dedup.simhash_near_pairs(
+            dedup.simhash64(docs), max_hamming=8
+        ).count() and None,
+    )
+
+    _leg(
+        timings, extra, "dedup_exact",
+        lambda: dedup.exact_dup_groups(docs).count() and None,
+    )
 
     embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qvec = [float(x) for x in embs.where(F.col("vec_id") == 0).first()["embedding"]]
-    t0 = time.time()
-    similarity.cosine_topk(embs, qvec, k=10).collect()
-    timings["knn_brute"] = round(time.time() - t0, 3)
+    _leg(
+        timings, extra, "knn_brute",
+        lambda: similarity.cosine_topk(embs, qvec, k=10).collect() and None,
+    )
+
+    # ---- round-4 ANN legs ------------------------------------------------
+    # Chunked exact kNN join: 64 query vectors streamed in 2 bounded
+    # slices (chunk_size=32) — the driver-bounded batch tier whose
+    # round-over-round latency the 100-TB similarity path needs tracked.
+    knn_queries = (
+        embs.where(F.col("vec_id") < 64)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+    def run_knn_join():
+        n = similarity.knn_join(
+            embs, knn_queries, k=10, chunk_size=32
+        ).count()
+        return {"knn_join_rows": n}
+
+    _leg(timings, extra, "knn_join_chunked", run_knn_join)
+
+    # IVF-PQ ADC probe latency against a prebuilt index (build untimed —
+    # one-time cost amortized over the query stream at scale). codes is
+    # materialized (localCheckpoint) so the timed leg measures the probe
+    # scan, not a re-run of k-means lineage.
+    from search_engine_framework_spark.pipeline import pq as pq_mod
+
+    codes, ivf_cents, ivf_books = pq_mod.ivfpq_build(
+        embs, nlist=16, m=8, ksub=256, refine=0
+    )
+    codes = codes.localCheckpoint(eager=True)
+
+    _leg(
+        timings, extra, "ivfpq_query",
+        lambda: pq_mod.ivfpq_query(
+            codes, ivf_cents, ivf_books, qvec, k=10, nprobe=4
+        ).collect() and None,
+    )
 
     # ---- round-2 additions -----------------------------------------------
     # quality-classifier inference over the whole documents table (hashed
@@ -246,22 +372,24 @@ def main() -> None:
     from search_engine_framework_spark.contract import CLS_B, CLS_DIM, CLS_W
     from search_engine_framework_spark.pipeline import classify
 
-    t0 = time.time()
-    classify.score(
-        classify.featurize(docs, dim=CLS_DIM), CLS_W, CLS_B, all_ids=docs
-    ).count()
-    timings["classify_score"] = round(time.time() - t0, 3)
+    _leg(
+        timings, extra, "classify_score",
+        lambda: classify.score(
+            classify.featurize(docs, dim=CLS_DIM), CLS_W, CLS_B, all_ids=docs
+        ).count() and None,
+    )
 
     # percolator: 4 stored queries against the whole documents table as
     # one ingest batch (one analyze pass, one unioned plan)
     from search_engine_framework_spark.contract import PERCOLATE_QUERIES
     from search_engine_framework_spark.percolate import percolate
 
-    t0 = time.time()
-    percolate(
-        docs, PERCOLATE_QUERIES, cfg=AnalyzerConfig.sql_safe()
-    ).count()
-    timings["percolate"] = round(time.time() - t0, 3)
+    _leg(
+        timings, extra, "percolate",
+        lambda: percolate(
+            docs, PERCOLATE_QUERIES, cfg=AnalyzerConfig.sql_safe()
+        ).count() and None,
+    )
 
     # event analytics: ordered funnel + weekly retention cohorts
     from search_engine_framework_spark.streaming.events import (
@@ -269,20 +397,23 @@ def main() -> None:
     )
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    t0 = time.time()
-    funnel_counts(ev, ["signup", "view", "purchase"], within=7 * 86400.0).count()
-    retention_cohorts(ev, period_seconds=7 * 86400.0).count()
-    timings["events_funnel_retention"] = round(time.time() - t0, 3)
+
+    def run_events():
+        funnel_counts(ev, ["signup", "view", "purchase"], within=7 * 86400.0).count()
+        retention_cohorts(ev, period_seconds=7 * 86400.0).count()
+
+    _leg(timings, extra, "events_funnel_retention", run_events)
 
     # DSIR importance resampling end-to-end (two bucket-model fits,
     # per-doc weights, Gumbel top-100) — plain-sum scale path
     from search_engine_framework_spark.pipeline import dsir as dsir_mod
 
-    t0 = time.time()
-    dsir_mod.dsir_select(
-        docs, docs.where(F.col("lang") == "fr"), n_select=100, dim=2048
-    ).count()
-    timings["dsir_select"] = round(time.time() - t0, 3)
+    _leg(
+        timings, extra, "dsir_select",
+        lambda: dsir_mod.dsir_select(
+            docs, docs.where(F.col("lang") == "fr"), n_select=100, dim=2048
+        ).count() and None,
+    )
 
     # round-3 transcript-prep operators over the synthetic 5-turn convs
     # (doc_id div/mod 5, roles by parity — the contract's conv shape):
@@ -301,11 +432,13 @@ def main() -> None:
         F.col("source").alias("tool"),
         "text",
     )
-    t0 = time.time()
-    render_chat(turns).count()
-    conv_quality(turns).where("keep").count()
-    tool_transitions(turns).count()
-    timings["transcript_prep"] = round(time.time() - t0, 3)
+
+    def run_transcript_prep():
+        render_chat(turns).count()
+        conv_quality(turns).where("keep").count()
+        tool_transitions(turns).count()
+
+    _leg(timings, extra, "transcript_prep", run_transcript_prep)
 
     # PageRank: 5 damped power iterations over a deterministic
     # 3-out-degree md5-derived link graph on documents
@@ -328,10 +461,12 @@ def main() -> None:
     pr_edges = legs[0]
     for leg in legs[1:]:
         pr_edges = pr_edges.union(leg)
-    t0 = time.time()
-    graph_mod.pagerank(pr_edges, iters=5).count()
-    timings["pagerank5"] = round(time.time() - t0, 3)
+    _leg(
+        timings, extra, "pagerank5",
+        lambda: graph_mod.pagerank(pr_edges, iters=5).count() and None,
+    )
 
+    calib_post = _calibrate()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_bench_sec",
@@ -339,6 +474,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats_per_leg": REPEATS,
+        "calib_mix_burn_sec": round(min(calib_pre + calib_post), 3),
+        "calib_mix_burn_runs": {"pre": calib_pre, "post": calib_post},
         **extra,
     }
     print(json.dumps(out))
