@@ -688,4 +688,431 @@ yacht yak yam yank yap yarn yawn yearn yeast yelp yen yew yodel
 yoga yogurt yoke yokel yolk yonder yore yule
 zany zeal zebra zenith zephyr zest zigzag zinc zipper zither zodiac
 zombie zoo zoom
+""".split()) | frozenset("""
+abate abbot abdicate aberrant abet abeyance abject abjure ablative
+abloom ablution abnegate abode abolition abominate aboriginal abortive
+abrade abridge abrogate abscess abscond absolve absorbent abstemious
+abstinence abstruse abut abysmal acacia accede accentuate accessible
+acclimate accolade accost accredit accretion acerbic acetate acetylene
+acolyte aconite acquiesce acrid acrimony actuary actuate acuity acumen
+adage adagio addendum addict addle adduce adenoid adhesive adipose
+adjudicate adjunct adjutant adroit adulate adulterate adumbrate advert
+aegis aerate aerie affable affidavit affix affray affront aft agate
+agglomerate aggrandize aggrieve aghast agnostic agog agrarian ague
+airborne airfield airfoil airlift airline airliner airplane airport
+airship airstrip airtight airway airworthy alabaster alacrity albacore
+albatross albeit albino alchemy alder alderman alfalfa alfresco alga
+alight alkaline allay allegiance allegory allegro allergen alleviate
+allspice allusion alluvial almighty alms aloe aloof alpaca alpha alpine
+altar altercation altruism alum amalgam amalgamate amanuensis amaranth
+amaryllis amass ambergris ambidextrous ambience ambivalent amble
+ambrosia ameliorate amenable amethyst amicable amiss amity ammeter
+amoeba amok amoral amorous amorphous amortize ampere ampersand amphibian
+amphitheater ampule anachronism anaconda analgesic anarchist anathema
+ancillary andante andiron android anemia anemone anew angelic angina
+angora angst anhydrous aniline animosity anion anise aniseed annals
+anneal annotate annul annular anode anoint anomalous anonymity anopheles
+antacid antagonist antarctic anteater antecedent antechamber antedate
+anteroom anthracite anthrax anthropoid antibody antigen antimony
+antipathy antipodes antiquary antiquity antiseptic antithesis antitrust
+antonym aorta apace apache apathetic aperitif aphasia aphid aphorism
+apiary apiece aplomb apocalypse apocryphal apogee apoplexy apostasy
+apothecary apparition appease appellate append apperception appertain
+applicable apposite apprehend apprise approbation appurtenance apse
+aptitude aqueduct aqueous aquiline arabesque arable arbiter arbor
+arboreal arboretum arbutus arcane archaeology archaism archangel
+archbishop archdiocese archduke archeology archipelago architrave
+archway ardor argon argosy argot aria aristocracy armada armadillo
+armament armature armchair armistice armorial armory armpit arnica
+aromatic arpeggio arraign arrant arrears arrogate arroyo arsenic
+artesian artful arthritis artichoke articulate artifice artless arum
+asbestos ascetic ascribe aseptic ashen askance askew asperity aspersion
+asphyxia aspic aspirant aspirate assail assassin assay assent assiduous
+assimilate assize assonance assuage astral astringent astrolabe
+astrologer astronomer asunder atheist athlete athwart atoll atone atrium
+atrophy attainder attar attenuate attest attrition atypical audacity
+augur augury auk auricle aurora auspicious austral autarchy
+authoritative autism autocrat automat automate automaton autopsy
+autumnal avarice avast avaunt aviary aviator avocation avoirdupois avow
+avuncular awash awesome awry axiom axiomatic azalea azimuth backdrop
+backfire backgammon backhand backlash backlog backside backslide
+backstage backstroke backtrack backwash backwater backwoods badinage
+bagatelle bagpipe bailiff bailiwick bairn baize balalaika balderdash
+baleen baleful balk balky ballade ballerina ballistic balm balsa balsam
+baluster balustrade bamboozle bandanna bandoleer bandstand bandwagon
+bane baneful bangle bankrupt banns banshee bantam banyan baobab baptism
+barbarian barbarous barbell barberry barcarole bard bareback barefoot
+baritone barium barnacle baroque barracuda barrage barrette barrister
+barroom barrow basalt baseboard baseline bashful basilica basilisk
+basset bassinet bastard baste bateau bathos bathrobe bathroom bathtub
+batik batten battledore battlement baulk bauxite bawdy bayberry bayou
+beadle beaker bearish beatific beatify beatitude beau beaver becalm beck
+becloud bedaub bedazzle bedbug bedchamber bedeck bedevil bedfellow
+bedizen bedouin bedraggle bedridden bedrock bedroll bedspread bedstead
+beechnut beefsteak beehive beeline beeswax befit befog befriend befuddle
+begonia begrudge beguile behemoth behest beholden behoove bejewel
+belabor belay beleaguer belfry belie belligerent bellwether belvedere
+bemuse benediction benefactor benefice beneficent benighted benzene
+benzine bequest berate beriberi berserk beryl beseech besmirch bespeak
+bestial bestir bestride betake betide betimes betoken betroth bevel bevy
+bewail bewitch bibelot bibliography bicameral bicarbonate bicentennial
+biceps bicuspid biennial bier bifurcate bigamy bight bilateral bilge
+bilious bilk bimonthly binaural binnacle binocular bipartisan biped
+biplane biretta bisect bismuth bisque bistro bitumen bivalve bivouac
+blackberry blackbird blackguard blackjack blackmail blacksmith
+blackthorn bladder blanch blandish blarney blaspheme blazon blench
+blindfold blintz blithe blockade bloodhound bloodshed bloom blotch
+bluebell blueberry bluebird blunderbuss blurb boa boardwalk bobcat
+bobolink bobsled bodice bodkin bogey boggle bohemian bola bole boll
+bollard bologna bombast bonanza bonbon bondage bonito bonny bonze booby
+boodle bookbinder bookcase bookish bookkeeper booklet bookworm boomerang
+boon boor bootleg booty bordello bosh bosky bouillon boulevard bountiful
+bourbon bourgeois bovine bowel bower bowie bowsprit boxcar boxwood
+bracken brackish bract brad braggart brahman brassiere brassy brawn
+braze brazier breakwater bream breech breeches brethren breviary briar
+brigand brigantine brimstone brindle briquette brogan brogue bromide
+bromine bronchitis bronco brothel brougham browbeat brucellosis bruin
+brunette brutal bubonic buccaneer buckboard buckram buckshot buckskin
+buckwheat bucolic budgerigar bugaboo bugbear bulkhead bullock bulrush
+bumpkin bumptious bunco bunion bunkum burdock burgeon burgess burgher
+burgundy burlap burlesque burnish burnoose burro bursar bursitis bushing
+buskin bustard butane butte buttermilk butternut byword cabal cabana
+cabaret cachet cackle cacophony cad cadaver caddie cadenza cadge cadmium
+cadre caesura caftan cagey cairn caisson calabash calamine calcify
+calculus caldron calfskin caliper caliph calisthenics calk calliope
+callow calumny calve calypso camaraderie cambric camellia camomile
+camphor canard canasta cancan candelabrum cannery canny cantaloupe
+cantankerous cantata canticle cantilever canto canton cantor capacious
+caparison capitol capon caprice capstan captious captivate carafe
+caraway carbide carbine carbohydrate carbuncle carburetor cardamom
+careen caret caribou caries carillon carmine carnal carnation
+carnivorous carom carouse carpel carrion carrousel cartographer casein
+casement cashew cashmere casing cassava cassock castanet castaway
+castigate castor cataclysm catacomb catalpa catamaran catarrh catbird
+catcall catechism catfish catharsis cathode catholic catkin catnip
+catsup cattail causal caustic cauterize cavalcade cavil cavort cayenne
+cedilla celerity celibate cellar cellophane celluloid cellulose cenotaph
+censer censure centaur centenary centennial centigrade centrifugal
+centurion cerebral cerise cessation cession cesspool chalice chamberlain
+chamois chancel chancery chaparral chaplet characterize charlatan
+charnel chartreuse chary chasten chastise chateau chattel cheapen
+checkmate cheddar chemise cheroot cherub chessboard chevron chicanery
+chickadee chickweed chicle chicory chieftain chiffon chigger chilblain
+chimera chinchilla chintz chiropodist chit chloride chloroform
+chlorophyll chock choler chorale choreography chortle chowder chrism
+chromatic chromium chrysalis chrysanthemum chubby churl chutney cicada
+cinch cinchona cincture cinnabar circlet circuitous circular circumcise
+circumference circumflex circumscribe circumspect circumvent cirrus
+citation citron civet clairvoyant clam clandestine clangor clapboard
+claret clarion clavicle cleanse cleat cleave clef cleft clemency cleric
+clerical clew clientele clinker clique clobber closet clover cloy
+coadjutor coagulate coalition cobble cocaine coccyx cochineal cockade
+cockatoo cockle cockpit cockroach coda codeine codger codicil coeval
+cogitate cognac cognate cognizant cohere cohesion coiffure collage
+collate colloquy collusion colonnade colossus columbine comatose comely
+comity commemorate commensurate commiserate commissar commissary
+commodious commonweal communal communicable compatriot compendium
+compere complacent complaisant compliant complicity comport composite
+composure compote comprise compunction conceit concentric concerto
+concierge conciliate concomitant concord concourse concubine condescend
+condiment condole condor conduce confederate conflagration confluence
+conform confrere confute conglomerate congruent conifer conjugal connive
+connoisseur connote connubial conquistador consanguinity conscript
+consign consortium constituent consummate contagion contentious
+contiguous continent contingent contralto contravene contusion conundrum
+convalesce convivial convoke cony cooper coot copra copse copulate
+coquette coriander cornet cornice cornucopia corolla corollary corona
+coronary coronet corporeal corpulent corpus corpuscle corroborate
+corrugate corsair corset cortege cortex corvette cosset coterie
+cotillion coulee countermand counterpane counterpart couple couplet
+courtesan courtier covey cowardice cowl cowslip coxcomb coxswain cozen
+crackle cranberry cranium crape crass cravat craven craw crayfish
+credence credential credible credulous creel creosote crepe crescendo
+cress cretonne crevasse crier crimson crinkle crinoline crocus croissant
+crone crony croon croquette crosier croup crowbar crucible crucifix
+cruet crustacean crux cud cudgel cuisine culinary cull culpable
+cummerbund cumulative cuneiform cupboard cupidity cupola cur curator
+curmudgeon currant cursive cursory curtsy curvature cusp cuspidor
+cutaneous cuticle cutlass cuttlefish cyanide cyclamen cygnet cynosure
+czar dachshund dado daft dahlia daiquiri dais dally dalmatian damask
+dander dank dapple darn dastard dateline daub dauphin davenport davit
+deadlock deaf debar debase debauch debenture debilitate debonair debouch
+debutante decadence decamp decant decapitate decathlon deceit decelerate
+decennial decibel deciduous decimate declension declivity decorous
+decorum decrepit decry defeatist defecate deference defiance deficient
+definitive defoliate defray deify deign delectable deleterious
+delicatessen delineate delirium demagogue demarcation demented demerit
+demesne demigod demitasse demobilize democracy demur denature dengue
+denizen denominate denouement dentifrice denture depraved depredation
+depute derange derogatory derrick dervish descant desecrate desiccate
+despicable despoil despond desultory detonate devolve diabolic diadem
+diaphanous diatribe dibble dicker dictum didactic diffident digress
+dilatory dilettante dill dimension diminutive dimity dingle diorama
+diphtheria dipper dirigible dirk disabuse disarray disavow disburse
+disclaim discomfit disconcert disconsolate discordant discotheque
+discursive disfigure disgorge disgruntle disinter dismember disparate
+dispassionate disport disquisition dissemble disseminate dissertation
+dissident dissipate dissolute dissonant distaff distend diurnal diva
+divan divest docile docket doctrine dodder doff dogged doggerel doily
+doldrums doleful dolt domicile dominion dormer dorsal dossier dotage
+doublet doughty dowager doxology doyen drachma draconian dragoon drake
+dram draught dray dregs dribble drivel droll dromedary dross drowse
+dryad ducat ductile dudgeon duffel dugout dulcet dulcimer dumbbell
+dumpling dun dungaree duplex duplicity dynamo dysentery dyspepsia earwig
+eaves ebullient ecclesiastic echelon eclair eclectic ecumenical eczema
+edify effectual effeminate effervesce effete efficacy effluent
+effrontery effulgent effusive egalitarian egis egoist egregious egress
+eider eiderdown elate elf elide elixir elocution elucidate emaciate
+emasculate embankment embitter emblazon embolden emboss embower
+embrasure embroil emend emetic emigrate emissary emollient emolument
+emote empanel empathy emphatic emporium empower empyrean emu emulsion
+enamor encamp encase encomium encumber encyclical endear endemic endive
+endocrine endue enervate enfeeble enfold enfranchise engender engraft
+enjoin enliven enmesh ennoble enormity enrapture ensconce enshroud
+ensnare entente enthrall enthrone entomb entomology entrails entrench
+entwine envenom environ eon epaulet ephemeral epicure epidermis epigram
+epilepsy epilogue episcopal epistle epoxy equable equanimity equerry
+equestrian equilibrium equine equinox equipoise equitable equivocal ere
+ermine erotic errant erroneous erstwhile escapade escarpment eschew
+escrow escutcheon esophagus esoteric espalier especial espionage
+esplanade espresso esquire estimable ethereal ethos etymology eucalyptus
+eugenic eunuch euphemism euphony eureka euthanasia evanescent eventual
+evince eviscerate ewer exchequer excise excommunicate excoriate
+excrement excrescence exculpate execrable executor exegesis exemplar
+exemplify exhume exigency exorcise expatiate expatriate expectorate
+expedient expiate expletive explicate exponent expostulate expunge
+expurgate extant extemporaneous extenuate extirpate extraneous extremity
+extrovert extrude facetious facsimile faction factious factotum faculty
+faience fairway fakir fallible fanatic fancier fantasia farina farrow
+farthing fatuous fealty feasible febrile feckless fecund federate fedora
+feint feldspar felicity fennel fervid festive fete fetid fetlock fettle
+fez fiat fictitious fiduciary fief figment figurative filbert filibuster
+filigree finagle finesse finicky fiord firefly firmament fistula flaccid
+flagellate flageolet flagon flak flange flapjack flatulent fledge
+flippant flotilla flounce flume fluoride folio folklore follicle foment
+foolhardy foolscap footloose fop forebode forecastle foreclose foreword
+formaldehyde fornicate forswear fortitude foundry fount fractious
+frankincense frazzle frenetic fresco freshet fretful friar fricassee
+frieze frontispiece froward frowzy fruition frump fuchsia fuddle fugue
+fulminate fulsome furbish furlong fusillade fusty gabardine gad gadfly
+gaff gaggle gaiter gallivant galoshes gambit gamut gantlet gantry
+garbanzo gargoyle garish garner garnet garrote garrulous gauntlet gazebo
+geisha geld gendarme genealogy generic genie genital gentian gentile
+genuflect genus geode gerbil germane gerrymander gestate gesticulate
+gherkin ghoul gibber gibbon giblet gilt gimlet ginkgo ginseng gird
+glacial glade gladiator gladiolus glaucoma gloaming globule glossary
+glower glycerin gnu goatee goggle goiter gondola gossamer gourmand
+grackle grail grapnel gratuitous gratuity gravitate grebe greenhorn
+gremlin grenadine gridiron griffin grist gristle grizzle grommet guffaw
+gullet gumbo gunwale guppy guttural gymnasium gyroscope haberdasher
+habitable hackle hackney haft halberd halcyon hale hallucinate handiwork
+hank hansom hardihood hardtack harlequin harmonica harpsichord harridan
+harry hart hashish hasp hassock hauteur hawser hawthorn headland
+headlong headstrong headway heady hearken hearsay hedgehog heedless
+hegemony helical hemoglobin heraldry herbaceous herbivorous herculean
+hereditary heretic hermetic hiatus hibachi hibiscus hickory hie
+hieroglyphic hindmost hindrance hinterland hippodrome hirsute hist
+histrionic hither hobgoblin hobnob hock hodgepodge hogan hogshead
+hollyhock holocaust hombre homely homeopathy homily hominy homogeneous
+homonym hoodlum hoodwink hookah hooligan horehound horticulture hosanna
+hospice hostler hovel howdah howitzer huckleberry huckster hulk
+humanitarian humbug humdrum hummock humus husbandry hussar hussy
+hyacinth hydrangea hyperbole hypochondria hypodermic hypotenuse hyssop
+iamb ibex ibis iconoclast idyll igneous ignominy ignoramus illimitable
+illiterate imbroglio immanent immaterial immemorial immolate immure
+impalpable impassive impecunious impel imperious imperturbable
+impervious impetuous impious implacable impolitic imponderable importune
+impostor imprecate impresario imprimatur improvident imprudent impugn
+inadvertent inalienable inanimate incarnate incendiary inchoate
+incidence incipient inclement incoherent incongruous incorrigible
+incredulous inculcate indefatigable indelible indemnify indenture
+indigent indignant indiscreet indisposed indomitable indubitable
+industrious inebriate ineffable ineluctable inexorable infallible
+infernal infidel infinitesimal inflammable inflect infraction ingenuous
+ingrained inimical inimitable inning inordinate inquisition inroad
+inscrutable insignia insolvent insouciant insular insuperable
+insurrection intaglio intangible integument intemperate interdict
+interloper intermediary intermezzo interminable interpolate interpose
+interregnum interstice intestate intractable intransigent introvert
+inveigle inveterate invidious invigorate invincible inviolate iota
+irascible iridescent ironic irrevocable isinglass isle islet isotope
+itinerant jackanapes jackdaw jackknife jacuzzi jalopy jamboree jasper
+jaundice jawbone jaywalk jell jennet jerkin jetty jib jiffy jimmy jitney
+jocose jocund jodhpurs joggle jonquil jounce joust jubilee jugular
+juncture junket jurisprudence jurist juxtapose kale kapok karat kedge
+ken kestrel ketch khan kibitz kipper kismet kitchenette kith kleptomania
+knave knickers kohlrabi kowtow kumquat labial laborious labyrinth
+lackadaisical lackey laconic lacrosse lactic laity lambent lampoon
+lamprey lancet landau languid languish languor lank lanolin lanyard
+lapidary larboard larder largess lariat larkspur larynx lascivious
+lassitude latrine laudanum laudatory laxative layette lazar leaden
+leaven lecher lectern leeward legate legerdemain legume lemming
+leprechaun leprosy leucocyte leviathan levity libation libertine
+libidinous librate libretto licentious licit limbo limpet linden lineage
+lineal lineament linear lingerie linnet linseed lintel lionize liquefy
+liqueur lissome listless litany lithograph litmus littoral liturgy loam
+loath loathe lobbyist locale locket lode lodestone loquacious lorgnette
+lorry louver lovable lucrative lucre lugubrious lumbago luminary
+luxuriant lyceum lymph lyre macadam macaroon macaw macerate machination
+mackintosh madcap madrigal maelstrom magenta magnanimous magnesia
+maharajah majolica malachite malaise malcontent malediction malefactor
+malevolent malfeasance malinger malleable mallow mandarin mandible mange
+manger mangrove mania manicure manifold manikin manna mannequin mansard
+manse mantilla mantis marabou maraschino maraud marimba marjoram
+marmoset marquis marten martin martinet marzipan mascara masochist
+masonry masticate mastodon matricide maudlin mauve maw mawkish measles
+medicate medieval medley megaphone melee mellifluous melodeon memento
+memorabilia mendacious mendicant meningitis menstrual mercantile
+mercerize merchandise meretricious merino mesa mesquite metallurgy
+metamorphosis methane meticulous mettle mew mezzanine miasma midge
+midriff miff mignonette migraine milieu militate millet milliner
+millstone mimeograph mimosa minaret mineral minimal minion miniscule
+minstrel minx misanthrope miscreant misdemeanor misgiving misnomer
+missal missile missive mistletoe miter mocha modish modulate mogul
+mohair moiety mollusk molt momentous mongoose monocle monogamy monogram
+monograph monolith monotony monsieur monstrous moot moraine moratorium
+mordant mores moribund morphine morrow mortician mortise mote mottle
+mountebank mousse mucilage mucous mudguard muff mufti mulberry mulct
+mullet mullion multifarious mummer mumps munificent munition muscatel
+musclebound muskrat muss mustang myopia myrrh nabob nacelle nadir naiad
+nape naphtha narcissus narcotic nascent nasturtium nautilus navigable
+nectarine negligee negligent nemesis neophyte nether neuralgia neuron
+neuter newel nib nibble nicotine niggardly nihilism nimbus nitrate
+nocturne nodule noel noggin nonentity nonpareil nonplus noodle nostrum
+notary nougat novena nub nubile numismatic nuncio nutriment oakum
+obdurate obeisance obfuscate objurgate oblate obloquy obsequious
+observatory obsidian obsolescent obstetric obstreperous obtrude obtuse
+obverse obviate occident ocelot ocher octagon ocular oddity odious odium
+offal offertory officiate officious offing oleander oleomargarine
+olfactory oligarchy ombudsman omnibus omnipotent omniscient omnivorous
+onyx operetta opiate opine opium opossum opprobrium oration oratorio
+ordinal ordnance organdy orgy oriel origami oriole orison ornery
+ornithology orthodox osier osmosis ossify ostentatious ottoman
+outlandish outrage overweening ovule pachyderm padre paean painstaking
+palatable palatial palaver palfrey palisade pallbearer pallet palliate
+pallor palpitate palsy pampas pancreas panegyric pannier panoply
+pantaloon pantheon papacy papoose paprika papyrus parabola parallax
+paraphernalia parboil paregoric parental parenthesis pariah parlance
+parley parliament parochial paroxysm parquet parry parsimony parterre
+participle partridge parvenu pasha pastern pasteurize pastiche pastille
+pastoral patchwork pate patina patrician patricide patrimony patronage
+patronymic patter paucity paunch peccadillo pectoral peculate pedagogue
+pediment peevish pejorative pelvis penal penicillin penthouse penurious
+peon perambulate percale percolate perdition perfidy perforate
+perfunctory pergola perigee periphery peritonitis periwinkle perjure
+peroxide persimmon personable personify perspicacious pertinacious
+pertinent pestilence petticoat phalanx phantasm philander philanthropy
+philately philharmonic phlegm phlox phosphate photogenic phrenology
+piazza pibroch picayune pickerel picket piebald piecemeal pier pilaster
+pillory pimpernel pinafore pincers pinion pinochle pipette piquant
+piracy pirouette pistachio pistil pitfall pittance pituitary plaintiff
+plaintive plait planetarium plantain plaudit plebeian plenipotentiary
+plenitude plentiful plethora pleurisy pliable pliers plover plumage
+pneumatic poinsettia polecat polemic polio polka pollen polliwog
+polygamy polyp pomade pomegranate pommel pompadour pompano ponderous
+pongee poniard pontiff pontoon porphyry portcullis portly portmanteau
+postern posthumous postulate potable potash potassium potentate
+potpourri pottage poultice pout powwow prate prattle preamble precedent
+precipitate precursor predatory predilection preeminent preempt preen
+prefabricate prefect prehensile prelate premeditate premonition
+preponderate preposterous presage prescience presentiment presidium
+prevaricate prim primal primate primer primeval primordial primrose
+prismatic privateer privet privy probate probity proboscis proclivity
+prodigious proffer profligate progeny proletariat prolix prologue
+promulgate propensity prophylactic propinquity propitiate propitious
+proponent propound proprietary propriety prorate prosaic proscribe
+proselyte prosody provender providence provincial proviso prow proximity
+prurient pterodactyl pueblo puerile pugilist pugnacious puissant pullet
+pulmonary pumice pumpernickel punctilious punitive purblind purgatory
+purloin purr purse pursuant pusillanimous putative putrefy pylon pyre
+pyrotechnics quadrangle quadruped quake querulous quiescent quince
+quinine quintessence quixotic quizzical quoit quorum quoth quotidian
+rabbet rabbi racketeer raconteur radial radium raffia ragamuffin raiment
+rakish rambunctious ramify rampart ramrod rankle rapacious rapier rapine
+rapprochement rapt rarefy rattan ravel ravenous rawhide recalcitrant
+recant recapitulate recidivist recital recompense recondite reconnoiter
+recoup recreant recrimination rectitude recumbent redolent redoubt
+redound redress refectory referendum refract refractory refulgent
+regalia regent regicide regimen rehabilitate rejoinder relegate
+reliquary remand remonstrate remunerate renaissance renege rennet
+reparation repartee repatriate repertory repository reprehend reprobate
+requite resolute restaurant restitution restive resurgent retch retrench
+retribution retroactive retrograde revelry revile revulsion rhinestone
+rhododendron ribald riboflavin rice rickets riddance riffle riffraff
+rigmarole rill ringlet rink rinse riparian rivulet roan rococo roe roil
+roister rollick romp rondo rook rookie roost rosette rosin rotisserie
+rotor rubicund rubric rumba rumple rumpus rune runt saccharin sachem
+sacrilege sacrosanct sagacious sago salutary samovar sampan sanatorium
+sanctimonious sanctity sandalwood sanguinary sanitarium sapient
+sarcophagus sardonic sari sarsaparilla sassafras sate sateen satiate
+satrap saturnine satyr savant savvy scabbard scallion scamp scarab
+scathe scavenger schist scholastic schooner sciatica scimitar scintilla
+scintillate scion sconce scone scotch scraggly scrawny scrimp scripture
+scrofula scrounge scud scull scullery sculpture scurrilous scurvy
+secular sedentary sedition sedulous seedling seemly seersucker seine
+seismograph semaphore seminary sensual sentient sepal sepia sepulcher
+sequester sequoia seraph serge serrated servile servitude sesame settee
+sextant sexton shad shallot sheepish sheik shekel shellac shenanigan
+sherbet sherry shibboleth shirk shirr shoddy shrapnel shrew shuck
+shyster sibilant sidereal sidle sienna sierra siesta silica simian
+simile simpleton simulate sinecure singe singular sinuous sisal skein
+skillet skittish slake slattern sleazy slither sloe slosh sloven sludge
+slug sluggard slush smatter smirch snide snippet snooze snuff sobriquet
+solder solicitude solitaire solstice sombrero somnambulist somnolent
+sonorous soot sooth soothsayer sophomore soporific sorghum sorority
+sorrel souffle sousaphone souvenir sovereign spaghetti specie specious
+speckle spelunker spendthrift spew sphagnum sphinx spigot spinet
+spinster spleen spoof spoor spore spume squab squaw staccato stalactite
+stalagmite stamen stanch stanchion steadfast stealth stein stenographer
+stentorian steppe stereotype sterling stevedore stiletto stimulant
+stipple stoat stodgy stonemason strafe strangle strangulate strategy
+strew stricture strident strychnine studious stultify stupefy sturgeon
+sty stymie subaltern subjugate sublimate subliminal submissive suborn
+subservient subsist substantiate subterfuge succor succotash suckle
+suffuse suggestible sully sumac summary supercilious supine suppliant
+supplicate surcease surfeit surplice surrey susceptible sustenance
+suture svelte swaddle swain swank swarthy swath swill sybarite sycophant
+sylvan synchronize syncopate synod tactile taffy tallow tamale tamarack
+tamarind tang tankard tannery tapioca tapir tare tarragon tarry tartan
+tattle tattoo teak teal tedium temerity temperance temporal temporize
+tenable tendentious tender tendon tendril tepee termagant terminus
+termite tern terrapin testator testy tetanus thatch thence theocracy
+theodolite theology theorem therapeutic thermos thesaurus thespian thong
+thorax thrall thresh throe thrombosis thrush thwack thyroid tic tidings
+tiff tilde tiller timbre timorous timpani tincture tipple titian
+titillate titter titular toadstool toady toboggan tocsin toddy toga
+tomahawk tonal tongs topiary topography torchlight toreador torpid
+torpor torque torsion tortilla tortuous tote totem tourmaline tourniquet
+toxic toxin tractable traction trademark traduce tragedy trainer
+trajectory trammel trance transept transfigure transfix transfuse
+transgress transitory translucent transmute transom transpire transpose
+trapezoid travail treacle treadle treatise tremolo tremulous trenchant
+triad tribulation tribune trice trickle tricycle trident trillium tripe
+triplicate trivet trollop troth troubadour trough trounce trousseau
+truckle truculent truism trump trumpery truncheon tryst tsunami tubercle
+tuberculosis tubular tulle tumbrel tungsten tunic turbid tureen turgid
+turmeric turnpike turnstile turpitude tutelage twaddle twill typhoid
+typhus tyro ubiquitous umber umbrage unctuous unguent uproarious urbane
+urn usury utilitarian uxorious vaccinate vacuous vagary valedictory
+valise vampire vanadium varicose variegate varlet vaudeville vegetate
+velour venal venerate venial ventricle venue veracity verbena verdure
+verily veritable vermicelli vermilion vernal vertebra vestment vestry
+vetch veterinary viand viceroy vicissitude victuals villa vim virago
+visage viscera viscid viscount visor vitamin vitiate vitriol vituperate
+volition voluminous voodoo votary vouchsafe wager wainscot wallop wanton
+warble warranty wassail waylay weir wend whack whale wheedle wheeze
+whelp whiff whippet whippoorwill whit wholesome whorl windfall windlass
+winsome wintergreen wizened woo woodchuck wraith wrath yammer yawl
+yeoman yucca zealot zeppelin zinnia zircon zoology zucchini
 """.split())
+# The second block is the round-4 curated batch (~3.4k headwords):
+# general-English citation forms plus deliberately protected lexical
+# lookalikes reviewed against the pre-add stemmer output (each one
+# either stemmed to itself already — pure protection/confirmation
+# growth — or produced a junk/semantically-wrong stem that Lucene's
+# full KStemData lexicon would have protected: tender->tend,
+# solder->sell, oration->ore, quince->quit, trounce->trout,
+# painstaking->painstak, inning->inn, ironic->iron, ...).  True
+# inflected forms spotted in review (acoustics, appalling, avers,
+# bluing, crabbed, sheaves, impending, peaked) were EXCLUDED so their
+# inflectional conflations survive.  stemmer_impl: kstem/krovetz-4.

@@ -168,7 +168,10 @@ STEMMER_IMPL = {
     # krovetz-3: ~5.8k-headword supplemental lexicon (kstem_data.py)
     # merged into HEADWORDS — protection + derivational confirmation
     # coverage toward Lucene's ~30k KStemData list.
-    "kstem": "kstem/krovetz-3",
+    # krovetz-4: round-4 curated batch (~3.4k more headwords, 10.8k
+    # total) — reviewed protection of lexical lookalikes the smaller
+    # lexicon mis-stemmed (tender→tend, solder→sell, oration→ore, …).
+    "kstem": "kstem/krovetz-4",
 }
 
 

@@ -222,6 +222,32 @@ KSTEM_FIXTURES = {
     "rubber": "rubber", "willing": "willing", "university": "university",
     "counter": "counter", "morning": "morning", "physics": "physics",
     "convention": "convention", "mutable": "mutable", "viable": "viable",
+    # round-4 expanded lexicon (kstem_data.py second block, stemmer_impl
+    # krovetz-4): lexical lookalikes the 7k lexicon mis-stemmed, now
+    # protected (pre-add stems shown in the data-file comment) ...
+    "tender": "tender", "solder": "solder", "wager": "wager",
+    "ironic": "ironic", "inning": "inning", "oration": "oration",
+    "quince": "quince", "trounce": "trounce", "minion": "minion",
+    "painstaking": "painstaking", "bloodshed": "bloodshed",
+    "asbestos": "asbestos", "biceps": "biceps", "measles": "measles",
+    "tidings": "tidings", "trainer": "trainer", "faction": "faction",
+    "figment": "figment", "tunic": "tunic", "probity": "probity",
+    "visor": "visor", "recital": "recital", "curator": "curator",
+    # ... new derivational confirmations unlocked by the added bases ...
+    "abatement": "abate", "testily": "testy", "garishly": "garish",
+    "salvageable": "salvage", "vandalism": "vandal",
+    "abdication": "abdicate", "veneration": "venerate",
+    "tabulation": "tabulate", "detonation": "detonate",
+    "detonator": "detonate", "percolator": "percolate",
+    "navigator": "navigate", "translator": "translate",
+    "ventilation": "ventilate", "hibernation": "hibernate",
+    "meditation": "meditate", "mutation": "mutate",
+    "rotation": "rotate", "quotation": "quote", "scarcity": "scarce",
+    "tranquility": "tranquil", "verbosity": "verbose",
+    # ... and true inflections deliberately EXCLUDED from the batch so
+    # their inflectional conflations survive (review drops)
+    "peaked": "peak", "appalling": "appall", "acoustics": "acoustic",
+    "crabbed": "crab", "impending": "impend", "avers": "aver",
 }
 
 
