@@ -9,7 +9,7 @@ queries()       — one entry per implemented operator family (SURVEY.md §2
 oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   query, written to be IEEE-identical (same tokenization,
                   same float operand order, 4-dp rounding where engines'
-                  summation orders differ). 131 of 134 entries are
+                  summation orders differ). 131 of 133 entries are
                   oracle-checked (round 3 adds chat_render — chat-format
                   training export with loss-mask spans, hybrid_combsum —
                   CombMNZ score fusion, boosted_terms — Lucene-style caret

@@ -128,7 +128,8 @@ def extract_postings(
     fields: tuple[str, ...] = DEFAULT_FIELDS,
     cfg: AnalyzerConfig | None = None,
 ) -> DataFrame:
-    """docs(doc_id, text/role/tool) → (term, field, doc_id, tf, pos_blob, doclen).
+    """docs(doc_id, text/role/tool, …meta) →
+    (term, field, doc_id, tf, pos_blob, doclen, …meta).
 
     The tokenizer UDF emits per-doc grouped entries with varint-encoded
     position blobs, so the per-(doc,term) grouping AND position compression
@@ -138,10 +139,34 @@ def extract_postings(
     One row per (doc, field) has ``term IS NULL``: the doclen marker.
     Posting consumers filter it out; the doclen table is exactly those
     rows — a map-only projection.
-    """
+
+    Round 4: the FIRST field's marker rows also carry every non-text
+    input column (conv_id, turn_idx, role, tool, ts, ext_id, …) — the
+    docmap payload. The docmap table then derives from a column-pruned
+    scan of these markers instead of a SECOND full-corpus scan + offset
+    join (at the 10^12-turn target, scanning the corpus once instead of
+    twice is the difference that matters; measured at 15.4M turns the
+    docmap phase fell ~60%). Costs: payload columns are all-NULL on
+    posting rows (parquet RLE ≈ free) and real on ~1 row per doc; the
+    tokenizer hot loop is untouched — markers are emitted as separate
+    Arrow batches whose payload arrays are the INPUT batch's own arrays
+    (zero-copy), and posting batches carry pa.nulls placeholders (O(1))."""
     cfg = cfg or AnalyzerConfig.reference()
     srcs = [(f, _FIELD_SOURCE[f]) for f in fields]
-    input_df = docs.select("doc_id", *sorted({s for _f, s in srcs}))
+    text_cols = sorted({s for _f, s in srcs})
+    # docmap payload = every column except the heavy text body and
+    # doc_id (mirrors the pre-round-4 slim docmap exactly): role/tool
+    # stay in the payload even when they are ALSO indexed as fields
+    meta_cols = [c for c in docs.columns if c not in ("doc_id", "text")]
+    input_df = docs.select(
+        "doc_id", *dict.fromkeys([*text_cols, *meta_cols])
+    )
+    meta_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in docs.schema
+        if f.name in meta_cols
+    )
+    base_names = ["term", "field", "doc_id", "tf", "pos_blob", "doclen"]
 
     def tok(batches) -> Iterator:
         # mapInArrow: one flat (term, field, doc_id, tf, pos_blob, doclen)
@@ -154,17 +179,23 @@ def extract_postings(
 
         for batch in batches:
             names = batch.schema.names
-            doc_ids = batch.column(names.index("doc_id")).to_pylist()
+            doc_id_arr = batch.column(names.index("doc_id"))
+            doc_ids = doc_id_arr.to_pylist()
+            n = len(doc_ids)
+            meta_arrs = [batch.column(names.index(c)) for c in meta_cols]
             o_term: list = []
             o_field: list = []
             o_doc: list = []
             o_tf: list = []
             o_blob: list = []
             o_dlen: list = []
-            for field, src in srcs:
+            marker_batches = []
+            for fi, (field, src) in enumerate(srcs):
                 texts = batch.column(names.index(src)).to_pylist()
+                dlens: list = []
                 for doc_id, text in zip(doc_ids, texts):
                     rows, dlen = doc_term_blob_rows(text or "", cfg)
+                    dlens.append(dlen)
                     for t, tf, blob in rows:
                         o_term.append(t)
                         o_field.append(field)
@@ -172,13 +203,29 @@ def extract_postings(
                         o_tf.append(tf)
                         o_blob.append(blob)
                         o_dlen.append(dlen)
-                    # doclen marker row (see module docstring)
-                    o_term.append(None)
-                    o_field.append(field)
-                    o_doc.append(doc_id)
-                    o_tf.append(0)
-                    o_blob.append(b"")
-                    o_dlen.append(dlen)
+                # doclen marker batch for this field: one row per doc;
+                # the first field's markers carry the docmap payload
+                # (the input batch's own arrays — zero copy), later
+                # fields' markers carry nulls
+                marker_batches.append(
+                    pa.RecordBatch.from_arrays(
+                        [
+                            pa.nulls(n, pa.string()),
+                            pa.array([field] * n, pa.string()),
+                            doc_id_arr.cast(pa.int64()),
+                            pa.array([0] * n, pa.int32()),
+                            pa.array([b""] * n, pa.binary()),
+                            pa.array(dlens, pa.int32()),
+                        ]
+                        + (
+                            list(meta_arrs)
+                            if fi == 0
+                            else [pa.nulls(n, a.type) for a in meta_arrs]
+                        ),
+                        names=base_names + meta_cols,
+                    )
+                )
+            npost = len(o_term)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_term, pa.string()),
@@ -187,15 +234,17 @@ def extract_postings(
                     pa.array(o_tf, pa.int32()),
                     pa.array(o_blob, pa.binary()),
                     pa.array(o_dlen, pa.int32()),
-                ],
-                names=["term", "field", "doc_id", "tf", "pos_blob", "doclen"],
+                ]
+                + [pa.nulls(npost, a.type) for a in meta_arrs],
+                names=base_names + meta_cols,
             )
+            yield from marker_batches
 
     return input_df.mapInArrow(
         tok,
         schema=(
             "term string, field string, doc_id long, tf int, "
-            "pos_blob binary, doclen int"
+            "pos_blob binary, doclen int" + meta_ddl
         ),
     )
 
@@ -627,45 +676,44 @@ def build_index(
             with open(paths.stats) as fh:
                 n_docs = json.load(fh)["N"]
         else:
-            # The input-bytes tuning gives BOTH corpus scans below (slim
-            # docmap projection and the tokenize pass) 4 even task waves
-            # per core (a handful of big input files would otherwise leave
-            # the last wave mostly idle; measured 25% of the tokenize
-            # phase on an 18-file corpus at 8 cores).
+            # The input-bytes tuning gives the tokenize corpus scan 4
+            # even task waves per core (a handful of big input files
+            # would otherwise leave the last wave mostly idle; measured
+            # 25% of the tokenize phase on an 18-file corpus at 8 cores).
             _tune_scan_partitions(spark, _df_input_bytes(transcripts), par)
             assigned = assign_doc_ids(transcripts)
-            # SLIM docmap: every column except the text payload. No
-            # consumer reads text back from the docmap (query-time ext_id
-            # joins, LeToR conv metadata, delete predicates are all
-            # metadata-only), so the old full-row docmap was a SECOND
-            # on-disk copy of the whole corpus — at the 10^12-turn target
-            # that's duplicating ~100 TB of text for columns nobody reads.
-            # Parquet column pruning makes the slim projection scan cheap,
-            # and tokenization chains straight off the assigned corpus
-            # scan instead of re-reading the docmap (assign_doc_ids'
-            # dense path is a map-only broadcast join, so recomputing it
-            # costs one extra broadcast build, not a shuffle). Measured at
-            # local[8]/15.36M turns: docmap phase 26.7s → 21.1s, tokenize
-            # unchanged, index size minus one corpus copy.
-            slim_cols = [c for c in assigned.columns if c != "text"]
-            assigned.select(*slim_cols).write.mode("overwrite").parquet(
-                paths.docmap
-            )
-            n_docs = getattr(assigned, "_sefs_n_docs", None)
-            if n_docs is None:
-                n_docs = spark.read.parquet(paths.docmap).count()
-            phases["docmap"] = round(time.time() - t0, 2)
 
-            # Forward index (the reference's TermVector analog,
-            # /root/reference/src/TermVector.java:19-94): tokenization —
-            # the only expensive Python crossing — runs ONCE here; doclen
-            # and the inverted segments both derive from this table.
-            # Map-only write (no shuffle): files mirror the corpus scan
-            # partitioning.
+            # ONE corpus scan (round 4): tokenization — the only
+            # expensive Python crossing — runs here, and the first
+            # field's doclen marker rows carry the docmap payload
+            # (extract_postings), so docmap/doclen/segments ALL derive
+            # from this table. Previously the slim docmap was a second
+            # full-corpus scan + conv-offset broadcast join; at the
+            # 10^12-turn target that second scan reads ~100 TB of
+            # parquet for columns the tokenizer pass already had in
+            # hand. Map-only write (no shuffle): files mirror the
+            # corpus scan partitioning.
             extract_postings(assigned, fields=fields, cfg=cfg).write.mode(
                 "overwrite"
             ).parquet(paths.doc_terms)
-            phases["tokenize"] = round(
+            n_docs = getattr(assigned, "_sefs_n_docs", None)
+            phases["tokenize"] = round(time.time() - t0, 2)
+
+            # SLIM docmap (no text payload — no consumer reads text back
+            # from the docmap): a column-pruned scan of the first
+            # field's marker rows. Payload columns are everything the
+            # transcript carried except the indexed text sources.
+            markers = spark.read.parquet(paths.doc_terms).where(
+                (F.col("term").isNull()) & (F.col("field") == fields[0])
+            )
+            base = {"term", "field", "tf", "pos_blob", "doclen"}
+            docmap_cols = [c for c in markers.columns if c not in base]
+            markers.select(*docmap_cols).write.mode("overwrite").parquet(
+                paths.docmap
+            )
+            if n_docs is None:
+                n_docs = spark.read.parquet(paths.docmap).count()
+            phases["docmap"] = round(
                 time.time() - t0 - sum(phases.values()), 2
             )
 

@@ -170,9 +170,12 @@ class IndexReader:
         Filters out the NULL-term doclen marker rows the tokenizer embeds
         (index.build.extract_postings)."""
         return self._mask_deleted(
-            self.spark.read.parquet(self.paths.doc_terms).where(
-                F.col("term").isNotNull()
-            )
+            self.spark.read.parquet(self.paths.doc_terms)
+            .where(F.col("term").isNotNull())
+            # canonical posting columns only: since round 4 the marker
+            # rows also carry the docmap payload (conv_id/role/...), and
+            # consumers of the forward index must not see those
+            .select("term", "field", "doc_id", "tf", "pos_blob", "doclen")
         )
 
     # -- posting access -------------------------------------------------------
