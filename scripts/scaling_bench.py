@@ -187,6 +187,82 @@ def _mix_burn(seed: int) -> int:
     return n
 
 
+def _encode_burn(seed: int) -> int:
+    """Worker body for the ENCODE-PROFILE hardware probe: the segments
+    phase's exact vectorized body (arrow dictionary-encode → numpy
+    lexsort → arrow take of a blob column → per-group varint block
+    encode) over posting-shaped synthetic data, with NO Spark. This is
+    the build's most DRAM-intensive phase (per-task working set is ~8×
+    the compressed input; the sort and take are pure memory traffic),
+    so its multiprocessing 2→8 scaling is the box's own ceiling for
+    the phase that dominates the job's measured N→4N loss."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from search_engine_framework_spark.functions.codec import (
+        encode_blocks_from_blob_stream,
+    )
+    from search_engine_framework_spark.sources.transcripts import (
+        build_vocabulary,
+    )
+
+    vocab = build_vocabulary(4000)
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    n = 1_000_000
+    # zipf-ish term draw over the vocab, doc ids loosely increasing,
+    # 2-byte-ish position blobs — the real forward-index shape
+    tidx = np.minimum((rng.pareto(1.2, n) * 40).astype(np.int64), 3999)
+    terms = pa.array(np.array(vocab, dtype=object)[tidx])
+    docs = np.sort(rng.integers(0, 200_000, n).astype(np.int64))
+    tfs = rng.integers(1, 5, n).astype(np.int32)
+    dls = rng.integers(20, 60, n).astype(np.int32)
+    blob = pa.array([b"\x05\x07" for _ in range(n)], pa.binary())
+    total = 0
+    for _ in range(2):
+        td = pc.dictionary_encode(terms)
+        tcodes = td.indices.to_numpy()
+        order = np.lexsort((docs, tcodes))
+        tc = tcodes[order]
+        d2 = docs[order]
+        tf2 = tfs[order]
+        dl2 = dls[order]
+        blobs = pc.take(blob, pa.array(order))
+        off = np.frombuffer(blobs.buffers()[1], dtype=np.int32)
+        dat = np.frombuffer(blobs.buffers()[2], dtype=np.uint8)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = np.diff(tc) != 0
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            total += len(
+                encode_blocks_from_blob_stream(
+                    d2[s:e], tf2[s:e], dl2[s:e], dat, off[s : e + 1],
+                    block_size=128,
+                )
+            )
+    return total
+
+
+def encode_probe(trials: int = 3) -> dict:
+    """Best-of-``trials`` encode-profile throughput (burns/s) per level
+    — the box ceiling for the segments phase's resource profile."""
+    levels = sorted({c for pair in PAIRS for c in pair[:2]})
+    out = {}
+    for workers in levels:
+        best = 0.0
+        with mp.Pool(workers) as p:
+            p.map(_encode_burn, range(workers))  # warm imports + allocator
+            for _ in range(trials):
+                t0 = time.time()
+                p.map(_encode_burn, range(workers, workers * 3))
+                dt = time.time() - t0
+                best = max(best, workers * 2 / dt)
+        out[workers] = round(best, 4)
+    return out
+
+
 def mixed_probe(trials: int = 3) -> dict:
     """Best-of-``trials`` full-mix throughput (relative ops/s) per level —
     the box ceiling for the build's tokenize+codec+parquet profile."""
@@ -266,8 +342,10 @@ def orchestrate() -> None:
 
     hw = hardware_probe()
     mix = mixed_probe()
+    enc = encode_probe()
     summary = {"pairs": [], "hardware_probe_Mops": hw,
-               "mixed_probe_burns_per_s": mix}
+               "mixed_probe_burns_per_s": mix,
+               "encode_probe_burns_per_s": enc}
     cache: dict[tuple[int, int], dict] = {}
     for small, big, n_convs in PAIRS:
         _gen_corpus(n_convs)
@@ -278,6 +356,7 @@ def orchestrate() -> None:
         job_eff = eff(rs["turns_per_sec"], rb["turns_per_sec"], big / small)
         hw_eff = eff(hw[small], hw[big], big / small) if small in hw and big in hw else None
         mix_eff = eff(mix[small], mix[big], big / small) if small in mix and big in mix else None
+        enc_eff = eff(enc[small], enc[big], big / small) if small in enc and big in enc else None
         summary["pairs"].append({
             "N_cores": small,
             "4N_cores": big,
@@ -287,8 +366,10 @@ def orchestrate() -> None:
             "scaling_efficiency": job_eff,
             "hardware_probe_efficiency": hw_eff,
             "mixed_probe_efficiency": mix_eff,
+            "encode_probe_efficiency": enc_eff,
             "job_vs_hardware": round(job_eff / hw_eff, 3) if hw_eff else None,
             "job_vs_mixed": round(job_eff / mix_eff, 3) if mix_eff else None,
+            "job_vs_encode_probe": round(job_eff / enc_eff, 3) if enc_eff else None,
         })
     print(json.dumps(summary, indent=2))
 
