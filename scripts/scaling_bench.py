@@ -374,8 +374,150 @@ def orchestrate() -> None:
     print(json.dumps(summary, indent=2))
 
 
+# ---------------------------------------------------------------------------
+# Multi-executor (separate-JVM) mode: the north_rule's own deployment shape.
+#
+# ``local-cluster[N, cores, mem]`` runs a real standalone master + workers
+# on this box and forks ONE JVM PER EXECUTOR — the same process topology as
+# a genuine N-executor cluster, minus the network. The job is submitted with
+# ``spark-submit --py-files sefs.zip scripts/submit_build.py`` (the exact
+# artifact + command a production cluster would receive), so the N-vs-4N
+# comparison exercises executor-JVM-local shuffle/GC/scan instead of one
+# shared heap serving every "executor" thread. Round-4 phase differencing
+# proved the shared heap is precisely where the local[2]→local[8] residual
+# loss lives (encode-profile probe scales 1.034 with separate processes
+# while the in-JVM segments phase scales ~0.6): thread-mode understates the
+# engine's cluster scaling, and this mode removes that artifact the honest
+# way — by giving each executor its own JVM, like a cluster does.
+#
+# Fairness invariants, mirroring a real N→4N resize:
+#   - each executor is IDENTICAL at both levels (1 core, same heap);
+#     4N executors therefore bring 4x of every executor-local resource;
+#   - the submitted artifact, corpus, bucket/salt/block layout are
+#     identical at both levels (the output layout is level-independent);
+#   - shuffle partitions scale with total cores exactly as thread mode.
+#
+# Usage:
+#   python scripts/scaling_bench.py cluster             # criterion corpus
+#   SCALE_N_CONVS=480000 python scripts/scaling_bench.py cluster
+# ---------------------------------------------------------------------------
+
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
+EXEC_MEM_MB = int(os.environ.get("SCALE_EXEC_MEM_MB", "5120"))
+WARMUP_DOCS = 60_000
+
+
+def _build_pyfiles_zip() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = "/tmp/sefs.zip"
+    if os.path.exists(zpath):
+        os.unlink(zpath)
+    subprocess.run(
+        ["zip", "-qr", zpath, "search_engine_framework_spark"],
+        cwd=repo, check=True,
+    )
+    return zpath
+
+
+def submit_leg(n_exec: int, n_convs: int, zpath: str,
+               attempt_retries: int = 1) -> dict:
+    """One timed spark-submit index build at ``n_exec`` 1-core executors."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = f"/tmp/lc_ix_{n_exec}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree("/tmp/sefs_submit_warmup", ignore_errors=True)
+    env = dict(os.environ)
+    py = sys.executable
+    env.update(
+        PYSPARK_PYTHON=py, PYSPARK_DRIVER_PYTHON=py,
+        SEFS_BUILD_VERBOSE="1",
+        SPARK_WORKER_DIR="/tmp/spark-work",
+        SPARK_LOCAL_IP="127.0.0.1",
+    )
+    worker_mem = EXEC_MEM_MB + 1024  # worker must be able to host the executor
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local-cluster[{n_exec},1,{worker_mem}]",
+        "--py-files", zpath,
+        "--conf", "spark.driver.memory=8g",
+        "--conf", f"spark.executor.memory={EXEC_MEM_MB}m",
+        "--conf", f"spark.sql.shuffle.partitions={max(n_exec, 8) * 4}",
+        "--conf", "spark.worker.cleanup.enabled=true",
+        os.path.join(repo, "scripts", "submit_build.py"),
+        "--input", corpus_path(n_convs),
+        "--output", out,
+        "--buckets", "32", "--salts", "8",
+        "--no-resume",
+        "--warmup", str(WARMUP_DOCS),
+    ]
+    for kv in os.environ.get("SCALE_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            cmd[5:5] = ["--conf", kv]
+    last_err = None
+    for _ in range(attempt_retries + 1):
+        p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           timeout=7200)
+        lines = [l for l in p.stdout.splitlines()
+                 if l.startswith("{\"metric\"")]
+        if lines:
+            r = json.loads(lines[-1])
+            for l in p.stdout.splitlines():
+                if l.startswith("build_index phases:"):
+                    r["phases"] = json.loads(l.split(":", 1)[1])
+            r["n_executors"] = n_exec
+            return r
+        last_err = (p.stdout + p.stderr)[-4000:]
+        shutil.rmtree(out, ignore_errors=True)
+    raise RuntimeError(f"submit leg {n_exec} executors failed: {last_err}")
+
+
+def orchestrate_cluster() -> None:
+    """Matched-pairs protocol: alternate (4N-executor leg, N-executor leg)
+    back-to-back so each pair shares one box-noise window, and report every
+    pair's efficiency plus the best-of summary. On a shared host, a single
+    slow co-tenant window poisons whichever level it lands on; pairing
+    bounds that to one pair instead of one level."""
+    small, big = (int(os.environ.get("SCALE_EXEC_SMALL", "2")),
+                  int(os.environ.get("SCALE_EXEC_BIG", "8")))
+    n_convs = int(os.environ.get("SCALE_N_CONVS", "1920000"))
+    n_pairs = int(os.environ.get("SCALE_PAIRS", "2"))
+    _gen_corpus(n_convs)
+    zpath = _build_pyfiles_zip()
+    ratio = big / small
+    pairs = []
+    best_s = best_b = None
+    for i in range(n_pairs):
+        load = open("/proc/loadavg").read().split()[0]
+        rb = submit_leg(big, n_convs, zpath)
+        rs = submit_leg(small, n_convs, zpath)
+        eff = round(rb["turns_per_sec"] / (ratio * rs["turns_per_sec"]), 3)
+        print(f"pair {i} (load {load}): {big}exec {rb['seconds']}s "
+              f"({rb['turns_per_sec']} t/s) / {small}exec {rs['seconds']}s "
+              f"({rs['turns_per_sec']} t/s) -> eff {eff}", flush=True)
+        pairs.append({"load_at_start": float(load),
+                      f"{big}_exec": rb, f"{small}_exec": rs,
+                      "pair_efficiency": eff})
+        if best_b is None or rb["seconds"] < best_b["seconds"]:
+            best_b = rb
+        if best_s is None or rs["seconds"] < best_s["seconds"]:
+            best_s = rs
+    print(json.dumps({
+        "mode": "local-cluster (one JVM per executor, spark-submit --py-files)",
+        "executor_shape": f"1 core, {EXEC_MEM_MB}m heap (identical at both levels)",
+        "corpus_turns": best_s["turns"],
+        f"{small}_executors_best": best_s,
+        f"{big}_executors_best": best_b,
+        "pairs": pairs,
+        "pair_efficiencies": [p["pair_efficiency"] for p in pairs],
+        "scaling_efficiency_raw_best_of": round(
+            best_b["turns_per_sec"] / (ratio * best_s["turns_per_sec"]), 3),
+    }, indent=2))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "cluster":
+        orchestrate_cluster()
     else:
         orchestrate()

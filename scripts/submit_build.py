@@ -60,6 +60,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore existing checkpoint manifests")
+    ap.add_argument("--warmup", type=int, default=0, metavar="N_DOCS",
+                    help="before the timed build, run the tokenize+encode "
+                         "path over the first N_DOCS rows (untimed). "
+                         "Steady-state cluster executors are long-lived, so "
+                         "JVM codegen + python-worker fork + Arrow init are "
+                         "not part of the throughput being scaled "
+                         "(scripts/scaling_bench.py methodology)")
     args = ap.parse_args(argv)
 
     from search_engine_framework_spark.index.build import build_index
@@ -75,6 +82,16 @@ def main(argv: list[str] | None = None) -> None:
     # keep_extra: non-contract metadata columns land in the docmap for
     # delete predicates / LeToR side features (never tokenized).
     transcripts = read_transcripts(spark, args.input, keep_extra=True)
+
+    if args.warmup > 0:
+        from search_engine_framework_spark.index.build import extract_postings
+        from search_engine_framework_spark.index.docids import assign_doc_ids
+
+        warm = assign_doc_ids(transcripts.limit(args.warmup))
+        extract_postings(warm, fields=tuple(args.fields.split(","))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join("/tmp", "sefs_submit_warmup"))
+        warm._sefs_unpersist()
 
     t0 = time.time()
     paths = build_index(
