@@ -419,21 +419,12 @@ def _build_pyfiles_zip() -> str:
     return zpath
 
 
-def submit_leg(n_exec: int, n_convs: int, zpath: str,
-               attempt_retries: int = 1) -> dict:
-    """One timed spark-submit index build at ``n_exec`` 1-core executors."""
+def _submit_cmd(n_exec: int, n_convs: int, zpath: str, out: str) -> list[str]:
+    """The spark-submit argv for one leg. The executor shape (1 core,
+    EXEC_MEM_MB heap) and the job layout args are level-independent by
+    construction — only the executor COUNT varies between the N and 4N
+    legs, mirroring a real cluster resize."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = f"/tmp/lc_ix_{n_exec}"
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree("/tmp/sefs_submit_warmup", ignore_errors=True)
-    env = dict(os.environ)
-    py = sys.executable
-    env.update(
-        PYSPARK_PYTHON=py, PYSPARK_DRIVER_PYTHON=py,
-        SEFS_BUILD_VERBOSE="1",
-        SPARK_WORKER_DIR="/tmp/spark-work",
-        SPARK_LOCAL_IP="127.0.0.1",
-    )
     worker_mem = EXEC_MEM_MB + 1024  # worker must be able to host the executor
     cmd = [
         SPARK_SUBMIT,
@@ -453,6 +444,24 @@ def submit_leg(n_exec: int, n_convs: int, zpath: str,
     for kv in os.environ.get("SCALE_EXTRA_CONF", "").split(";"):
         if "=" in kv:
             cmd[5:5] = ["--conf", kv]
+    return cmd
+
+
+def submit_leg(n_exec: int, n_convs: int, zpath: str,
+               attempt_retries: int = 1) -> dict:
+    """One timed spark-submit index build at ``n_exec`` 1-core executors."""
+    out = f"/tmp/lc_ix_{n_exec}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree("/tmp/sefs_submit_warmup", ignore_errors=True)
+    env = dict(os.environ)
+    py = sys.executable
+    env.update(
+        PYSPARK_PYTHON=py, PYSPARK_DRIVER_PYTHON=py,
+        SEFS_BUILD_VERBOSE="1",
+        SPARK_WORKER_DIR="/tmp/spark-work",
+        SPARK_LOCAL_IP="127.0.0.1",
+    )
+    cmd = _submit_cmd(n_exec, n_convs, zpath, out)
     last_err = None
     for _ in range(attempt_retries + 1):
         p = subprocess.run(cmd, capture_output=True, text=True, env=env,
