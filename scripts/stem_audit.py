@@ -1,0 +1,156 @@
+"""KStem lexicon curation audit — the diff protocol, as a tool.
+
+Rounds 3-4 grew the supplemental Krovetz lexicon
+(functions/kstem_data.py, 5.8k -> 10.8k headwords) under a manual
+protocol: stem a large probe vocabulary under the old and the new
+lexicon, then audit every changed stem — a change is acceptable only if
+it is (a) protection of a newly added headword (the word now returns
+itself) or (b) a new confirmation resolving to a newly added base;
+anything else is a regression and must be reviewed by hand. This script
+makes that protocol a committed, repeatable artifact so round-5+ batches
+don't re-derive it.
+
+Probe vocabulary (same construction the round-4 audit used):
+  * every current headword ± the common inflectional/derivational
+    suffixes the algorithm strips;
+  * every term in the reference's bundled query files (Sample.qry,
+    letor/cw09training.query.txt — the rank-identity surface);
+  * the synthetic-corpus vocabulary (sources/transcripts.py).
+
+Usage:
+  python scripts/stem_audit.py snapshot
+      Stem the probe vocabulary under the CURRENT lexicon and write
+      artifacts/stem_baseline_<impl>.json.gz (impl = STEMMER_IMPL tag,
+      e.g. kstem_krovetz-4). Commit this BEFORE starting a batch.
+
+  python scripts/stem_audit.py diff artifacts/stem_baseline_<old>.json.gz
+      After editing kstem_data.py (and bumping STEMMER_IMPL), re-stem
+      the union of the old baseline's vocabulary and the current probe
+      vocabulary, and classify every changed stem:
+        protection    — new stem == word and word is a (new) headword
+        confirmation  — new stem is a (new) headword
+        REVIEW        — anything else (printed in full; must be empty
+                        or hand-justified in the round notes)
+      Exit code 1 if any REVIEW rows exist.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from search_engine_framework_spark.functions import kstem as K  # noqa: E402
+from search_engine_framework_spark.functions.stemmer import (  # noqa: E402
+    stemmer_impl,
+)
+from search_engine_framework_spark.sources.transcripts import (  # noqa: E402
+    build_vocabulary,
+)
+
+REFERENCE_QUERY_FILES = (
+    "/root/reference/Sample.qry",
+    "/root/reference/letor/cw09training.query.txt",
+)
+
+# The suffix neighborhood the algorithm actually strips (kstem.py
+# _plural/_past/_aspect + the derivational table) — probing headwords
+# through these surfaces exactly the conflations a lexicon edit can move.
+SUFFIXES = (
+    "s", "es", "ies", "ed", "ied", "ing", "ings", "ly", "er", "ers",
+    "est", "ion", "ions", "ation", "ity", "ities", "ness", "ment",
+    "ments", "ful", "less", "ous", "ive", "al", "ic", "ical", "ence",
+    "ance", "ency", "ancy", "able", "ible", "ize", "ized", "izer",
+)
+
+
+def probe_vocabulary() -> list[str]:
+    words: set[str] = set()
+    for hw in K.HEADWORDS:
+        words.add(hw)
+        for suf in SUFFIXES:
+            words.add(hw + suf)
+            if hw.endswith("e") and suf[0] in "aei":
+                words.add(hw[:-1] + suf)  # drop-e attachment (make+ing)
+    for path in REFERENCE_QUERY_FILES:
+        try:
+            with open(path) as fh:
+                text = fh.read().lower()
+        except OSError:
+            continue
+        words.update(re.findall(r"[a-z]+", text))
+    words.update(build_vocabulary(4000))
+    return sorted(w for w in words if w.isalpha() and w.isascii())
+
+
+def _stems(vocab: list[str]) -> dict[str, str]:
+    return {w: K.kstem(w) for w in vocab}
+
+
+def _baseline_path(impl: str) -> str:
+    os.makedirs("artifacts", exist_ok=True)
+    return os.path.join("artifacts",
+                        f"stem_baseline_{impl.replace('/', '_')}.json.gz")
+
+
+def snapshot() -> None:
+    impl = stemmer_impl("kstem")
+    vocab = probe_vocabulary()
+    out = _baseline_path(impl)
+    with gzip.open(out, "wt") as fh:
+        json.dump({"impl": impl, "n_headwords": len(K.HEADWORDS),
+                   "stems": _stems(vocab)}, fh)
+    print(json.dumps({"written": out, "impl": impl,
+                      "probe_words": len(vocab),
+                      "headwords": len(K.HEADWORDS)}))
+
+
+def diff(baseline_file: str) -> int:
+    with gzip.open(baseline_file, "rt") as fh:
+        base = json.load(fh)
+    old = base["stems"]
+    vocab = sorted(set(old) | set(probe_vocabulary()))
+    new = _stems(vocab)
+    protections, confirmations, review = [], [], []
+    for w in vocab:
+        o, n = old.get(w), new[w]
+        if o is None or o == n:
+            continue
+        if n == w and w in K.HEADWORDS:
+            protections.append((w, o))
+        elif n in K.HEADWORDS:
+            confirmations.append((w, o, n))
+        else:
+            review.append((w, o, n))
+    print(json.dumps({
+        "baseline_impl": base["impl"],
+        "current_impl": stemmer_impl("kstem"),
+        "headwords": {"old": base.get("n_headwords"),
+                      "new": len(K.HEADWORDS)},
+        "probe_words": len(vocab),
+        "changed": len(protections) + len(confirmations) + len(review),
+        "protections": len(protections),
+        "confirmations": len(confirmations),
+        "needs_review": len(review),
+    }, indent=2))
+    if review:
+        print("\nREVIEW (unclassifiable changes — regressions unless "
+              "hand-justified):")
+        for w, o, n in review:
+            print(f"  {w}: {o} -> {n}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "snapshot":
+        snapshot()
+    elif len(sys.argv) > 2 and sys.argv[1] == "diff":
+        sys.exit(diff(sys.argv[2]))
+    else:
+        print(__doc__)
+        sys.exit(2)

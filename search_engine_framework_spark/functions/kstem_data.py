@@ -1104,6 +1104,9 @@ warble warranty wassail waylay weir wend whack whale wheedle wheeze
 whelp whiff whippet whippoorwill whit wholesome whorl windfall windlass
 winsome wintergreen wizened woo woodchuck wraith wrath yammer yawl
 yeoman yucca zealot zeppelin zinnia zircon zoology zucchini
+""".split()) | frozenset("""
+bastion bonkers bounder darling department duckling gymnastics
+lightning linguistics outing slipper stocking tension vendor votive
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical
@@ -1116,3 +1119,19 @@ yeoman yucca zealot zeppelin zinnia zircon zoology zucchini
 # inflected forms spotted in review (acoustics, appalling, avers,
 # bluing, crabbed, sheaves, impending, peaked) were EXCLUDED so their
 # inflectional conflations survive.  stemmer_impl: kstem/krovetz-4.
+#
+# The third block is the round-4 continuation batch (15 words), found by
+# probing lexical-lookalike families with scripts/stem_audit.py: each is
+# a dictionary headword whose pre-add stem was junk (darling->darl,
+# duckling->duckl, lightning->lightn, bonkers->bonker) or crossed
+# concepts (department->depart, outing->out, votive->vote, vendor->vend,
+# slipper->slip, stocking->stock, bounder->bound, tension->tense,
+# gymnastics->gymnast, linguistics->linguist; bastion was already a
+# no-op, added for confirmation of its derived forms).  Reviewed and
+# deliberately EXCLUDED so their conflations survive: ethics->ethic,
+# optics->optic, logistics->logistic (same-concept singulars, the
+# acoustics precedent), purity->pure, ailment->ail, arrival->arrive,
+# backing->back, briefing->brief (transparent same-concept derivations,
+# the abatement->abate precedent).  stemmer_impl: kstem/krovetz-5;
+# old-vs-new diff audited with scripts/stem_audit.py against
+# artifacts/stem_baseline_kstem_krovetz-4.json.gz.

@@ -171,7 +171,11 @@ STEMMER_IMPL = {
     # krovetz-4: round-4 curated batch (~3.4k more headwords, 10.8k
     # total) — reviewed protection of lexical lookalikes the smaller
     # lexicon mis-stemmed (tender→tend, solder→sell, oration→ore, …).
-    "kstem": "kstem/krovetz-4",
+    # krovetz-5: round-4 continuation batch (15 reviewed lookalike
+    # protections: darling→darl, lightning→lightn, department→depart,
+    # votive→vote, … — see kstem_data.py third-block comment), audited
+    # old-vs-new with scripts/stem_audit.py.
+    "kstem": "kstem/krovetz-5",
 }
 
 

@@ -248,6 +248,23 @@ KSTEM_FIXTURES = {
     # their inflectional conflations survive (review drops)
     "peaked": "peak", "appalling": "appall", "acoustics": "acoustic",
     "crabbed": "crab", "impending": "impend", "avers": "aver",
+    # round-4 continuation batch (stemmer_impl krovetz-5): 15 reviewed
+    # lookalike protections (pre-add stems in the kstem_data.py comment)
+    "darling": "darling", "duckling": "duckling", "lightning": "lightning",
+    "bonkers": "bonkers", "department": "department", "outing": "outing",
+    "votive": "votive", "vendor": "vendor", "slipper": "slipper",
+    "stocking": "stocking", "bounder": "bounder", "tension": "tension",
+    "gymnastics": "gymnastics", "linguistics": "linguistics",
+    "bastion": "bastion",
+    # plurals confirm to the new bases
+    "vendors": "vendor", "tensions": "tension", "stockings": "stocking",
+    "departments": "department", "ducklings": "duckling",
+    # reviewed EXCLUSIONS: same-concept conflations survive on purpose
+    # (-ics singulars per the acoustics precedent; transparent
+    # derivations per the abatement->abate precedent)
+    "ethics": "ethic", "optics": "optic", "logistics": "logistic",
+    "purity": "pure", "ailment": "ail", "arrival": "arrive",
+    "backing": "back", "briefing": "brief",
 }
 
 
