@@ -1107,6 +1107,8 @@ yeoman yucca zealot zeppelin zinnia zircon zoology zucchini
 """.split()) | frozenset("""
 bastion bonkers bounder darling department duckling gymnastics
 lightning linguistics outing slipper stocking tension vendor votive
+""".split()) | frozenset("""
+err earring fledgling hireling offspring upbringing undertaking
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical
@@ -1135,3 +1137,17 @@ lightning linguistics outing slipper stocking tension vendor votive
 # the abatement->abate precedent).  stemmer_impl: kstem/krovetz-5;
 # old-vs-new diff audited with scripts/stem_audit.py against
 # artifacts/stem_baseline_kstem_krovetz-4.json.gz.
+#
+# The fourth block (krovetz-6, 7 words) closes junk-stem and
+# concept-cross cases from a second stem_audit probe: the missing base
+# form "err" (erring/erred stemmed to the non-word "er" via undoubling
+# with no dictionary confirmation; adding the base fixes the whole
+# inflection class to err), and junk/crossed nominals earring->ear(!),
+# offspring->offspr, upbringing->upbring, undertaking->undertak,
+# fledgling->fledgl, hireling->hirel.  Reviewed and kept conflating for
+# consistency with the committed teacher->teach / writer->write
+# fixtures (agentives) and the same-concept -ing policy: actor->act,
+# editor->edit, governor->govern, professor->profess, sculptor->sculpt,
+# preacher->preach, sailor->sail, bowling->bowl, dwelling->dwell,
+# meaning->mean, opening->open, setting->set, landing->land,
+# bedding->bed, winning->win, understanding->understand, ...

@@ -175,7 +175,9 @@ STEMMER_IMPL = {
     # protections: darling→darl, lightning→lightn, department→depart,
     # votive→vote, … — see kstem_data.py third-block comment), audited
     # old-vs-new with scripts/stem_audit.py.
-    "kstem": "kstem/krovetz-5",
+    # krovetz-6: 7 junk-stem/concept-cross closures (err base form,
+    # earring→ear, offspring→offspr, … — fourth-block comment).
+    "kstem": "kstem/krovetz-6",
 }
 
 

@@ -265,6 +265,17 @@ KSTEM_FIXTURES = {
     "ethics": "ethic", "optics": "optic", "logistics": "logistic",
     "purity": "pure", "ailment": "ail", "arrival": "arrive",
     "backing": "back", "briefing": "brief",
+    # krovetz-6: junk-stem / concept-cross closures (pre-add stems in
+    # the kstem_data.py fourth-block comment)
+    "err": "err", "errs": "err", "erred": "err", "erring": "err",
+    "earring": "earring", "earrings": "earring",
+    "fledgling": "fledgling", "hireling": "hireling",
+    "offspring": "offspring", "upbringing": "upbringing",
+    "undertaking": "undertaking", "undertakings": "undertaking",
+    # agentive/-ing policy conflations stay put (teacher precedent)
+    "sailor": "sail", "actor": "act", "editor": "edit",
+    "governor": "govern", "meaning": "mean", "opening": "open",
+    "setting": "set", "understanding": "understand",
 }
 
 
