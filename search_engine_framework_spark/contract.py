@@ -854,6 +854,43 @@ def q_letor_minmax(spark, sf_dir):
     )
 
 
+def q_letor_rerank(spark, sf_dir):
+    """End-to-end LeToR rerank (round-5 driver check for S14/S15/J12,
+    LearnToRank.java:735-826's re-ranking stage with a fixed linear
+    model): the letor_minmax feature frame (same planted NaNs) through
+    letor.normalize_per_query → letor.rerank({f_len: 2.0, f_mod: -1.0},
+    k=10).  NaN features contribute 0.0 to the dot product (the
+    reference's convention for missing features at scoring time); ties
+    break by asc ext_id, which equals asc doc_id under the zero-padded
+    id scheme.  The twin replays the UNROUNDED min-max windows, the
+    same child-order weighted sum, and the per-qid row_number cut."""
+    from .letor import normalize_per_query, rerank
+
+    docs = _read(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 3).cast("string")).alias(
+            "qid"
+        ),
+        "doc_id",
+        F.format_string("doc-%09d:0", F.col("doc_id")).alias("ext_id"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(float("nan")))
+        .otherwise(
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+        )
+        .alias("f_len"),
+        (F.col("doc_id") % 7).cast("double").alias("f_mod"),
+    )
+    out = rerank(
+        normalize_per_query(feats), {"f_len": 2.0, "f_mod": -1.0}, k=10
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
+    )
+
+
 def q_conv_quality(spark, sf_dir):
     """Conversation-structure quality gates (pipeline/curate.conv_quality)
     over the synthetic 5-turn conversations (roles by doc parity, so
@@ -1444,6 +1481,50 @@ def q_prf_terms(spark, sf_dir):
         df.select("term", _r4(F.col("score")).alias("score"))
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(25)
+    )
+
+
+def q_prf_search(spark, sf_dir):
+    """Full PRF loop end-to-end (entry point 2: QryEval.java:209-214 +
+    QryExpansion.java:217-220, round-5 driver check): BM25 seed top-10
+    of the flagship query → 5 expansion terms (fbMu=0) → the reference's
+    expanded-query string
+    ``#wand( 0.5 #and(spark merge) 0.5 #wand( w1 t1 ... w5 t5 ) )``
+    (weights %.4f-formatted by prf.render_wand) → re-parsed and
+    re-ranked under Indri through the full compiler (nested
+    #wand/#and soft folds with missing-doc defaults).
+
+    The twin recomputes the seed and candidate-term scores in SQL
+    (bit-identical BM25/expansion arithmetic, already proven by the
+    bm25_topk/prf_terms twins), derives the SAME weights via
+    printf('%.4f'), cuts the term set by (rounded score desc, term asc)
+    — the prf_terms cross-engine ordering convention — and replays the
+    nested Indri folds: the inner dynamic-term #wand as an order-exact
+    left-fold product ``list_reduce(list_prepend(1.0, list(pow(s,
+    w/wsum) ORDER BY ord)), *)``, the outer 2-child #wand as the
+    literal pow chain, over the union candidate set with two-stage
+    smoothing defaults for absent terms."""
+    from .plans.models import BM25, Indri
+    from .prf import expand_query
+
+    eng = get_engine(spark, sf_dir)
+    seed = eng.search(BM25_QUERY, BM25(), k=10)
+    ranking = [(r["doc_id"], float(r["score"])) for r in seed.collect()]
+    expanded = expand_query(
+        eng,
+        "spark merge",
+        Indri(),
+        fb_docs=10,
+        fb_terms=5,
+        fb_mu=0.0,
+        fb_orig_weight=0.5,
+        initial_ranking=ranking,
+    )
+    top = eng.search(expanded, Indri(), k=BM25_K)
+    return top.select(
+        _orig_id(F.col("ext_id")),
+        F.col("rank").cast("long").alias("rank"),
+        _r4(F.col("score")).alias("score"),
     )
 
 
@@ -5542,70 +5623,168 @@ GROUP BY 1 ORDER BY bin_lo ASC
 )
 
 
+# letor_rerank: the letor_minmax window normalization UNROUNDED, then the
+# rerank dot product in dict order (0.0 + 2.0*f_len + -1.0*f_mod, NaN→0.0)
+# and the per-qid row_number cut; ties by doc_id asc == ext_id asc.
+ORACLE_SQL["letor_rerank"] = """
+WITH feats AS (
+  SELECT 'q' || (doc_id % 3) AS qid, doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'NaN'::DOUBLE
+              ELSE len(coalesce(text, ''))::DOUBLE END AS f_len,
+         (doc_id % 7)::DOUBLE AS f_mod
+  FROM documents
+),
+norm AS (
+  SELECT qid, doc_id,
+    CASE WHEN isnan(f_len) THEN f_len
+         WHEN max(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END) OVER w
+              = min(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END) OVER w
+           THEN 0.0
+         ELSE (f_len
+               - min(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END) OVER w)
+              / (max(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END) OVER w
+                 - min(CASE WHEN isnan(f_len) THEN NULL ELSE f_len END)
+                   OVER w)
+    END AS f_len,
+    CASE WHEN isnan(f_mod) THEN f_mod
+         WHEN max(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END) OVER w
+              = min(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END) OVER w
+           THEN 0.0
+         ELSE (f_mod
+               - min(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END) OVER w)
+              / (max(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END) OVER w
+                 - min(CASE WHEN isnan(f_mod) THEN NULL ELSE f_mod END)
+                   OVER w)
+    END AS f_mod
+  FROM feats WINDOW w AS (PARTITION BY qid)
+),
+scored AS (
+  SELECT qid, doc_id,
+         0.0 + 2.0 * (CASE WHEN isnan(f_len) THEN 0.0 ELSE f_len END)
+             + -1.0 * (CASE WHEN isnan(f_mod) THEN 0.0 ELSE f_mod END) AS s
+  FROM norm
+)
+SELECT qid, doc_id,
+       row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id ASC)::BIGINT
+         AS rank,
+       round(s, 4) + 0.0 AS score
+FROM scored
+QUALIFY rank <= 10
+"""
+
+# prf_search: seed + candidate CTEs are the (green) bm25_topk/prf_terms
+# arithmetic; expw re-derives the %.4f weights; the Indri replay scores
+# every union-candidate doc per term (present / two-stage-smoothing
+# default), folds the inner dynamic #wand with an ordered left-fold
+# product, and the outer #wand( 0.5 #and(spark merge) 0.5 · ) as the
+# compiler's literal pow chain (exponents w/wsum with wsum an ordered
+# left-fold sum, mirroring Python's plain + over arg order).
+ORACLE_SQL["prf_search"] = (
+    _SQL_BASE
+    + f""", t1 AS ({_bm25_term_sql('spark')}),
+t2 AS ({_bm25_term_sql('merge')}),
+t3 AS ({_bm25_term_sql('window')}),
+ids AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2
+        UNION SELECT doc_id FROM t3),
+bm AS (
+  SELECT ids.doc_id,
+         0.0 + COALESCE(t1.s * 1.0, 0.0) + COALESCE(t2.s * 1.0, 0.0)
+             + COALESCE(t3.s * 1.0, 0.0) AS s
+  FROM ids
+  LEFT JOIN t1 ON t1.doc_id = ids.doc_id
+  LEFT JOIN t2 ON t2.doc_id = ids.doc_id
+  LEFT JOIN t3 ON t3.doc_id = ids.doc_id
+),
+seed AS (SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id ASC LIMIT 10),
+cand AS (
+  SELECT tf.term,
+         sum((tf.tf::DOUBLE / dl.doclen::DOUBLE) * seed.s
+             * ln(1.0 / (dfreq.ctf::DOUBLE / cstats.sum_doclen::DOUBLE))) AS s
+  FROM tf
+  JOIN seed ON seed.doc_id = tf.doc_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN cstats
+  GROUP BY 1
+),
+expw AS (
+  SELECT term, CAST(printf('%.4f', s) AS DOUBLE) AS w,
+         row_number() OVER (ORDER BY round(s, 4) DESC, term ASC) AS ord
+  FROM cand QUALIFY ord <= 5
+),
+wsum AS (
+  SELECT list_reduce(list(w ORDER BY ord), (a, b) -> a + b) AS t FROM expw
+),
+union_docs AS (
+  SELECT DISTINCT doc_id FROM tf
+  WHERE term IN ('spark', 'merge') OR term IN (SELECT term FROM expw)
+),
+ep AS (
+  SELECT e.term, e.ord, e.w,
+         dfreq.ctf::DOUBLE / (SELECT sum_doclen FROM cstats)::DOUBLE AS pmle
+  FROM expw e JOIN dfreq ON dfreq.term = e.term
+),
+es AS (
+  SELECT d.doc_id, ep.ord, ep.w,
+         CASE WHEN tf.tf IS NOT NULL THEN
+           (0.4 * (tf.tf::DOUBLE + 2500.0 * ep.pmle))
+             / (d.doclen::DOUBLE + 2500.0) + 0.6 * ep.pmle
+         ELSE
+           (1000.0 * ep.pmle) / (d.doclen::DOUBLE + 2500.0) + 0.6 * ep.pmle
+         END AS s
+  FROM union_docs ud
+  JOIN dl d ON d.doc_id = ud.doc_id
+  CROSS JOIN ep
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = ep.term
+),
+iw AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(1.0,
+             list(pow(s, w / (SELECT t FROM wsum)) ORDER BY ord)),
+           (a, b) -> a * b) AS s
+  FROM es GROUP BY doc_id
+),
+i1 AS ({_indri_term_sql('spark')}),
+i2 AS ({_indri_term_sql('merge')}),
+final AS (
+  SELECT ud.doc_id,
+         1.0 * pow(1.0 * pow(i1.s, 0.5) * pow(i2.s, 0.5), 0.5)
+             * pow(iw.s, 0.5) AS s
+  FROM union_docs ud
+  JOIN i1 ON i1.doc_id = ud.doc_id
+  JOIN i2 ON i2.doc_id = ud.doc_id
+  JOIN iw ON iw.doc_id = ud.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+       round(s, 4) + 0.0 AS score
+FROM final ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Ordering contract (rounds 3-4): the external driver verifies entries
-    # in dict order and may stop after a budget (r2/r3 stopped at 50).
-    # Round-4 order: flagship bm25_topk first, then the 27 entries that
-    # round 3 left judge-checked only (facets/spell/dismax/MLT/...), then
-    # new round-4 entries, then the 7 entries last driver-checked in r1
-    # (oldest green), then the r2-green set, then the r3-green tail — so
-    # the driver's budget always lands on the stalest checks first.
+    # Ordering contract (standing, rounds 3+): the external driver
+    # verifies entries in dict order and may stop after a budget (50 in
+    # r2-r4).  Round-5 order: flagship bm25_topk first, then the two NEW
+    # round-5 entries (letor_rerank — the end-to-end LeToR rerank,
+    # prf_search — the full PRF expanded-query loop), then the 34
+    # entries last driver-checked in round 2 (the stalest green checks),
+    # then the round-3 set, then the round-4 set — so the 50-entry
+    # budget re-greens every r2-era check plus the oldest r3 ones, and
+    # "every entry driver-checked within the last two rounds" becomes a
+    # standing invariant.
     # Rows-only (no ORACLE_SQL, by design): bm25_ref_analyzer (Krovetz
-    # stemming is not ANSI-SQL-expressible; pytest golden fixture instead)
-    # and bpe_tokens (iterative merge argmax; pure-Python hard twin in
-    # pytest). ann_ivf was retired in r4: its partial-probe subset depends
-    # on learned centroids (not SQL-expressible) and the same code path is
-    # oracle-checked via ann_ivf_exactprobe + pytest recall tests.
+    # stemming is not ANSI-SQL-expressible; pytest golden fixture
+    # instead) and bpe_tokens (iterative merge argmax; pure-Python hard
+    # twin in pytest).  ann_ivf was retired in r4: its partial-probe
+    # subset depends on learned centroids (not SQL-expressible) and the
+    # same code path is oracle-checked via ann_ivf_exactprobe + pytest
+    # recall tests.
     "bm25_topk": q_bm25_topk,
-    "collapsed_topk": q_collapsed_topk,
-    "more_like_this": q_more_like_this,
-    "term_vector": q_term_vector,
-    "boosted_search": q_boosted_search,
-    "bm25f": q_bm25f,
-    "dismax": q_dismax,
-    "phrase_suggest": q_phrase_suggest,
-    "collocations": q_collocations,
-    "context_window": q_context_window,
-    "hybrid_rrf": q_hybrid_rrf,
-    "spell_suggest": q_spell_suggest,
-    "phonetic": q_phonetic,
-    "spell_suggest2": q_spell_suggest2,
-    "term_prefix": q_term_prefix,
-    "facet_counts": q_facet_counts,
-    "facet_histogram": q_facet_histogram,
-    "facet_date_hist": q_facet_date_hist,
-    "facet_stats": q_facet_stats,
-    "facet_bucket_stats": q_facet_bucket_stats,
-    "facet_pct_ranks": q_facet_pct_ranks,
-    "facet_matrix": q_facet_matrix,
-    "facet_ranges": q_facet_ranges,
-    "facet_percentiles": q_facet_percentiles,
-    "facet_cardinality": q_facet_cardinality,
-    "facet_composite": q_facet_composite,
-    "facet_top_hits": q_facet_top_hits,
-    "significant_terms": q_significant_terms,
-    "bm25_ref_analyzer": q_bm25_ref_analyzer,
-    "knn_cosine": q_knn_cosine,
-    "events_hourly": q_events_hourly,
-    "multimodal_features": q_multimodal_features,
-    "vsm_cosine": q_vsm_cosine,
-    "prf_terms": q_prf_terms,
-    "emb_neardup": q_emb_neardup,
-    "term_stats_top": q_term_stats_top,
-    "doclen": q_doclen,
-    "collection_stats": q_collection_stats,
-    "postings": q_postings,
-    "bool_and_ranked": q_bool_and_ranked,
-    "bool_or_ranked": q_bool_or_ranked,
-    "bool_and_not": q_bool_and_not,
-    "near": q_near,
-    "first_op": q_first_op,
-    "first_bm25": q_first_bm25,
-    "phrase": q_phrase,
-    "window_op": q_window_op,
-    "syn_ranked": q_syn_ranked,
-    "wildcard": q_wildcard,
-    "fuzzy": q_fuzzy,
+    "letor_rerank": q_letor_rerank,
+    "prf_search": q_prf_search,
     "regex_term": q_regex_term,
     "wildcard_suffix": q_wildcard_suffix,
     "bm25_single": q_bm25_single,
@@ -5689,6 +5868,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ir_metrics": q_ir_metrics,
     "ir_bpref": q_ir_bpref,
     "conv_rollup": q_conv_rollup,
+    "collapsed_topk": q_collapsed_topk,
+    "more_like_this": q_more_like_this,
+    "term_vector": q_term_vector,
+    "boosted_search": q_boosted_search,
+    "bm25f": q_bm25f,
+    "dismax": q_dismax,
+    "phrase_suggest": q_phrase_suggest,
+    "collocations": q_collocations,
+    "context_window": q_context_window,
+    "hybrid_rrf": q_hybrid_rrf,
+    "spell_suggest": q_spell_suggest,
+    "phonetic": q_phonetic,
+    "spell_suggest2": q_spell_suggest2,
+    "term_prefix": q_term_prefix,
+    "facet_counts": q_facet_counts,
+    "facet_histogram": q_facet_histogram,
+    "facet_date_hist": q_facet_date_hist,
+    "facet_stats": q_facet_stats,
+    "facet_bucket_stats": q_facet_bucket_stats,
+    "facet_pct_ranks": q_facet_pct_ranks,
+    "facet_matrix": q_facet_matrix,
+    "facet_ranges": q_facet_ranges,
+    "facet_percentiles": q_facet_percentiles,
+    "facet_cardinality": q_facet_cardinality,
+    "facet_composite": q_facet_composite,
+    "facet_top_hits": q_facet_top_hits,
+    "significant_terms": q_significant_terms,
+    "bm25_ref_analyzer": q_bm25_ref_analyzer,
+    "knn_cosine": q_knn_cosine,
+    "events_hourly": q_events_hourly,
+    "multimodal_features": q_multimodal_features,
+    "vsm_cosine": q_vsm_cosine,
+    "prf_terms": q_prf_terms,
+    "emb_neardup": q_emb_neardup,
+    "term_stats_top": q_term_stats_top,
+    "doclen": q_doclen,
+    "collection_stats": q_collection_stats,
+    "postings": q_postings,
+    "bool_and_ranked": q_bool_and_ranked,
+    "bool_or_ranked": q_bool_or_ranked,
+    "bool_and_not": q_bool_and_not,
+    "near": q_near,
+    "first_op": q_first_op,
+    "first_bm25": q_first_bm25,
+    "phrase": q_phrase,
+    "window_op": q_window_op,
+    "syn_ranked": q_syn_ranked,
+    "wildcard": q_wildcard,
+    "fuzzy": q_fuzzy,
 }
 
 
