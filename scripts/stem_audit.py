@@ -28,7 +28,10 @@ Usage:
       the union of the old baseline's vocabulary and the current probe
       vocabulary, and classify every changed stem:
         protection    — new stem == word and word is a (new) headword
-        confirmation  — new stem is a (new) headword
+        confirmation  — new stem is a headword ADDED since the baseline
+                        (checked against the baseline's stored
+                        headword_set; a shift onto a PRE-EXISTING
+                        headword is routed to REVIEW, not blessed)
         REVIEW        — anything else (printed in full; must be empty
                         or hand-justified in the round notes)
       Exit code 1 if any REVIEW rows exist.
@@ -103,6 +106,11 @@ def snapshot() -> None:
     out = _baseline_path(impl)
     with gzip.open(out, "wt") as fh:
         json.dump({"impl": impl, "n_headwords": len(K.HEADWORDS),
+                   # full headword set so diff() can tell a confirmation
+                   # (stem moved onto a NEWLY ADDED base) from a shift
+                   # onto a pre-existing headword (a possible concept
+                   # cross — must be reviewed, not silently blessed)
+                   "headword_set": sorted(K.HEADWORDS),
                    "stems": _stems(vocab)}, fh)
     print(json.dumps({"written": out, "impl": impl,
                       "probe_words": len(vocab),
@@ -115,6 +123,13 @@ def diff(baseline_file: str) -> int:
     old = base["stems"]
     vocab = sorted(set(old) | set(probe_vocabulary()))
     new = _stems(vocab)
+    # A changed stem is a 'confirmation' only when it resolves to a base
+    # ADDED SINCE the baseline — a shift onto a pre-existing headword is
+    # a concept cross until reviewed.  Baselines written before the
+    # headword_set field fall back to the old any-headword rule (and the
+    # output says so).
+    base_hw = set(base.get("headword_set", ()))
+    added_hw = (K.HEADWORDS - base_hw) if base_hw else set(K.HEADWORDS)
     protections, confirmations, review = [], [], []
     for w in vocab:
         o, n = old.get(w), new[w]
@@ -122,7 +137,7 @@ def diff(baseline_file: str) -> int:
             continue
         if n == w and w in K.HEADWORDS:
             protections.append((w, o))
-        elif n in K.HEADWORDS:
+        elif n in added_hw:
             confirmations.append((w, o, n))
         else:
             review.append((w, o, n))
@@ -136,6 +151,7 @@ def diff(baseline_file: str) -> int:
         "protections": len(protections),
         "confirmations": len(confirmations),
         "needs_review": len(review),
+        "baseline_has_headword_set": bool(base_hw),
     }, indent=2))
     if review:
         print("\nREVIEW (unclassifiable changes — regressions unless "

@@ -31,6 +31,7 @@ import argparse
 import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -87,11 +88,17 @@ def main(argv: list[str] | None = None) -> None:
         from search_engine_framework_spark.index.build import extract_postings
         from search_engine_framework_spark.index.docids import assign_doc_ids
 
+        # Warmup scratch lives NEXT TO the build output (valid on any
+        # shared filesystem a real cluster writes to, and unique per
+        # submission — concurrent submissions with distinct --output
+        # can't clobber each other) and is removed before the timed run.
+        warm_path = args.output.rstrip("/") + ".warmup"
         warm = assign_doc_ids(transcripts.limit(args.warmup))
         extract_postings(warm, fields=tuple(args.fields.split(","))).write.mode(
             "overwrite"
-        ).parquet(os.path.join("/tmp", "sefs_submit_warmup"))
+        ).parquet(warm_path)
         warm._sefs_unpersist()
+        shutil.rmtree(warm_path, ignore_errors=True)
 
     t0 = time.time()
     paths = build_index(

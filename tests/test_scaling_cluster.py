@@ -58,6 +58,24 @@ def test_submit_cmd_extra_conf_applied_to_every_level(monkeypatch):
         assert confs["spark.foo"] == "1" and confs["spark.bar"] == "x"
 
 
+def test_submit_cmd_extra_conf_overrides_fixed_confs(monkeypatch):
+    """spark-submit takes the LAST occurrence of a duplicated conf key, so
+    the SCALE_EXTRA_CONF hook must land AFTER the fixed --conf flags (and
+    before the script path, in listed order) for overrides to work."""
+    monkeypatch.setenv(
+        "SCALE_EXTRA_CONF", "spark.executor.memory=9999m;spark.zz=last"
+    )
+    cmd = sb._submit_cmd(2, 1000, "/tmp/z.zip", "/tmp/o")
+    vals = [cmd[i + 1] for i, a in enumerate(cmd) if a == "--conf"
+            and cmd[i + 1].startswith("spark.executor.memory=")]
+    assert vals[-1] == "spark.executor.memory=9999m"  # extra wins
+    script_ix = next(i for i, a in enumerate(cmd)
+                     if a.endswith("submit_build.py"))
+    extra_ix = cmd.index("spark.executor.memory=9999m")
+    zz_ix = cmd.index("spark.zz=last")
+    assert extra_ix < zz_ix < script_ix  # listed order, before the script
+
+
 def test_submit_build_warmup_flag_contract():
     """--warmup is optional, integer, default 0 (off): an existing
     deployment that never passes it keeps the exact pre-round-4 timed
