@@ -1109,6 +1109,313 @@ bastion bonkers bounder darling department duckling gymnastics
 lightning linguistics outing slipper stocking tension vendor votive
 """.split()) | frozenset("""
 err earring fledgling hireling offspring upbringing undertaking
+""".split()
+
+# The fifth block is the round-5 batch (krovetz-7, 2144 words; ten
+# reviewed sub-batches: A-Z general sweep + learned/technical strata —
+# latinate vocabulary, anatomy/medicine, math/chemistry, fauna/flora,
+# food/clothing/household, geography, tools, liturgy/military,
+# tech/business). Every word is a base/citation form; each sub-batch's
+# pre-add stem diff was reviewed under the standing policy:
+# * junk stems and concept crosses PROTECTED (adder->add, choral->chore,
+#   flatter->flat, manic->man, mister->mist, shower->show, static->state,
+#   probable->probe, revelation->revel, organism->organ, humidor->humid,
+#   subsidize->subside, recession->recess, grouper->group, rabies->raby,
+#   watershed->watersh, isosceles->isoscele, gentility->gentile, ...);
+# * plural-only lexical nouns included (bellows precedent: scissors,
+#   trousers, trappings, tights, pajamas, suspenders, grits, withers);
+# * transparent same-concept derivations EXCLUDED so their conflations
+#   survive (abatement precedent: -ion/-ity/-ment/-ncy nominals like
+#   assertion/futility/amendment, -ize denominals like finalize,
+#   agentive/instrument -er/-or like tanner/decanter/generator, -ing
+#   gerunds like bowling/kayaking/bearing, -ics with -ic singular stems
+#   per the acoustics precedent: logistics/kinetics/avionics);
+# * DIRECT_CONFLATIONS irregulars untouched (sought/told/thought/rung);
+# * candidate-order hijackers dropped in review: writ/tun/attache would
+#   have claimed the common forms writable/tunable/attaches away from
+#   write/tune/attach via the shorter-first -able/-es lookup.
+# Audited old-vs-new with scripts/stem_audit.py against
+# artifacts/stem_baseline_kstem_krovetz-6.json.gz (headword-set-aware
+# diff: confirmations must resolve to bases ADDED by this batch;
+# 0 REVIEW rows).
+) | frozenset("""
+aardvark abalone abbess abdominal abrasion abseil absinthe absolution
+abstention accompanist accomplice accordance acetone acupuncture
+adamantine adder adieu adman admissible admixture ado adrenal
+adrenaline adversary aeon aesthetic affinity aggression agronomy alack
+albumen alchemist ale alimony alkaloid alliteration alluvium almoner
+almshouse alumina alveolus ambit ambulatory amnesia amour amperage
+amplitude amputee amulet amygdala analogous anatomical ancestral anemic
+anesthesia aneurysm angular anima anisette anklet anon anther
+anthropology antiserum apologist apostate appendage apportion arbitrage
+arbitrageur archdeacon archery archetype armoire arquebus arterial
+arteriole arugula ascendancy ascot asinine asp aspen ass assailant
+assemblage aster asteroid astigmatism astrology asymmetry asymptote
+attune auger aught auspice authenticate auto avatar aver awl axon
+ayatollah babe bacillus backpack bacterium bagel baguette balaclava
+balcony ballpeen bandana bandolier bandsaw bandwidth bannister barbican
+barbiturate barcarolle barcode barranca basmati bastille bearnaise
+bechamel bellows benchmark berceuse bereft berg bespoke biathlon bib
+bighorn binomial biscotti bitmap bittern blancmange blasphemy
+blatherskite blazer blini blip blockchain bloke bloomers bluetooth
+bocce bolero bombardier boom bora borealis borscht bougainvillea bough
+bouillabaisse bourree bowler bradawl braise bratwurst breaker
+breastplate bridal brie brier brig brioche brisket broadband broadside
+brokerage bronchial bronchus bruschetta buckler buff bullfinch bumble
+bung bunt burgh burr burrito buttercup butterscotch byre bytecode byway
+caber caboose cacao cacciatore cadaverous caddy caiman calamari calcite
+caldera caltrop calumniate calzone camber camisole campanile campfire
+campsite camshaft canape candelabra candidacy cannelloni cannoli
+cannonade cant cappuccino capriccio carabiner carbonara carcinogen
+carcinoma cardiac carotid carpaccio cartography casaba casemate cash
+cashflow cassowary catalogue catechize catechumen categorical catgut
+catheter causeway cavalryman cavatina caveat cay cellular censorious
+cent centrifuge centripetal cerebellum cerebrum ceremonial certitude
+chaconne chaise champ chandler chanson chant chantry chapati chaplaincy
+chaps chard chardonnay chasuble chatbot chauvinism checksum cheep
+chemistry chenille cherubim chervil chevalier chickpea chifforobe chili
+chimichanga chimp chipotle chiropody chiropractor chivalrous
+cholesterol chomp choral chow chronology chub ciabatta cilantro
+circumlocution cirque cirrhosis clack clafouti clamorous clank classic
+clavichord claymore clime clink cloche clod clout clung coaster cob
+cochlea cockerel codex codpiece coefficient coif coke col coleslaw
+colic comestible commandant commando commingle commode con concatenate
+concertina condolence conference confetti confidant configuration
+configure congenital conger conjoin conjunction conker consequent
+conservatory consistent consomme conspiracy contemporaneous
+contextualize contrition contrivance contumacious convalescence
+convection convergence conversant convocation convolution coop
+copperhead copyright cornflower cornmeal corrosion cosine cosmopolitan
+costume coupe courante courgette couscous coven covetous crankshaft
+credenza credo crematory criminology crimp croft crotch crown crush
+cuboid cuirass culverin cumin cupcake curia curlew currywurst curtilage
+cute cwm dalliance damson dashboard dashiki datagram dauntless debrief
+debug decal decontaminate decor decrypt deer defuse deli delimit dell
+demarcate demilune demo demographic demography demolition demonstrable
+dendrite denominator derision derivative dermatitis dermis despatch
+desperado despondent determinant deterrent deuce dext dexterous dhow
+diagnosis dialectic dialysis diastole dichotomy diction differential
+diligence diminution dingo dint diocesan dioxide diphthong dipsomania
+dirndl disciple disco discrepancy discretion discus dislocation
+disparity disputatious dissonance distillery divergent divertimento
+dividend divisor divot doctrinaire dodo dogmatic dogwood dollop dolmen
+dolorous dominant dope dormouse dosage doubloon dovetail downsize
+dragonfly dressage dresser drip dropsy drub druid drumlin duchy dugong
+dunce dung duo duodenum dustpan dynamism earthworm ecclesiast economist
+ecstatic edamame edelweiss edema edification editorial effectuate
+egotist egret eland electorate electrode electrolysis electron elegiac
+elephantine ell ellipsis eloquence emblematic embolism embolus
+embryonic emery eminence emoji emoticon empanada emphysema empress
+encapsulate enchilada enclitic encrust encrypt enfilade enigmatic
+entrepreneur envision eparch epaulette epee epicenter epiglottis
+epistemology equivocate eremite ergonomic erratum erudition escargot
+eschatology espadrille espy estate ethanol ethernet etiology etude
+eulogize euphonious evangelist evensong evolution exarch excruciate
+exhaustive exigent existential expanse expansive expenditure explicable
+exploratory expository extempore extinguish extradition extrapolate
+exultant eyrie factorial fairy fajita falafel falchion fallacious
+fandango farrier farther fatalist faun fay fed fee felicitous femur
+feral ferrous ferrule fettuccine fey fibula fiction fifth filo finial
+fipple firedog firmware firth fission flambeau flan flashlight flatter
+flay flintlock floodplain flora florid florin flu flugelhorn flywheel
+focaccia fondant fondue footstool forbearance formative formulate forth
+foxglove fractal franc frankfurter frappe fraudulent freesia frittata
+froe fumarole functionary fundament fundamental funeral fungus furl
+fusilier futon gabble gaffe gainsay galette gallium galosh galvanic
+ganache gangling ganglion gangplank gangway gannet gaol gardenia
+gargantuan gastritis gastronomy gauche gavotte gay gaze gazetteer
+gazpacho gearbox gelato genealogist generosity genesis genetic genocide
+gentility geodesic geriatric ghee gibbet gigabyte gigantic gigue
+gingerbread gingko gizzard glacis glandular glob glockenspiel gluten
+gluttonous glycerol gnocchi goldenrod goldfinch golf gooseberry
+gorgonzola gorse gouache goulash gramophone grandiloquent granola
+granular graphite grasshopper gravamen gravlax gray grayling greatcoat
+greet grenadier grey greyhound grievous grille grindstone grits grog
+gross groundhog grouper grout grumpy gruyere guacamole guava gudgeon
+guerdon guerilla gunnel gustatory gymkhana gyro habanero habitual
+habituate hacksaw hagiography hake halyard handball hap harmonium
+harmonize harquebus harrier hashtag hauberk haversack hectare hector
+hedonist heft helix helve hematoma hemophilia hemorrhoid henchman henna
+hepatitis heptathlon heredity heresiarch hermitage hessian heterodox
+heterogeneous heuristic hex hieroglyph highchair highland hillock hip
+hippocampus histology historiography hob hobnail hod hogback hologram
+holy homiletic homogenize honeysuckle hoodie hopper hornpipe hortatory
+hosier hospitable hourglass hubris humerus humidor hummus humoresque
+hunger hunk hut hydrography hyperbola hypertext hypocrite hypothalamus
+hypothesize hypothetical ideal idealize ideology idiomatic ignition
+ignominious illumine imam imminence immortalize immutable impala
+impartial impermeable impertinent impetigo impiety implosion
+importunate impost impressionable improbity inarticulate incant
+inconsequential incontrovertible incredulity incubus inculpate
+incursion indeterminate indifferent indigence indisputable indissoluble
+individuate inductive indulgence infantry infinitive infirmary
+inflammation inflationary ingenuity iniquitous injudicious ink inkwell
+inlaid inland inlet inopportune insensible inset instant instantaneous
+instantiate instep institutionalize insufferable interlope intermingle
+internecine interstellar into intransigence introspect introspection
+intuit intuitive investigate inviolable invulnerable iodine ion
+ironclad irrational isosceles italic jacaranda jacinth jalapeno
+jambalaya janissary jape jardiniere jeep jejune jellyfish jerky jetsam
+jigsaw jingoism joist josh judicature judiciary judo juggernaut jujube
+jukebox julep jumpsuit junior kaftan karst kazoo kebab kepi keratin
+kettledrum khakis kielbasa kilobyte kine kingfisher kirk kookaburra
+kraal krill krummhorn krypton kudzu laboratory laburnum labyrinthine
+lachrymose lade laird laptop lapwing larcenous laryngitis lasagna lass
+latex lath latitudinal latke launder lavatory lave layoff lea
+lectionary lector lee lees leggings legionnaire legislature legitimize
+leguminous leonine leukemia leverage levitate lexicography libertarian
+liege lien ligature liken limnology lingual linguine lisle literal
+literate literati lithium litigious liturgical livelihood liverwurst
+livery lobelia loch logarithm logo loincloth longbow loose loquacity
+loveseat lowland lox luff luge lupine lustrous lye lymphocyte maar
+macaron machiavellian macrocosm madeleine madrasa magisterial magma
+magnanimity magniloquent majesty maladroit malapropism malevolence
+malignant mall malware mammalian manatee mandatory mandola mandrel
+mandrill manganese mangonel manic manorial mantelpiece marginalize
+marinade marionette marl mart martyrdom mascarpone mash massif
+matchlock materialist maternal math mathematician matinee matriculate
+mattock mattress maxillary mazurka meadowlark meatloaf mechanic
+mechanistic medal medallion median meerkat megabyte megalomania
+melancholia melange melanin melodious memorialize mercurial meritorious
+mesclun mesmerism messenger metabolize metacarpal meteorology
+methodical methodology metronome microchip microcosm microprocessor
+midden militarize millipede mimicry minatory minestrone minster
+minuscule minutiae miscellany misogynist mister mitochondria mitre
+mnemonic mockingbird modem modulus molecular mollification monastic
+monotone monsignor moorhen morocco morphology mortuary motet mow
+mozzarella mucosa mudflat muesli muezzin muffler muffuletta mukluk
+mullah mulligatawny munificence murk musette musk musketeer mutt muumuu
+my myelin myopic mythologize naan nacre nanny nanotech napalm
+narcissism narthex narwhal nationalize natter natty natural naturalize
+naught nay nebulous necklace necromancy neglect neither neologism neon
+nephritis nescient netball nettlesome neuritis neurosis neutron nexus
+nicety niggle nigh nightgown nightingale nightstand nihilist nil nipple
+nit niter no nobble noisome nomenclature nominee nonce nonchalance none
+nonet nostalgic not notoriety noun nova novitiate numerator nursery
+nurturant nuthatch nutria obbligato objectify oblation obligatory
+oblivious obstetrician obtrusive ocarina occiput occlude octet
+octogenarian odometer odoriferous offend okapi oleaginous oligarch
+omelette omnipotence omniscience on onlooker onomatopoeia onto
+opalescent operationalize operative opponent opportunist oppress
+opprobrious optician optimist optimize optometrist opus or oracular
+orangutan orchestrate ordinand ordinate ordination oregano organism
+orthography orzo ostensibly osteopath otiose outcrop outsource ovary
+overalls oxbow pacifist packet paella pajamas paleontology palindrome
+palomino panache pancetta pandemic panettone pangolin panini pantheism
+papadum pappardelle par paradigmatic parallelogram parameter parfait
+parishioner parka parkour parliamentary parmesan parsimonious
+parturition passacaglia passenger pastorate pastrami pasty patella
+paternity pathology patois patriarchate patty pavane payroll peacoat
+pecuniary pedagogy pellagra pellucid pendulous penitence penitentiary
+pentathlon penumbra penury pep pepperoni perambulator percipient
+peregrination peregrine perfidious perfume pericardium peripatetic
+peripheral periphrastic peritoneum permafrost permeable peroration
+perpetuate perquisite perspicuity pert pervasive pessimist pesto pet
+petabyte peter petrel petrol petulance petunia phalange pharmacology
+pharynx phial philistine philodendron philology phlebitis phlegmatic
+photon physic physiognomy physiology pickaxe pickleball piddle pidgin
+pied piedmont pierce pilaf pilchard pillbox pillion pillowcase pimento
+pimiento pink pinnace pip pipit piranha pita pitcher pitchfork piteous
+piton placebo placenta plagiarism platelet platonic platypus playa
+pleat plebiscite pleura plexus plinth plus plutocracy podcast pogrom
+polder poleax polenta politic pollock pollute polo polonaise polyglot
+polyhedron polynomial pomelo pomposity pontifical pontificate poplin
+poppadom populace populous porcine porcini portentous portrait posit
+positivism possum posterior postpone posy potholder pothole potter
+pouffe poverty practical praline pray prebend precedence precentor
+precipitous preclusion precocity preface prefix pregnant prehistoric
+prejudice prelacy preliminary premonitory preponderance prepossessing
+presbytery prescient prescription preside prestigious presumptuous
+pretentious preternatural pretzel preview previous prick priggish
+primary prioritize privation probable problematize professionalize
+profundity prognosticate proletarian promiscuity promissory
+propagandist propane propellant property prorogue prosciutto prospectus
+protean protein protuberance provenance provolone proximate prudence
+psalter ptarmigan puce puffin pug pugnacity pulchritude pullover
+pumpkin punctilio puree puritanical purl pusillanimity putrefaction
+quad quadratic quadrilateral quadrille quantify quartermaster queer
+quesadilla quiche quiescence quinoa quintessential rabies rack racy
+radian radicchio raglan ragout ragweed raincoat raisin rake ramen
+ramification rancorous rapacity ratatouille ratchet ratiocination
+rationale ravelin ravioli reactionary reagent rear rebarbative
+recalcitrance receipt receptacle recession recidivism reciprocity
+recollect recommend reconstitute recorder rectilinear redemption
+redistribute redoubtable redwood referee reflex refresh regulate
+regurgitate reify reinvigorate relativity relativize relay relieve
+religion remit remonstrance renascent rendezvous renew repercussion
+replicate reproduce requisition reredos resonance respiration respire
+resplendence reticence retrofit reveille revelation reverberate
+reverence revitalize rhetorician rhombus ribaldry ricercar rick
+rickshaw ricotta rigatoni rigorous rime ringworm riptide risible
+risotto risque roach robustious rocker romance rondeau rooster rosary
+rose rosemary rotunda roulette roundelay router rowan royalty rucksack
+rudimentary ruff rugby ruminant runnel rusticate rutabaga sacerdotal
+sacristy sacrum sagacity sagebrush salaam salacious salami salina sally
+salsa saltine salubrious salver salvo samosa sanctimony sandbar
+sandpiper sangfroid sanitize sapper saraband sarong sartorial sashimi
+satisfy sauerkraut savanna sawyer scalar scampi scapula scare scarlet
+schematize scherzo schismatic schnapps schnitzel science scissors
+sclerosis scrabble scree scrollbar scruff scrumptious scrupulous scuff
+scupper scurrility seagull seahorse seamount seance secant sedge seer
+seltzer semantic seminal seminarian semolina senescent sensation
+sensible sensitize sententious sentimentalize sepsis sepulchral
+sequacious serenata serendipity serpentine serrate sex shag sheaf
+shears shelter shiitake shilling shire shoo shoot shotput shove shower
+shrift shrike sickle sideboard sight signature signet significant
+signify silage silicon simulacrum sincere sine sinkhole sitar situate
+skate skeet skipper slacks slalom sledgehammer slick slim smallpox
+smartphone smattering smith snapdragon sneaker snood snooker snowdrop
+sobriety society softball solecism solenoid solicitous solidify
+soliloquize sonatina sonority sophist sophistry sorbet sorry sortie sot
+sou soup spanner spartan spasmodic spear specify spectral spheroid
+spiritualize spit spittle spittoon splay splenetic spokeshave
+spontaneity spook spreadsheet spree sprinkle sprite spumoni squalor
+sriracha startup static stationary stationery statistician statuesque
+statutory steak steeplechase sternum stetson stickler stiff stigmatize
+stingray stockade stork stoup strategist stratosphere streamline
+strength stricken strop strudel strum stupefaction stylus styptic
+suasion sub subjectify subjective subjunctive subroutine subservience
+subsidiary subsidize substance substantive substitute subtend
+subterranean subtlety suck suet sufferance suicide suite sulfate
+sulfide sunflower sup super superficies supernumerary supersonic
+superstitious supplicant surtax sushi suspenders suspicion suzerain
+swab swag swale sward sweatpants sweep swell swimsuit swing swipe
+swordfish syllogism syllogize symbiosis symmetrical synapse synchronous
+synoptic synthesize synthetic systematize systole tab tabby tablecloth
+tachometer taco tactician tae tagine tahini talc tally tambour tamp
+tangential tansy tap tapenade tarantella tarn taro tarsal tartare
+tautology taxi taxonomy tea teapot teat technical technocrat tectonic
+teleology temerarious tempera temperate tempestuous tempura tenacity
+tenuity terabyte tergiversation teriyaki terrine tetrahedron texture
+their them theologian theoretical theremin these they thither those
+thou threnody through thurible thymus tibia tights tiramisu tit titan
+titanium tizzy toccata toffee tofu together toggle tombolo ton tonnage
+tonsorial tonsure toot tor torte tortellini torus tostada totalitarian
+touchscreen trachea trackpad tract trail trailhead tramp transact
+transcendent transistor transliterate translucence transmission
+transplant transverse trap trappings traumatize treachery trebuchet
+trenchcoat triangle triathlon trigonometry trilby trousers truculence
+truffle tuber tumbler tumbleweed tumid tumultuous turbot turnover
+turtleneck tutelary twain twiddle twit tyke tympanum typical typify
+typography tyrannical tzatziki ugly ukulele ulna unconscionable
+undershirt underwrite underwriter undulant unimpeachable unmitigated
+unprecedented unregenerate unremitting unrequited unscathed untenable
+until up upland upshot ureter usage username usurious uterus uvula
+vacuity vainglorious valance valediction valentine validate valorous
+vamp variance varsity vedette vehemence veldt vellum verbalize verbiage
+verisimilitude versus vertiginous vespers vestigial via vibraphone
+vicarage vichyssoise victory victual vigilante villanelle vinaigrette
+viol virelay virgin virginal virulence virus viscosity vitreous
+vivisection vole volleyball voltage voluptuary voracity wadi waggish
+waistcoat wale wanderlust warbler wasabi washstand wastebasket
+waterlily waterpolo watershed waterspout we weal webcam webinar wed
+weft wench westernize wetland whatnot wheelbarrow whelk whence whey
+whimsy whisker whiskey whist whither whiz whoa why widgeon wifi wildcat
+wildebeest willful willow wimple windbreaker wipe wisdom wisteria
+witchhazel withers wold wolverine womb wondrous wonton woodcock
+woodpecker woof worldly wormwood worst would wrack wrought xenophobia
+yarrow yaw yea yearling yell yeomanry yon your youth yowl zealotry
+zeitgeist zip ziti zoological
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical

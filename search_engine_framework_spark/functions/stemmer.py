@@ -177,7 +177,12 @@ STEMMER_IMPL = {
     # old-vs-new with scripts/stem_audit.py.
     # krovetz-6: 7 junk-stem/concept-cross closures (err base form,
     # earring→ear, offspring→offspr, … — fourth-block comment).
-    "kstem": "kstem/krovetz-6",
+    # krovetz-7: round-5 batch (2,147 reviewed words, 13,005 headwords
+    # total — the A-Z + learned-strata sweep, fifth-block comment in
+    # kstem_data.py; protections like adder→add, flatter→flat,
+    # revelation→revel, organism→organ; transparent derivations and
+    # -ics/-ize/-ing/-er conflations deliberately left to conflate).
+    "kstem": "kstem/krovetz-7",
 }
 
 
