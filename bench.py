@@ -42,6 +42,12 @@ Components
   classify_score   — quality-classifier inference over documents
                      (hashed features + broadcast-weight sigmoid).
   percolate        — 4 stored queries vs documents as an ingest batch.
+  percolate_1k     — ~1000 stored queries via percolate_bulk: flat
+                     boolean registry as ONE broadcast-join plan +
+                     bounded chunks for the structural tail (round 5).
+  streaming_dedup  — Structured Streaming availableNow drain of the
+                     exact-dedup gate (fingerprint watermark dedup)
+                     over the corpus staged as a parquet stream.
   events_funnel_retention — ordered funnel + weekly retention cohorts.
   dsir_select      — DSIR importance resampling end-to-end (hashed
                      n-gram bucket models + Gumbel top-100).
@@ -94,6 +100,46 @@ BM25_QUERIES = [
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "6000"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+
+
+def _percolate_registry(n: int) -> dict[str, str]:
+    """Deterministic ~n-query stored registry over the synthetic-corpus
+    vocabulary: rotating #AND/#OR/#SYN term pairs (the flat alerting
+    norm), every 25th query structural (#NEAR/#MSM/#NOT) so the bounded
+    chunked branch path is exercised too."""
+    vocab = (
+        "spark window merge table column vector stream value data small "
+        "join filter big group hash customer sort order slow line part "
+        "fast row agg key query scan batch"
+    ).split()
+    out: dict[str, str] = {}
+    i = 0
+    for a in range(len(vocab)):
+        for b in range(len(vocab)):
+            if a == b:
+                continue
+            if i % 25 == 24:
+                shape = ("#NEAR/3({} {})", "#MSM/2({} {} spark)",
+                         "#AND({} #NOT({}))")[i % 3]
+                out[f"q{i}"] = shape.format(vocab[a], vocab[b])
+            else:
+                op = ("#AND", "#OR", "#SYN")[i % 3]
+                out[f"q{i}"] = f"{op}({vocab[a]} {vocab[b]})"
+            i += 1
+            if i >= n:
+                return out
+    # pairs exhausted before n: extend with rotating triples
+    v = len(vocab)
+    j = 0
+    while len(out) < n:
+        a, b, c = j % v, (j // v) % v, (j // (v * v) + 7) % v
+        j += 1
+        if len({a, b, c}) != 3:
+            continue
+        op = ("#AND", "#OR", "#SYN")[j % 3]
+        out[f"q{i}"] = f"{op}({vocab[a]} {vocab[b]} {vocab[c]})"
+        i += 1
+    return out
 
 
 def _calibrate(trials: int = 3) -> list[float]:
@@ -382,7 +428,7 @@ def main() -> None:
     # percolator: 4 stored queries against the whole documents table as
     # one ingest batch (one analyze pass, one unioned plan)
     from search_engine_framework_spark.contract import PERCOLATE_QUERIES
-    from search_engine_framework_spark.percolate import percolate
+    from search_engine_framework_spark.percolate import percolate, percolate_bulk
 
     _leg(
         timings, extra, "percolate",
@@ -390,6 +436,55 @@ def main() -> None:
             docs, PERCOLATE_QUERIES, cfg=AnalyzerConfig.sql_safe()
         ).count() and None,
     )
+
+    # registry-scale percolation: ~1k stored queries (the ES-percolator
+    # deployment norm) through percolate_bulk — flat boolean queries as
+    # ONE broadcast-join plan (constant plan size in registry count),
+    # the structural tail (#NEAR/#MSM/#NOT, 1 in 25) through the exact
+    # branch evaluator in bounded chunks. SCALE.md §percolator records
+    # why the 4-query union-of-branches design cannot reach this count.
+    reg = _percolate_registry(1000)
+    _leg(
+        timings, extra, "percolate_1k",
+        lambda: percolate_bulk(
+            docs, reg, cfg=AnalyzerConfig.sql_safe()
+        ).count() and None,
+    )
+    extra["percolate_1k_queries"] = len(reg)
+
+    # Structured Streaming: availableNow micro-batch drain of the
+    # exact-dedup gate (fingerprint + dropDuplicatesWithinWatermark)
+    # over the documents corpus staged as a parquet stream source —
+    # round-over-round latency tracking for the streaming path.
+    from search_engine_framework_spark.streaming.dedup import dedup_stream
+
+    stream_src = "/tmp/bench_stream_src"
+    if not os.path.exists(os.path.join(stream_src, "_SUCCESS")):
+        docs.select(
+            "doc_id",
+            F.timestamp_seconds(F.col("doc_id") % 86400).alias("ts"),
+            "text",
+        ).write.mode("overwrite").parquet(stream_src)
+
+    def run_streaming_dedup():
+        out_dir = "/tmp/bench_stream_out"
+        ck = "/tmp/bench_stream_ck"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        src = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).parquet(stream_src)
+        q = (
+            dedup_stream(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _leg(timings, extra, "streaming_dedup", run_streaming_dedup)
 
     # event analytics: ordered funnel + weekly retention cohorts
     from search_engine_framework_spark.streaming.events import (

@@ -225,6 +225,7 @@ def percolate(
     cfg: AnalyzerConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _tok: DataFrame | None = None,
 ) -> DataFrame:
     """Match every batch doc against every stored query.
 
@@ -244,8 +245,11 @@ def percolate(
     # tokenizer UDF Q times. Left cached for the caller's action (the
     # returned frame is lazy); MEMORY_AND_DISK + LRU bounds it — an
     # alerting service holds exactly this frame for the batch lifetime.
-    tok = _tokpos(docs, cfg, id_col, text_col).persist()
-    tok.count()
+    if _tok is None:
+        tok = _tokpos(docs, cfg, id_col, text_col).persist()
+        tok.count()
+    else:
+        tok = _tok  # caller-shared analyzed batch (percolate_bulk chunks)
     ids = docs.select(F.col(id_col).alias("_d")).distinct()
     ev = _Eval(tok, ids)
     parts = []
@@ -263,6 +267,137 @@ def percolate(
         return docs.sparkSession.createDataFrame(
             [], f"query_id string, {id_col} long"
         )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_id", id_col)
+
+
+def _flat_boolean(node: ast.Node) -> tuple[str, frozenset] | None:
+    """('and' | 'or', terms) when ``node`` is a single default-field Term
+    or a flat one-level #AND / #OR / #SYN / #SUM / #WAND / #WSUM of
+    default-field Terms (the overwhelmingly common registry shape in an
+    alerting deployment); None for anything structural (positional,
+    #NOT, #MSM, field-qualified, nested). #SYN and the scoring operators
+    match as the union of their children (exactly _Eval.run's rule), so
+    they classify as 'or'; Boost wrappers carry no match semantics and
+    unwrap."""
+    if isinstance(node, ast.Boost):
+        return _flat_boolean(node.child)
+    if isinstance(node, ast.Term):
+        if node.field != ast.DEFAULT_FIELD:
+            return None
+        return ("and", frozenset((node.term,)))
+    if isinstance(node, (ast.And, ast.Or, ast.Syn, ast.Sum, ast.Wand, ast.Wsum)):
+        if len(node.children) == 1:
+            # the parser's default top-level wrapper (and any one-child
+            # boolean) is match-equivalent to its child
+            return _flat_boolean(node.children[0])
+        terms = []
+        for c in node.children:
+            if isinstance(c, ast.Boost):
+                c = c.child
+            if not isinstance(c, ast.Term) or c.field != ast.DEFAULT_FIELD:
+                return None
+            terms.append(c.term)
+        if not terms:
+            return None
+        op = "and" if isinstance(node, ast.And) else "or"
+        return (op, frozenset(terms))
+    return None
+
+
+def percolate_bulk(
+    docs: DataFrame,
+    queries: dict[str, str] | list[str],
+    cfg: AnalyzerConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_branches: int = 64,
+) -> DataFrame:
+    """Registry-scale percolation (the Elasticsearch-percolator norm is
+    thousands of standing queries, not four). Identical output contract
+    to :func:`percolate`, different cost model:
+
+    * **Flat boolean queries become DATA, not plan.** Every registered
+      query that is a single term or a flat #AND/#OR/#SYN/#SUM of plain
+      terms compiles to rows of a broadcast (query_id, term) side table;
+      matching is ONE distinct-(doc, term) join plus ONE aggregation —
+      AND gates on matched-term count == required-term count, OR on >= 1
+      — regardless of whether the registry holds 10 queries or 100k.
+      Catalyst's plan size (and analysis time, the binding constraint of
+      the union-of-branches design past a few hundred branches) stays
+      CONSTANT in registry size; the shuffle is bounded by (matching
+      doc, query) pairs, the output's own size.
+    * **Structural queries keep exact branch evaluation, bounded.** The
+      tail that genuinely needs per-query set algebra (positional
+      operators, #NOT, #MSM, nesting) runs through percolate()'s
+      evaluator in chunks of ``max_branches`` plan branches per job, all
+      chunks sharing this call's ONE cached analyzed-batch frame — so no
+      single plan grows with the registry and the analyzer never reruns.
+
+    At 100 TB the corpus never participates beyond the one analyze pass
+    of the ingest batch; registry growth costs a broadcast table and
+    proportionally more chunk jobs for the structural tail only."""
+    if isinstance(queries, list):
+        queries = {str(i): q for i, q in enumerate(queries)}
+    if not queries:
+        raise ValueError("percolate needs at least one stored query")
+    cfg = cfg or AnalyzerConfig.reference()
+    spark = docs.sparkSession
+
+    flat_and: list[tuple[str, str]] = []
+    flat_or: list[tuple[str, str]] = []
+    structural: dict[str, str] = {}
+    for qid, qstring in queries.items():
+        node = parse_query(qstring, UnrankedBoolean(), cfg)
+        if node is None:
+            continue  # analyzes to nothing -> matches nothing
+        fb = _flat_boolean(node)
+        if fb is None:
+            structural[qid] = qstring
+        else:
+            op, terms = fb
+            dst = flat_and if op == "and" else flat_or
+            dst.extend((qid, t) for t in sorted(terms))
+
+    tok = _tokpos(docs, cfg, id_col, text_col).persist()
+    tok.count()
+    docterms = tok.select("_d", "_t").distinct()
+
+    parts: list[DataFrame] = []
+    if flat_and:
+        qt = spark.createDataFrame(flat_and, "query_id string, term string")
+        need = qt.groupBy("query_id").agg(F.count("*").alias("_need"))
+        parts.append(
+            docterms.join(F.broadcast(qt), docterms["_t"] == qt["term"])
+            .groupBy("query_id", "_d")
+            .agg(F.count("*").alias("_have"))
+            .join(F.broadcast(need), "query_id")
+            .where(F.col("_have") == F.col("_need"))
+            .select("query_id", F.col("_d").alias(id_col))
+        )
+    if flat_or:
+        qt = spark.createDataFrame(flat_or, "query_id string, term string")
+        parts.append(
+            docterms.join(F.broadcast(qt), docterms["_t"] == qt["term"])
+            .select("query_id", F.col("_d").alias(id_col))
+            .distinct()
+        )
+    st = list(structural.items())
+    for i in range(0, len(st), max_branches):
+        parts.append(
+            percolate(
+                docs,
+                dict(st[i : i + max_branches]),
+                cfg=cfg,
+                id_col=id_col,
+                text_col=text_col,
+                _tok=tok,
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], f"query_id string, {id_col} long")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1,0 +1,98 @@
+"""percolate_bulk — the registry-scale percolation path: flat boolean
+queries as a broadcast side table (constant plan size in registry
+size), structural queries through the exact branch evaluator in bounded
+chunks. Parity with percolate() is the contract."""
+
+import pytest
+
+from search_engine_framework_spark.functions.analyzer import AnalyzerConfig
+from search_engine_framework_spark.percolate import (
+    _flat_boolean,
+    percolate,
+    percolate_bulk,
+)
+from search_engine_framework_spark.plans.models import UnrankedBoolean
+from search_engine_framework_spark.plans.parser import parse_query
+
+CFG = AnalyzerConfig.reference()
+
+
+def _batch(spark):
+    return spark.createDataFrame(
+        [
+            (0, "spark merges the shuffle files"),
+            (1, "merge spark quickly"),
+            (2, "spark spark spark"),
+            (3, "a merge of windows"),
+            (4, "nothing relevant here"),
+            (5, "shuffle files then spark then merge"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+MIXED_REGISTRY = {
+    # flat -> data-driven path
+    "t": "spark",
+    "and2": "#AND(spark merge)",
+    "and3": "#AND(spark merge shuffle)",
+    "or2": "#OR(merge window)",
+    "syn": "#SYN(window shuffle)",
+    "sum": "#SUM(spark window)",
+    "boost": "#SUM(spark^2.5 window)",
+    # structural -> chunked exact path
+    "not": "#NOT(spark)",
+    "msm": "#MSM/2(spark merge window)",
+    "near": "#NEAR/3(spark merge)",
+    "stop": "the a of",  # analyzes to nothing: matches nothing
+}
+
+
+def _rows(df):
+    return {(r["query_id"], r["doc_id"]) for r in df.collect()}
+
+
+def test_bulk_matches_branch_path(spark):
+    docs = _batch(spark)
+    a = _rows(percolate(docs, {k: v for k, v in MIXED_REGISTRY.items()
+                               if k != "stop"}, cfg=CFG))
+    b = _rows(percolate_bulk(docs, MIXED_REGISTRY, cfg=CFG))
+    assert a == b
+
+
+def test_bulk_chunking_preserves_results(spark):
+    docs = _batch(spark)
+    full = _rows(percolate_bulk(docs, MIXED_REGISTRY, cfg=CFG))
+    chunked = _rows(
+        percolate_bulk(docs, MIXED_REGISTRY, cfg=CFG, max_branches=1)
+    )
+    assert full == chunked
+
+
+def test_flat_classifier():
+    def node(q):
+        return parse_query(q, UnrankedBoolean(), CFG)
+
+    # the parser's default top-level wrapper unwraps
+    assert _flat_boolean(node("spark")) == ("and", frozenset({"spark"}))
+    assert _flat_boolean(node("#AND(spark merge)")) == (
+        "and", frozenset({"spark", "merge"}))
+    op, terms = _flat_boolean(node("#SYN(window shuffle)"))
+    assert op == "or" and terms == frozenset({"window", "shuffle"})
+    # Boost unwraps; #SUM matches as union
+    assert _flat_boolean(node("#SUM(spark^2.5 window)"))[0] == "or"
+    # structural shapes refuse
+    assert _flat_boolean(node("#NOT(spark)")) is None
+    assert _flat_boolean(node("#NEAR/3(spark merge)")) is None
+    assert _flat_boolean(node("#MSM/2(spark merge window)")) is None
+    assert _flat_boolean(node("#AND(spark #OR(merge window))")) is None
+    assert _flat_boolean(node("spark.role")) is None
+
+
+def test_bulk_empty_and_all_stopword(spark):
+    docs = _batch(spark)
+    with pytest.raises(ValueError):
+        percolate_bulk(docs, {}, cfg=CFG)
+    out = percolate_bulk(docs, {"s": "the a of"}, cfg=CFG)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id"]
