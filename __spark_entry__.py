@@ -83,6 +83,18 @@ oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   MMR rerank (pipeline/diversity.py) is pytest-only by
                   nature: its greedy recurrence is not expressible as a
                   fixed SQL plan.
+                  Round 5 adds two end-to-end entries that close the
+                  last pytest-only pipelines: letor_rerank (feature
+                  frame → per-query min-max → fixed-weight linear
+                  rerank, LearnToRank.java:735-826) and prf_search (the
+                  full entry-point-2 PRF loop — BM25 seed → expansion
+                  terms → the %.4f-weighted #wand re-ranked under
+                  Indri, QryEval.java:209-214), bringing the contract
+                  to 135 entries / 133 oracle-checked; and reorders
+                  QUERIES by last-driver-check age (flagship first,
+                  the two new entries, the 34 round-2-checked entries,
+                  then r3, then r4) so a 50-entry budget re-greens
+                  every stalest check.
 
 Implementation lives in search_engine_framework_spark/contract.py.
 """
