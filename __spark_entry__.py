@@ -89,8 +89,12 @@ oracle_sql()    — DuckDB-runnable ANSI SQL twin for every SQL-expressible
                   rerank, LearnToRank.java:735-826) and prf_search (the
                   full entry-point-2 PRF loop — BM25 seed → expansion
                   terms → the %.4f-weighted #wand re-ranked under
-                  Indri, QryEval.java:209-214), bringing the contract
-                  to 135 entries / 133 oracle-checked; and reorders
+                  Indri, QryEval.java:209-214), plus percolate_bulk
+                  (the registry-scale percolation path, sharing
+                  q_percolate's oracle verbatim so both physical paths
+                  must produce the identical match set), bringing the
+                  contract to 136 entries / 134 oracle-checked; and
+                  reorders
                   QUERIES by last-driver-check age (flagship first,
                   the two new entries, the 34 round-2-checked entries,
                   then r3, then r4) so a 50-entry budget re-greens

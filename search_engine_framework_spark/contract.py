@@ -1610,6 +1610,23 @@ def q_percolate(spark, sf_dir):
     )
 
 
+def q_percolate_bulk(spark, sf_dir):
+    """Registry-scale percolation path (round 5, percolate_bulk): the
+    SAME stored-query registry as q_percolate, but with the flat
+    boolean queries (q_and, q_or) compiled to the broadcast
+    (query_id, term) side table — ONE join + ONE aggregation,
+    constant plan size in registry count — and the structural tail
+    (positional/#MSM) through the exact chunked branch evaluator.
+    Shares q_percolate's ORACLE_SQL verbatim: both paths must produce
+    the identical (query_id, doc_id) match set."""
+    from .percolate import percolate_bulk
+
+    docs = _read(spark, sf_dir, "documents")
+    return percolate_bulk(
+        docs, PERCOLATE_QUERIES, cfg=AnalyzerConfig.sql_safe()
+    )
+
+
 FUNNEL_STEPS = ["signup", "view", "purchase"]
 FUNNEL_WITHIN = 7 * 86400.0
 RETENTION_PERIOD = 7 * 86400.0
@@ -4231,6 +4248,11 @@ ORDER BY query_id, doc_id
 """
 )
 
+# percolate_bulk must match percolate exactly — same registry, same
+# match semantics, different physical path (broadcast term table +
+# chunked structural tail vs one unioned branch plan).
+ORACLE_SQL["percolate_bulk"] = ORACLE_SQL["percolate"]
+
 ORACLE_SQL["funnel"] = f"""
 WITH e AS (
   SELECT user_id AS u, event_type AS et, epoch(ts)::DOUBLE AS t FROM events
@@ -5785,6 +5807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "letor_rerank": q_letor_rerank,
     "prf_search": q_prf_search,
+    "percolate_bulk": q_percolate_bulk,
     "regex_term": q_regex_term,
     "wildcard_suffix": q_wildcard_suffix,
     "bm25_single": q_bm25_single,
