@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions.analyzer import AnalyzerConfig
-from ..percolate import percolate
+from ..percolate import percolate, percolate_bulk
 
 __all__ = ["percolate_stream"]
 
@@ -43,6 +43,7 @@ def percolate_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     trigger_available_now: bool = True,
+    bulk_threshold: int = 64,
 ):
     """Run the percolator over a streaming DataFrame of documents.
 
@@ -70,7 +71,15 @@ def percolate_stream(
         qs = _queries()
         if not qs or batch_df.isEmpty():
             return
-        matches = percolate(
+        # Registries past ``bulk_threshold`` use the registry-scale path
+        # (percolate_bulk: flat queries as a broadcast term table,
+        # constant plan size; structural tail chunked) — the
+        # union-of-branches plan grows super-linearly in Catalyst
+        # analysis past ~10^2 branches (SCALE.md percolator entry).
+        # Both paths produce the identical match set (parity-locked by
+        # tests and the shared percolate/percolate_bulk oracle).
+        impl = percolate_bulk if len(qs) > bulk_threshold else percolate
+        matches = impl(
             batch_df, qs, cfg=cfg, id_col=id_col, text_col=text_col
         ).withColumn("batch_id", F.lit(int(batch_id)))
         (

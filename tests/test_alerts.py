@@ -95,3 +95,51 @@ def test_stream_empty_batch_no_output_dir(spark, tmp_path):
     _run(spark, src, out, ckpt, {"q": "#AND(spark merge)"})
     # a batch with zero matches writes an empty (or absent) alert set
     assert _alerts(spark, out) == set()
+
+
+def test_stream_large_registry_uses_bulk_path_with_identical_alerts(
+    spark, tmp_path, monkeypatch
+):
+    """Past bulk_threshold the micro-batch handler routes through
+    percolate_bulk; the alert log must be identical to the branch
+    path's for the same registry."""
+    from search_engine_framework_spark.streaming import alerts as alerts_mod
+
+    src = str(tmp_path / "src")
+    _write_docs(spark, src, [
+        (0, "spark merges the shuffle files"),
+        (1, "merge spark quickly"),
+        (2, "window and data"),
+        (3, "nothing relevant"),
+        (4, "spark then merge happens"),
+    ])
+    # 70 flat queries (> default threshold 64) + one structural
+    registry = {f"or{i}": "#OR(spark merge)" for i in range(35)}
+    registry.update({f"and{i}": "#AND(window data)" for i in range(35)})
+    registry["near"] = "#NEAR/2(spark merge)"
+
+    calls = []
+    real_bulk = alerts_mod.percolate_bulk
+    monkeypatch.setattr(
+        alerts_mod, "percolate_bulk",
+        lambda *a, **k: calls.append("bulk") or real_bulk(*a, **k),
+    )
+
+    out_b = str(tmp_path / "out_bulk")
+    _run_q = percolate_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        registry, out_b, str(tmp_path / "ck_bulk"), cfg=CFG,
+    )
+    _run_q.awaitTermination(120)
+    assert calls == ["bulk"]  # the large registry took the bulk path
+
+    out_br = str(tmp_path / "out_branch")
+    q2 = percolate_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        registry, out_br, str(tmp_path / "ck_branch"), cfg=CFG,
+        bulk_threshold=10_000,  # force the branch path
+    )
+    q2.awaitTermination(120)
+    assert _alerts(spark, out_b) == _alerts(spark, out_br)
+    # the structural (chunked) tail fired: spark(0)..merge(2) within 2
+    assert ("near", 4) in _alerts(spark, out_b)
