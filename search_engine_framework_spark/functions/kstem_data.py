@@ -1416,6 +1416,176 @@ witchhazel withers wold wolverine womb wondrous wonton woodcock
 woodpecker woof worldly wormwood worst would wrack wrought xenophobia
 yarrow yaw yea yearling yell yeomanry yon your youth yowl zealotry
 zeitgeist zip ziti zoological
+""".split()
+
+# The sixth block is the round-5 continuation batch (krovetz-8,
+# 1,011 words; six reviewed sub-batches: trades + nautical,
+# weather/astronomy/textiles/colors, archaic + assimilated loanwords,
+# literary/learned vocabulary, device & household compounds,
+# linguistics/CS/finance terms). Same standing review policy as the
+# fifth block. Notable decisions this batch:
+# * grammar-case and CS crosses protected (dative->date,
+#   transitive->transit, nominative->nominate, locative->locate,
+#   pointer->point, stator->state, alterity->alter, illation->ill,
+#   saltation->salt, occultation->occult, clipper/cutter/lugger/
+#   dogger/trawler/spanker -> their verb bases);
+# * agentive/instrument -er/-or trades and devices kept conflating
+#   (brewer/miller/weaver/amplifier/parser/tokenizer/iterator...,
+#   the actor->act policy);
+# * -ing forms with REAL bases kept conflating (mooring, rigging,
+#   bunting, ticking, hedging - the meaning/setting precedent); the
+#   rebalancing family fixed at its BASE (rebalance added) instead of
+#   protecting the gerund;
+# * -ics with -ic singular stems kept conflating (aerobics,
+#   histrionics, pragmatics - the acoustics precedent);
+# * candidate-order hijackers dropped in post-diff review: touche
+#   would have claimed 'touches' away from touch via the -es
+#   shorter-first lookup (the writ/tun/attache failure mode), and
+#   vis/walkie are not standalone citation forms.
+# Audited against artifacts/stem_baseline_kstem_krovetz-7.json.gz.
+) | frozenset("""
+abaft ablaut accidie accusative acedia actuarial acupressure affright
+aficionado agrestic ailurophile airbag airfare airlock alacritous
+albescent alee algid allomorph allophone alterity altocumulus
+altostratus amaranthine amative amatory ambagious ambsace amidships
+anaphora anemometer anent anfractuous anhedonia animadvert annuitant
+anomie anticyclone antilock antinomian aorist aphelion apocope
+aposiopesis apotheosis apropos armiger ashtray asseverate assiduity
+associativity astrakhan athanasia atrabilious autochthonous autoclave
+autopilot avant backhoe bailee ballpoint barkeep barograph barque
+bassinette batiste bedight bedpan belike bellhop benedicite besom
+bibulous bijou bilabial bilander billethead billfold biodegradable
+biofeedback bionic birdbath birdcage bistre bitwise blase bloviate
+blowtorch boatswain bobstay bodega bolide boltrope bombazine bondsman
+bootblack bootjack bosun bottlebrush bourgeoisie boutonniere bowline
+brachiate brakeman breadbasket breadboard breathalyzer bricklayer
+bricolage broadcloth brocatelle broomstick bruit bullish burgee busbar
+bytearray caballero cabbie cachinnate caducity caitiff callipygian
+calque calumnious camcorder candlestick cantina capacitor carambola
+caravel carrack carte cartwright catalytic catboat caudillo causative
+celadon cerebrate cerulean chainsaw charwoman chauffeuse checkbook
+cheeseboard cheesecloth chimneysweep chinook chopstick chronometer
+chthonic chukka chutzpah cigarillo circuitry circumambulate
+cirrocumulus cirrostratus clipper clitic clothesline clothespin coaming
+coatrack coaxial coble cognoscenti combinator commensal communique
+compunctious concupiscence concurrency condign confabulate conjugation
+constellate contretemps contumely copula cordwainer corkboard corkscrew
+coroutine corrida coruscate costermonger crankcase crapulous
+crepuscular croupier cumulonimbus cumulus cunctation cupreous currier
+cutler cutter cyan dairyman datatype dative deadeye debounce deckhand
+declasse decolletage defeasance defibrillator deixis deliquesce
+demarche demimonde demulcent deracinate derailleur derecho dereference
+derriere descry desuetude detente deterministic detumescence diablerie
+diacritic dialyzer diaphoresis dictaphone dipstick dirigisme dishcloth
+dishrag disquiet dissimulate ditransitive divagate docent dockhand
+doeskin dogger dogwatch doorbell doorknob doorknocker doormat doorstop
+dory dosimeter downdraft draper drayman dreck driftwood drivetrain
+drover drugget duenna dustbin dustcloth dynamometer dyspeptic earmuff
+ebullition eclat ecliptic ecru effleurage effluvium effulgence eftsoons
+eggcup eggtimer elan electromagnet electroplate elision embonpoint
+endianness entree enum ephemeris epicene epigone episcope erelong
+ergative ergometer ersatz escheat escritoire estival etiolate
+eudaemonia exculpatory execration exiguous exoplanet exuviate
+eyedropper eyeglass facundity faille fain fairlead fantail farceur
+farrago faux favonian febrifuge felucca ferity ferryman fiancee
+fiberglass fie figurehead firn fishhook fishmonger fissiparous
+flagitious flaneur flannelette flashbulb fletcher floodlight
+florilegium flotsam flowerpot flyswatter foehn footlocker footman
+foremast foresail forklift forsooth foulard freeboard fricative frisson
+fructify fruitcake frypan fugacious fuliginous fuller funambulist
+fungible furbelow furrier fustian fustigate futtock gadzooks
+gallimaufry galvanometer gamekeeper garboard gasconade gearshift gelid
+georgette geothermal gerund gibbous glabrous glazier glottal goldsmith
+golem gondolier gourmandise gramercy grandee grapheme graupel gravid
+greengrocer grosgrain gules gunkhole gunny gunsmith gybe gyrocompass
+habitue haboob hacienda hailstone hairbrush hairpin halliard handbag
+handbrake handcart hashmap hatbox hatpin hawsehole headlamp headphone
+headrest headsail heapsort hebetude hegira heliocentric heliotrope
+helmsman herdsman hermeneutic herringbone hidalgo hieratic hipflask
+hoarfrost holdall holonym homespun homograph homophone horsehair
+hortative hotplate howbeit huckaback hydrofoil hydrometer hygrometer
+hypnagogic hyponym icebox idempotent idiolect illation imbricate
+immanence impecuniosity incarnadine incommunicado incrassate indurate
+ingeminate ingenue inkstand innkeeper insouciance inspissate
+intercalate intercom interfix intransitive ionizer irenic ironmonger
+irrefragable isobar isotherm jackhammer jacquard jean jeremiad jibboom
+jodhpur joiner jollyboat journeyman keelson keychain keypad keyring
+kickstand klutz kvetch lacuna lamplighter lampshade lapidate largesse
+lateen laundromat lazarette leeboard legerity lemma lenition lenity
+letterbox lexeme lexer lief lighter liminal limn literatim locative
+locksmith logorrhea longanimity longshoreman loudspeaker lucubration
+luculent lugger lumberjack lustration madras magnetometer magnetosphere
+maharaja mainmast mainsail mainstay maledicent manque mansuetude mantra
+marlinspike matchbook matchbox matutinal maven mayhap mellifluent
+melton memoization menage mensch mephitic mercer meridional meshuga
+metaclass metathesis meteorite meteoroid methinks metier metonymy
+microfiche micrometer microwave micturate midwife minacious mistral
+mizzenmast moleskin monad moneylender monophthong monorail moorage
+mophead mordacity morpheme motherboard moue mousetrap muleteer
+multimeter mumpsimus mundify mutex nailbrush naivete namespace nankeen
+nary natation natheless navvy nebulizer nee netmaker nictitate
+nimbostratus nimiety nirvana noblesse noctambulist noesis nominative
+nosh nouveau nugatory numinous nutcracker oarlock oarsman obambulate
+obduracy obmutescence obnubilate obsecration obtund occultation ochre
+odalisque odograph oft oftentimes oneiric operose opsimath organza
+orlop orotund oscilloscope oscitant osculate ostler outhaul outre
+outrigger oxymoron pacemaker paisley pajama palimpsest palpebral pandit
+panegyrize paperweight parlous paronomasia parsec partitive parturient
+pasquinade patulous pawnbroker pejoration penknife penumbral pepperbox
+peracute peradventure perchance percipience perdurable perfervid
+perforce perihelion periphrasis perpetuity perspicuous pertinacity
+pervicacious philippic phlegethon phoneme phonograph photocell
+photocopier photoelectric piacular pieman pinata pince pincushion
+pintle placemat plangent plenipotent pleonasm pleonastic plowman
+pluvial pluviometer pocketknife pointer polymorphism polysemy poopdeck
+postposition potentiometer poulterer preciosity prelapsarian premiere
+preposition prevenient primogeniture prithee proclitic pronoun pronto
+propaedeutic prorogation protege psittacine publican puddler pukka
+pulsar pulverulent pyrometer quarryman quarterdeck quasar quicksort
+quiddity quidnunc quietus quixote quondam radiosonde ragpicker rajah
+ratcatcher ratline rebalance receivership recherche recondition
+recrudescence recursion recusant redivivus refactor referential
+refrigerator reinsurance remontant renitent repechage retrodiction
+rheostat rhotic riposte roadstead ropemaker roseate roue rowboat
+ruction rudderpost rugose sackcloth sahib sailcloth saltation
+saltcellar salutiferous sandhi sarcenet saturnalia saucepan sawbones
+saxicolous scapegrace schlep schmaltz schmooze schnook schwa sciamachy
+scintillant sclerotic scow scrapbook scrivener scrofulous scuttlebutt
+seamstress seaplane seaworthy securitize sedulity seigniorage
+seismometer semiotic semivowel sempiternal senectitude sennight senor
+sequacity serialization servo sesquipedalian sessile shallop shantung
+sharkskin sheepshank sheepskin shipwright shoehorn shoelace shtick
+sibilance sidecar silversmith simoom singleton sirocco sirrah skysail
+slipway snowdrift snowflake snuffbox soapdish sociolect soigne soiree
+solatium sommelier somniferous sonar soporose sortilege soteriology
+soubrette soupcon spake spanker spectrograph spectrometer speedometer
+spirometer spoliation spritsail stabilizer stator staysail steerage
+stereoscope sternpost stertorous stewpot stochastic stopwatch stopword
+stovepipe stratocumulus stratus stroboscope subfusc sublunary
+subrogation subwoofer succedaneum sudorific suitcase sundog sunshade
+supercharger supernova suppurate surety susurration swami swansdown
+swineherd syncope synecdoche syntagm syzygy tachograph tackbox taffrail
+tallyman tarlatan tatterdemalion taupe tchotchke teaspoon telegraphy
+teleprinter telex tenebrous teratology terracotta terry tessellate tete
+thaumaturge theodicy thermocouple thermostat thimbleful thole
+thrasonical thrice thundercloud thunderhead tiepin tinsmith titivate
+tmesis toile tollkeeper toolbox toothbrush toothpick toothsome
+topgallant topmast toponym topsail torero  tralatitious tranche
+transceiver transducer transhumance transitive transponder trashcan
+trawler tremulant trie trimaran trireme trituration trysail tuple
+turbocharger turnbuckle tutelar typeclass typewriter ultracrepidarian
+ultramarine ultrasound umbra umbrageous umiak umlaut unicode updraft
+usance uvular vagility vaporizer vaquero variadic variometer vaticinate
+velar velleity velveteen venatic verdigris verdurous veridical
+vermiculate vernissage vesper viatical vicuna viewfinder vilipend
+vintner virga virid viridian viridity virtualization  vocative
+vociferate voila voile voltmeter vulcanize vulpine wainwright 
+wardroom washbasin washboard washcloth wastebin watchman waterline
+wavelength weatherly welkin wheaten wheelwright whereat wherefore
+wherein whereof whereon whereupon wherewithal wherry whilom whipcord
+whirlwind whitesmith widdershins wight williwaw windchill windjammer
+windowsill windshield wineglass wingspan woodsman workbench wroth
+yardarm
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical

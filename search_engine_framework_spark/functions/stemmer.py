@@ -182,7 +182,11 @@ STEMMER_IMPL = {
     # kstem_data.py; protections like adder→add, flatter→flat,
     # revelation→revel, organism→organ; transparent derivations and
     # -ics/-ize/-ing/-er conflations deliberately left to conflate).
-    "kstem": "kstem/krovetz-7",
+    # krovetz-8: round-5 continuation (1,014 reviewed words, 14,016
+    # total — trades/nautical, weather/textiles/colors, loanwords,
+    # literary vocabulary, device compounds, linguistics/CS/finance;
+    # sixth-block comment in kstem_data.py).
+    "kstem": "kstem/krovetz-8",
 }
 
 
