@@ -1586,6 +1586,135 @@ wherein whereof whereon whereupon wherewithal wherry whilom whipcord
 whirlwind whitesmith widdershins wight williwaw windchill windjammer
 windowsill windshield wineglass wingspan woodsman workbench wroth
 yardarm
+""".split()
+
+# The seventh block is the second round-5 continuation batch
+# (krovetz-9, 740 words; six reviewed sub-batches: units of
+# measure + mythology + antiquity + games/dance + agriculture +
+# printing/mining; psychology/philosophy/chemistry; music theory +
+# architecture + liturgy; aviation + mathematics + medical
+# specialists + botany; fish/fruits/grains; legal terms +
+# nautical verbs + world garments). Same standing policy. Notable:
+# * doctrine -isms protected as crosses (holism->hole, theism->the,
+#   realism->real, dualism->dual, fatalism->fatal, ...) while
+#   attitude/-concept -isms conflate (skepticism->skeptic);
+# * more cross closures: atonal->atone, conic->con, dimer->dime,
+#   injective->inject, solicitor->solicit, privity->privy,
+#   laches->lach, incidental->incident, placer->place,
+#   tailings->tail, checkers->check, cyclops->cyclop;
+# * -ing real-base forms and transparent -ion/-ment/-ity/-ics/-er
+#   nominals kept conflating as before (whiting excluded for
+#   consistency with the bunting ruling);
+# * candidate-order hijackers dropped in post-diff review: tun/tam
+#   would have claimed tunable/tamable away from tune/tame via the
+#   -able shorter-first lookup; hove (past form) and porte (only in
+#   porte-cochere) are not citation forms; cardinality reverted — the
+#   committed fixture locks the -ity conflation cardinality->cardinal.
+# Audited against artifacts/stem_baseline_kstem_krovetz-8.json.gz.
+) | frozenset("""
+aba abaya abeam abscissa abulia acai ackee acupuncturist adagietto adit
+adsorption agnosia agora agoraphobia agronomist aileron airframe
+akathisia alexithymia aliquot allemande allergist allotrope altimeter
+amberjack ambivert amphora ampulla anchorite anchoveta anesthetist
+angelfish angstrom anosognosia antilogarithm antinomy antiphon
+antiphonal aphantasia apodictic aporia appellant appoggiatura arborist
+arcsine arctangent are arrowroot aspartame atonal aumbry autogyro
+avionic aweigh axiology azeotrope baccarat baldachin barramundi
+barratry bezique bibliophile bijection blowfish bluegill boldface
+bonefish bort bossa bowfin bowse boxfish breadfruit breezeway
+bressummer brill broadsheet bulbil bulgur burbot butterfish calorimetry
+calyx candela candlefish canistel capelin  cardiologist
+carioca carob casuistry catalysis catechist cathexis cenobite cerberus
+certiorari chador chaldron champerty chanteuse charleston chayote
+checkers chelation cheongsam cherimoya chia chimaera chirality
+chromatography ciborium clerestory cloudberry coalface coalfish
+cockatrice codification codomain coelacanth cognovit colliery
+colligative colloid colophon coloratura colosseum combinatorics
+committal compatibilism compline conga conic conn consequentialism
+contrail contrapositive conveyancer corbel corm cornerstone cosecant
+cosmogony cotangent cotyledon coulter counterpoint countertransference
+covariance crappie crenellation cribbage cubit cultivar cyclops dace
+damselfish dartfish deadrise decile deliquescence delusion demurrer
+denarius deontology deponent depositary dermatologist determinism
+dewberry dhoti diaconate diapason dietitian dimer diminuendo dingbat
+disbarment dissociation djellaba dodecaphony dogfish doorjamb dorado
+downbeat dragonfruit drawbridge dualism duple durian dysphoria
+dysthymia echolalia eelpout egocentrism eidetic eigenvalue eigenvector
+einkorn elderberry electrolyte elevon em embouchure embracery
+embryologist emergentism emmer empath empennage empiricism en
+enantiomer endgame endocrinologist endothermic endpaper enfeoffment
+engram entablature entelechy epidemiologist epistemic epsilon errata
+escolar essentialism estoppel ethology eucharist euchre eudaimonia
+executrix existentialism exothermic fallibilism falsetto fanlight farro
+fascia fatalism feijoa fenestration feoffment fermata fianchetto
+fideism filefish firkin flamenco flyleaf foci fortissimo foxtrot
+freekeh freshen fretwork fugato galliard gam gammon gangue garfish
+gaslight geriatrician gestalt gi gimbal girt glideslope goby
+grandmaster grunion guitarfish gurnard hagfish hanbok harpy hayloft
+haymow hayrick hedonism hematologist hemiola heptagon hereinafter
+heretofore hereunder hogfish holism homeomorphism homophony hoplite
+houndfish  huipil hula hundredweight hydra hydrolysis hylomorphism
+hypercube hypomania icefish icosahedron id idealism immanentism
+immunologist incidental inconnu incunabula indemnification injective
+instrumentalism integrand intentionality internalism internist
+interpleader interquartile intestacy introit isomer jackfruit jellaba
+jetstream jewfish jicama jitterbug jive joule kaffiyeh kameez kamut
+kasha kelvin keno kente keystone kilderkin killifish kingfish kiwano
+kraken kurta kurtosis kyrie laches lambada lancetfish lanthanide
+laryngologist lederhosen leitmotif lenticel letterpress libido ligand
+lingcod linotype lionfish lithography litigant loach loggia longan
+loquat lumen lumpfish lunette lungfish lungi lux machicolation mahjong
+majuscule mambo mandamus mangosteen manticore mantissa marlin matin
+medlar megawatt melisma menhaden meniscus merengue mereology
+metacognition microgram micron microtone middlegame milkfish milligram
+milliliter millimeter mindfulness mineshaft minim minotaur mirabelle
+misericord misfeasance misjoinder modality molly monism monkfish monody
+monomer monoplane monotype monstrance mordent mortmain mudskipper
+muskmelon mycelium nanometer naturalism necessitarianism needlefish
+neonatologist nephrologist neume neurologist neuroplasticity newton
+nocturn nominalism nonagon noumenon novation nucleation oarfish obi
+obiter obligato octant odeon offset ohm oncologist ontology opah
+operand ophthalmologist orthodontist orthogonal orthopedist ostinato
+otolaryngologist overburden overtone paddlefish pagination panicle
+panpsychism papercut parapraxis parcheesi pareidolia pareo parrotfish
+partita pascal passionfruit pasturage paten pathologist pawpaw pax
+pediatrician peduncle pegasus pendente pennyweight pentatonic pericarp
+periodontist permutation personalism perspectivism petiole pharaoh
+pharmacologist phenomenology phlebotomist phloem photosynthesis
+physicalism physiotherapist pianissimo pica picofarad pipefish pitaya
+placer plainchant plainsong ploughshare podiatrist pollack pollinator
+polyphony pood porgy portamento  postnuptial postulant praetor
+pragmatism prebendary prenuptial presbyter presentism privity
+proctologist propwash psalmody psychiatrist psychosis pufferfish pyx
+qipao quaestor qualia quartile quarto quickstep quintal quitclaim quoin
+raceme racemic radiologist radix rambutan rationalism realism
+recitative recognizance recto redox reductionism relativism
+remainderman replevin requiescat rescission rheumatologist rhizome
+rhomboid roc rochet rockfish romanesco rood rootstock rotorcraft roughy
+rubato rummy sablefish sailfish salak salience salsify samba sanctus
+sandfish sapwood sarabande sawfish scad scarecrow schadenfreude
+schottische scienter scientism scorzonera scup seabass sedilia seiche
+selkie semibreve semicircle semiquaver semitone serape serif
+serviceberry sforzando shalwar sheepshead sigma sistrum skat slagheap
+slipcase slipstream snapper snook sockeye solfege solicitor solipsism
+soundboard soursop spandrel spearfish spelt spindrift spoiler starfruit
+stele stere stickleback stingaree stoa stoichiometry stolon stonefish
+stope strigil stringer structuralism subdominant subjectivism subset
+summand sunfish supersaturation surgeonfish surjective swordtail
+synesthesia tabard tailfin tailings tailplane  tamarillo tangelo
+tantoo taproot tarpon taxiway teff tench tessera tessitura testamentary
+testatrix tetra tetrachord thallus theism thereinafter therm threadfin
+thresher thurifer tierce tigernut tilapia tilefish tilth timbrel
+titrant toadfish tod tommyknocker topology toque tortfeasor
+toxicologist transference trefoil tremolando triggerfish trinomial
+triptych triticale triton tritone trover  tuna tunesmith turbofan
+turbojet turboprop tutu typeface typo umbel undecagon undercarriage
+undercroft upbeat urologist usufruct valency valkyrie venire
+verificationism versicle verso verst vibrato vinculum virgate
+virologist virtuosity vitalism vocalise voir voluntarism wahoo walleye
+watermark weakfish whitebait whortleberry windrow winglet winze
+woodpusher wrasse wyvern xylem yarmulke yashmak yukata zander ziggurat
+zugzwang
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical

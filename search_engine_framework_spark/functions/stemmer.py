@@ -177,7 +177,7 @@ STEMMER_IMPL = {
     # old-vs-new with scripts/stem_audit.py.
     # krovetz-6: 7 junk-stem/concept-cross closures (err base form,
     # earring→ear, offspring→offspr, … — fourth-block comment).
-    # krovetz-7: round-5 batch (2,147 reviewed words, 13,005 headwords
+    # krovetz-7: round-5 batch (2,144 reviewed words, 13,002 headwords
     # total — the A-Z + learned-strata sweep, fifth-block comment in
     # kstem_data.py; protections like adder→add, flatter→flat,
     # revelation→revel, organism→organ; transparent derivations and
@@ -186,7 +186,9 @@ STEMMER_IMPL = {
     # total — trades/nautical, weather/textiles/colors, loanwords,
     # literary vocabulary, device compounds, linguistics/CS/finance;
     # sixth-block comment in kstem_data.py).
-    "kstem": "kstem/krovetz-8",
+    # krovetz-9: second round-5 continuation (740 reviewed words,
+    # 14,753 total — seventh-block comment in kstem_data.py).
+    "kstem": "kstem/krovetz-9",
 }
 
 
