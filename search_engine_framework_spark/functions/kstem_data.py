@@ -1715,6 +1715,85 @@ virologist virtuosity vitalism vocalise voir voluntarism wahoo walleye
 watermark weakfish whitebait whortleberry windrow winglet winze
 woodpusher wrasse wyvern xylem yarmulke yashmak yukata zander ziggurat
 zugzwang
+""".split()
+
+# The eighth block is the third round-5 continuation batch (krovetz-10,
+# 452 words; twelve reviewed strata: cuisine/dishes + cooking verbs;
+# geology/landforms; weather/astronomy; birds; textiles/sewing;
+# carpentry/architecture hardware; historical arms; anatomy;
+# rhetoric/linguistics; nautical ship parts; wine/brewing + equestrian
+# + heraldry; medical conditions + mathematics extras). Same standing
+# policy. Notable:
+# * 17 reviewed protections of junk stems / concept crosses the old
+#   lexicon produced: paneer->pane, carnitas->carnita, morion->more,
+#   carpal->carp, lambic->lamb, dexter->dext, spinor->spin,
+#   worsted->worst, screed->scree, gerundive->gerund (distinct Latin
+#   form, the votive/injective precedent), hornfels/sanderling/waxwing/
+#   scantling/pons/stapes/litotes junk singulars;
+# * excluded as transparent derivations per the purity/cardinality
+#   precedent: libration (->librate), nullity (->null);
+# * short-add hijack review: tor/brut/scree candidates are inert
+#   because torment/brutal/screed(now)/mole are themselves protected
+#   headwords; no -able/-er candidate-order steals surfaced in the
+#   post-diff confirmation audit.
+) | frozenset("""
+adenoma adjoint adze affogato affricate aioli amblyopia amphibolite
+anadiplosis analemma andesite anhydrite annulus anticline antiprism
+appendicitis applique apsis arancini arepa argent arrhythmia ashlar
+astrocyte asyndeton auklet automorphism avocet babka bacteremia bajada
+baklava baldric ballista barbacoa barbet barycenter batholith bibimbap
+billabong biryani blazar boucle bradycardia breccia brigandine
+bronchiole brut bufflehead bulgogi calcaneus canvasback caracara
+cardiomyopathy carnitas carpal cassoulet catachresis cataphora cecum
+centerboard cervix ceviche chalcedony challah chambray chamfer
+charcuterie charmeuse chert chiasmus chicharron chimichurri cholent
+chondrite choroid churro clafoutis colitis colluvium concha confit
+congee cowbird cringle crossbill crostini crupper dacite daggerboard
+dashi deglaze demonym dexter diglossia diorite diplopia diverticulum
+dodecahedron dolomite dosa dotterel dukkah dunlin eardrum eggcorn
+eigenspace ellipsoid encephalitis endometrium endomorphism endonym
+epenthesis epididymis epistrophe esker etymon evaporite exonym
+exosphere eyelet fess fibromyalgia fibrosis fid fogbow fovea frangipane
+frenulum frogmouth frustum fufu fulmar functor fundus furikake gabbro
+gadwall galbi gallinule gambeson gaskin genitive gerundive gingiva
+glabella glaive glia glioma glomerulus gnatcatcher gneiss gochujang
+godwit goldeneye gonad goosander gorget goshawk graben granita greave
+gremolata grosbeak guillemot guyot gyoza gyrfalcon hackamore halite
+hallux halva harissa harmattan heliopause heteronym hilum homomorphism
+hoopoe horchata hornbill hornfels horst houndstooth hyperbaton
+hyperboloid hypernym hyperopia hypotaxis idli ignimbrite ikat ileum
+ilium incus injera inselberg ischemia ischium isogloss isomorphism
+japchae jejunum jollof julienne junco kerf kibbeh killdeer kimberlite
+kimchi kinglet kittiwake klippe knackwurst knickpoint knish kofta korma
+kugel labneh laccolith laksa lambic laterite limpkin litotes loess
+longspur lymphoma macula magnetar malleus martingale matzo mediastinum
+medulla melanoma menudo merganser meronym mesentery mesocyclone
+mesosphere metatarsal microburst migmatite mirepoix mirin miso mizzen
+mochi mofongo mondegreen monocline monoid moonbow morion motmot
+mudstone murre myalgia mylonite myocardium myopathy nappe nephron
+neuropathy nightjar nock noddy numnah nystagmus octahedron octonion
+okonomiyaki omentum onager onigiri orogeny overlock oystercatcher
+paneer panzanella papilloma paraboloid parataxis parhelion pauldron
+pegmatite pelmeni peridotite petard phalarope phenocryst philtrum pho
+phyllite piaffe pierogi pilsner pinna pintail placket plosive pluton
+polysyndeton polytope pomace pons ponzu poset posset potoo pozole
+pratincole presbyopia profiterole prolapse prolepsis protostar pubis
+pupusa purlin pylorus quadric quark quaternion quetzal raclette rasam
+razorbill rectum redpoll redstart regolith remoulade rendang retronym
+rhyolite ria rickrack rosti roux rowlock ruche rugelach saison saltire
+sambal sambar sanderling saprolite sapsucker sarcoma satay sauerbraten
+scantling scaup sclera scoria scoter scotoma screed selvage semifreddo
+semigroup septum shawarma shearwater shibori siltstone simplex siskin
+skarn skeg skerry skua smew snaffle soba soffit sofrito sora spaetzle
+sparge spatchcock spile spinnaker spinor spline spoonbill spoonerism
+stapes stenosis stollen stonechat strabismus strake subduction
+supercell surcingle syllabub syncline tabbouleh tachycardia takoyaki
+talus tanager tannin tektite tendinitis tenon terroir thalamus thalweg
+thermosphere tinnitus titmouse toroid toucanet towhee tragus trapezium
+travertine trogon tropopause tufa tuff turnstone udon ullage
+ultrafilter umami urethra vambrace veery venule vindaloo vireo volvulus
+wagtail waxwing wheatear whimbrel wigeon worsted wort xenolith xiphoid
+yakitori zeugma
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical

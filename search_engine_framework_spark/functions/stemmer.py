@@ -188,7 +188,12 @@ STEMMER_IMPL = {
     # sixth-block comment in kstem_data.py).
     # krovetz-9: second round-5 continuation (740 reviewed words,
     # 14,753 total — seventh-block comment in kstem_data.py).
-    "kstem": "kstem/krovetz-9",
+    # krovetz-10: third round-5 continuation (452 reviewed words,
+    # 15,205 total — eighth-block comment in kstem_data.py; cuisine,
+    # geology, weather/astronomy, birds, textiles, carpentry, arms,
+    # anatomy, rhetoric/linguistics, nautical, brewing/equestrian/
+    # heraldry, medical conditions, mathematics strata).
+    "kstem": "kstem/krovetz-10",
 }
 
 
