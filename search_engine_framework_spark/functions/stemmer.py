@@ -193,7 +193,11 @@ STEMMER_IMPL = {
     # geology, weather/astronomy, birds, textiles, carpentry, arms,
     # anatomy, rhetoric/linguistics, nautical, brewing/equestrian/
     # heraldry, medical conditions, mathematics strata).
-    "kstem": "kstem/krovetz-10",
+    # krovetz-11: fourth round-5 continuation (564 reviewed words,
+    # 15,769 total — ninth-block comment in kstem_data.py; botany,
+    # zoology, chemistry, physics quanta, kitchen, instruments,
+    # historical occupations, sports, paleontology, computing strata).
+    "kstem": "kstem/krovetz-11",
 }
 
 
