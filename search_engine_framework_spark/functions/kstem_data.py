@@ -1891,6 +1891,98 @@ tsetse tuatara tubeworm tunicate tupelo uakari uilleann underwing
 unicast uracil vanillin veena velodrome viburnum vinegaroon viscacha
 waterbuck webhook webster webworm weigela wenge whitefly xanthine
 xylene xylitol yorker zein zoanthid zorilla zurna
+""".split()
+
+# The tenth block is the fifth round-5 continuation batch (krovetz-12,
+# 415 words; ten reviewed strata: economics/finance + medieval law;
+# gems/minerals; dyes/colors; weaving/pottery/glass; bookbinding/
+# printing; horology; photography; mycology; beekeeping/falconry/
+# archery + cartography/surveying; dentistry/pharmacy +
+# crystallography/metallurgy + confectionery + theology/logic).
+# Same standing policy. Notable:
+# * 16 reviewed protections of junk stems / concept crosses:
+#   escapement->escape and abutment->abut (mechanism/object nouns, the
+#   department precedent), hairspring->hairspr / mainspring->mainspr /
+#   crizzling->crizzl / electrowinning->electrowin / eyas->eya /
+#   sorites->sorite / forfaiting->forfait (junk bases, the darling
+#   precedent), halation->hale / creance->crease / fustic->fusty /
+#   monoclinic->monocline / quietism->quiet (concept crosses, the
+#   doctrine-ism ruling), backwardation->backward, reversion->reverse
+#   (terms of art, not acts of reverting);
+# * easting/northing left conflating to east/north for consistency
+#   with the committed building/landing/bowling -ing ruling; madder
+#   left conflating to mad per the fuller comparative ruling;
+#   transparent gerunds and -ations excluded (tempering, galvanizing,
+#   securitization, illumination, ...) with base verbs added instead
+#   (rubricate, carburize, sinter, anodize, nitride, calcine,
+#   hypothecate);
+# * mews/drawn excluded because protecting them would break live verb
+#   inflections (the withers precedent);
+# * post-diff confirmation audit caught and fixed three real-word
+#   steals: brail dropped (stole brailled/brailler from braille),
+#   consol dropped (stole consolable from console), and detention
+#   added as a headword alongside detent (which would otherwise steal
+#   it; the old lexicon mis-stemmed detention->detente anyway).
+) | frozenset("""
+abutment albite alevin alexandrite alidade alizarin almandine amanita
+amazonite ambrotype amercement amphiboly anatase andalusite andesine
+andradite anil annabergite annatto anodize anorthite apatite
+apicoectomy apophatic apothecium appanage aquatint aragonite arbalest
+arminianism arsenopyrite ascospore ascus austenite austringer autunite
+azurite backwardation bainite basidiospore basidium bastnaesite
+bathymetry beneficiation bewit bezel billet bloodstone bloomery bokeh
+bolete bolus borderland bornite borosilicate bottomry brazilin
+brookite bruxism bytownite cadastre calcine calotype carburize
+carnelian carnotite cartouche caseback cassiterite cataphatic
+catechesis cementite cerussite chainage chalcocite chalcopyrite
+chanterelle chatelaine choropleth chromite chronograph chrysoberyl
+chrysocolla chrysoprase chytrid citrine cleistothecium cobaltite
+collodion collotype columbite comfit complication conciliarism
+condominium conidium contango cordierite corundum covellite
+creance crizzling croquant cullet curettage cyanotype daguerreotype
+deckle decoction deism demantoid demurrage detent detention devitrification
+diastema dragee druse drypoint dumortierite duodecimo eaglet
+earthenware eisegesis electrowinning electuary elver embrocation
+emphyteusis enargite endsheet engobe enoki enthymeme entrepot
+epicheirema epitaxy erastianism erythrite escapement excipient exclave
+eyas ferrite ferrotype fiefdom fistmele flatbow flexography flotation
+fluorite foliot forfaiting franklinite frit fuchsine fusee fustic
+galena gallicanism gamboge gatefold geoid gianduja gingivectomy
+gingivitis gleba gobo gobstopper goethite goshenite graticule greenware
+grilse grossular guilloche hachure hairspring halation headband
+heartland heddle heliodor heliograph hematite henotheism heriot
+hesychasm hypha hypothecate hypsometry ilmenite incipit indigotin inlay
+intervalometer investiture iolite irredentism isobath isochronism
+isohyet isometric jadeite jess joey kenosis kickwheel kunzite kyanite
+labradorite lamella lampwork lapis laytime lazurite lehr leveret
+levigation limonite linocut logwood magnesite magnetite mainspring
+maitake malocclusion marcasite marchland marginalia marshmallow
+martensite mauveine merchet mezzotint microcline millefiori millerite
+molybdenite monazite monoclinic monopod moonstone morel morganite
+mutoscope mycorrhiza mystagogy nephrite niccolite nitride nougatine
+occlusion octavo oligoclase onlay orpiment orthoclase orthophoto
+orthorhombic overbite owlet panentheism parison parr passivation
+pastedown pearlite pelagianism pentlandite penuche peppercorn peridium
+peridot periodontitis perithecium photogravure pietism planimeter
+platinotype pneumatology polymorph polysyllogism pontic popinjay poult
+praxinoscope prophylaxis propolis protectorate proustite pseudomorph
+puffball pugmill pulpitis punty pyrargyrite pyrite pyrope pyrrhotite
+quenchant quercitron quietism quire quitrent quiverful raku rattrapante
+realgar recurve remainder remontoire resection respondentia revanchism
+reversion rhodochrosite rhodolite rimland rotogravure rubricate russula
+rutile safflower saggar sanidine saprophyte sard sardonyx scheelite
+scrim scrip scriptorium scutage selfbow serigraph sexto sgraffito
+shuttlecock siderite sillimanite simony sinter skep skewbald slipware
+smaltite smithsonite smolt snoot socage sodalite softbox solferino
+sorites spessartine sphalerite spheroidite spinel spodumene sporangium
+stadia staurolite stereograph stereopticon stibnite stinkhorn stipe
+stoneware sunstone supersedure suppository suzerainty swage swarf
+tallage tantalite tanzanite tetragonal tetrahedrite thalassocracy
+thorite tiercel tintype toponymy torbernite tourbillon triangulation
+triclinic trigonal trilateration trilemma troche tsavorite tuyere
+ultramontanism underbite uraninite usufructuary uvarovite variscite
+vassalage vivianite volva vug waggle wavellite woad wolframite woodcut
+xenotime yarak zoetrope zygospore
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical

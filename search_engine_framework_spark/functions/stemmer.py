@@ -197,7 +197,11 @@ STEMMER_IMPL = {
     # 15,769 total — ninth-block comment in kstem_data.py; botany,
     # zoology, chemistry, physics quanta, kitchen, instruments,
     # historical occupations, sports, paleontology, computing strata).
-    "kstem": "kstem/krovetz-11",
+    # krovetz-12: fifth round-5 continuation (415 reviewed words,
+    # 16,184 total — tenth-block comment in kstem_data.py; finance/law,
+    # minerals, dyes, crafts, horology, photography, mycology,
+    # surveying, dentistry/pharmacy, metallurgy, theology strata).
+    "kstem": "kstem/krovetz-12",
 }
 
 
