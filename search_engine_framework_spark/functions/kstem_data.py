@@ -1983,6 +1983,78 @@ triclinic trigonal trilateration trilemma troche tsavorite tuyere
 ultramontanism underbite uraninite usufructuary uvarovite variscite
 vassalage vivianite volva vug waggle wavellite woad wolframite woodcut
 xenotime yarak zoetrope zygospore
+""".split()
+
+# The eleventh block is the sixth round-5 continuation batch
+# (krovetz-13, 318 words) — unlike the topical strata, this batch was
+# found EMPIRICALLY: the probe stemmed the ~23k-word vocabulary
+# harvested from the English prose installed on the build host
+# (package docs/readmes under /usr/share/doc and site-packages) and
+# flagged every word whose stem is a non-headword; the curated subset
+# below is the standard-dictionary words among them. It closes
+# surprisingly basic gaps: core nouns/verbs the topical strata missed
+# (determine, eliminate, mechanism, solution, technology, cookie,
+# password, directory, reference, application, response, ...), the
+# full British-variant families (-our: colour, behaviour, honour, ...;
+# -ise: organise, realise, recognise, ...), dictionary un- adjectives
+# (undefined, unexpected, unlimited, unsigned, ...), mis-/re-/over-
+# verb families (mislead, misspell, rename, rebuild, override,
+# overwrite, ...), and high-frequency function words that previously
+# produced junk stems (whereas->wherea, sometimes->sometime,
+# ourselves/themselves/yourselves->*-selve, pending->pend,
+# notwithstanding->notwithstand). One live concept cross closed:
+# serialize previously conflated to serial via -ize confirmation.
+# Transparent -ation/-ment nominals remain excluded per the standing
+# policy (authorization, initialization, securitization, ...) — their
+# base verbs are added instead (authorize, initialize, normalize).
+) | frozenset("""
+acquisition activate addition administrator advisory analyse
+application architecture armour assembly associate association
+assumption authorise authorize backup behaviour blog blueprint boolean
+bot breakage breakpoint categorize certificate circumstance
+clarification collision colour communicate comparison complaint
+complicate conclusion conflict consequence constraint cookie deactivate
+decompress departure dependency dependent dequeue deregister descendant
+description descriptor deserialize determine diagnostic difference
+directory disable disallow disambiguate disappear disassociate
+disclosure disconnect discourage discovery distinguish diversify
+downgrade download eighth eliminate email encipher endeavour enqueue
+explanation exposure extension eyeball facilitate failure fallback
+favour fingerprint flatten flavour footnote functionality genome glitch
+guideline harbour harden highlight honour housekeeping humour identity
+incompatibility inconsistency individual ingest initialise initialize
+interact interaction interface internationalize invalidate invariant
+labour lawsuit lifetime longstanding loosen macro mechanism membership
+microsecond millisecond misalign misbehave miscount mishandle
+misidentify misinterpret mislead mismatch misplace misrepresent
+misspell misunderstand misuse modification motivate nanosecond
+neighbour newcomer newline normalise normalize notebook notification
+notwithstanding occurrence odour onboard ongoing organise ourselves
+outcome outdated outgoing outline outlive outpost outstanding overflow
+overload override overrun overwrite parlour participant passphrase
+password payload pending percentile permission placeholder plugin
+populate popup precompile preference preload prepend preprocess
+prerequisite preset realise reboot rebuild recipient recognise
+recompile reconnect recreate recurse redact redefine redirect reference
+regenerate registration rehash reimplement reinstate relationship
+reload rename rendition reopen reorder reorganize replay representative
+response responsibility restart restructure retry reuse revamp reword
+rework rewrite rumour saviour scientist semicolon serialise serialize
+shortcut shorten shorthand showcase sideways simplify snapshot solution
+sometimes splendour stabilize straighten strengthen subclass
+subdirectory subfolder subsection subsystem summarise summarize tarball
+technology ternary themselves threaten thumbprint tighten timeout
+timestamp toolchain transcription triage troubleshoot tutorial
+unaffected unauthorized unbalanced unbounded unchanged unchecked
+unconfirmed uncover undefined underline underscore undesired
+undocumented unexpected unfinished uninstall unintended uninteresting
+unlimited unlink unload unlock unmatched unnamed unneeded unnoticed
+unordered unpack unqualified unrecognized unregister unrelated
+unresolved unrestricted unsatisfied unsigned unsorted unspecified
+unsupported unused unwanted unwind unwrap upcoming upload upstream
+utilise utilize valour variant vigour visualize volunteer whereas
+whitelist whitespace widget wildcard workaround workflow workload
+workspace yourselves
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical

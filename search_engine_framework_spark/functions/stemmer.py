@@ -201,7 +201,13 @@ STEMMER_IMPL = {
     # 16,184 total — tenth-block comment in kstem_data.py; finance/law,
     # minerals, dyes, crafts, horology, photography, mycology,
     # surveying, dentistry/pharmacy, metallurgy, theology strata).
-    "kstem": "kstem/krovetz-12",
+    # krovetz-13: sixth round-5 continuation (318 reviewed words,
+    # 16,501 total — eleventh-block comment in kstem_data.py; the
+    # empirical host-prose probe batch: core-English gaps, British
+    # -our/-ise variants, dictionary un- adjectives, mis-/re-/over-
+    # verb families, junk-stemmed function words, and the
+    # serialize->serial cross).
+    "kstem": "kstem/krovetz-13",
 }
 
 
