@@ -2055,7 +2055,32 @@ unsupported unused unwanted unwind unwrap upcoming upload upstream
 utilise utilize valour variant vigour visualize volunteer whereas
 whitelist whitespace widget wildcard workaround workflow workload
 workspace yourselves
-""".split())
+""".split()
+
+# The twelfth block is the seventh round-5 continuation batch
+# (krovetz-14, 78 words): stragglers from the host-prose probe plus a
+# reviewed internet/computing and IR/NLP/agent-transcript domain
+# stratum -- on-domain vocabulary for the engine's conversation-corpus
+# target. Protections close two live crosses on core domain words
+# (latency->latent, precision->precise) plus regression->regress and
+# transaction->transact (terms of art, the tension/reversion
+# precedent) and substring->substr (junk). Agentive tool nouns
+# (tokenizer, parser, compiler, classifier, transformer, leader,
+# speaker) and transparent -ing/-ion/-ity nominals (embedding,
+# ranking, indexing, retrieval, completion, eviction, summarization,
+# consistency, availability) stay conflating per the standing
+# cleaver/building/abatement/purity rulings.
+) | frozenset("""
+admin adware backend barf baud bigram bloatware botnet chatroom
+checkpoint ciphertext cleanup clickbait dataset deque endpoint extranet
+filename filesystem finetune freeware frontend fuzzy glyph homepage
+hostname hotspot hyperlink inference intranet keylogger keyword latency
+listserv login logout lookup metadata multimodal newsgroup ngram
+pathname paywall phish pixmap plaintext precision pretrain ransomware
+regression relevance reset rollback rollout rootkit runtime selfie
+shareware signup spam spyware stylesheet substring texel throughput
+transaction transcript trigram unigram usenet utterance vaporware voxel
+weblog webpage website wetware workstation""".split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical
 # lookalikes reviewed against the pre-add stemmer output (each one

@@ -207,7 +207,11 @@ STEMMER_IMPL = {
     # -our/-ise variants, dictionary un- adjectives, mis-/re-/over-
     # verb families, junk-stemmed function words, and the
     # serialize->serial cross).
-    "kstem": "kstem/krovetz-13",
+    # krovetz-14: seventh round-5 continuation (78 reviewed words,
+    # 16,579 total — twelfth-block comment in kstem_data.py; probe
+    # stragglers + internet/computing + IR/NLP/agent-transcript domain
+    # stratum; closes latency->latent and precision->precise).
+    "kstem": "kstem/krovetz-14",
 }
 
 
