@@ -2076,7 +2076,7 @@ checkpoint ciphertext cleanup clickbait dataset deque endpoint extranet
 filename filesystem finetune freeware frontend fuzzy glyph homepage
 hostname hotspot hyperlink inference intranet keylogger keyword latency
 listserv login logout lookup metadata multimodal newsgroup ngram
-pathname paywall phish pixmap plaintext precision pretrain ransomware
+pathname paywall phish pixmap plaintext pretrain ransomware
 regression relevance reset rollback rollout rootkit runtime selfie
 shareware signup spam spyware stylesheet substring texel throughput
 transaction transcript trigram unigram usenet utterance vaporware voxel
