@@ -2080,7 +2080,43 @@ pathname paywall phish pixmap plaintext pretrain ransomware
 regression relevance reset rollback rollout rootkit runtime selfie
 shareware signup spam spyware stylesheet substring texel throughput
 transaction transcript trigram unigram usenet utterance vaporware voxel
-weblog webpage website wetware workstation""".split())
+weblog webpage website wetware workstation""".split()
+
+# The thirteenth block is the eighth round-5 continuation batch
+# (krovetz-16, 121 words): a top-2000 high-frequency lemma sweep (the
+# real KStemData is exactly a common-English list, and the host-prose
+# probe proved basic gaps survived the earlier A-Z pass). ~108 are
+# inert protections of words that already stemmed to themselves
+# (because, knowledge, marriage, therefore, weekend, ...). 13 reviewed
+# protections close live crosses ON VERY COMMON WORDS:
+# after->aft(!), violence->violet(!), likely->like, hardly->hard,
+# realize->real (the British realise was already protected in
+# krovetz-13 -- spelling parity), executive->execute, officer->office,
+# critical->critic, profession(al)->profess (the gymnastics/tension
+# precedent), colonize->colon, maximize->maxim, minimize->minim (with
+# their -ise twins; optimize was already protected, optimise joins).
+# Same-family -ize conflations deliberately kept (modernize->modern,
+# generalize->general, capitalize->capital, criticize->critic);
+# comparative-shape words kept conflating (stranger->strange, the
+# fuller/madder ruling); -ion/-ity/-ment transparents kept conflating
+# per the iteration/implementation fixtures (emotion->emote,
+# statement->state, priority->prior, reality->real).
+) | frozenset("""
+adventure after aircraft anniversary anymore appropriate around assist
+attention away beauty because bedroom behind birth blow born brilliant
+cancer careful childhood coat colonise colonize committee confidence
+could creature critical dangerous dear defend dirty distant district
+division domestic electric elsewhere emergency evil excellent executive
+factory football forever fourth funny generous gentleman grocery guilty
+hardly healthy her him household however hungry illegal immediate
+independent injury inquiry insurance international itself knowledge
+likely literary literature lucky marriage maximise maximize maybe
+minimise myself nearby nervous newspaper nobody nowhere nuclear officer
+okay optimise otherwise our overcome pleasure poetry politician
+president princess profession professional realize resident revolution
+safety secretary serious silent somebody somehow someone sometime
+sufficient surgery therefore unfortunately unusual urgent useful
+violence weekend wholly wildlife wonderful wooden""".split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical
 # lookalikes reviewed against the pre-add stemmer output (each one

@@ -216,7 +216,12 @@ STEMMER_IMPL = {
     # efficiency->efficient (transparent de-adjectival -ion), and the
     # fixture precedent wins; caught by the full-suite run at closing
     # HEAD (test_round2.test_kstem_fixture_table).
-    "kstem": "kstem/krovetz-15",
+    # krovetz-16: eighth round-5 continuation (121 reviewed words,
+    # 16,699 total — thirteenth-block comment in kstem_data.py; the
+    # top-2000 high-frequency lemma sweep: after->aft, violence->violet,
+    # likely->like, realize->real and ten more common-word crosses
+    # closed, ~108 inert protections).
+    "kstem": "kstem/krovetz-16",
 }
 
 
