@@ -2116,7 +2116,52 @@ okay optimise otherwise our overcome pleasure poetry politician
 president princess profession professional realize resident revolution
 safety secretary serious silent somebody somehow someone sometime
 sufficient surgery therefore unfortunately unusual urgent useful
-violence weekend wholly wildlife wonderful wooden""".split())
+violence weekend wholly wildlife wonderful wooden""".split()
+
+# The fourteenth block is the ninth round-5 continuation batch
+# (krovetz-17, 173 words): the second-frequency-tier lemma sweep
+# (~3,450 further common lemmas checked; only 217 were missing --
+# coverage in this band is already dense). 12 reviewed protections
+# close crosses and junk: supplement->supple(!), succession->success,
+# organic->organ (the ironic->iron precedent), informal->inform,
+# barely->bare (the hardly ruling), beloved->belov (junk),
+# communism->commune (doctrine-ism ruling), plantation->plant and
+# narrative->narrate (lexicalized object nouns, the department/votive
+# precedents), senator->senate (the officer ruling), poster->post and
+# voucher->vouch (lexicalized documents, the slipper precedent).
+# Kept conflating per the standing rulings: agentives
+# (waiter->wait, plumber->plumb, commander->command, scooter->scoot),
+# transparent -ion/-ment/-ity/-able/-al (assessment, computation,
+# declaration, efficiency [fixture-locked], affordable, marginal,
+# postal), -ly adjectives without semantic drift (deadly->dead,
+# prickly->prick), and plural-lexicals whose singular verb/adjective
+# lives on (shambles->shamble, rapids->rapid, outskirts->outskirt).
+) | frozenset("""
+accountability accountant accuracy admission agriculture auditorium
+autobiography axe backyard bakery barely beloved beneficial bible
+bookstore bravery breakdown breakthrough bride bridegroom cautious
+checkup circulate cocktail comedian commence commonplace commonwealth
+communism compartment compliance compulsory consultant contemporary
+continuous contraception courtyard coverage deadline deluxe descent
+disarm discharge discount disgrace disorder displace disregard dough
+ecosystem expedition expertise explosion fabulous fellowship felony
+forgery fragrance furniture grateful guardian gypsy haircut hardship
+heroin hesitant horizontal ignorant immigrant immortal impatient
+inclusive inevitable informal informant infrastructure insane
+insignificant invasion landlord layout leftover livestock machinery
+mainland memorial metropolitan mighty misfortune narrative naughty
+nonetheless novelty oatmeal occupation offense operational optimal
+organic outbreak outburst outfit outlaw outlet outlook outright outset
+outward overthrow papal paralyze paranoid pathetic personnel petroleum
+philosopher plantation postage poster practitioner predator predominant
+projectile propaganda prostitute pseudo psychiatry pursuit rape rivalry
+riverbank romantic rundown runway sadistic seafood seaman seashore
+senator shortage sloppy slot stronghold succession sunrise sunset
+superintendent supermarket supplement suspense tarp township undergo
+underlie undermine underneath undertake undo unity unveil uproot upturn
+verandah vigorous voucher wearisome whereby withhold withstand woodland
+worthwhile worthy zealous
+""".split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical
 # lookalikes reviewed against the pre-add stemmer output (each one

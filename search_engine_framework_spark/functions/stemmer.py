@@ -221,7 +221,12 @@ STEMMER_IMPL = {
     # top-2000 high-frequency lemma sweep: after->aft, violence->violet,
     # likely->like, realize->real and ten more common-word crosses
     # closed, ~108 inert protections).
-    "kstem": "kstem/krovetz-16",
+    # krovetz-17: ninth round-5 continuation (173 reviewed words,
+    # 16,872 total — fourteenth-block comment in kstem_data.py; the
+    # second-frequency-tier lemma sweep: supplement->supple,
+    # succession->success, organic->organ, informal->inform and eight
+    # more crosses closed).
+    "kstem": "kstem/krovetz-17",
 }
 
 
