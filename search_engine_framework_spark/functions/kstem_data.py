@@ -2161,6 +2161,22 @@ superintendent supermarket supplement suspense tarp township undergo
 underlie undermine underneath undertake undo unity unveil uproot upturn
 verandah vigorous voucher wearisome whereby withhold withstand woodland
 worthwhile worthy zealous
+""".split()
+
+# The fifteenth block (krovetz-18, 8 words) closes a systematically
+# enumerated cross class: -ly/-y adjectives and adverbs whose true base
+# ends in -l/-le, where the -ly strip candidate is itself a headword
+# and wins before the correct base is tried (the after->aft mechanism).
+# The scan formed b+'y' for every headword b ending in -l and
+# b[:-1]+'y' for every b ending in -le, reviewed the ~150 hits, and
+# kept the real English words: curly->cur, pearly->pear, wooly->woo,
+# crawly->craw, gristly->grist, singly->sing(!), stably->stab(!),
+# triply->trip. Correct -ly adverbs of the short base were left
+# conflating (fondly->fond, kindly->kind, sickly->sick, steeply->steep,
+# gravely->grave); the -bly/-edly families were probed and are already
+# clean (simply, probably, allegedly, ... all protected or transparent).
+) | frozenset("""
+crawly curly gristly pearly singly stably triply wooly
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical

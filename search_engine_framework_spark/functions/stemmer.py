@@ -226,7 +226,11 @@ STEMMER_IMPL = {
     # second-frequency-tier lemma sweep: supplement->supple,
     # succession->success, organic->organ, informal->inform and eight
     # more crosses closed).
-    "kstem": "kstem/krovetz-17",
+    # krovetz-18: tenth round-5 continuation (8 words, 16,880 total —
+    # fifteenth-block comment in kstem_data.py; the systematically
+    # enumerated -l/-le-base -ly cross class: curly->cur, pearly->pear,
+    # singly->sing, stably->stab, triply->trip, ...).
+    "kstem": "kstem/krovetz-18",
 }
 
 
