@@ -2177,6 +2177,19 @@ worthwhile worthy zealous
 # clean (simply, probably, allegedly, ... all protected or transparent).
 ) | frozenset("""
 crawly curly gristly pearly singly stably triply wooly
+""".split()
+
+# The sixteenth block (krovetz-19, 3 words) closes the last crosses
+# from the suffix-class probes: sonic->son and cubic->cub (-ic strip
+# onto unrelated short headwords) and passive->pass (-ive). The same
+# probes found the -ure, -et/-let, -ery, -ate, -ade, -est, -ion,
+# -ment, -bly and -edly classes already clean: every other hit is
+# either protected (toilet, bullet, violet, battery, interest, forest)
+# or a deliberate same-family conflation per the committed rulings
+# (atomic->atom fixture, magnetic->magnet, teacher->teach,
+# musical->music, abusive->abuse).
+) | frozenset("""
+cubic passive sonic
 """.split())
 # The second block is the round-4 curated batch (~3.4k headwords):
 # general-English citation forms plus deliberately protected lexical

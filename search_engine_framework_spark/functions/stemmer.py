@@ -230,7 +230,10 @@ STEMMER_IMPL = {
     # fifteenth-block comment in kstem_data.py; the systematically
     # enumerated -l/-le-base -ly cross class: curly->cur, pearly->pear,
     # singly->sing, stably->stab, triply->trip, ...).
-    "kstem": "kstem/krovetz-18",
+    # krovetz-19: final round-5 closure (3 words, 16,883 total —
+    # sixteenth-block comment in kstem_data.py: sonic->son, cubic->cub,
+    # passive->pass; the other probed suffix classes were clean).
+    "kstem": "kstem/krovetz-19",
 }
 
 
